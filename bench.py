@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (collect on small
+results) so the full plan executes; timings include plan + execution but
+share one SparkSession (JVM startup excluded, matching how a long-lived
+engine runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: exercised operators that dominate real usage — scan+agg,
+# join+topk, star join, window dedup, merge variants, rollup.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "last_event_per_user",
+    "merge_upsert",
+    "merge_upsert_delete",
+    "merge_delete_only",
+    "hourly_partition_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kafka_connect_bigquery_spark import queries as qmod
+    from kafka_connect_bigquery_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = qmod.queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warmup: trigger JIT/codegen + file listing once with the flagship
+    registry[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

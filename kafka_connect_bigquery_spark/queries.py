@@ -1,0 +1,400 @@
+"""Query/operator registry: the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent
+ANSI-SQL oracle string that DuckDB runs on the same parquet tables.
+The driver compares row-count + schema + order-insensitive value hash,
+so every computed column is aliased identically on both sides and
+floating-point aggregates go through DECIMAL casts (exact, summation-
+order-independent in both engines) before a final cast back to DOUBLE.
+
+Registry grows as operators from SURVEY.md §2 are implemented; the
+`queries()` / `oracle_sql()` functions in ``__spark_entry__.py`` simply
+re-export this module's REGISTRY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.operators.merge import (
+    dedup_latest_per_key,
+    merge_delete_only,
+    merge_upsert,
+    merge_upsert_delete,
+)
+from kafka_connect_bigquery_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# DuckDB reads the events table's ts as TIMESTAMP_NS; Spark floors it to
+# microseconds (read_table). Oracle SQL must emit the same truncation.
+def _ts_us(col: str = "ts") -> str:
+    return f"make_timestamp(epoch_ns({col}) // 1000)"
+
+
+_TS_US = _ts_us()
+
+
+def _dec(col, prec: int = 18, scale: int = 4):
+    """Cast to decimal so SUM is exact and order-independent (hash-stable
+    across Spark partial aggregation and DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# Fixed-point quantization for money-style aggregates.
+#
+# Summing doubles is partial-aggregation-order dependent, and a straight
+# double->decimal CAST can round differently across engines (Spark rounds
+# the shortest decimal repr, DuckDB the binary value — they disagree on
+# midpoint-adjacent values, observed ~1/60k rows). Instead quantize in
+# IEEE double space (x*1e4+0.5 then floor: every step bitwise identical
+# in both engines), sum the exact integers in DECIMAL(38,0), and convert
+# back to double once at the end.
+_Q = 10_000
+
+
+def _qsum(expr):
+    """Exact order-independent SUM of a double expression at 1e-4 quanta.
+
+    Returns a Spark Column: SUM over floor(x*1e4+0.5) as DECIMAL(38,0).
+    Pair with ``_qsum_sql``. Combine to a final double via _qval.
+    """
+    return F.sum(F.floor(expr * _Q + F.lit(0.5)).cast("decimal(38,0)"))
+
+
+def _qval(sum_col):
+    """Quantized decimal sum -> double value (divide out the 1e4 scale)."""
+    return sum_col.cast("double") / F.lit(float(_Q))
+
+
+def _qsum_sql(expr_sql: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr_sql}) * {_Q} + 0.5) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / {_Q}.0"
+    )
+
+
+EVENT_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+def _events_split(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic split point: first half of event_ids = existing
+    destination state, second half = incoming batch."""
+    mx = _t(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    return (int(mx) + 1) // 2
+
+
+_SPLIT_SQL = "(SELECT (max(event_id) + 1) // 2 FROM events)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (headline/bench queries)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): 2-col groupBy, 8 aggregates.
+
+    Scale: single shuffle on the two low-cardinality group keys with
+    map-side partial aggregation; scans only 7 of 11 lineitem columns
+    (column pruning) with the shipdate filter pushed to parquet.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _qval(_qsum(F.col("l_quantity"))).alias("sum_qty"),
+            _qval(_qsum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            _qval(_qsum(disc_price)).alias("sum_disc_price"),
+            _qval(_qsum(charge)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+Q_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_qsum_sql('l_quantity')} AS sum_qty,
+       {_qsum_sql('l_extendedprice')} AS sum_base_price,
+       {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_qsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       COUNT(*) AS count_order,
+       {_qsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+       {_qsum_sql('l_extendedprice')} / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): 3-way join + agg + top-k.
+
+    Scale: customer filter prunes before the join; customer and orders
+    sides shrink early so AQE can broadcast them against lineitem.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_qval(_qsum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+Q_TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume (TPC-H Q5 shape): 6-way star join.
+
+    Scale: region/nation/supplier are broadcast dims; the only big
+    shuffle is lineitem⨝orders on orderkey.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_qval(_qsum(revenue)).alias("revenue"))
+    )
+    return out
+
+
+Q_TPCH_Q5_SQL = f"""
+SELECT n_name,
+       {_qsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface operators (SURVEY §2) on the events stream table
+# ---------------------------------------------------------------------------
+
+def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1: newest row per key (the reference's batch-dedup subquery,
+    MergeQueries.java:219-225) via window row_number."""
+    e = _t(spark, sf_dir, "events")
+    out = dedup_latest_per_key(e, ["user_id"], order_col="event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return out
+
+
+Q_LAST_EVENT_SQL = f"""
+SELECT user_id, event_id, {_TS_US} AS ts, event_type, value
+FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events e
+) WHERE rn = 1
+"""
+
+
+def _dest_state(spark, sf_dir):
+    """Destination table for upsert sims: latest event per user in the
+    first half of the stream (unique per key, like a BQ upsert target)."""
+    split = _events_split(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < split)
+    return dedup_latest_per_key(e, ["user_id"], "event_id").select(*EVENT_COLS), split
+
+
+_DEST_SQL = f"""
+  SELECT user_id, event_id, {_TS_US} AS ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e WHERE event_id < {_SPLIT_SQL}
+  ) WHERE rn = 1
+"""
+
+_SRC_SQL = f"""
+  SELECT user_id, event_id, {_TS_US} AS ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e WHERE event_id >= {_SPLIT_SQL}
+  ) WHERE rn = 1
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/J1: MERGE upsert — second half of the event stream upserted
+    into the state built from the first half (key = user_id)."""
+    dest, split = _dest_state(spark, sf_dir)
+    batch = _t(spark, sf_dir, "events").filter(F.col("event_id") >= split)
+    return merge_upsert(dest, batch, ["user_id"], order_col="event_id")
+
+
+Q_MERGE_UPSERT_SQL = f"""
+WITH dest AS ({_DEST_SQL}), src AS ({_SRC_SQL})
+SELECT user_id, event_id, ts, event_type, value FROM src
+UNION ALL
+SELECT d.user_id, d.event_id, d.ts, d.event_type, d.value
+FROM dest d WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = d.user_id)
+"""
+
+
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/J2: MERGE upsert+delete — batch rows whose *latest* record per
+    key is a tombstone (event_type='error' stands in for a Kafka null
+    value) delete the key; others upsert."""
+    dest, split = _dest_state(spark, sf_dir)
+    batch = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") >= split)
+        .withColumn("__tombstone", F.col("event_type") == "error")
+    )
+    return merge_upsert_delete(
+        dest, batch, ["user_id"], order_col="event_id", tombstone_col="__tombstone"
+    )
+
+
+Q_MERGE_UPSERT_DELETE_SQL = f"""
+WITH dest AS ({_DEST_SQL}), src AS ({_SRC_SQL})
+SELECT user_id, event_id, ts, event_type, value FROM src WHERE event_type <> 'error'
+UNION ALL
+SELECT d.user_id, d.event_id, d.ts, d.event_type, d.value
+FROM dest d WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = d.user_id)
+"""
+
+
+def q_merge_delete_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F3/F4/J3: delete-only MERGE with tombstone-ordering — dest is
+    an append log; batch rows before their key's latest tombstone are
+    dropped, tombstoned keys are purged from dest, survivors append."""
+    split = _events_split(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    dest = e.filter(F.col("event_id") < split).select(*EVENT_COLS)
+    batch = (
+        e.filter(F.col("event_id") >= split)
+        .withColumn("i", F.col("event_id"))
+        .withColumn("__tombstone", F.col("event_type") == "error")
+    )
+    return merge_delete_only(
+        dest, batch, ["user_id"], order_col="i", tombstone_col="__tombstone"
+    )
+
+
+Q_MERGE_DELETE_ONLY_SQL = f"""
+WITH batch AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, event_type, value, event_id AS i,
+         (event_type = 'error') AS tomb
+  FROM events WHERE event_id >= {_SPLIT_SQL}
+), deletes AS (
+  SELECT user_id, max(i) AS del_i FROM batch WHERE tomb GROUP BY user_id
+), surviving AS (
+  SELECT b.* FROM batch b LEFT JOIN deletes d USING (user_id)
+  WHERE d.del_i IS NULL OR b.i >= d.del_i
+)
+SELECT user_id, event_id, ts, event_type, value FROM surviving WHERE NOT tomb
+UNION ALL
+SELECT e.user_id, e.event_id, {_ts_us('e.ts')} AS ts, e.event_type, e.value
+FROM events e
+WHERE e.event_id < {_SPLIT_SQL}
+  AND NOT EXISTS (SELECT 1 FROM deletes x WHERE x.user_id = e.user_id)
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/S8 analog: ingestion-time partition rollup — events bucketed to
+    their HOUR partition (the reference's TimePartitioning grain,
+    SchemaManager.java:574-598) with per-partition per-type counts."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.withColumn("p_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("p_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _qval(_qsum(F.col("value"))).alias("sum_value"),
+        )
+    )
+    return out
+
+
+Q_HOURLY_ROLLUP_SQL = f"""
+SELECT date_trunc('hour', ts) AS p_hour, event_type,
+       COUNT(*) AS n_events,
+       {_qsum_sql("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "tpch_q1_pricing_summary": (q_tpch_q1, Q_TPCH_Q1_SQL),
+    "tpch_q3_shipping_priority": (q_tpch_q3, Q_TPCH_Q3_SQL),
+    "tpch_q5_local_supplier_volume": (q_tpch_q5, Q_TPCH_Q5_SQL),
+    "last_event_per_user": (q_last_event_per_user, Q_LAST_EVENT_SQL),
+    "merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
+    "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
+    "merge_delete_only": (q_merge_delete_only, Q_MERGE_DELETE_ONLY_SQL),
+    "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

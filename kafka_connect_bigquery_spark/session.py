@@ -1,0 +1,107 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` in a single JVM, but every
+config here is chosen to also be correct on a large multi-executor
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session timezone (oracle comparability), Arrow enabled
+for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kcbq-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores (or left
+    to AQE's coalescing with a high initial value). Locally we match the
+    thread count so tiny benchmarks aren't dominated by task overhead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # driver testdata stores some timestamps at nanosecond precision,
+        # which Spark's parquet reader rejects; read them as raw int64
+        # nanos and convert in read_table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one driver-generated parquet table."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table, normalizing nanosecond-precision parquet
+    timestamps to Spark's microsecond TimestampType.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the ns columns arrive
+    as int64 epoch-nanos; we floor-divide to micros (integer `div`, no
+    double round-trip — ns epochs exceed 2^53). The DuckDB oracle must
+    apply the same truncation (``make_timestamp(epoch_ns(ts) // 1000)``)
+    when emitting such columns.
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        sch = pq.read_schema(path)
+        for field in sch:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                )
+    except Exception:  # pragma: no cover - pyarrow always present in env
+        pass
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the standard testdata tables as a dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: read_table(spark, sf_dir, n) for n in names}
