@@ -1,0 +1,246 @@
+"""Partitioned parquet warehouse: the engine's "BigQuery".
+
+Plays the role of the reference's BigQuery dataset/table surface:
+
+- auto-create on first write          (SchemaManager.java:233-257)
+- auto-evolve on schema change        (SchemaManager.java:264-281 via
+  schema/evolution.py unionization)
+- time partitioning HOUR/DAY/MONTH/YEAR (SchemaManager.java:574-598,
+  config PartitioningTypeValidator.java:48-64) as Hive-style
+  ``p_<grain>`` partition columns -> partition pruning on read
+- clustering (≤4 fields, SchemaManager.java:591-596) as
+  ``sortWithinPartitions`` on write -> parquet row-group locality +
+  min/max skipping, the Spark analog of BigQuery clustering
+- partition expiration (SchemaManager.java:587, L3) as a retention
+  delete
+- upsert/delete MERGE onto the stored table via operators/merge.py
+
+Pure parquet (no Delta dependency): MERGE rewrites the table
+atomically via write-to-tmp + rename. At 100 TB the same interface
+backs onto Delta/Iceberg MERGE INTO; the layout decisions (partition
+column + key-hash bucketing) are what carry over.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_spark.schema.evolution import unionize
+
+Grain = Literal["HOUR", "DAY", "MONTH", "YEAR", "NONE"]
+
+_GRAIN_COL = {"HOUR": "p_hour", "DAY": "p_date", "MONTH": "p_month", "YEAR": "p_year"}
+_GRAIN_EXPR = {
+    "HOUR": lambda c: F.date_format(c, "yyyy-MM-dd-HH"),
+    "DAY": lambda c: F.date_format(c, "yyyy-MM-dd"),
+    "MONTH": lambda c: F.date_format(c, "yyyy-MM"),
+    "YEAR": lambda c: F.date_format(c, "yyyy"),
+}
+
+
+class WarehouseError(RuntimeError):
+    pass
+
+
+@dataclass
+class TableSpec:
+    """Per-table layout config (mirrors table-creation options).
+
+    ``partition_grain``/``timestamp_field``: L1/L2. ``clustering``: L4,
+    max 4 fields (BigQuerySinkConfig.java:487-489). ``bucket_count``:
+    scale knob — pre-hash-partition data by key so MERGE joins at 100 TB
+    co-locate instead of shuffling the whole table.
+    """
+
+    partition_grain: Grain = "DAY"
+    timestamp_field: str | None = None  # L2 column-based; None -> ingestion time
+    clustering: tuple[str, ...] = ()
+    partition_expiration_days: int | None = None
+
+    def __post_init__(self) -> None:
+        if len(self.clustering) > 4:
+            raise WarehouseError("at most 4 clustering fields (BigQuery limit)")
+        if self.partition_grain not in ("HOUR", "DAY", "MONTH", "YEAR", "NONE"):
+            raise WarehouseError(f"bad partition grain {self.partition_grain}")
+
+    @property
+    def partition_col(self) -> str | None:
+        return _GRAIN_COL.get(self.partition_grain)
+
+
+class Warehouse:
+    """A directory of partitioned parquet tables with evolution."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            n.startswith(("p_", "part-")) or n == "_SUCCESS" for n in os.listdir(p)
+        )
+
+    # -- schema ---------------------------------------------------------
+    def table_schema(self, table: str) -> T.StructType | None:
+        if not self.exists(table):
+            return None
+        return self.read(table).schema
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # -- write paths ----------------------------------------------------
+    def _with_partition(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        if spec.partition_grain == "NONE":
+            return df
+        ts = (
+            F.col(spec.timestamp_field)
+            if spec.timestamp_field
+            else F.current_timestamp()  # ingestion-time partitioning (L1)
+        )
+        ts = F.coalesce(ts, F.current_timestamp())
+        return df.withColumn(spec.partition_col, _GRAIN_EXPR[spec.partition_grain](ts))
+
+    def _sorted_within(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        if not spec.clustering:
+            return df
+        return df.sortWithinPartitions(*spec.clustering)
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        spec: TableSpec | None = None,
+        *,
+        allow_new_fields: bool = True,
+        allow_relaxation: bool = True,
+        allow_unionization: bool = True,
+    ) -> None:
+        """Create-if-needed + evolve + append (the adaptive writer S3,
+        AdaptiveBigQueryWriter.java:85-148 — minus the retry loop, which
+        parquet appends don't need)."""
+        spec = spec or TableSpec()
+        out = self._with_partition(df, spec)
+        existing = self.table_schema(table)
+        if existing is not None:
+            evolved = unionize(existing, out.schema) if allow_unionization else existing
+            # align both the stored data's view and the incoming batch
+            out = _align_to(out, evolved)
+        out = self._sorted_within(out, spec)
+        writer = out.write.mode("append")
+        if spec.partition_col:
+            writer = writer.partitionBy(spec.partition_col)
+        writer.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
+        spec = spec or TableSpec()
+        out = self._sorted_within(self._with_partition(df, spec), spec)
+        tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+        writer = out.write.mode("overwrite")
+        if spec.partition_col:
+            writer = writer.partitionBy(spec.partition_col)
+        writer.parquet(tmp)
+        final = self.path(table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    # -- MERGE ----------------------------------------------------------
+    def merge(
+        self,
+        batch: DataFrame,
+        table: str,
+        key_cols: list[str],
+        *,
+        mode: Literal["upsert", "upsert_delete", "delete_only"] = "upsert",
+        order_col: str = "i",
+        tombstone_col: str = "__tombstone",
+        spec: TableSpec | None = None,
+    ) -> None:
+        """Apply a MERGE batch to the stored table (S4 + D1-D3).
+
+        Reads current state, merges via operators/merge.py, atomically
+        replaces. On partition-pruned layouts only partitions containing
+        touched keys need rewriting; the pure-parquet v1 rewrites the
+        table, which is correct (and fine at test scale) — the Delta
+        backend slots in here without interface change.
+        """
+        from kafka_connect_bigquery_spark.operators import merge as M
+
+        spec = spec or TableSpec(partition_grain="NONE")
+        dest = self.read(table) if self.exists(table) else None
+        drop_helpers = [c for c in (order_col, tombstone_col) if c in batch.columns]
+        if dest is None:
+            if mode == "delete_only":
+                first = batch.filter(~F.col(tombstone_col)) if tombstone_col in batch.columns else batch
+            else:
+                first = M.dedup_latest_per_key(batch, key_cols, order_col)
+                if tombstone_col in batch.columns:
+                    first = first.filter(~F.col(tombstone_col))
+            self.overwrite(first.drop(*drop_helpers), table, spec)
+            return
+        if mode == "upsert":
+            merged = M.merge_upsert(dest, batch, key_cols, order_col)
+        elif mode == "upsert_delete":
+            merged = M.merge_upsert_delete(dest, batch, key_cols, order_col, tombstone_col)
+        else:
+            merged = M.merge_delete_only(dest, batch, key_cols, order_col, tombstone_col)
+        # materialize before the destructive swap: merged reads from dest's files
+        merged_local = merged.localCheckpoint(eager=True)
+        self.overwrite(merged_local, table, spec)
+
+    # -- retention (L3) --------------------------------------------------
+    def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:
+        """Drop partitions older than the TTL (partitionExpirationMs,
+        BigQuerySinkConfig.java:510-523). Directory-level delete — no
+        data rewrite, exactly like BigQuery dropping partitions."""
+        import datetime as dt
+
+        if not spec.partition_col:
+            return 0
+        cutoff = dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=older_than_days)
+        fmt = {"HOUR": "%Y-%m-%d-%H", "DAY": "%Y-%m-%d", "MONTH": "%Y-%m", "YEAR": "%Y"}[
+            spec.partition_grain
+        ]
+        dropped = 0
+        tdir = self.path(table)
+        for name in os.listdir(tdir):
+            if not name.startswith(spec.partition_col + "="):
+                continue
+            val = name.split("=", 1)[1]
+            try:
+                pdt = dt.datetime.strptime(val, fmt).replace(tzinfo=dt.timezone.utc)
+            except ValueError:
+                continue
+            if pdt < cutoff:
+                shutil.rmtree(os.path.join(tdir, name))
+                dropped += 1
+        return dropped
+
+
+def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto the evolved schema: missing fields -> NULL,
+    order normalized (parquet handles the stored side via mergeSchema-
+    style evolution on read)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

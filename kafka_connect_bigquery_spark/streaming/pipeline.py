@@ -1,0 +1,241 @@
+"""The sink pipeline: source stream -> convert/route -> warehouse.
+
+This is the Spark re-expression of BigQuerySinkTask's three write paths
+(SURVEY §3):
+
+1. streaming insert (default): foreachBatch -> route -> BQ-shape ->
+   per-table append                       (BigQuerySinkTask.java:248-297)
+2. upsert/delete: shape {key,value,i,batchNumber} rows -> per-batch
+   dedup -> MERGE                        (:469-506 + MergeQueries)
+3. batch load: stage NDJSON then load on a timer
+   (GCSToBQWriter/GCSToBQLoadRunnable)   -> sinks staging + loader tick
+
+The cross-batch machinery the reference hand-builds (flush barriers T4,
+async offset tracking T5, ordered batches T6, error latching T7)
+collapses into Structured Streaming semantics: micro-batches are
+sequential, checkpoints commit after foreachBatch returns, failures
+fail the query. That is not lost functionality — it is the engine
+providing it natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.config import SinkConfig
+from kafka_connect_bigquery_spark.functions.bq_shape import (
+    to_bq_shape,
+    with_kafka_metadata,
+)
+from kafka_connect_bigquery_spark.operators.routing import (
+    TopicRouter,
+    split_by_table,
+    with_partition_decorator,
+    with_routing,
+)
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+
+def retry_with_jitter(fn, retries: int, wait_ms: int, *, classify=None, sleep=time.sleep):
+    """T8: bounded retry with jitter (BigQueryWriter.java:98-149,187-190).
+
+    ``classify(exc) -> bool`` marks retriable errors (the reference's
+    BigQueryErrorResponses.java:51-129 taxonomy); deterministic jitter
+    via attempt-hash keeps tests reproducible."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if classify is not None and not classify(e):
+                raise
+            if attempt >= retries:
+                raise
+            jitter_ms = hash(("jitter", attempt)) % 1000  # <=1s, like the reference
+            sleep((wait_ms + jitter_ms) / 1000.0)
+            attempt += 1
+
+
+@dataclass
+class SinkPipeline:
+    """End-to-end sink over a (micro-)batch DataFrame with the Kafka
+    column contract [key, value, topic, partition, offset, timestamp].
+
+    ``value_parser`` turns the raw value column into a typed struct
+    column (e.g. ``from_json(col, schema)``) — the stand-in for the
+    Connect framework's converter step which happens *before* the
+    reference connector sees records.
+    """
+
+    warehouse: Warehouse
+    config: SinkConfig
+    value_parser: object = None  # Callable[[Column], Column]
+    key_parser: object = None
+    table_specs: dict[str, TableSpec] = dc_field(default_factory=dict)
+    _batch_counter: int = 0
+
+    def __post_init__(self) -> None:
+        self.config.validate()
+        self.router = TopicRouter(
+            topic_map=self.config.topic2table_map,
+            sanitize_names=self.config.sanitize_topics,
+            default_dataset=self.config.default_dataset,
+        )
+
+    # -- conversion ------------------------------------------------------
+    def convert(self, batch: DataFrame) -> DataFrame:
+        """Route + parse + shape one micro-batch (steps 2-3 of §3.1)."""
+        df = with_routing(batch, self.router)
+        value_col = (
+            self.value_parser(F.col("value")) if self.value_parser else F.col("value")
+        )
+        df = df.withColumn("__value", value_col)
+        if not self.config.delete_enabled:
+            # F1 tombstone filter (BigQuerySinkTask.java:258)
+            df = df.filter(F.col("__value").isNotNull())
+        if self.config.kafka_key_field_name:
+            key_col = self.key_parser(F.col("key")) if self.key_parser else F.col("key")
+            df = df.withColumn(self.config.kafka_key_field_name, key_col)
+        if self.config.kafka_data_field_name:
+            df = with_kafka_metadata(df, self.config.kafka_data_field_name)
+        return df
+
+    def _spec_for(self, table: str) -> TableSpec:
+        if table in self.table_specs:
+            return self.table_specs[table]
+        cfg = self.config
+        return TableSpec(
+            partition_grain=cfg.time_partitioning_type,
+            timestamp_field=cfg.timestamp_partition_field_name,
+            clustering=tuple(cfg.clustering_field_names),
+        )
+
+    # -- path 1: streaming insert ---------------------------------------
+    def write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch handler for the default append path."""
+        df = self.convert(batch)
+        extras = []
+        if self.config.kafka_data_field_name:
+            extras.append(self.config.kafka_data_field_name)
+        carry_ts = (
+            self.config.use_partition_decorator
+            and self.config.use_message_time_partitioning
+        )
+        flat = df.select(
+            "__table",
+            F.col("__value").alias("v"),
+            *extras,
+            *(["timestamp"] if carry_ts else []),
+        )
+        flat = flat.select("__table", "v.*", *extras, *(["timestamp"] if carry_ts else []))
+        if self.config.use_partition_decorator:
+            flat = with_partition_decorator(flat, ts_col="timestamp" if carry_ts else None)
+            if carry_ts:
+                flat = flat.drop("timestamp")
+        shaped = to_bq_shape(
+            flat, clamp_doubles=self.config.convert_double_special_values
+        )
+        for table, sub in split_by_table(shaped).items():
+            self.warehouse.append(
+                sub,
+                table,
+                self._spec_for(table),
+                allow_new_fields=self.config.allow_new_bigquery_fields,
+                allow_relaxation=self.config.allow_required_field_relaxation,
+                allow_unionization=self.config.allow_schema_unionization,
+            )
+
+    # -- path 2: upsert/delete ------------------------------------------
+    def merge_batch(self, batch: DataFrame, batch_id: int, key_cols: list[str]) -> None:
+        """foreachBatch handler for upsert/delete mode (§3.2): dedup to
+        newest per key happens inside the MERGE operators; tombstones are
+        records with null value."""
+        df = self.convert(batch)
+        mode = (
+            "upsert_delete"
+            if (self.config.upsert_enabled and self.config.delete_enabled)
+            else ("upsert" if self.config.upsert_enabled else "delete_only")
+        )
+        for table, sub in split_by_table(df.withColumn("__tombstone", F.col("__value").isNull())).items():
+            value_fields = [f"__value.{f}" for f in _struct_fields(sub, "__value")]
+            shaped = sub.select(
+                *key_cols,
+                *[F.col(v).alias(v.split(".", 1)[1]) for v in value_fields],
+                F.col("offset").alias("i"),
+                "__tombstone",
+            )
+            self.warehouse.merge(
+                shaped,
+                table,
+                key_cols,
+                mode=mode,
+                order_col="i",
+                tombstone_col="__tombstone",
+            )
+
+    # -- path 3: batch load ---------------------------------------------
+    def stage_batch(self, batch: DataFrame, batch_id: int, staging_dir: str) -> None:
+        """S5: serialize rows to newline-delimited JSON in the staging
+        dir with table metadata in the path (GCSToBQWriter.java:108-193;
+        blob name pattern topic_uuid_epoch ->
+        staging/<table>/batch_<id>)."""
+        df = self.convert(batch)
+        flat = df.select("__table", F.col("__value").alias("v")).select("__table", "v.*")
+        for table, sub in split_by_table(flat).items():
+            sub.write.mode("append").json(os.path.join(staging_dir, table, f"batch_{batch_id}"))
+
+    def load_staged(self, staging_dir: str) -> list[str]:
+        """S6 loader tick: list staging, load every table's pending
+        batches into the warehouse, then delete the staged files
+        (GCSToBQLoadRunnable.java:101-139,190-211,266-307). File-count/
+        size grouping limits are unnecessary for parquet appends but the
+        per-table grouping shape is preserved."""
+        import shutil
+
+        loaded = []
+        if not os.path.isdir(staging_dir):
+            return loaded
+        for table in sorted(os.listdir(staging_dir)):
+            tdir = os.path.join(staging_dir, table)
+            batches = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
+            if not batches:
+                continue
+            df = self.warehouse.spark.read.json([os.path.join(tdir, b) for b in batches])
+            self.warehouse.append(df, table, self._spec_for(table))
+            for b in batches:
+                shutil.rmtree(os.path.join(tdir, b))
+            loaded.append(table)
+        return loaded
+
+    # -- stream wiring ---------------------------------------------------
+    def start(self, source: DataFrame, checkpoint_dir: str, key_cols: list[str] | None = None):
+        """Attach the right foreachBatch handler and start the query.
+        Offsets commit via the checkpoint after each handler returns —
+        the reference's preCommit/flush barrier semantics for free."""
+        if self.config.upsert_enabled or self.config.delete_enabled:
+            handler = lambda b, i: self.merge_batch(b, i, key_cols or ["key"])  # noqa: E731
+        elif self.config.enable_batch_load_topics:
+            handler = lambda b, i: self.stage_batch(  # noqa: E731
+                b, i, self.config.gcs_staging_dir
+            )
+        else:
+            handler = self.write_batch
+        return (
+            source.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+
+def _struct_fields(df: DataFrame, col: str) -> list[str]:
+    for f in df.schema.fields:
+        if f.name == col:
+            return [sf.name for sf in f.dataType.fields]
+    return []

@@ -1,0 +1,180 @@
+"""End-to-end Structured Streaming pipeline tests.
+
+Mirrors the reference's integration scenarios (BigQuerySinkConnectorIT):
+records flow source -> convert/route -> warehouse, with upsert/delete
+and batch-load variants. Kafka itself is stood in by a parquet-dir
+stream with the same column contract (the connector jar isn't in the
+test image)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_spark.config import SinkConfig
+from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+from kafka_connect_bigquery_spark.sources.kafka import KAFKA_SCHEMA, file_stream_source
+from kafka_connect_bigquery_spark.streaming.pipeline import SinkPipeline, retry_with_jitter
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _kafka_rows(rows):
+    """[(key, value_dict_or_None, topic, partition, offset)] -> kafka-shaped tuples."""
+    out = []
+    for key, val, topic, part, off in rows:
+        out.append(
+            (
+                key.encode() if key else None,
+                json.dumps(val).encode() if val is not None else None,
+                topic,
+                part,
+                off,
+                None,
+            )
+        )
+    return out
+
+
+def _write_source(spark, tmp_path, rows, subdir="src"):
+    src = str(tmp_path / subdir)
+    spark.createDataFrame(_kafka_rows(rows), KAFKA_SCHEMA).write.mode("append").parquet(src)
+    return src
+
+
+def _run_stream(pipeline, spark, src_path, tmp_path, key_cols=None):
+    stream = file_stream_source(spark, src_path)
+    q = pipeline.start(stream, str(tmp_path / "ckpt"), key_cols=key_cols)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_insert_path(spark, tmp_path):
+    rows = [
+        ("k1", {"row": 1, "name": "a"}, "topic_a", 0, 0),
+        ("k2", {"row": 2, "name": "b"}, "topic_a", 0, 1),
+        ("k3", None, "topic_a", 0, 2),  # tombstone -> filtered (F1)
+        ("k4", {"row": 3, "name": "c"}, "topic_b", 0, 0),
+    ]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(topics=["topic_a", "topic_b"], time_partitioning_type="NONE")
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    a = wh.read("topic_a").orderBy("row").collect()
+    assert [(r.row, r.name) for r in a] == [(1, "a"), (2, "b")]
+    assert wh.read("topic_b").count() == 1
+
+
+def test_streaming_insert_with_kafka_metadata_and_decorator(spark, tmp_path):
+    rows = [("k1", {"row": 1, "name": "a"}, "t", 0, 7)]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        kafka_data_field_name="kafkaData",
+        use_partition_decorator=True,
+        time_partitioning_type="DAY",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    row = wh.read("t").first()
+    assert row.kafkaData.offset == 7
+    assert row.p_date is not None
+
+
+def test_upsert_delete_path(spark, tmp_path):
+    # IT-style scenario: pairs share a key keep the second; tombstone deletes
+    rows = [
+        ("u1", {"row": 1, "name": "first"}, "t", 0, 0),
+        ("u1", {"row": 2, "name": "second"}, "t", 0, 1),
+        ("u2", {"row": 3, "name": "gone"}, "t", 0, 2),
+        ("u2", None, "t", 0, 3),  # tombstone after value -> delete
+        ("u3", {"row": 4, "name": "stays"}, "t", 0, 4),
+    ]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        key_parser=lambda c: c.cast("string"),
+    )
+    _run_stream(pipe, spark, src, tmp_path, key_cols=["kkey"])
+    got = {r.kkey: r.name for r in wh.read("t").collect()}
+    assert got == {"u1": "second", "u3": "stays"}
+
+
+def test_batch_load_path(spark, tmp_path):
+    rows = [("k", {"row": 1, "name": "x"}, "t", 0, 0)]
+    src = _write_source(spark, tmp_path, rows)
+    staging = str(tmp_path / "staging")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        enable_batch_load_topics=["t"],
+        gcs_staging_dir=staging,
+        time_partitioning_type="NONE",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    # staged but not yet loaded
+    assert not wh.exists("t")
+    loaded = pipe.load_staged(staging)
+    assert loaded == ["t"]
+    assert wh.read("t").count() == 1
+    # second tick: nothing pending (blobs deleted after load)
+    assert pipe.load_staged(staging) == []
+
+
+def test_retry_with_jitter_classification():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("retriable")
+        return "ok"
+
+    sleeps = []
+    out = retry_with_jitter(
+        flaky, retries=5, wait_ms=10, classify=lambda e: isinstance(e, OSError),
+        sleep=sleeps.append,
+    )
+    assert out == "ok" and calls["n"] == 3 and len(sleeps) == 2
+
+    with pytest.raises(ValueError):
+        retry_with_jitter(
+            lambda: (_ for _ in ()).throw(ValueError("fatal")),
+            retries=5,
+            wait_ms=10,
+            classify=lambda e: isinstance(e, OSError),
+            sleep=lambda s: None,
+        )
