@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw bytes as a
+``binary`` column next to typed metadata, and run decode/feature
+extraction as Arrow-batched ``mapInPandas`` stages — the bytes never
+leave the executor, Python sees them in columnar batches, and the
+output schema is declared up front so the rest of the plan stays
+declarative.
+
+The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
+container, so ``decode_image_meta`` ships a clearly-marked deterministic
+stand-in (md5-derived dimensions) behind the same plumbing, and
+``decode_image_real`` raises NotImplementedError at the exact seam where
+the real decoder plugs in. The Spark-side contract — schema, batching,
+partition sizing — is the part that carries to production unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def pack_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Text -> opaque binary payload column (stands in for image bytes).
+
+    Real pipelines read payloads from object storage with
+    ``spark.read.format("binaryFile")`` — same downstream shape."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+    """The production decode seam. Plug PIL/turbojpeg here."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use decode_image_meta (deterministic stand-in) for plumbing tests"
+    )
+
+
+def decode_image_meta(df: DataFrame, *, batch_hint: int = 10_000) -> DataFrame:
+    """Arrow-batched 'decode': mapInPandas over (doc_id, payload).
+
+    The stand-in derives width/height/frames from the payload's md5 so
+    results are deterministic and oracle-checkable; swap the body for
+    ``decode_image_real`` per row (or a vectorized codec) in production.
+    Batch shape and declared output schema are the real contract.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["content_md5"] = md5s
+            out["width"] = md5s.map(lambda m: 1 + int(m[0:2], 16)).astype("int64")
+            out["height"] = md5s.map(lambda m: 1 + int(m[2:4], 16)).astype("int64")
+            out["n_frames"] = (1 + out["n_bytes"] % 7).astype("int64")
+            yield out
+
+    return df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def resize_stub(df: DataFrame, *, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize stage stub: declares the production output schema
+    (payload -> resized payload + dims) while passing bytes through.
+    Marks where per-batch vectorized resize slots in."""
+    return df.withColumn("resized_width", F.lit(target[0])).withColumn(
+        "resized_height", F.lit(target[1])
+    )

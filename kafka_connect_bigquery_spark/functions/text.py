@@ -1,0 +1,94 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd): language-ID by
+stopword evidence, quality scoring from surface statistics, token
+counting, and document fingerprinting. Deterministic by construction so
+corpus-scale decisions are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.operators.dedup import canonical_text, fingerprint  # noqa: F401
+
+# Small evidence sets per language (n-gram/stopword heuristic; the usual
+# fastText-style classifier is out of scope for a SQL-checkable op).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of canonical text."""
+    return F.split(canonical_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def predict_lang(col: Column) -> Column:
+    """argmax over marker-hit counts with deterministic tie-break
+    (alphabetical language code; 'und' = undetermined when no evidence)."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores, reverse=True):  # reverse so earlier alpha wins ties
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Surface-statistics features used by the quality score."""
+    raw_len = F.length(col)
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    alpha_len = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    digit_len = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    stop_hits = _marker_hits(toks, LANG_MARKERS["en"])
+    return {
+        "n_chars": raw_len.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (alpha_len.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")),
+        "alpha_ratio": alpha_len.cast("double") / F.greatest(raw_len, F.lit(1)).cast("double"),
+        "digit_ratio": digit_len.cast("double") / F.greatest(raw_len, F.lit(1)).cast("double"),
+        "stopword_ratio": stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"),
+        "unique_ratio": F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double"),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]-ish: rewards natural length, letter
+    share, stopword presence, and lexical diversity. Weights are fixed
+    constants — the score is a deterministic feature, not a model."""
+    ft = quality_features(col)
+    length_term = F.least(ft["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.25) * length_term
+        + F.lit(0.25) * ft["alpha_ratio"]
+        + F.lit(0.25) * F.least(ft["stopword_ratio"] * 5, F.lit(1.0))
+        + F.lit(0.25) * ft["unique_ratio"]
+    )

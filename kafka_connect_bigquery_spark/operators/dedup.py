@@ -1,0 +1,325 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all expressed as declarative DataFrame plans (no Python
+in the hot path) so Catalyst/AQE choose physical execution:
+
+- exact:          hash-groupBy on a canonical fingerprint
+- n-gram Jaccard: shingle explode -> inverted-index self-join -> ratio
+- MinHash + LSH:  shingle -> per-seed min-hash -> band -> bucket join
+- SimHash:        token bit-vote signature -> small-hamming pairs
+- embedding:      quantized-cosine near-duplicate pairs (see ann.py)
+
+Determinism note: every hash is md5-of-string (identical across
+engines/platforms), and every float reduction is quantized to integers
+first (see ann.py), so results are bit-reproducible — a requirement for
+auditable dedup decisions over a 100 TB corpus, not just for tests.
+
+Scale design: all strategies avoid the O(n²) all-pairs comparison. The
+inverted-index join (shingle/band/bucket as join key) shuffles
+*candidates*, not the cross product; `block_col` adds coarse blocking
+(e.g. language) on top. At 1000 executors each join key is one shuffle
+partition's worth of postings — skew from stop-shingles is handled by
+dropping top-frequency shingles (``max_doc_freq``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# canonicalization + exact dedup
+# --------------------------------------------------------------------------
+
+def canonical_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics — the
+    canonical form used for exact-duplicate detection."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the canonical text."""
+    return F.md5(canonical_text(col))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the fingerprint.
+
+    Returns (fingerprint, keep_id, dup_count) — keep the smallest id per
+    group (deterministic survivor policy).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the canonical text, as an array.
+
+    Declarative: sequence + transform + array_distinct (codegen'd,
+    no UDF)."""
+    c = canonical_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def _shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(id, shingle) postings list — the inverted index."""
+    posts = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        # drop stop-shingles: they explode the candidate join and add no
+        # discriminative signal (classic skew guard at corpus scale)
+        freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        posts = posts.join(freq.filter(F.col("df_") <= max_doc_freq), "sh").drop("df_")
+    return posts
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity via inverted-index join.
+
+    Returns (id_a, id_b, inter_size, size_a, size_b, jaccard) with
+    id_a < id_b and jaccard >= min_jaccard. Jaccard is computed from
+    integer set sizes — exactly reproducible.
+    """
+    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("blk"))
+        posts = posts.join(blocks, "doc")
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = posts.select(
+        F.col("doc").alias("id_a"), "sh", *(["blk"] if block_col else [])
+    )
+    b = posts.select(
+        F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), *([F.col("blk").alias("blk_b")] if block_col else [])
+    )
+    cond = (a.sh == b.sh_b) & (a.id_a < b.id_b)
+    if block_col:
+        cond = cond & (a.blk == b.blk_b)
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_size")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("id_a", "id_b", "inter_size", "size_a", "size_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, *, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of md5(i || ':' || s).
+
+    md5-hex strings compare lexicographically the same everywhere, so the
+    min is engine-independent (no custom hash needed). One explode +
+    one groupBy with ``num_hashes`` min-aggregates: a single shuffle.
+    """
+    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq=None)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return posts.groupBy("doc").agg(*aggs).withColumnRenamed("doc", id_col)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join.
+
+    Returns distinct (id_a, id_b) candidate pairs (id_a < id_b) that
+    collide in >= 1 band. Probability of collision ≈ 1-(1-j^r)^b for
+    Jaccard j with r = num_hashes/bands rows per band.
+    """
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
+    banded = sig_df.select(F.col(id_col).alias("doc"), *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.select(F.col("doc").alias("id_a"), "bucket")
+    b2 = stacked.select(F.col("doc").alias("id_b"), F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(b2, (a.bucket == b2.bucket_b) & (a.id_a < b2.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash/LSH near-duplicate candidates."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, n=n)
+    return lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes, bands=bands)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 16
+) -> DataFrame:
+    """SimHash signature: per bit, sum +-1 votes of each token's md5 bit;
+    signature bit = 1 iff the vote is positive.
+
+    Implemented as explode(tokens) x explode(bits) -> arithmetic bit
+    extraction from md5 hex digits -> one groupBy(doc) with a conditional
+    sum per bit folded back into an integer. ``bits`` <= 28 (hex-digit
+    arithmetic stays in exact int range).
+    """
+    assert bits <= 28
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(canonical_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # bit k of token hash: take hex digit k//4, extract bit k%4 by
+    # integer arithmetic (portable: no engine-specific bit ops)
+    exploded = toks.select(
+        "doc",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    digit_val = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1),
+    ) - 1
+    bit_val = F.floor(digit_val / F.pow(F.lit(2.0), (F.col("bit") % 4).cast("double"))).cast("int") % 2
+    votes = exploded.withColumn("vote", F.when(bit_val == 1, 1).otherwise(-1))
+    sig = (
+        votes.groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitset", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.col("bitset") * F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long")
+            ).alias("simhash")
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+    return sig
+
+
+def simhash_pairs(
+    sig_df: DataFrame, id_col: str, *, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over SimHash signatures.
+
+    Blocking: split the signature into (max_hamming+1) segments — two
+    signatures within the distance must agree on >= 1 whole segment
+    (pigeonhole), so the join key is (segment_index, segment_value), not
+    the cross product. This is the standard scale trick for SimHash at
+    corpus size.
+    """
+    nseg = max_hamming + 1
+    seg_bits = bits // nseg
+    segs = []
+    for s in range(nseg):
+        seg = (
+            F.floor(F.col("simhash") / F.lit(2 ** (s * seg_bits))).cast("long")
+            % F.lit(2**seg_bits)
+        ).alias(f"seg{s}")
+        segs.append(seg)
+    with_segs = sig_df.select(F.col(id_col).alias("doc"), F.col("simhash"), *segs)
+    stacked = with_segs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("si"), F.col(f"seg{s}").alias("sv"))
+                    for s in range(nseg)
+                ]
+            )
+        ).alias("seg"),
+    ).select("doc", "simhash", F.col("seg.si").alias("si"), F.col("seg.sv").alias("sv"))
+    a = stacked.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a"), "si", "sv")
+    b = stacked.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b"), F.col("si").alias("si_b"), F.col("sv").alias("sv_b"))
+    cand = (
+        a.join(b, (a.si == b.si_b) & (a.sv == b.sv_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = _hamming(F.col("sh_a"), F.col("sh_b"), bits)
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _hamming(a: Column, b: Column, bits: int) -> Column:
+    """Portable Hamming distance via arithmetic bit extraction (bitwise
+    xor exists in both engines but with different syntax; aggregate of
+    per-bit diffs keeps one code path)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, k: acc
+        + (
+            (F.floor(a / F.pow(F.lit(2.0), k.cast("double"))).cast("long") % 2)
+            != (F.floor(b / F.pow(F.lit(2.0), k.cast("double"))).cast("long") % 2)
+        ).cast("int"),
+    )

@@ -392,9 +392,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
+def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from kafka_connect_bigquery_spark import queries_ext
+
+    merged = dict(REGISTRY)
+    merged.update(queries_ext.REGISTRY)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _full_registry().items() if sql is not None}

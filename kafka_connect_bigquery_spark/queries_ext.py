@@ -1,0 +1,440 @@
+"""Extension queries: dedup, similarity search, text analysis, multimodal.
+
+Same contract as queries.py: every entry pairs the Spark operator (from
+operators/dedup.py, operators/ann.py, functions/text.py,
+functions/multimodal.py) with a DuckDB oracle that re-derives the same
+result in ANSI SQL. Hash-exactness rests on two invariants shared by
+the operators: (1) all hashing is md5-of-string, (2) all float
+reductions are integer-quantized before summation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.functions import multimodal, text as text_fns
+from kafka_connect_bigquery_spark.operators import ann, dedup
+from kafka_connect_bigquery_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# canonical-text SQL twin of dedup.canonical_text
+_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on canonical-text fingerprint. One
+    shuffle on the fingerprint; at 100 TB this is the cheapest pass and
+    runs first to shrink the corpus for the fuzzy passes."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+Q_DEDUP_EXACT_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents)
+SELECT md5(c) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM canon GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.10
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join, blocked by
+    language (a real corpus blocks by shard/lang to bound candidates)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        min_jaccard=_JACCARD_MIN,
+        block_col="lang",
+    )
+
+
+Q_DEDUP_NGRAM_SQL = f"""
+WITH canon AS (SELECT doc_id, lang, {_CANON} AS c FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 3)
+                 for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
+  FROM canon
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+       inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {_JACCARD_MIN}
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MH_HASHES, _MH_BANDS = 8, 4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)/LSH(4 bands) candidate pairs. The band bucket is the
+    join key — candidates shuffle, the cross product never exists."""
+    return dedup.minhash_lsh_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        n=3,
+    )
+
+
+def _minhash_sql() -> str:
+    mh = ",\n       ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(_MH_HASHES)
+    )
+    r = _MH_HASHES // _MH_BANDS
+    bands = ",\n       ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        + f")) AS band{b}"
+        for b in range(_MH_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(_MH_BANDS))
+    return f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 3)
+                 for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
+  FROM canon
+),
+mh AS (
+  SELECT doc_id,
+       {mh}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {bands}
+  FROM mh
+),
+stacked AS (SELECT doc_id, unnest([{band_list}]) AS bucket FROM bands)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+Q_DEDUP_MINHASH_SQL = _minhash_sql()
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures (term-frequency-weighted
+    bit votes over token md5s)."""
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )
+
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+tok AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM canon, unnest(str_split(c, ' ')) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, h, CAST(g.b AS INT) AS b
+  FROM tok, generate_series(0, {_SIMHASH_BITS - 1}) AS g(b)
+),
+votes AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN (CAST(FLOOR((instr('0123456789abcdef',
+                 substr(h, CAST(FLOOR(b / 4) AS INT) + 1, 1)) - 1)
+               / POWER(2.0, b % 4)) AS INT) % 2) = 1
+        THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_K = 5
+_ANN_NQ = 10  # query vectors: vec_id < 10
+_QE = ann.QE
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors.
+    Baseline for the LSH variant; quantized-integer dot products make
+    ranks engine- and partitioning-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return ann.cosine_topk(queries, emb, k=_ANN_K)
+
+
+def _ann_sql(bucketed: bool) -> str:
+    bucket_cte = ""
+    dots_from = (
+        f"FROM el q JOIN el c ON q.d = c.d AND q.vec_id < {_ANN_NQ}"
+        " AND c.vec_id <> q.vec_id"
+    )
+    if bucketed:
+        plane_terms = ",\n      ".join(
+            f"CASE WHEN SUM(CAST(FLOOR(v * {_QE} + 0.5) AS BIGINT) * "
+            f"(CASE WHEN ({p} * 1009 + d * 9176 + 2027) % 7 < 3 THEN -1 ELSE 1 END)) > 0 "
+            f"THEN {2**p} ELSE 0 END AS p{p}"
+            for p in range(_ANN_PLANES)
+        )
+        bucket_sum = " + ".join(f"p{p}" for p in range(_ANN_PLANES))
+        bucket_cte = f""",
+buckets AS (
+  SELECT vec_id, {bucket_sum} AS bucket FROM (
+    SELECT vec_id,
+      {plane_terms}
+    FROM el GROUP BY vec_id
+  )
+)"""
+        dots_from += (
+            "\n       JOIN buckets bq ON bq.vec_id = q.vec_id"
+            "\n       JOIN buckets bc ON bc.vec_id = c.vec_id AND bq.bucket = bc.bucket"
+        )
+    return f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+){bucket_cte},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(FLOOR(q.v * c.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  {dots_from}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (dq / {_QE}.0) / (sqrt(nq_q / {_QE}.0) * sqrt(nq_c / {_QE}.0)) AS cosine
+  FROM (
+    SELECT d.query_id, d.neighbor_id, d.dq, nq1.nq AS nq_q, nq2.nq AS nq_c
+    FROM dots d
+    JOIN norms nq1 ON nq1.vec_id = d.query_id
+    JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+  )
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+Q_ANN_COSINE_SQL = _ann_sql(bucketed=False)
+
+_ANN_PLANES = 6
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: exact cosine only within the
+    query's hyperplane-sign bucket — the 100 TB path where the bucket is
+    the partition key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return ann.lsh_ann_topk(queries, emb, k=_ANN_K, n_planes=_ANN_PLANES)
+
+
+Q_ANN_LSH_SQL = _ann_sql(bucketed=True)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS = f"str_split({_CANON}, ' ')"
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID with deterministic tie-break, plus
+    the per-language evidence counts."""
+    d = _t(spark, sf_dir, "documents")
+    scores = text_fns.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text_fns.predict_lang(F.col("text")).alias("predicted_lang"),
+        *[scores[lang].cast("long").alias(f"hits_{lang}") for lang in sorted(scores)],
+    )
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, t -> t IN ({lst})))"
+
+
+_LANG_HITS = {lang: _marker_sql(ms) for lang, ms in text_fns.LANG_MARKERS.items()}
+
+Q_TEXT_LANG_SQL = f"""
+WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         CAST({_LANG_HITS['de']} AS BIGINT) AS hits_de,
+         CAST({_LANG_HITS['en']} AS BIGINT) AS hits_en,
+         CAST({_LANG_HITS['es']} AS BIGINT) AS hits_es,
+         CAST({_LANG_HITS['fr']} AS BIGINT) AS hits_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'fr'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            ELSE 'de' END AS predicted_lang,
+       hits_de, hits_en, hits_es, hits_fr
+FROM hits
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    d = _t(spark, sf_dir, "documents")
+    ft = text_fns.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[ft[k].alias(k) for k in sorted(ft)],
+        text_fns.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_QF = {
+    "n_chars": "CAST(length(text) AS BIGINT)",
+    "n_tokens": f"CAST(len({_TOKS}) AS BIGINT)",
+    "alpha": "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))",
+    "digit": "length(regexp_replace(text, '[^0-9]', '', 'g'))",
+    "stop": _marker_sql(text_fns.LANG_MARKERS["en"]),
+    "uniq": f"len(list_distinct({_TOKS}))",
+}
+
+Q_TEXT_QUALITY_SQL = f"""
+WITH ft AS (
+  SELECT doc_id,
+         {_QF['n_chars']} AS n_chars,
+         {_QF['n_tokens']} AS n_tokens,
+         {_QF['alpha']} AS alpha,
+         {_QF['digit']} AS digit,
+         {_QF['stop']} AS stop,
+         {_QF['uniq']} AS uniq
+  FROM documents
+)
+SELECT doc_id,
+       CAST(alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+       CAST(alpha AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_token_len,
+       CAST(digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+       n_chars,
+       n_tokens,
+       CAST(stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+       CAST(uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS unique_ratio,
+       0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       + 0.25 * (CAST(alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+       + 0.25 * least((CAST(stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5, 1.0)
+       + 0.25 * (CAST(uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) AS quality
+FROM ft
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprint (rolling-hash stand-in is
+    the canonical md5 fingerprint shared with exact dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_fns.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text_fns.unique_token_count(F.col("text")).cast("long").alias("n_unique_tokens"),
+        dedup.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+Q_TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens,
+       md5({_CANON}) AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing: pack text bytes as an opaque
+    payload, run the Arrow-batched mapInPandas 'decoder' (deterministic
+    md5-derived stand-in for the real codec)."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(multimodal.pack_payload(d, "doc_id", "text"))
+
+
+Q_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5
+  FROM documents
+)
+SELECT doc_id, n_bytes, content_md5,
+       CAST(1 + (instr('0123456789abcdef', substr(content_md5, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(content_md5, 2, 1)) - 1) AS BIGINT) AS width,
+       CAST(1 + (instr('0123456789abcdef', substr(content_md5, 3, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(content_md5, 4, 1)) - 1) AS BIGINT) AS height,
+       CAST(1 + n_bytes % 7 AS BIGINT) AS n_frames
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
+    "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
+    "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
+    "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
+    "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),
+    "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
+}
