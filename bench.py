@@ -25,6 +25,15 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
     "last_event_per_user",
     "merge_upsert",
     "merge_upsert_delete",

@@ -226,6 +226,365 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue (TPC-H Q6 shape): pure scan+filter+global agg.
+
+    Scale: no shuffle beyond the final single-row combine; all three
+    predicates push to the parquet scan, only 4 columns read.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    out = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_qval(_qsum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+    return out
+
+
+Q_TPCH_Q6_SQL = f"""
+SELECT {_qsum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS semi-join.
+
+    Scale: left-semi hash join — lineitem never materializes beyond the
+    join; no dedup pass needed because semi-join emits each order once.
+    (Reference lacks commit/receipt dates, so the EXISTS predicate is
+    "some line shipped after the order date".)
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    out = (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    return out
+
+
+Q_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping (TPC-H Q7 shape): nation-pair revenue by year.
+
+    Scale: nation is broadcast twice under different aliases; the only
+    big shuffles are lineitem⨝orders and ⨝supplier on their keys. The
+    nation-pair filter prunes before aggregation.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _qval(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+    return out
+
+
+Q_TPCH_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_qsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join preserving order-less customers, then a second aggregation over
+    the counts.
+
+    Scale: two shuffles (custkey join, count groupBy); the second input
+    is one row per customer, so the distribution agg is tiny.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+    return out
+
+
+Q_TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue share (TPC-H Q14 shape): conditional aggregate
+    ratio over a join.
+
+    Scale: part is the broadcast dim; one shuffle for the global agg.
+    Both sums are quantized before the final double division so the
+    ratio is bit-identical across engines and partitionings.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * _qval(_qsum(promo))
+                / _qval(_qsum(disc_price))
+            ).alias("promo_revenue")
+        )
+    )
+    return out
+
+
+Q_TPCH_Q14_SQL = f"""
+SELECT 100.0 * ({_qsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+       / ({_qsum_sql('l_extendedprice * (1 - l_discount)')}) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): aggregate, then keep the rows
+    equal to the global max of that aggregate.
+
+    Scale: revenue-per-supplier is one shuffle; the scalar max is a
+    single-row broadcast joined back — no second pass over lineitem.
+    Equality is tested on the exact quantized decimal, not a double.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_q")
+    )
+    mx = rev.agg(F.max("rev_q").alias("max_q"))
+    out = (
+        rev.join(F.broadcast(mx), rev.rev_q == mx.max_q)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            _qval(F.col("rev_q")).alias("total_revenue"),
+        )
+    )
+    return out
+
+
+Q_TPCH_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * {_Q} + 0.5)
+             AS DECIMAL(38,0))) AS rev_q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_q AS DOUBLE) / {_Q}.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_q = (SELECT max(rev_q) FROM rev)
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity (TPC-H Q16 shape): COUNT(DISTINCT) per group
+    with an anti-join exclusion list.
+
+    Scale: the exclusion list (suppliers in arrears) is tiny →
+    broadcast anti-join; distinct-agg shuffles once on the group keys
+    with partial distinct on the map side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5))
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    out = (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return out
+
+
+Q_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING over an aggregate,
+    joined back to the fact and dimensions, deterministic top-100.
+
+    Scale: the HAVING list is small → broadcast to re-join lineitem;
+    orders/customer joins then run on an already-tiny left side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_qsum(F.col("l_quantity")).alias("qty_q"))
+        .filter(F.col("qty_q") > 300 * _Q)
+        .select("l_orderkey", "qty_q")
+    )
+    out = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            _qval(F.col("qty_q")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+    return out
+
+
+Q_TPCH_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_q AS DOUBLE) / {_Q}.0 AS total_qty
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_quantity * {_Q} + 0.5) AS DECIMAL(38,0))) AS qty_q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * {_Q} + 0.5) AS DECIMAL(38,0))) > {300 * _Q}
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-customer analysis (TPC-H Q22 shape): scalar subquery
+    (average balance) + anti-join against recent orders.
+
+    Scale: the scalar average is a one-row broadcast; the anti-join
+    probes a small filtered orders projection, broadcast to every
+    customer partition — no big shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (_qval(_qsum(F.col("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    out = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _qval(_qsum(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+    return out
+
+
+Q_TPCH_Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {_qsum_sql('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {_qsum_sql('c_acctbal')} / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface operators (SURVEY §2) on the events stream table
 # ---------------------------------------------------------------------------
@@ -384,6 +743,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q1_pricing_summary": (q_tpch_q1, Q_TPCH_Q1_SQL),
     "tpch_q3_shipping_priority": (q_tpch_q3, Q_TPCH_Q3_SQL),
     "tpch_q5_local_supplier_volume": (q_tpch_q5, Q_TPCH_Q5_SQL),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, Q_TPCH_Q6_SQL),
+    "tpch_q4_order_priority": (q_tpch_q4, Q_TPCH_Q4_SQL),
+    "tpch_q7_nation_volume": (q_tpch_q7, Q_TPCH_Q7_SQL),
+    "tpch_q13_customer_distribution": (q_tpch_q13, Q_TPCH_Q13_SQL),
+    "tpch_q14_promo_revenue_share": (q_tpch_q14, Q_TPCH_Q14_SQL),
+    "tpch_q15_top_supplier": (q_tpch_q15, Q_TPCH_Q15_SQL),
+    "tpch_q16_supplier_diversity": (q_tpch_q16, Q_TPCH_Q16_SQL),
+    "tpch_q18_large_orders": (q_tpch_q18, Q_TPCH_Q18_SQL),
+    "tpch_q22_idle_customers": (q_tpch_q22, Q_TPCH_Q22_SQL),
     "last_event_per_user": (q_last_event_per_user, Q_LAST_EVENT_SQL),
     "merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
