@@ -1,0 +1,298 @@
+"""Unit tests for the training-data pipeline operators (dedup, ANN,
+text analysis, multimodal plumbing) on small hand-built DataFrames.
+
+The oracle harness (tools/verify_local.py) checks cross-engine hash
+equality at sf0.01; these tests pin the *semantics* — survivor policy,
+similarity math, blocking behavior, determinism — on inputs where the
+expected answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.functions import multimodal, text as text_fns
+from kafka_connect_bigquery_spark.operators import ann, dedup
+
+
+# ---------------------------------------------------------------------------
+# dedup: canonicalization + exact
+# ---------------------------------------------------------------------------
+
+def test_canonical_text_normalizes_case_punct_whitespace(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("HELLO   WORLD.",)], ["t"]
+    )
+    vals = [r[0] for r in df.select(dedup.canonical_text(F.col("t"))).collect()]
+    assert vals == ["hello world"] * 3
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "The cat sat."),
+            (1, "the CAT sat"),
+            (2, "a different document"),
+            (7, "THE cat SAT!!"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_fingerprint_is_md5_of_canonical(spark):
+    df = spark.createDataFrame([("Abc  DEF!",)], ["t"])
+    got = df.select(dedup.fingerprint(F.col("t"))).first()[0]
+    assert got == hashlib.md5(b"abc def").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _jaccard_py(a: str, b: str, n: int = 3) -> float:
+    sa = {a[i : i + n] for i in range(max(len(a) - n + 1, 1))}
+    sb = {b[i : i + n] for i in range(max(len(b) - n + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_identical_and_near(spark):
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumps over the lazy cat"
+    t3 = "completely unrelated words here"
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)], ["doc_id", "text"])
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, min_jaccard=0.2
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == pytest.approx(_jaccard_py(t1, t2), abs=1e-12)
+
+
+def test_ngram_jaccard_blocking_prevents_cross_block_pairs(spark):
+    t = "same text in both blocks yes"
+    df = spark.createDataFrame(
+        [(1, t, "en"), (2, t, "en"), (3, t, "fr")], ["doc_id", "text", "lang"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, min_jaccard=0.9, block_col="lang"
+        ).collect()
+    }
+    assert pairs == {(1, 2)}  # doc 3 is an identical text but blocked out
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    # 'aaa...' shingle appears in every doc; max_doc_freq=1 drops it,
+    # leaving nothing shared between docs 1 and 2
+    df = spark.createDataFrame(
+        [(1, "aaaa xyz"), (2, "aaaa qrs")], ["doc_id", "text"]
+    )
+    with_guard = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, min_jaccard=0.01, max_doc_freq=1
+    ).collect()
+    without_guard = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, min_jaccard=0.01
+    ).collect()
+    assert with_guard == [] and len(without_guard) == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def test_minhash_identical_docs_collide_distinct_docs_dont(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1.upper()), (3, "zzz completely different qqq www")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "some stable text here")], ["doc_id", "text"])
+    s1 = dedup.minhash_signature(df, "doc_id", "text", num_hashes=4).collect()
+    s2 = dedup.minhash_signature(df, "doc_id", "text", num_hashes=4).collect()
+    assert s1 == s2
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_range_and_equality(spark):
+    t1 = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1 + "!!!"), (3, "entirely different content")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text", bits=16).collect()}
+    assert all(0 <= s < 2**16 for s in sigs.values())
+    # canonicalization strips '!!!' so 1 and 2 hash identically
+    assert sigs[1] == sigs[2]
+
+
+def test_simhash_pairs_blocked_hamming(spark):
+    t1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    t2 = t1.replace("dog", "cat")
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "qqq zzz unrelated www vvv")], ["doc_id", "text"]
+    )
+    sig = dedup.simhash(df, "doc_id", "text", bits=16)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(sig, "doc_id", bits=16, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    # hamming must equal the true bit difference of the signatures
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    true_ham = bin(sigs[1] ^ sigs[2]).count("1")
+    assert pairs[(1, 2)] == true_ham
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_exact_ranks(spark):
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0],   # closest to 0
+        2: [0.5, 0.5, 0.0],
+        3: [0.0, 1.0, 0.0],
+        4: [-1.0, 0.0, 0.0],  # farthest from 0
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = ann.cosine_topk(df.filter(F.col("vec_id") == 0), df, k=4)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert r["cosine"] == pytest.approx(_cos(vecs[0], vecs[r["neighbor_id"]]), abs=1e-6)
+    assert all(r["query_id"] == 0 for r in rows)  # self excluded
+
+
+def test_lsh_ann_is_subset_of_exact_with_same_scores(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann.cosine_topk(q, df, k=40).collect()
+    }
+    approx = ann.lsh_ann_topk(q, df, k=5, n_planes=4).collect()
+    assert approx  # identical buckets exist for at least self-adjacent vectors
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert r["cosine"] == pytest.approx(exact[key], abs=1e-12)
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.1, 0.9]), (2, [-0.5, 0.25, -0.1, -0.9])],
+        ["vec_id", "embedding"],
+    )
+    b = df.select(ann.lsh_bucket(F.col("embedding"), n_planes=5).alias("b")).collect()
+    assert all(0 <= r["b"] < 32 for r in b)
+    b2 = df.select(ann.lsh_bucket(F.col("embedding"), n_planes=5).alias("b")).collect()
+    assert b == b2
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_predict_lang_on_obvious_sentences(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "der Hund und die Katze und das Haus"),
+        (3, "le chat et la maison et les chiens"),
+        (4, "el gato y los perros que corren"),
+        (5, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", text_fns.predict_lang(F.col("text")).alias("p")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_counts_and_quality_bounds(spark):
+    df = spark.createDataFrame([(1, "The the the unique words here 123!")], ["id", "text"])
+    r = df.select(
+        text_fns.token_count(F.col("text")).alias("n"),
+        text_fns.unique_token_count(F.col("text")).alias("u"),
+        text_fns.quality_score(F.col("text")).alias("q"),
+    ).first()
+    assert r["n"] == 7  # the x3, unique, words, here, 123
+    assert r["u"] == 5
+    assert 0.0 <= r["q"] <= 1.0
+
+
+def test_quality_features_ratios(spark):
+    df = spark.createDataFrame([(1, "ab 12")], ["id", "text"])
+    ft = text_fns.quality_features(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in ft.items()]).first()
+    assert r["n_chars"] == 5
+    assert r["n_tokens"] == 2
+    assert r["alpha_ratio"] == pytest.approx(2 / 5)
+    assert r["digit_ratio"] == pytest.approx(2 / 5)
+    assert r["unique_ratio"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    packed = multimodal.pack_payload(df, "doc_id", "text")
+    assert dict(packed.dtypes)["payload"] == "binary"
+    out = multimodal.decode_image_meta(packed)
+    assert out.schema == multimodal.IMAGE_META_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    md5_hello = hashlib.md5(b"hello").hexdigest()
+    assert rows[1]["content_md5"] == md5_hello
+    assert rows[1]["n_bytes"] == 5
+    assert rows[1]["width"] == 1 + int(md5_hello[0:2], 16)
+    assert rows[1]["height"] == 1 + int(md5_hello[2:4], 16)
+    assert rows[1]["n_frames"] == 1 + 5 % 7
+
+
+def test_multimodal_real_decoder_is_explicit_seam():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_resize_stub_declares_target_dims(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "payload"])
+    out = multimodal.resize_stub(df, target=(128, 96))
+    r = out.first()
+    assert (r["resized_width"], r["resized_height"]) == (128, 96)
