@@ -39,6 +39,10 @@ HEADLINE = [
     "merge_upsert_delete",
     "merge_delete_only",
     "hourly_partition_rollup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window",
 ]
 
 

@@ -761,10 +761,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from kafka_connect_bigquery_spark import queries_ext
+    from kafka_connect_bigquery_spark import queries_ext, queries_windows
 
     merged = dict(REGISTRY)
     merged.update(queries_ext.REGISTRY)
+    merged.update(queries_windows.REGISTRY)
     return merged
 
 

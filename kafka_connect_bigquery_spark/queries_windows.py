@@ -1,0 +1,198 @@
+"""Event-time windowing queries: tumbling/sliding/session windows and
+declarative sessionization over the events table.
+
+Batch-mode twins of streaming/windows.py operators — ``F.window`` /
+``F.session_window`` evaluate identically on static frames, so each
+entry is oracle-checkable; the streaming tests drive the same plans
+incrementally with watermarks.
+
+Window-start arithmetic is done in integer microseconds on both sides
+(Spark aligns windows to the epoch; the oracle reproduces that with
+integer division), so boundaries are exact, never float-derived.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.queries import _qsum, _qsum_sql, _qval, _ts_us
+from kafka_connect_bigquery_spark.session import read_table
+from kafka_connect_bigquery_spark.streaming.windows import (
+    session_window_agg,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+_TS_US = _ts_us()
+_US = 1_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def _win_start_sql(slide_s: int, offset_s: int = 0) -> str:
+    """Epoch-aligned window start in DuckDB, integer µs arithmetic."""
+    s_us = slide_s * _US
+    off = f" - {offset_s * _US}" if offset_s else ""
+    return f"make_timestamp(((epoch_ns(ts) // 1000{off}) // {s_us}) * {s_us}{' + ' + str(offset_s * _US) if offset_s else ''})"
+
+
+# ---------------------------------------------------------------------------
+# tumbling window
+# ---------------------------------------------------------------------------
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling event-time windows per event_type.
+
+    Scale: one shuffle on (window, event_type) with map-side partial
+    agg; in streaming mode state is bounded by the watermark horizon.
+    """
+    return tumbling_window_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "15 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            _qval(_qsum(F.col("value"))).alias("sum_value"),
+        ],
+    ).select("window_start", "window_end", "event_type", "n_events", "sum_value")
+
+
+Q_TUMBLING_SQL = f"""
+SELECT {_win_start_sql(900)} AS window_start,
+       {_win_start_sql(900)} + INTERVAL 15 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_qsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding window
+# ---------------------------------------------------------------------------
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 minutes: each event counts in
+    exactly two windows.
+
+    Scale: the window explode doubles rows before the shuffle — the
+    duration/slide ratio is the replication factor, kept at 2 here.
+    """
+    return sliding_window_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "30 minutes",
+        "15 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select("window_start", "window_end", "event_type", "n_events")
+
+
+Q_SLIDING_SQL = f"""
+WITH w AS (
+  SELECT e.*, make_timestamp(
+           ((epoch_ns(ts) // 1000) // {900 * _US}) * {900 * _US} - k.k * {900 * _US}
+         ) AS window_start
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start, window_start + INTERVAL 30 MINUTE AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM w
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (lag + running-sum plan)
+# ---------------------------------------------------------------------------
+
+_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-min inactivity closes a session),
+    via the declarative lag/running-sum plan."""
+    out = sessionize(_events(spark, sf_dir), ["user_id"], "ts", _GAP_S)
+    return out.select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+
+Q_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, {_TS_US} AS ts,
+         CASE WHEN lag({_TS_US}) OVER w IS NULL
+                OR epoch({_TS_US}) - epoch(lag({_TS_US}) OVER w) > {_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US})
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# built-in session_window
+# ---------------------------------------------------------------------------
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessions per user: window end is
+    last_event + gap, sessions merge while consecutive gaps are < gap
+    (strict — note the boundary differs from ``sessionize``'s > split)."""
+    return session_window_agg(
+        _events(spark, sf_dir),
+        "ts",
+        f"{_GAP_S} seconds",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            _qval(_qsum(F.col("value"))).alias("sum_value"),
+        ],
+    ).select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+Q_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, value, {_TS_US} AS ts,
+         CASE WHEN lag({_TS_US}) OVER w IS NULL
+                OR epoch({_TS_US}) - epoch(lag({_TS_US}) OVER w) >= {_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US})
+),
+sess AS (
+  SELECT user_id, value, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {_GAP_S} SECOND AS session_end,
+       COUNT(*) AS n_events,
+       {_qsum_sql('value')} AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
+    "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
+    "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "events_session_window": (q_session_window, Q_SESSION_WINDOW_SQL),
+}

@@ -1,0 +1,191 @@
+"""Event-time windowing operators: tumbling/sliding windows, gap-based
+sessionization, and a custom stateful per-key operator.
+
+The reference connector has no event-time features (SURVEY.md §2.9 —
+time enters only through partition routing); these are the Structured
+Streaming capabilities a Spark-native engine adds on top. Every
+operator is declared once and runs in BOTH modes:
+
+- batch: ``F.window`` / ``F.session_window`` work on static DataFrames,
+  so the same plan is oracle-checkable against SQL.
+- streaming: add ``with_watermark`` and the identical plan becomes an
+  incremental stateful query with late-data eviction.
+
+Scale: windowed aggregation shuffles once on (key, window); state per
+key-window is bounded by the watermark horizon. Sessionization state is
+merged per key as sessions close — the 100 TB concern is key skew, so
+group keys should be high-cardinality (user_id), never a constant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark for late-data bounds (no-op semantics in batch mode)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed (tumbling) event-time windows with per-window aggregates.
+
+    Output columns: window_start, window_end, *group_cols, *aggs.
+    """
+    if watermark is not None:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping (sliding) windows: each event lands in
+    duration/slide windows."""
+    if watermark is not None:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Built-in session windows (dynamic gap-merged); streaming-native.
+
+    In streaming mode sessions close when the watermark passes
+    last_event + gap. Batch mode gives the same merged sessions."""
+    if watermark is not None:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based sessionization as a declarative window-function plan
+    (lag -> new-session flag -> running sum), the batch/SQL-expressible
+    twin of ``session_window_agg``.
+
+    Returns one row per (key, session): session_id (0-based per key),
+    session_start, session_end, n_events. Scale: one shuffle on the key
+    for the sort-window, one for the final groupBy — both on the same
+    key, so AQE coalesces them into a single exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts = F.col(ts_col)
+    prev = F.lag(ts).over(w)
+    is_new = (
+        prev.isNull()
+        | (ts.cast("double") - prev.cast("double") > float(gap_seconds))
+    ).cast("long")
+    with_sess = df.withColumn(
+        "session_id", F.sum(is_new).over(w) - 1
+    )
+    return (
+        with_sess.groupBy(*key_cols, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_totals_stream(grouped_stream) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value))
+    maintained across micro-batches via applyInPandasWithState.
+
+    ``grouped_stream`` is ``df.groupBy("user_id")`` on a streaming frame
+    with columns (user_id, value). Each micro-batch emits the updated
+    totals for the keys it touched; state persists in the state store.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

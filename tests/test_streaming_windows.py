@@ -1,0 +1,190 @@
+"""Streaming-mode tests for event-time windowing and custom state.
+
+The batch twins of these plans are oracle-verified (queries_windows);
+here the SAME operators run as incremental streaming queries: file
+source -> windowed/stateful agg -> memory sink, with watermark-driven
+emission and cross-micro-batch state retention.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_spark.streaming.windows import (
+    running_totals_stream,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(minute: int, second: int = 0) -> datetime:
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+def _write_batch(spark, path: str, rows) -> None:
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(path)
+
+
+def _stream(spark, path: str):
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def test_tumbling_window_complete_mode(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), "view", 1.0),
+            (2, _ts(10), "view", 2.0),
+            (1, _ts(20), "click", 4.0),
+        ],
+    )
+    agg = tumbling_window_agg(
+        _stream(spark, src),
+        "ts",
+        "15 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].minute, r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(0, "view"): 2, (15, "click"): 1}
+
+
+def test_tumbling_append_mode_watermark_emission(spark, tmp_path):
+    """Append mode only emits a window once the watermark passes its
+    end: nothing after batch 1, the 10:00 window after a later event
+    arrives in batch 2."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, _ts(0), "view", 1.0), (1, _ts(5), "view", 1.0)])
+    agg = tumbling_window_agg(
+        _stream(spark, src),
+        "ts",
+        "15 minutes",
+        [],
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="5 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM append_sink").count() == 0
+        # event at 11:00 pushes watermark to 10:55 > 10:15 window end
+        _write_batch(spark, src, [(9, datetime(2024, 1, 1, 11, 0), "view", 0.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM append_sink").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["window_start"] == _ts(0)
+
+
+def test_session_window_streaming_merges_and_closes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # user 1: two events 10 min apart (one session, 30-min gap);
+    # user 2: one event
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), "view", 1.0),
+            (1, _ts(10), "view", 2.0),
+            (2, _ts(3), "view", 5.0),
+        ],
+    )
+    agg = session_window_agg(
+        _stream(spark, src),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # close all sessions by advancing the watermark far ahead
+        _write_batch(spark, src, [(9, datetime(2024, 1, 1, 13, 0), "view", 0.0)])
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["session_start"], r["session_end"])
+            for r in spark.sql("SELECT * FROM session_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got[1][0] == 2  # merged into one session
+    assert got[1][1] == _ts(0)
+    assert got[1][2] == _ts(40)  # last event 10:10 + 30-min gap
+    assert got[2][0] == 1
+
+
+def test_running_totals_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, _ts(0), "view", 10.0), (1, _ts(1), "view", 5.0), (2, _ts(2), "view", 1.0)])
+    stream = _stream(spark, src).select("user_id", "value")
+    out = running_totals_stream(stream.groupBy("user_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM totals_sink").collect()
+        }
+        _write_batch(spark, src, [(1, _ts(5), "view", 2.5)])
+        q.processAllAvailable()
+        # update sink appends one row per touched key per micro-batch;
+        # the second batch must have emitted the accumulated state
+        user1_rows = {
+            (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM totals_sink WHERE user_id = 1").collect()
+        }
+    finally:
+        q.stop()
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+    assert (3, 17.5) in user1_rows
