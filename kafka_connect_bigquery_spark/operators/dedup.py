@@ -310,6 +310,61 @@ def simhash_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= min_cosine.
+
+    ``n_planes=None`` compares all pairs — the exact baseline, O(n²),
+    fine for a re-ranking stage over a pre-blocked candidate set. At
+    corpus scale pass ``n_planes`` to restrict comparison to random-
+    hyperplane LSH buckets (true near-dups almost always share the
+    bucket at high cosine): the bucket becomes the join/partition key
+    and the cross product never materializes. Cosines are integer-
+    quantized (see ann.quantized_dot) so the pair set is deterministic.
+    """
+    from kafka_connect_bigquery_spark.operators import ann
+
+    a = ann.with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__norm_q").alias("na"),
+    )
+    b = ann.with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__norm_q").alias("nb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if n_planes is not None:
+        a = a.withColumn("bucket", ann.lsh_bucket(F.col("va"), n_planes=n_planes))
+        b = b.withColumn("bucket_b", ann.lsh_bucket(F.col("vb"), n_planes=n_planes))
+        cond = cond & (F.col("bucket") == F.col("bucket_b"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "cosine",
+            ann.cosine_from_quantized(
+                ann.quantized_dot(F.col("va"), F.col("vb")),
+                F.col("na"),
+                F.col("nb"),
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hamming(a: Column, b: Column, bits: int) -> Column:
     """Portable Hamming distance via arithmetic bit extraction (bitwise
     xor exists in both engines but with different syntax; aggregate of

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions import multimodal, text as text_fns
 from kafka_connect_bigquery_spark.operators import ann, dedup
+from kafka_connect_bigquery_spark.queries import _ts_us
 from kafka_connect_bigquery_spark.session import read_table
+
+_TS_US_EXT = _ts_us()
+_QE = ann.QE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -186,12 +190,50 @@ FROM votes GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# dedup: embedding cosine
+# ---------------------------------------------------------------------------
+
+_EMB_MIN_COS = 0.4
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH-bucketed
+    variant is the 100 TB path — same operator with n_planes set)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cosine=_EMB_MIN_COS
+    )
+
+
+Q_DEDUP_EMBEDDING_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(FLOOR(a.v * b.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0)) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0)) >= {_EMB_MIN_COS}
+"""
+
+# ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
 
 _ANN_K = 5
 _ANN_NQ = 10  # query vectors: vec_id < 10
-_QE = ann.QE
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +465,43 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# BQ-shape record projection (reference conversion surface, P3-P6 + L1)
+# ---------------------------------------------------------------------------
+
+def q_bq_shape_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's record-conversion surface as one projection over
+    events: schemaless-JSON field extraction, bytes→base64 (P4), double
+    special clamp (P5), the Timestamp wire format (P6,
+    'yyyy-MM-dd HH:mm:ss.SSS' UTC), and the day-partition column (L1).
+
+    Scale: pure narrow projection — no shuffle, whole-stage codegen'd,
+    runs at scan speed on any cluster size."""
+    from kafka_connect_bigquery_spark.functions import bq_shape
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long").alias("prop_k"),
+        bq_shape.bytes_to_base64(F.encode(F.col("event_type"), "UTF-8")).alias(
+            "event_type_b64"
+        ),
+        bq_shape.clamp_double_specials(F.col("value")).alias("value_clamped"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_wire"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("p_date"),
+    )
+
+
+Q_BQ_SHAPE_SQL = f"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS prop_k,
+       base64(encode(event_type)) AS event_type_b64,
+       CASE WHEN isnan(value) THEN 4.9e-324 ELSE value END AS value_clamped,
+       strftime({_TS_US_EXT}, '%Y-%m-%d %H:%M:%S.%g') AS ts_wire,
+       strftime({_TS_US_EXT}, '%Y-%m-%d') AS p_date
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -431,6 +510,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
