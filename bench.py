@@ -43,6 +43,8 @@ HEADLINE = [
     "events_sliding_window",
     "events_sessionize",
     "events_session_window",
+    "events_asof_join",
+    "events_interval_join",
 ]
 
 

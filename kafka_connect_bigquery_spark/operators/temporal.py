@@ -1,0 +1,119 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+interval (range) join, built from shuffle-friendly primitives.
+
+Both avoid the naive theta-join (which Spark executes as
+BroadcastNestedLoop / cartesian at scale):
+
+- ``asof_join``: union the two sides, one window pass per key ordered
+  by time, forward-fill the right side's payload. Cost = one shuffle on
+  the key + one sort — identical asymptotics to a sort-merge join, no
+  pair blow-up. This is the classic "union trick" for point-in-time
+  correctness (feature stores, trade/quote matching).
+- ``interval_join``: band the time axis into fixed buckets, replicate
+  each interval to the buckets it overlaps, equi-join on
+  (key, bucket), then apply the exact range predicate. Replication
+  factor = interval_span/bucket + 1, so the shuffle stays linear; the
+  bucket is the join key Catalyst hashes on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_r",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts (or < when ``strict``) within the same key.
+
+    Left rows with no prior right row keep NULL payload columns
+    (left-outer as-of semantics). Right's timestamp is exposed as
+    ``{ts_col}{suffix}``.
+
+    Scale: one shuffle on key_cols, one window sort — no range
+    explosion; works unchanged on billions of rows per key group
+    distributed across executors.
+    """
+    rv = right_value_cols or [c for c in right.columns if c not in key_cols + [ts_col]]
+
+    lm = left.withColumn("__side", F.lit(1))
+    rm = right.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rv],
+    ).withColumn("__side", F.lit(0))
+
+    rv_out = [f"{c}{suffix}" for c in rv]
+    unioned = lm.unionByName(rm, allowMissingColumns=True)
+
+    # Order so that at equal timestamps the right row sorts first
+    # (non-strict: it is visible to the left row) or last (strict).
+    side_order = F.asc("__side") if not strict else F.desc("__side")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    # forward-fill each right payload column + the right timestamp
+    filled = unioned.withColumn(
+        f"{ts_col}{suffix}",
+        F.last(F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+    )
+    for c in rv_out:
+        filled = filled.withColumn(
+            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    end_inclusive: bool = True,
+) -> DataFrame:
+    """Join point events to the intervals containing them:
+    start <= ts <= end (or < end when ``end_inclusive=False``) within
+    the same key.
+
+    Scale: each interval is replicated to ceil(span/bucket)+1 time
+    buckets and each point to exactly one, so the join is a hash
+    equi-join on (key, bucket) — never a nested-loop range join. Pick
+    ``bucket_seconds`` near the typical interval span to keep
+    replication ~2x.
+    """
+    b = F.lit(bucket_seconds)
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(ts_col).cast("double") / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__b0", F.floor(F.col(start_col).cast("double") / b).cast("long")
+    ).withColumn("__b1", F.floor(F.col(end_col).cast("double") / b).cast("long"))
+    iv = iv.withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+
+    end_pred: Column = (
+        F.col(ts_col) <= F.col(end_col)
+        if end_inclusive
+        else F.col(ts_col) < F.col(end_col)
+    )
+    return (
+        pt.join(iv, key_cols + ["__bucket"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & end_pred)
+        .drop("__bucket")
+    )

@@ -190,9 +190,110 @@ GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join (point-in-time correctness)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest view at-or-before it —
+    the trade/quote (feature-store point-in-time) pattern, via the
+    union+window as-of operator (one shuffle, no range explosion)."""
+    from kafka_connect_bigquery_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, ["user_id"], "ts", right_value_cols=["value"])
+    # Unmatched lefts keep NULLs; surface the flag and coalesce to
+    # sentinels so the cross-engine value hash never compares NaNs.
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("ts_r").isNotNull().alias("matched"),
+        F.coalesce(F.col("ts_r"), F.lit("1970-01-01").cast("timestamp")).alias("ts_r"),
+        F.coalesce(F.col("value_r"), F.lit(0.0)).alias("value_r"),
+    )
+
+
+Q_ASOF_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, {_TS_US} AS ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id, c.event_id, c.ts, c.value,
+       v.ts IS NOT NULL AS matched,
+       coalesce(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_r,
+       coalesce(v.value, 0.0) AS value_r
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined back into their session intervals via the banded
+    interval join (replicate intervals to time buckets, hash equi-join
+    on (key, bucket), exact range filter last)."""
+    from kafka_connect_bigquery_spark.operators.temporal import interval_join
+
+    e = _events(spark, sf_dir)
+    sessions = sessionize(e, ["user_id"], "ts", _GAP_S)
+    joined = interval_join(
+        e.select("user_id", "ts"),
+        sessions,
+        ["user_id"],
+        "ts",
+        "session_start",
+        "session_end",
+        bucket_seconds=_GAP_S,
+    )
+    return joined.groupBy("user_id", "session_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+Q_INTERVAL_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, {_TS_US} AS ts,
+         CASE WHEN lag({_TS_US}) OVER w IS NULL
+                OR epoch({_TS_US}) - epoch(lag({_TS_US}) OVER w) > {_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US})
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT i.user_id, i.session_id, i.session_start, i.session_end,
+       COUNT(*) AS n_points
+FROM (SELECT user_id, {_TS_US} AS ts FROM events) e
+JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts >= i.session_start AND e.ts <= i.session_end
+GROUP BY 1, 2, 3, 4
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "events_session_window": (q_session_window, Q_SESSION_WINDOW_SQL),
+    "events_asof_join": (q_asof_join, Q_ASOF_SQL),
+    "events_interval_join": (q_interval_join, Q_INTERVAL_SQL),
 }
