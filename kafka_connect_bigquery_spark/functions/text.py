@@ -36,6 +36,42 @@ def unique_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# BPE-ish subword splitting: letter runs, digit runs, and single
+# punctuation marks become separate tokens (the pre-tokenization shape
+# GPT-style BPE vocabularies assume), as one regexp pass.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def subword_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), 0)
+
+
+def subword_count(col: Column) -> Column:
+    """Sub-token count under the BPE-ish pre-tokenizer — the budget
+    proxy for LLM token accounting."""
+    return F.size(subword_tokens(col))
+
+
+# Polynomial (Rabin-Karp) rolling hash over whitespace tokens:
+# fold acc -> (acc*B + h(token)) mod M with h = first 8 md5 hex digits.
+# Order-sensitive (unlike the md5-of-canonical fingerprint), so
+# reordered-content documents hash differently.
+ROLL_B = 131
+ROLL_M = 1_000_000_007
+
+
+def rolling_hash(col: Column) -> Column:
+    toks = tokens(col)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_M,
+    )
+
+
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

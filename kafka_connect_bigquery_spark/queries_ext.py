@@ -436,6 +436,31 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_text_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-token counting + order-sensitive Rabin-Karp rolling
+    hash (whitespace fingerprint's order-sensitive complement)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_fns.subword_count(F.col("text")).cast("long").alias("n_subtokens"),
+        text_fns.rolling_hash(F.col("text")).alias("rolling_hash"),
+    )
+
+
+Q_TEXT_SUBWORD_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_subtokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS},
+             t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+         (acc, x) -> (acc * {text_fns.ROLL_B} + x) % {text_fns.ROLL_M}
+       ) AS rolling_hash
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -517,5 +542,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),
+    "text_subword_stats": (q_text_subword_stats, Q_TEXT_SUBWORD_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
 }

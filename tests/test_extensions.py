@@ -267,6 +267,36 @@ def test_quality_features_ratios(spark):
     assert r["unique_ratio"] == pytest.approx(1.0)
 
 
+def test_subword_count_bpe_ish(spark):
+    # "hello," -> hello + ","  |  "x2y" -> x + 2 + y
+    df = spark.createDataFrame([(1, "Hello, x2y!")], ["id", "text"])
+    r = df.select(text_fns.subword_count(F.col("text")).alias("n")).first()
+    assert r["n"] == 6  # hello , x 2 y !
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta")], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", text_fns.rolling_hash(F.col("text")).alias("h")).collect()
+    }
+    assert got[1] == got[3]          # deterministic
+    assert got[1] != got[2]          # order matters (unlike md5 fingerprint)
+    # matches the python reference fold
+    import hashlib
+
+    def ref(text):
+        acc = 0
+        for t in text.split(" "):
+            th = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            acc = (acc * text_fns.ROLL_B + th) % text_fns.ROLL_M
+        return acc
+
+    assert got[1] == ref("alpha beta")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
