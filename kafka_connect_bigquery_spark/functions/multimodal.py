@@ -85,3 +85,53 @@ def resize_stub(df: DataFrame, *, target: tuple[int, int] = (224, 224)) -> DataF
     return df.withColumn("resized_width", F.lit(target[0])).withColumn(
         "resized_height", F.lit(target[1])
     )
+
+
+def sample_frames(df: DataFrame, *, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index.
+
+    Uses the decoded ``n_frames`` metadata (decode_image_meta) —
+    frame indices 0, every_nth, 2*every_nth, … The row explosion stays
+    declarative (sequence + explode, no Python), so at corpus scale the
+    sampled-frame table partitions like any other fact table."""
+    return df.withColumn(
+        "frame_index",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every_nth)
+            )
+        ),
+    )
+
+
+FEATURE_DIM = 4
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage over (doc_id, payload): Arrow-batched
+    mapInPandas emitting a fixed-dim double vector per payload.
+
+    Stand-in features are md5-derived (deterministic); in production
+    the body becomes a vectorized model/codec call with the same
+    (batch in -> batch out) shape and declared schema."""
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            out = pdf[["doc_id"]].copy()
+            out["feature"] = md5s.map(
+                lambda m: [
+                    int(m[8 * i : 8 * i + 8], 16) / float(0xFFFFFFFF)
+                    for i in range(FEATURE_DIM)
+                ]
+            )
+            yield out
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)

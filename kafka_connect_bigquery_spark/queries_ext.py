@@ -473,6 +473,47 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(multimodal.pack_payload(d, "doc_id", "text"))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal stage chain: decode metadata -> frame sampling
+    (every 2nd frame, declarative explode) -> Arrow-batched feature
+    extraction, joined per document."""
+    d = _t(spark, sf_dir, "documents")
+    packed = multimodal.pack_payload(d, "doc_id", "text")
+    frames = multimodal.sample_frames(multimodal.decode_image_meta(packed)).select(
+        "doc_id", "frame_index"
+    )
+    feats = multimodal.extract_features(packed)
+    return frames.join(feats, "doc_id").select(
+        "doc_id",
+        "frame_index",
+        *[
+            F.col("feature")[i].alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
+
+
+def _frame_feature_sql() -> str:
+    feats = ",\n       ".join(
+        f"CAST(concat('0x', substr(content_md5, {8 * i + 1}, 8)) AS BIGINT)"
+        f" / 4294967295.0 AS f{i}"
+        for i in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         1 + octet_length(encode(text)) % 7 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_index,
+       {feats}
+FROM m
+"""
+
+
+Q_MULTIMODAL_FRAMES_SQL = _frame_feature_sql()
+
+
 Q_MULTIMODAL_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -544,4 +585,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),
     "text_subword_stats": (q_text_subword_stats, Q_TEXT_SUBWORD_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
+    "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
 }

@@ -321,6 +321,26 @@ def test_multimodal_real_decoder_is_explicit_seam():
         multimodal.decode_image_real(b"\x89PNG")
 
 
+def test_sample_frames_indices(spark):
+    df = spark.createDataFrame([(1, 5), (2, 1)], ["doc_id", "n_frames"])
+    got = sorted(
+        (r["doc_id"], r["frame_index"])
+        for r in multimodal.sample_frames(df, every_nth=2).collect()
+    )
+    assert got == [(1, 0), (1, 2), (1, 4), (2, 0)]
+
+
+def test_extract_features_deterministic_unit_range(spark):
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    packed = multimodal.pack_payload(df, "doc_id", "text")
+    r = multimodal.extract_features(packed).first()
+    assert len(r["feature"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    md5_hello = hashlib.md5(b"hello").hexdigest()
+    expect0 = int(md5_hello[0:8], 16) / float(0xFFFFFFFF)
+    assert r["feature"][0] == pytest.approx(expect0, abs=0)
+
+
 def test_resize_stub_declares_target_dims(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "payload"])
     out = multimodal.resize_stub(df, target=(128, 96))
