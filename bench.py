@@ -31,6 +31,7 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
     "tpch_q16_supplier_diversity",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",

@@ -101,6 +101,138 @@ def cosine_topk(
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) scale path: k-means coarse quantizer
+# --------------------------------------------------------------------------
+
+QD = 1_000_000  # distance quantization (smaller than QE: 64 squared
+# diffs of |v|<=2 sum to ~1e15, safely inside int64)
+
+
+def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
+    """Quantized squared L2 distance to a fixed centroid — exact integer
+    arithmetic, so argmin assignment is partitioning-independent."""
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(
+        vec_col,
+        cent,
+        lambda x, c: F.floor(x.cast("double") * QD + F.lit(0.5)).cast("long")
+        - F.floor(c.cast("double") * QD + F.lit(0.5)).cast("long"),
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d * d)
+
+
+def assign_list(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the nearest centroid (ties -> lowest id)."""
+    dists = F.array(*[_sq_dist_to(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the k vectors with smallest ids; per-dimension means are
+    computed from quantized integer sums, so every iteration — and
+    therefore the final centroid set — is bit-identical across runs and
+    partitionings. Centroids (k x dim doubles) live on the driver, as
+    in any IVF index build; the data never leaves executors.
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    for _ in range(iters):
+        assigned = df.select(
+            assign_list(F.col(vec_col), cents).alias("list_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        sums = (
+            assigned.groupBy("list_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * QD + F.lit(0.5)).cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault(r["list_id"], {})[r["pos"]] = (r["sq"] / r["n"]) / QD
+        cents = [
+            [new[li][p] for p in sorted(new[li])] if li in new else cents[li]
+            for li in range(k)
+        ]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within the ``n_probe``
+    inverted lists nearest to each query.
+
+    At corpus scale the list id is the partition key (the corpus is
+    written clustered by it); a query touches n_probe/k_lists of the
+    data. ``n_probe = len(centroids)`` degrades to exact brute force.
+    """
+    n_lists = len(centroids)
+    dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in centroids])
+    # the n_probe nearest lists per query: argsort via (dist, idx) structs
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("__norm_q").alias("qn"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("__norm_q").alias("cn"),
+        assign_list(F.col(vec_col), centroids).alias("list_id"),
+    )
+    joined = c.join(F.broadcast(q), "list_id")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine",
+        cosine_from_quantized(
+            quantized_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH (random hyperplanes) scale path
 # --------------------------------------------------------------------------
 

@@ -542,6 +542,59 @@ LIMIT 100
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost-supplier (TPC-H Q2 shape): correlated MIN subquery
+    decorrelated into an aggregate + equality join-back.
+
+    Per (part, supplier) the unit cost is the min quantized
+    extendedprice/quantity over their lineitems; keep suppliers
+    achieving their part's minimum. Scale: the per-pair aggregation is
+    the only big shuffle; the per-part minimum is a partial re-agg of
+    that result, and the join-back is on the already-aggregated frame.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    cost_q = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * _Q + F.lit(0.5)
+    ).cast("long")
+    pair = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min(cost_q).alias("cost_q"))
+    )
+    best = pair.groupBy("p_partkey").agg(F.min("cost_q").alias("best_q"))
+    out = (
+        pair.join(best, "p_partkey")
+        .filter(F.col("cost_q") == F.col("best_q"))
+        .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            (F.col("cost_q").cast("double") / _Q).alias("supply_cost"),
+        )
+    )
+    return out
+
+
+Q_TPCH_Q2_SQL = f"""
+WITH pair AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice / l_quantity * {_Q} + 0.5) AS BIGINT)) AS cost_q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+  GROUP BY 1, 2, 3
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name,
+       CAST(cost_q AS DOUBLE) / {_Q} AS supply_cost
+FROM pair
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE cost_q = (SELECT MIN(p2.cost_q) FROM pair p2 WHERE p2.p_partkey = pair.p_partkey)
+"""
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idle-customer analysis (TPC-H Q22 shape): scalar subquery
     (average balance) + anti-join against recent orders.
@@ -749,6 +802,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q13_customer_distribution": (q_tpch_q13, Q_TPCH_Q13_SQL),
     "tpch_q14_promo_revenue_share": (q_tpch_q14, Q_TPCH_Q14_SQL),
     "tpch_q15_top_supplier": (q_tpch_q15, Q_TPCH_Q15_SQL),
+    "tpch_q2_min_cost_supplier": (q_tpch_q2, Q_TPCH_Q2_SQL),
     "tpch_q16_supplier_diversity": (q_tpch_q16, Q_TPCH_Q16_SQL),
     "tpch_q18_large_orders": (q_tpch_q18, Q_TPCH_Q18_SQL),
     "tpch_q22_idle_customers": (q_tpch_q22, Q_TPCH_Q22_SQL),

@@ -311,6 +311,18 @@ Q_ANN_COSINE_SQL = _ann_sql(bucketed=False)
 _ANN_PLANES = 6
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic k-means coarse quantizer
+    (8 lists, 3 Lloyd iterations), probing the 2 nearest lists per
+    query. No SQL oracle — the index build is iterative — so the driver
+    records the weaker rows-only check; exactness vs brute force is
+    covered by unit tests (n_probe = n_lists degrades to exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.kmeans_fit(emb, k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return ann.ivf_topk(queries, emb, cents, k=_ANN_K, n_probe=2)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: exact cosine only within the
     query's hyperplane-sign bucket — the 100 TB path where the bucket is
@@ -580,6 +592,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),

@@ -213,6 +213,61 @@ def test_lsh_ann_is_subset_of_exact_with_same_scores(spark):
         assert r["cosine"] == pytest.approx(exact[key], abs=1e-12)
 
 
+def _clustered_vectors():
+    import random
+
+    rng = random.Random(3)
+    data = []
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    for i in range(30):
+        c = centers[i % 3]
+        data.append((i, [x + rng.uniform(-0.3, 0.3) for x in c]))
+    return data
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.kmeans_fit(df, k=3, iters=4)
+    assigned = df.select(
+        "vec_id", ann.assign_list(F.col("embedding"), cents).alias("l")
+    ).collect()
+    # every member of a true cluster lands in the same fitted list
+    by_true = {}
+    for r in assigned:
+        by_true.setdefault(r["vec_id"] % 3, set()).add(r["l"])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+
+
+def test_kmeans_deterministic(spark):
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    c1 = ann.kmeans_fit(df, k=3, iters=3)
+    c2 = ann.kmeans_fit(df.repartition(7), k=3, iters=3)
+    assert c1 == c2  # quantized sums -> partitioning-independent
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.kmeans_fit(df, k=3, iters=3)
+    q = df.filter(F.col("vec_id") < 2)
+    exact = sorted(
+        map(tuple, ann.cosine_topk(q, df, k=5).collect())
+    )
+    ivf = sorted(
+        map(tuple, ann.ivf_topk(q, df, cents, k=5, n_probe=3).collect())
+    )
+    assert ivf == exact
+
+
+def test_ivf_single_probe_stays_in_cluster(spark):
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.kmeans_fit(df, k=3, iters=4)
+    q = df.filter(F.col("vec_id") == 0)  # true cluster 0
+    out = ann.ivf_topk(q, df, cents, k=5, n_probe=1).collect()
+    assert len(out) == 5
+    assert all(r["neighbor_id"] % 3 == 0 for r in out)  # same true cluster
+
+
 def test_lsh_bucket_deterministic_and_bounded(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.1, 0.9]), (2, [-0.5, 0.25, -0.1, -0.9])],
