@@ -78,7 +78,11 @@ class SinkPipeline:
     value_parser: object = None  # Callable[[Column], Column]
     key_parser: object = None
     table_specs: dict[str, TableSpec] = dc_field(default_factory=dict)
+    dedupe_by_offset: bool = True
     _batch_counter: int = 0
+    # A3 batch counters (MergeBatches.java:146-167,305-349): per-batch
+    # row/tombstone counts observed on the running plan, no extra pass.
+    last_metrics: dict = dc_field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self.config.validate()
@@ -91,6 +95,11 @@ class SinkPipeline:
     # -- conversion ------------------------------------------------------
     def convert(self, batch: DataFrame) -> DataFrame:
         """Route + parse + shape one micro-batch (steps 2-3 of §3.1)."""
+        if self.dedupe_by_offset:
+            # S2 best-effort dedup: the reference tags insertAll rows with
+            # id topic-partition-offset (SinkRecordConverter.java:142-147);
+            # replayed/duplicated source rows collapse on the same key.
+            batch = batch.dropDuplicates(["topic", "partition", "offset"])
         df = with_routing(batch, self.router)
         value_col = (
             self.value_parser(F.col("value")) if self.value_parser else F.col("value")
@@ -119,7 +128,16 @@ class SinkPipeline:
     # -- path 1: streaming insert ---------------------------------------
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch handler for the default append path."""
+        from pyspark.sql import Observation
+
+        obs = Observation(f"kcbq_batch_{batch_id}")
+        batch = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_tombstones"),
+        )
         df = self.convert(batch)
+        self._obs = obs
         extras = []
         if self.config.kafka_data_field_name:
             extras.append(self.config.kafka_data_field_name)
@@ -150,6 +168,10 @@ class SinkPipeline:
                 allow_relaxation=self.config.allow_required_field_relaxation,
                 allow_unionization=self.config.allow_schema_unionization,
             )
+        try:
+            self.last_metrics = {"batch_id": batch_id, **self._obs.get}
+        except Exception:  # pragma: no cover - observation not materialized
+            pass
 
     # -- path 2: upsert/delete ------------------------------------------
     def merge_batch(self, batch: DataFrame, batch_id: int, key_cols: list[str]) -> None:

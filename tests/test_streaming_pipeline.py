@@ -154,6 +154,31 @@ def test_batch_load_path(spark, tmp_path):
     assert pipe.load_staged(staging) == []
 
 
+def test_offset_dedup_and_observe_metrics(spark, tmp_path):
+    """S2 row-id dedup: duplicated (topic, partition, offset) rows —
+    e.g. a replayed source segment — collapse to one; A3 counters are
+    observed on the batch plan."""
+    rows = [
+        ("k1", {"row": 1, "name": "a"}, "t", 0, 0),
+        ("k1", {"row": 1, "name": "a"}, "t", 0, 0),  # exact replay dup
+        ("k2", {"row": 2, "name": "b"}, "t", 0, 1),
+        ("k3", None, "t", 0, 2),  # tombstone (filtered, but counted)
+    ]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(topics=["t"], time_partitioning_type="NONE")
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    got = sorted((r.row, r.name) for r in wh.read("t").collect())
+    assert got == [(1, "a"), (2, "b")]  # dup collapsed, tombstone dropped
+    assert pipe.last_metrics["n_records"] == 4
+    assert pipe.last_metrics["n_tombstones"] == 1
+
+
 def test_retry_with_jitter_classification():
     calls = {"n": 0}
 
