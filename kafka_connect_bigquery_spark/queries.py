@@ -762,6 +762,74 @@ WHERE e.event_id < {_SPLIT_SQL}
 """
 
 
+def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface beyond top-1 (W1): rank, dense_rank,
+    lag delta, and running sum per user ordered by value — one window
+    partitioning shared by all four functions (single shuffle+sort)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    running_q = F.sum(
+        F.floor(F.col("value") * _Q + F.lit(0.5)).cast("decimal(38,0)")
+    ).over(wsum)
+    out = (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.coalesce(F.lag("value").over(w), F.lit(0.0)).alias("prev_value"),
+            _qval(running_q).alias("running_value"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return out
+
+
+Q_USER_VALUE_RANKS_SQL = f"""
+SELECT user_id, event_id, value, rnk, drnk, prev_value, running_value FROM (
+  SELECT user_id, event_id, value,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         coalesce(lag(value) OVER w, 0.0) AS prev_value,
+         CAST(SUM(CAST(FLOOR(value * {_Q} + 0.5) AS DECIMAL(38,0)))
+              OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / {_Q}.0 AS running_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+) WHERE rnk <= 3
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: CUBE over (event_type, day) with
+    grouping ids — the OLAP rollup surface. Spark expands grouping sets
+    before one shuffle; partial aggregation still applies."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    out = (
+        e.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _qval(_qsum(F.col("value"))).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return out
+
+
+Q_EVENTS_CUBE_SQL = f"""
+SELECT event_type, strftime({_TS_US}, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       {_qsum_sql('value')} AS sum_value,
+       GROUPING(event_type, strftime({_TS_US}, '%Y-%m-%d')) AS gid
+FROM events
+GROUP BY CUBE (event_type, strftime({_TS_US}, '%Y-%m-%d'))
+"""
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/S8 analog: ingestion-time partition rollup — events bucketed to
     their HOUR partition (the reference's TimePartitioning grain,
@@ -811,6 +879,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
     "merge_delete_only": (q_merge_delete_only, Q_MERGE_DELETE_ONLY_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
+    "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
+    "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
 }
 
 
