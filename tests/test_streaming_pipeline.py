@@ -154,6 +154,32 @@ def test_batch_load_path(spark, tmp_path):
     assert pipe.load_staged(staging) == []
 
 
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """T5 exactly-once: stop the query, append new source data, restart
+    with the same checkpoint — previously-committed batches are not
+    re-appended, new data flows."""
+    rows1 = [("k1", {"row": 1, "name": "a"}, "t", 0, 0)]
+    rows2 = [("k2", {"row": 2, "name": "b"}, "t", 0, 1)]
+    src = _write_source(spark, tmp_path, rows1)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(topics=["t"], time_partitioning_type="NONE")
+
+    def mk_pipe():
+        return SinkPipeline(
+            warehouse=wh,
+            config=cfg,
+            value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        )
+
+    _run_stream(mk_pipe(), spark, src, tmp_path)
+    assert wh.read("t").count() == 1
+    # restart against the same checkpoint with more source data
+    _write_source(spark, tmp_path, rows2)
+    _run_stream(mk_pipe(), spark, src, tmp_path)
+    got = sorted((r.row, r.name) for r in wh.read("t").collect())
+    assert got == [(1, "a"), (2, "b")]  # row 1 not duplicated
+
+
 def test_offset_dedup_and_observe_metrics(spark, tmp_path):
     """S2 row-id dedup: duplicated (topic, partition, offset) rows —
     e.g. a replayed source segment — collapse to one; A3 counters are
