@@ -64,12 +64,15 @@ class TableSpec:
     timestamp_field: str | None = None  # L2 column-based; None -> ingestion time
     clustering: tuple[str, ...] = ()
     partition_expiration_days: int | None = None
+    key_bucket_count: int | None = None  # hash-bucketed MERGE layout
 
     def __post_init__(self) -> None:
         if len(self.clustering) > 4:
             raise WarehouseError("at most 4 clustering fields (BigQuery limit)")
         if self.partition_grain not in ("HOUR", "DAY", "MONTH", "YEAR", "NONE"):
             raise WarehouseError(f"bad partition grain {self.partition_grain}")
+        if self.key_bucket_count is not None and self.key_bucket_count < 1:
+            raise WarehouseError("key_bucket_count must be >= 1")
 
     @property
     def partition_col(self) -> str | None:
@@ -91,7 +94,8 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         p = self.path(table)
         return os.path.isdir(p) and any(
-            n.startswith(("p_", "part-")) or n == "_SUCCESS" for n in os.listdir(p)
+            n.startswith(("p_", "part-", "__bucket=")) or n == "_SUCCESS"
+            for n in os.listdir(p)
         )
 
     # -- schema ---------------------------------------------------------
@@ -182,6 +186,17 @@ class Warehouse:
         from kafka_connect_bigquery_spark.operators import merge as M
 
         spec = spec or TableSpec(partition_grain="NONE")
+        if spec.key_bucket_count:
+            self._merge_bucketed(
+                batch,
+                table,
+                key_cols,
+                mode=mode,
+                order_col=order_col,
+                tombstone_col=tombstone_col,
+                n_buckets=spec.key_bucket_count,
+            )
+            return
         dest = self.read(table) if self.exists(table) else None
         drop_helpers = [c for c in (order_col, tombstone_col) if c in batch.columns]
         if dest is None:
@@ -202,6 +217,86 @@ class Warehouse:
         # materialize before the destructive swap: merged reads from dest's files
         merged_local = merged.localCheckpoint(eager=True)
         self.overwrite(merged_local, table, spec)
+
+    # -- bucketed MERGE (the 100 TB path) -------------------------------
+    def _merge_bucketed(
+        self,
+        batch: DataFrame,
+        table: str,
+        key_cols: list[str],
+        *,
+        mode: str,
+        order_col: str,
+        tombstone_col: str,
+        n_buckets: int,
+    ) -> None:
+        """MERGE against a key-hash-bucketed layout: only buckets whose
+        keys appear in the batch are read, merged, and replaced —
+        untouched buckets are never opened (SURVEY §7 hard part (d):
+        bounded per-merge work regardless of table size).
+
+        Layout: parquet partitioned by ``__bucket = pmod(hash(keys), n)``.
+        The same expression buckets batch and table, so the merge join
+        is bucket-to-bucket co-located; cost scales with the batch's key
+        spread, not the stored row count.
+        """
+        from kafka_connect_bigquery_spark.operators import merge as M
+
+        bucket_expr = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+        drop_helpers = [c for c in (order_col, tombstone_col) if c in batch.columns]
+        batch = batch.withColumn("__bucket", bucket_expr)
+        tdir = self.path(table)
+
+        if not self.exists(table):
+            if mode == "delete_only":
+                first = (
+                    batch.filter(~F.col(tombstone_col))
+                    if tombstone_col in batch.columns
+                    else batch
+                )
+            else:
+                first = M.dedup_latest_per_key(batch, key_cols, order_col)
+                if tombstone_col in batch.columns:
+                    first = first.filter(~F.col(tombstone_col))
+            first.drop(*drop_helpers).write.mode("overwrite").partitionBy(
+                "__bucket"
+            ).parquet(tdir)
+            return
+
+        touched = sorted(
+            r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+        )
+        # partition-pruned read: only touched bucket directories
+        dest = self.read(table)
+        dest_touched = dest.filter(F.col("__bucket").isin(touched)).drop("__bucket")
+        batch_t = batch.drop("__bucket")
+        if mode == "upsert":
+            merged = M.merge_upsert(dest_touched, batch_t, key_cols, order_col)
+        elif mode == "upsert_delete":
+            merged = M.merge_upsert_delete(
+                dest_touched, batch_t, key_cols, order_col, tombstone_col
+            )
+        else:
+            merged = M.merge_delete_only(
+                dest_touched, batch_t, key_cols, order_col, tombstone_col
+            )
+        merged = merged.withColumn("__bucket", bucket_expr)
+        merged_local = merged.localCheckpoint(eager=True)
+        tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+        merged_local.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        # swap ONLY the touched bucket directories
+        for b in touched:
+            src_b = os.path.join(tmp, f"__bucket={b}")
+            dst_b = os.path.join(tdir, f"__bucket={b}")
+            if os.path.isdir(dst_b):
+                shutil.rmtree(dst_b)
+            if os.path.isdir(src_b):
+                os.replace(src_b, dst_b)
+        shutil.rmtree(tmp)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read a bucketed table without the layout column."""
+        return self.read(table).drop("__bucket")
 
     # -- retention (L3) --------------------------------------------------
     def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:

@@ -1,0 +1,100 @@
+"""Key-hash-bucketed MERGE: result-identical to the full-table merge,
+but only buckets whose keys appear in the batch are read or rewritten
+(SURVEY §7 hard part (d) — bounded per-merge work at 100 TB)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+N_BUCKETS = 8
+SPEC = TableSpec(partition_grain="NONE", key_bucket_count=N_BUCKETS)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v", "i", "__tombstone"])
+
+
+def _state(wh, table):
+    return {
+        (r["k"], r["v"])
+        for r in wh.read_bucketed(table).select("k", "v").collect()
+    }
+
+
+def _bucket_mtimes(wh, table):
+    tdir = wh.path(table)
+    out = {}
+    for name in os.listdir(tdir):
+        if name.startswith("__bucket="):
+            d = os.path.join(tdir, name)
+            out[name] = max(
+                os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+            )
+    return out
+
+
+def test_bucketed_upsert_result_and_pruning(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _mk(spark, [(k, f"v{k}", k, False) for k in range(50)])
+    wh.merge(base, "t", ["k"], mode="upsert", spec=SPEC)
+    assert _state(wh, "t") == {(k, f"v{k}") for k in range(50)}
+    before = _bucket_mtimes(wh, "t")
+    assert len(before) > 1  # data actually spread over buckets
+
+    # batch touches a single key -> a single bucket
+    batch = _mk(spark, [(7, "updated", 100, False), (999, "new", 101, False)])
+    wh.merge(batch, "t", ["k"], mode="upsert", spec=SPEC)
+    expect = {(k, f"v{k}") for k in range(50) if k != 7} | {(7, "updated"), (999, "new")}
+    assert _state(wh, "t") == expect
+
+    after = _bucket_mtimes(wh, "t")
+    touched_buckets = {
+        f"__bucket={r['b']}"
+        for r in batch.select(
+            F.pmod(F.hash("k"), F.lit(N_BUCKETS)).alias("b")
+        ).collect()
+    }
+    untouched = set(before) - touched_buckets
+    assert untouched, "test needs untouched buckets"
+    for name in untouched:
+        assert after[name] == before[name], f"{name} was rewritten needlessly"
+    for name in touched_buckets:
+        assert after[name] != before.get(name), f"{name} should have been rewritten"
+
+
+def test_bucketed_upsert_delete(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(
+        _mk(spark, [(1, "a", 0, False), (2, "b", 1, False), (3, "c", 2, False)]),
+        "t",
+        ["k"],
+        mode="upsert_delete",
+        spec=SPEC,
+    )
+    batch = _mk(spark, [(2, None, 10, True), (3, "c2", 11, False), (4, "d", 12, False)])
+    wh.merge(batch, "t", ["k"], mode="upsert_delete", spec=SPEC)
+    assert _state(wh, "t") == {(1, "a"), (3, "c2"), (4, "d")}
+
+
+def test_bucketed_matches_unbucketed(spark, tmp_path):
+    """Same batches through bucketed and plain layouts give identical
+    final states."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    plain_spec = TableSpec(partition_grain="NONE")
+    b1 = _mk(spark, [(k, f"v{k}", k, False) for k in range(20)])
+    b2 = _mk(
+        spark,
+        [(5, "x", 100, False), (6, None, 101, True), (25, "y", 102, False)],
+    )
+    for table, spec in (("plain", plain_spec), ("bucketed", SPEC)):
+        wh.merge(b1, table, ["k"], mode="upsert_delete", spec=spec)
+        wh.merge(b2, table, ["k"], mode="upsert_delete", spec=spec)
+    plain = {
+        (r["k"], r["v"]) for r in wh.read("plain").select("k", "v").collect()
+    }
+    assert plain == _state(wh, "bucketed")
