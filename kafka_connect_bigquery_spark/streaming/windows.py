@@ -141,6 +141,114 @@ def sessionize(
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollup materialization
+# ---------------------------------------------------------------------------
+
+class IncrementalRollup:
+    """Materialized windowed rollup maintained incrementally across
+    micro-batches: each batch is pre-aggregated to partials, combined
+    additively with the stored aggregates, and merged back.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum_q, count, min, max}: decomposable aggregates whose partials
+    recombine exactly. ``sum_q`` is the quantized integer sum (stored as
+    decimal so re-summing stays exact across any number of batches).
+
+    Scale: the stored table holds one row per (window, group) — the
+    rollup cardinality, not the event count — and each batch touches
+    only the windows it contains, which the bucketed/partitioned MERGE
+    layout turns into bounded work (late data simply lands in its old
+    window's group and recombines).
+    """
+
+    _PHASE1 = {
+        "sum_q": lambda c: F.sum(F.floor(F.col(c) * 10_000 + F.lit(0.5)).cast("decimal(38,0)")),
+        "count": lambda c: F.count(F.col(c)),
+        "min": F.min,
+        "max": F.max,
+    }
+    _COMBINE = {"sum_q": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def __init__(
+        self,
+        warehouse,
+        table: str,
+        *,
+        ts_col: str,
+        window_duration: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ) -> None:
+        for out_col, (_, fn) in aggs.items():
+            if fn not in self._PHASE1:
+                raise ValueError(f"non-decomposable aggregate {fn!r} for {out_col!r}")
+        self.warehouse = warehouse
+        self.table = table
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.group_cols = group_cols
+        self.aggs = aggs
+        self.keys = ["window_start", *group_cols]
+
+    def _partials(self, batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.window(F.col(self.ts_col), self.window_duration).alias("w"),
+                *self.group_cols,
+            )
+            .agg(
+                *[
+                    self._PHASE1[fn](in_col).alias(out_col)
+                    for out_col, (in_col, fn) in self.aggs.items()
+                ]
+            )
+            .withColumn("window_start", F.col("w.start"))
+            .drop("w")
+        )
+
+    def update(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch handler: combine batch partials into the stored
+        rollup (read current groups for the touched windows, re-combine,
+        merge back)."""
+        partials = self._partials(batch)
+        if self.warehouse.exists(self.table):
+            current = self.warehouse.read(self.table)
+            partials = (
+                current.unionByName(partials)
+                .groupBy(*self.keys)
+                .agg(
+                    *[
+                        self._COMBINE[fn](out_col).alias(out_col)
+                        for out_col, (_, fn) in self.aggs.items()
+                    ]
+                )
+            )
+        combined = partials.withColumn("i", F.lit(batch_id)).withColumn(
+            "__tombstone", F.lit(False)
+        )
+        from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+        self.warehouse.merge(
+            combined,
+            self.table,
+            self.keys,
+            mode="upsert",
+            spec=TableSpec(partition_grain="NONE"),
+        )
+
+    def read(self) -> DataFrame:
+        """The materialized rollup with quantized sums surfaced as
+        doubles."""
+        df = self.warehouse.read(self.table)
+        for out_col, (_, fn) in self.aggs.items():
+            if fn == "sum_q":
+                df = df.withColumn(
+                    out_col, F.col(out_col).cast("double") / F.lit(10_000.0)
+                )
+        return df
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,65 @@ def test_session_window_streaming_merges_and_closes(spark, tmp_path):
     assert got[2][0] == 1
 
 
+def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
+    """Feeding N micro-batches through IncrementalRollup must equal one
+    batch aggregation over the concatenated data — including late rows
+    landing in already-materialized windows."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+    from kafka_connect_bigquery_spark.streaming.windows import IncrementalRollup
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    roll = IncrementalRollup(
+        wh,
+        "rollup",
+        ts_col="ts",
+        window_duration="15 minutes",
+        group_cols=["event_type"],
+        aggs={
+            "n": ("value", "count"),
+            "sv": ("value", "sum_q"),
+            "mx": ("value", "max"),
+        },
+    )
+    b1 = [
+        (1, _ts(0), "view", 1.25),
+        (2, _ts(5), "view", 2.5),
+        (1, _ts(20), "click", 4.0),
+    ]
+    b2 = [
+        (3, _ts(10), "view", 3.0),   # late row into the 10:00 window
+        (4, _ts(35), "view", 0.5),   # new window
+    ]
+    spark_df = lambda rows: spark.createDataFrame(rows, EVENT_SCHEMA)  # noqa: E731
+    roll.update(spark_df(b1), 0)
+    roll.update(spark_df(b2), 1)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sv"], r["mx"])
+        for r in roll.read().collect()
+    }
+    assert got == {
+        (_ts(0), "view"): (3, 6.75, 3.0),
+        (_ts(15), "click"): (1, 4.0, 4.0),
+        (_ts(30), "view"): (1, 0.5, 0.5),
+    }
+
+
+def test_incremental_rollup_rejects_non_decomposable(spark, tmp_path):
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+    from kafka_connect_bigquery_spark.streaming.windows import IncrementalRollup
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        IncrementalRollup(
+            Warehouse(spark, str(tmp_path / "wh")),
+            "r",
+            ts_col="ts",
+            window_duration="1 hour",
+            group_cols=[],
+            aggs={"a": ("value", "avg")},
+        )
+
+
 def test_running_totals_state_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(spark, src, [(1, _ts(0), "view", 10.0), (1, _ts(1), "view", 5.0), (2, _ts(2), "view", 1.0)])
