@@ -830,6 +830,21 @@ GROUP BY CUBE (event_type, strftime({_TS_US}, '%Y-%m-%d'))
 """
 
 
+def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive analytics:
+    HyperLogLog++ distinct users and t-digest-style value quantiles per
+    event type. Sketches merge associatively, so partial aggregation
+    and AQE apply exactly as for exact aggregates. No SQL oracle —
+    sketch internals are engine-specific — unit tests bound the error
+    against exact answers (rows-only driver check)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/S8 analog: ingestion-time partition rollup — events bucketed to
     their HOUR partition (the reference's TimePartitioning grain,
@@ -880,6 +895,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "merge_delete_only": (q_merge_delete_only, Q_MERGE_DELETE_ONLY_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
+    "events_approx_stats": (q_events_approx_stats, None),
     "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
 }
 

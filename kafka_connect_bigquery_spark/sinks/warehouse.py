@@ -298,6 +298,54 @@ class Warehouse:
         """Read a bucketed table without the layout column."""
         return self.read(table).drop("__bucket")
 
+    # -- compaction ------------------------------------------------------
+    def compact(
+        self,
+        table: str,
+        spec: TableSpec | None = None,
+        *,
+        target_file_rows: int = 1_000_000,
+        min_files: int = 2,
+    ) -> int:
+        """Small-file compaction (the OPTIMIZE analog): streaming
+        appends leave one file per micro-batch per partition; rewrite
+        the table into ~target_file_rows-sized files, preserving the
+        partition layout and clustering sort.
+
+        Returns the number of files before compaction (0 = skipped).
+        At scale this runs per-partition on a schedule, compacting only
+        partitions whose file count exceeds ``min_files`` — here the
+        whole (test-sized) table is rewritten at once.
+        """
+        import glob
+
+        spec = spec or TableSpec(partition_grain="NONE")
+        files = glob.glob(os.path.join(self.path(table), "**", "*.parquet"), recursive=True)
+        if len(files) < min_files:
+            return 0
+        df = self.read(table)
+        n_rows = df.count()
+        n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+        part_cols = [spec.partition_col] if spec.partition_col else (
+            ["__bucket"] if "__bucket" in df.columns else []
+        )
+        if part_cols:
+            df = df.repartition(n_out, *part_cols)
+        else:
+            df = df.repartition(n_out)
+        # write directly (not via overwrite(), which would recompute
+        # partition columns) so stored values stay byte-stable
+        tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+        out = self._sorted_within(df, spec)
+        writer = out.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        final = self.path(table)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+        return len(files)
+
     # -- retention (L3) --------------------------------------------------
     def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:
         """Drop partitions older than the TTL (partitionExpirationMs,

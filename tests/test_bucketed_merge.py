@@ -81,6 +81,47 @@ def test_bucketed_upsert_delete(spark, tmp_path):
     assert _state(wh, "t") == {(1, "a"), (3, "c2"), (4, "d")}
 
 
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    import glob
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    plain = TableSpec(partition_grain="NONE")
+    # simulate many micro-batch appends -> many small files
+    for i in range(6):
+        df = spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(5)], ["k", "v"])
+        wh.append(df, "t", plain)
+    before = set(
+        (r["k"], r["v"]) for r in wh.read("t").collect()
+    )
+    files_before = len(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert files_before >= 6
+    compacted = wh.compact("t", plain, target_file_rows=1_000_000)
+    assert compacted == files_before
+    files_after = len(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    assert set((r["k"], r["v"]) for r in wh.read("t").collect()) == before
+    # idempotent-ish: second call skips (already compact)
+    assert wh.compact("t", plain, target_file_rows=1_000_000, min_files=2) in (0, files_after)
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path):
+    import glob, os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for batch in range(3):
+        b = _mk(spark, [(k, f"v{k}_{batch}", batch * 100 + k, False) for k in range(20)])
+        wh.merge(b, "t", ["k"], mode="upsert", spec=SPEC)
+    before = _state(wh, "t")
+    wh.compact("t", TableSpec(partition_grain="NONE"), target_file_rows=1_000_000)
+    assert _state(wh, "t") == before
+    # bucket directories survive compaction (merge pruning still works)
+    assert any(
+        n.startswith("__bucket=") for n in _os.listdir(wh.path("t"))
+    )
+    wh.merge(_mk(spark, [(1, "post", 999, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    assert (1, "post") in _state(wh, "t")
+
+
 def test_bucketed_matches_unbucketed(spark, tmp_path):
     """Same batches through bucketed and plain layouts give identical
     final states."""

@@ -280,6 +280,32 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
 
 
 # ---------------------------------------------------------------------------
+# approximate aggregates
+# ---------------------------------------------------------------------------
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    from kafka_connect_bigquery_spark.queries import q_events_approx_stats
+    from kafka_connect_bigquery_spark.session import read_table
+
+    approx = {r["event_type"]: r for r in q_events_approx_stats(spark, sf_dir).collect()}
+    e = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        x = exact[et]
+        assert abs(a["approx_users"] - x["users"]) <= max(2, 0.05 * x["users"])
+        assert abs(a["value_quantiles"][0] - x["p50"]) <= 0.05 * max(abs(x["p50"]), 1.0)
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
