@@ -35,6 +35,11 @@ HEADLINE = [
     "tpch_q16_supplier_diversity",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
     "last_event_per_user",
     "merge_upsert",
     "merge_upsert_delete",

@@ -638,6 +638,208 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): join + agg + top-20
+    by revenue. Scale: the returnflag filter shrinks lineitem at the
+    scan; customer joins after aggregation would be ideal but the
+    group key includes customer attrs, so the join stays pre-agg with
+    AQE choosing broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(_qval(_qsum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+    return out
+
+
+Q_TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority counts (TPC-H Q12 shape): conditional
+    CASE-WHEN aggregation after a fact-fact join. (No l_shipmode in the
+    synthetic schema — l_returnflag plays the mode role.)"""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+    return out
+
+
+Q_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated AVG
+    subquery — lineitems below 20% of their part's average quantity.
+    Decorrelated into a per-part aggregate joined back; the threshold
+    is quantized so the comparison is engine-exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # per-part avg quantity, quantized: avg = qsum / count
+    per_part = l.groupBy("l_partkey").agg(
+        _qsum(F.col("l_quantity")).alias("qty_q"), F.count(F.lit(1)).alias("cnt")
+    )
+    thresh = (
+        F.lit(0.2) * (F.col("qty_q").cast("double") / F.lit(float(_Q))) / F.col("cnt")
+    )
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < thresh)
+        .agg(
+            (_qval(_qsum(F.col("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+    return out
+
+
+Q_TPCH_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_quantity * {_Q} + 0.5) AS DECIMAL(38,0))) AS qty_q,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_qsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part USING (l_partkey)
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.2 * (CAST(qty_q AS DOUBLE) / {_Q}.0) / cnt
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue (TPC-H Q19 shape): disjunctive multi-branch
+    predicate over a join — the OR-of-ANDs pattern that tests predicate
+    normalization. Each branch pairs a brand with a quantity band."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size") <= 15))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_qval(_qsum(revenue)).alias("revenue"))
+    )
+    return out
+
+
+Q_TPCH_Q19_SQL = f"""
+SELECT {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-supplier analysis (TPC-H Q21 shape): EXISTS + NOT EXISTS
+    chain — suppliers with a late line on a multi-supplier order where
+    no other supplier was late. (shipdate > orderdate stands in for
+    receipt/commit lateness.) Semi- and anti-joins on the same key
+    reuse one shuffle partitioning."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    l1 = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey", "l_suppkey")
+    others = l.select(
+        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
+    )
+    late_others = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select(F.col("l_orderkey").alias("lo_okey"), F.col("l_suppkey").alias("lo_skey"))
+    cand = (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o_okey) & (l1.l_suppkey != others.o_skey),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (l1.l_orderkey == late_others.lo_okey)
+            & (l1.l_suppkey != late_others.lo_skey),
+            "left_anti",
+        )
+    )
+    out = (
+        cand.join(s, cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name", "s_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return out
+
+
+Q_TPCH_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
+)
+SELECT s_name, s_suppkey, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name, s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface operators (SURVEY §2) on the events stream table
 # ---------------------------------------------------------------------------
@@ -888,6 +1090,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q2_min_cost_supplier": (q_tpch_q2, Q_TPCH_Q2_SQL),
     "tpch_q16_supplier_diversity": (q_tpch_q16, Q_TPCH_Q16_SQL),
     "tpch_q18_large_orders": (q_tpch_q18, Q_TPCH_Q18_SQL),
+    "tpch_q10_returned_items": (q_tpch_q10, Q_TPCH_Q10_SQL),
+    "tpch_q12_priority_shipping": (q_tpch_q12, Q_TPCH_Q12_SQL),
+    "tpch_q17_small_qty_revenue": (q_tpch_q17, Q_TPCH_Q17_SQL),
+    "tpch_q19_discounted_revenue": (q_tpch_q19, Q_TPCH_Q19_SQL),
+    "tpch_q21_waiting_suppliers": (q_tpch_q21, Q_TPCH_Q21_SQL),
     "tpch_q22_idle_customers": (q_tpch_q22, Q_TPCH_Q22_SQL),
     "last_event_per_user": (q_last_event_per_user, Q_LAST_EVENT_SQL),
     "merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
