@@ -1072,6 +1072,60 @@ GROUP BY 1, 2
 """
 
 
+def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL): membership of
+    each user across the two halves of the event stream. The reference
+    has no set ops (SURVEY §2.7) — engine addition. Distinct sets are
+    small post-aggregation, so the set ops run on shrunken inputs."""
+    split = _events_split(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    first = e.filter(F.col("event_id") < split).select("user_id").distinct()
+    second = e.filter(F.col("event_id") >= split).select("user_id").distinct()
+    return (
+        first.intersect(second).withColumn("membership", F.lit("both"))
+        .unionAll(first.subtract(second).withColumn("membership", F.lit("first_only")))
+        .unionAll(second.subtract(first).withColumn("membership", F.lit("second_only")))
+    )
+
+
+Q_EVENTS_SET_OPS_SQL = f"""
+WITH first AS (SELECT DISTINCT user_id FROM events WHERE event_id < {_SPLIT_SQL}),
+     second AS (SELECT DISTINCT user_id FROM events WHERE event_id >= {_SPLIT_SQL})
+SELECT user_id, 'both' AS membership FROM (SELECT user_id FROM first INTERSECT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'first_only' FROM (SELECT user_id FROM first EXCEPT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'second_only' FROM (SELECT user_id FROM second EXCEPT SELECT user_id FROM first)
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type (fixed value list — at scale an unbounded pivot is a schema
+    explosion; the engine requires the values enumerated)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+    )
+    return out
+
+
+Q_EVENTS_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS \"{t}\""
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1103,6 +1157,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, None),
+    "events_set_ops": (q_events_set_ops, Q_EVENTS_SET_OPS_SQL),
+    "events_pivot": (q_events_pivot, Q_EVENTS_PIVOT_SQL),
     "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
 }
 

@@ -192,6 +192,10 @@ class SinkPipeline:
                 F.col("offset").alias("i"),
                 "__tombstone",
             )
+            # table_specs flows through so bucketed-MERGE layouts
+            # (TableSpec.key_bucket_count) apply on the streaming path;
+            # unconfigured tables keep the unpartitioned default.
+            spec = self.table_specs.get(table, TableSpec(partition_grain="NONE"))
             self.warehouse.merge(
                 shaped,
                 table,
@@ -199,6 +203,7 @@ class SinkPipeline:
                 mode=mode,
                 order_col="i",
                 tombstone_col="__tombstone",
+                spec=spec,
             )
 
     # -- path 3: batch load ---------------------------------------------

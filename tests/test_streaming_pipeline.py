@@ -128,6 +128,40 @@ def test_upsert_delete_path(spark, tmp_path):
     assert got == {"u1": "second", "u3": "stays"}
 
 
+def test_upsert_delete_with_bucketed_layout(spark, tmp_path):
+    """The streaming merge path honors TableSpec.key_bucket_count:
+    state lands in a __bucket= layout and upsert/delete semantics hold."""
+    import os
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    rows = [
+        ("u1", {"row": 1, "name": "first"}, "t", 0, 0),
+        ("u1", {"row": 2, "name": "second"}, "t", 0, 1),
+        ("u2", {"row": 3, "name": "gone"}, "t", 0, 2),
+        ("u2", None, "t", 0, 3),
+    ]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        key_parser=lambda c: c.cast("string"),
+        table_specs={"t": TableSpec(partition_grain="NONE", key_bucket_count=4)},
+    )
+    _run_stream(pipe, spark, src, tmp_path, key_cols=["kkey"])
+    got = {r.kkey: r.name for r in wh.read_bucketed("t").collect()}
+    assert got == {"u1": "second"}
+    assert any(n.startswith("__bucket=") for n in os.listdir(wh.path("t")))
+
+
 def test_batch_load_path(spark, tmp_path):
     rows = [("k", {"row": 1, "name": "x"}, "t", 0, 0)]
     src = _write_source(spark, tmp_path, rows)
