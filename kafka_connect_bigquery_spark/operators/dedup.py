@@ -365,6 +365,76 @@ def embedding_near_dup_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components of the near-dup
+    pair graph via min-label propagation. Returns (node, component)
+    where component = the smallest node id reachable — so the canonical
+    survivor of each duplicate cluster is the row with
+    node == component.
+
+    Iterative DataFrame algorithm (no GraphFrames dependency): each
+    round joins labels across edges both ways and keeps the per-node
+    min; converges in O(component diameter) rounds, checked by a cheap
+    count of changed labels. Near-dup graphs have tiny diameters
+    (dup clusters are dense), so 3-5 rounds is typical at corpus scale.
+    Each round is one shuffle on the node id; labels are the only state.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionAll(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+        # materialize once: every round joins this edge list — without
+        # this the full upstream candidate-generation plan re-executes
+        # per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # checkpoint first (iterative joins otherwise stack plans
+        # exponentially), then check convergence on the materialized
+        # result so the round's plan executes exactly once
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def _hamming(a: Column, b: Column, bits: int) -> Column:
     """Portable Hamming distance via arithmetic bit extraction (bitwise
     xor exists in both engines but with different syntax; aggregate of

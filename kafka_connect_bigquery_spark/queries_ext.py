@@ -190,6 +190,48 @@ FROM votes GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# dedup: duplicate clustering
+# ---------------------------------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash/LSH
+    candidate-pair graph; survivor = smallest doc_id per cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, n=3
+    )
+    cc = dedup.connected_components(
+        docs.select(F.col("doc_id").alias("node")), pairs
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def _components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.node = und.v
+)
+SELECT node AS doc_id, min(r) AS component,
+       (node = min(r)) AS is_survivor
+FROM reach GROUP BY node
+"""
+
+
+Q_DEDUP_COMPONENTS_SQL = _components_sql()
+
+# ---------------------------------------------------------------------------
 # dedup: embedding cosine
 # ---------------------------------------------------------------------------
 
@@ -589,6 +631,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),

@@ -166,6 +166,28 @@ def test_simhash_pairs_blocked_hamming(spark):
     assert pairs[(1, 2)] == true_ham
 
 
+def test_connected_components_hand_graph(spark):
+    # components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; {7} isolated
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["node"])
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["id_a", "id_b"]
+    )
+    cc = dedup.connected_components(nodes, edges).collect()
+    assert {r["component"] for r in cc} == {0}
+
+
 # ---------------------------------------------------------------------------
 # ANN
 # ---------------------------------------------------------------------------
