@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions import multimodal, text as text_fns
 from kafka_connect_bigquery_spark.operators import ann, dedup
-from kafka_connect_bigquery_spark.queries import _ts_us
+from kafka_connect_bigquery_spark.queries import _qsum_sql, _ts_us
 from kafka_connect_bigquery_spark.session import read_table
 
 _TS_US_EXT = _ts_us()
@@ -268,6 +268,98 @@ FROM dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
 WHERE (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0)) >= {_EMB_MIN_COS}
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: edit distance
+# ---------------------------------------------------------------------------
+
+_EDIT_MAX = 15
+
+
+_EDIT_PREFIX = 64
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance re-ranking of LSH candidates: exact Levenshtein
+    (integer, engine-identical) over bounded canonical-text prefixes,
+    only for pairs the MinHash/LSH stage already blocked. Two cost
+    guards make the O(len²) DP survive corpus scale: the length-
+    difference lower bound (|len_a-len_b| > τ ⇒ dist > τ) prunes
+    before any DP runs, and the DP operates on fixed-size prefixes so
+    per-pair cost is bounded regardless of document length."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, n=3
+    )
+    canon = docs.select(
+        F.col("doc_id"),
+        F.substring(dedup.canonical_text(F.col("text")), 1, _EDIT_PREFIX).alias("c"),
+    )
+    a = canon.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    b = canon.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            F.abs(F.length("ca") - F.length("cb")) <= _EDIT_MAX
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("ca"), F.col("cb")).cast("long"))
+        .filter(F.col("edit_dist") <= _EDIT_MAX)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+def _edit_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+canon AS (SELECT doc_id, substr({_CANON}, 1, {_EDIT_PREFIX}) AS c FROM documents)
+SELECT id_a, id_b, CAST(levenshtein(a.c, b.c) AS BIGINT) AS edit_dist
+FROM pairs
+JOIN canon a ON a.doc_id = id_a
+JOIN canon b ON b.doc_id = id_b
+WHERE abs(length(a.c) - length(b.c)) <= {_EDIT_MAX}
+  AND levenshtein(a.c, b.c) <= {_EDIT_MAX}
+"""
+
+
+Q_DEDUP_EDIT_SQL = _edit_sql()
+
+# ---------------------------------------------------------------------------
+# embedding dimension statistics (array explode analytics)
+# ---------------------------------------------------------------------------
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics over the embedding column via
+    posexplode — the lateral-view analytics shape; quantized sums keep
+    the means exact. At scale this is one explode (row·dim) + one
+    shuffle on the 64 dimension keys with map-side combine."""
+    from kafka_connect_bigquery_spark.queries import _qsum, _qval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(F.col("dim").cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qval(_qsum(F.col("v"))).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+Q_EMB_DIM_STATS_SQL = f"""
+WITH el AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+)
+SELECT CAST(d AS BIGINT) AS dim, COUNT(*) AS n,
+       {_qsum_sql('v')} AS sum_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM el GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
@@ -632,6 +724,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
+    "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
+    "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
