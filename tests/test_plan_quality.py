@@ -1,0 +1,66 @@
+"""Plan-quality regression tests: the physical plans of every registry
+query must stay scale-safe. Catches accidental cartesian products,
+row-at-a-time Python UDFs, and lost filter pushdown — the properties
+that separate a 100 TB plan from a 60k-row plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Arrow-batched mapInPandas is the sanctioned Python seam for the
+# multimodal codec stages — everything else must stay JVM-side.
+PYTHON_OK = {"multimodal_image_meta", "multimodal_frame_features"}
+# the ANN brute-force baseline broadcasts a tiny query side through an
+# explicit crossJoin — bounded by design (queries << corpus)
+CROSS_OK = {"ann_cosine_topk"}
+
+
+def _plan(spark, name):
+    from kafka_connect_bigquery_spark import queries as q
+
+    df = q.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _registry_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from kafka_connect_bigquery_spark import queries as q
+
+    return sorted(q.queries())
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_no_rowwise_python_or_unbounded_cartesian(spark, name):
+    plan = _plan(spark, name)
+    # row-at-a-time Python (BatchEvalPython) is never acceptable;
+    # ArrowEvalPython/mapInPandas only at the declared multimodal seam
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in PYTHON_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name}: unexpected Python stage"
+        )
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        # nested-loop joins are only safe when one side is broadcast
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "BroadcastExchange" in plan
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Spot-check the pushdown contract on the flagship scan+agg."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 referenced columns reach the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
