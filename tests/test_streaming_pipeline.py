@@ -188,6 +188,42 @@ def test_batch_load_path(spark, tmp_path):
     assert pipe.load_staged(staging) == []
 
 
+def test_tombstone_only_batch(spark, tmp_path):
+    """Reference edge case (SchemaManager.java:311-319): a batch of
+    only tombstones must delete its keys and leave the table schema
+    intact — no value schemas to infer from."""
+    rows1 = [
+        ("u1", {"row": 1, "name": "a"}, "t", 0, 0),
+        ("u2", {"row": 2, "name": "b"}, "t", 0, 1),
+    ]
+    src = _write_source(spark, tmp_path, rows1)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+    )
+
+    def mk_pipe():
+        return SinkPipeline(
+            warehouse=wh,
+            config=cfg,
+            value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+            key_parser=lambda c: c.cast("string"),
+        )
+
+    _run_stream(mk_pipe(), spark, src, tmp_path, key_cols=["kkey"])
+    schema_before = wh.read("t").schema
+    # second stream delivery: tombstones only
+    _write_source(spark, tmp_path, [("u1", None, "t", 0, 2)])
+    _run_stream(mk_pipe(), spark, src, tmp_path, key_cols=["kkey"])
+    got = {r.kkey: r.name for r in wh.read("t").collect()}
+    assert got == {"u2": "b"}
+    assert wh.read("t").schema == schema_before
+
+
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     """T5 exactly-once: stop the query, append new source data, restart
     with the same checkpoint — previously-committed batches are not
