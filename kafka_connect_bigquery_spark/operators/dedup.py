@@ -86,7 +86,10 @@ def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) postings list — the inverted index."""
-    posts = df.select(
+    # parallelize shingling: a compact source (few input splits) would
+    # otherwise explode millions of postings inside one or two tasks
+    par = df.sparkSession.sparkContext.defaultParallelism
+    posts = df.repartition(par).select(
         F.col(id_col).alias("doc"),
         F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
     )
@@ -118,6 +121,13 @@ def ngram_jaccard_pairs(
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("blk"))
         posts = posts.join(blocks, "doc")
+    # Spread the inverted index across the cluster on the join key: the
+    # upstream scan is often a handful of input splits, and without the
+    # explicit exchange the whole posting self-join lands on those few
+    # tasks. Shuffling on `sh` co-partitions both join sides.
+    posts = posts.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "sh"
+    ).localCheckpoint(eager=True)
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = posts.select(

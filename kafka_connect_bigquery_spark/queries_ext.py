@@ -56,11 +56,15 @@ FROM canon GROUP BY 1
 # ---------------------------------------------------------------------------
 
 _JACCARD_MIN = 0.10
+_JACCARD_MAX_DF = 100  # stop-shingle guard: shingles in >100 docs carry
+# no discriminative signal and make the candidate join quadratic
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join, blocked by
-    language (a real corpus blocks by shard/lang to bound candidates)."""
+    language and guarded by shingle document frequency (the two knobs
+    that bound candidate counts on a real corpus — without the df guard
+    stop-shingles make the self-join quadratic in corpus size)."""
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -68,17 +72,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         min_jaccard=_JACCARD_MIN,
         block_col="lang",
+        max_doc_freq=_JACCARD_MAX_DF,
     )
 
 
 Q_DEDUP_NGRAM_SQL = f"""
 WITH canon AS (SELECT doc_id, lang, {_CANON} AS c FROM documents),
-sh AS (
+sh_all AS (
   SELECT doc_id, lang,
          unnest(list_distinct([substr(c, CAST(i AS INT), 3)
                  for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
   FROM canon
 ),
+freq AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= {_JACCARD_MAX_DF}),
+sh AS (SELECT sh_all.* FROM sh_all JOIN freq USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
