@@ -141,6 +141,30 @@ def sessionize(
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup with bounded state
+# ---------------------------------------------------------------------------
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Cross-micro-batch streaming dedup with bounded state: duplicates
+    of a key are suppressed for as long as the watermark allows, then
+    state is evicted.
+
+    This upgrades the pipeline's within-batch offset dedup (S2) to
+    cross-batch semantics while keeping state finite — the 100 TB
+    requirement: unbounded dropDuplicates state would grow with every
+    key ever seen. Batch mode degrades to plain dropDuplicates.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(key_cols)
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+# ---------------------------------------------------------------------------
 # Incremental rollup materialization
 # ---------------------------------------------------------------------------
 

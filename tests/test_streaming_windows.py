@@ -158,6 +158,46 @@ def test_session_window_streaming_merges_and_closes(spark, tmp_path):
     assert got[2][0] == 1
 
 
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """A duplicate key arriving in a later micro-batch (inside the
+    watermark horizon) is suppressed; batch mode degrades to plain
+    dropDuplicates."""
+    from kafka_connect_bigquery_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, _ts(0), "view", 1.0), (2, _ts(1), "view", 2.0)])
+    out = dedup_within_watermark(
+        _stream(spark, src).withColumn("k", F.col("user_id")),
+        ["k"],
+        "ts",
+        "1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # same key again in a second micro-batch -> suppressed
+        _write_batch(spark, src, [(1, _ts(2), "view", 99.0), (3, _ts(3), "view", 3.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k, value FROM dedup_sink").collect()
+    finally:
+        q.stop()
+    got = {r["k"]: r["value"] for r in rows}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert len(rows) == 3  # the duplicate never reached the sink
+
+    # batch-mode degradation
+    bdf = spark.createDataFrame(
+        [(1, _ts(0), "view", 1.0), (1, _ts(2), "view", 9.0)], EVENT_SCHEMA
+    ).withColumn("k", F.col("user_id"))
+    assert dedup_within_watermark(bdf, ["k"], "ts", "1 hour").count() == 1
+
+
 def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
     """Feeding N micro-batches through IncrementalRollup must equal one
     batch aggregation over the concatenated data — including late rows
