@@ -1,0 +1,65 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need *reproducible* sampling: the same document
+must land in the same split on every run, engine, and cluster size —
+`rand()`-based sampling breaks replayed micro-batches, retried tasks,
+and cross-engine audits. Everything here derives from md5 of a stable
+id, so membership is a pure function of the row.
+
+Scale: sampling/splitting are narrow per-row projections (no shuffle);
+split-filtered scans push the predicate down like any other filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# use the first 8 md5 hex digits as a uniform draw in [0, 1)
+_HASH_SPACE = float(0x100000000)
+
+
+def hash_uniform(col: Column, *, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) draw from a stable id column.
+
+    ``salt`` decorrelates independent sampling decisions over the same
+    ids (e.g. sampling vs splitting)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, *, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by id hash."""
+    return df.filter(hash_uniform(F.col(id_col), salt=salt) < rate)
+
+
+def assign_split(
+    col: Column,
+    fractions: dict[str, float],
+    *,
+    salt: str = "split",
+) -> Column:
+    """Map an id column to a split label ('train'/'val'/'test'/…) by
+    hash range; fractions must sum to 1. Assignment is stable under
+    re-runs and independent of row order/partitioning."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_uniform(col, salt=salt)
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(fractions.items())
+    for name, frac in head:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+
+
+def split_dataset(
+    df: DataFrame, id_col: str, fractions: dict[str, float], *, salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split."""
+    return df.withColumn("split", assign_split(F.col(id_col), fractions, salt=salt))

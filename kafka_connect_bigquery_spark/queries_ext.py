@@ -684,6 +684,50 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_RATE = 0.25
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment + hash-sampled subset
+    membership per document — pure per-row md5 arithmetic, identical on
+    any engine/partitioning (rand()-based splits are not replayable)."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.split_dataset(d, "doc_id", _SPLITS)
+    return out.select(
+        "doc_id",
+        "split",
+        (sampling.hash_uniform(F.col("doc_id"), salt="s1") < _SAMPLE_RATE).alias(
+            "in_sample"
+        ),
+    )
+
+
+def _split_sql() -> str:
+    u = (
+        "CAST(concat('0x', substr(md5(concat('{salt}', CAST(doc_id AS VARCHAR))), 1, 8))"
+        " AS BIGINT) / 4294967296.0"
+    )
+    u_split = u.format(salt="split")
+    u_s1 = u.format(salt="s1")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {u_split} < 0.8 THEN 'train'
+            WHEN {u_split} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       {u_s1} < {_SAMPLE_RATE} AS in_sample
+FROM documents
+"""
+
+
+Q_DATASET_SPLIT_SQL = _split_sql()
+
+# ---------------------------------------------------------------------------
 # BQ-shape record projection (reference conversion surface, P3-P6 + L1)
 # ---------------------------------------------------------------------------
 
@@ -733,6 +777,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
+    "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),

@@ -302,6 +302,46 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
 
 
 # ---------------------------------------------------------------------------
+# sampling / splits
+# ---------------------------------------------------------------------------
+
+def test_split_dataset_stable_and_proportional(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    s1 = sampling.split_dataset(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = sampling.split_dataset(df.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    m1 = {r["id"]: r["split"] for r in s1.collect()}
+    m2 = {r["id"]: r["split"] for r in s2.collect()}
+    assert m1 == m2  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(m1.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+
+
+def test_hash_sample_rate_and_salt_independence(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    a = {r["id"] for r in sampling.hash_sample(df, "id", 0.3, salt="a").collect()}
+    b = {r["id"] for r in sampling.hash_sample(df, "id", 0.3, salt="b").collect()}
+    assert abs(len(a) / 2000 - 0.3) < 0.05
+    assert a != b  # different salts draw different subsets
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.1 < overlap < 0.5  # ~rate-level overlap, not correlated
+
+
+def test_split_fractions_validated(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.assign_split(F.col("x"), {"a": 0.5, "b": 0.4})
+
+
+# ---------------------------------------------------------------------------
 # approximate aggregates
 # ---------------------------------------------------------------------------
 
