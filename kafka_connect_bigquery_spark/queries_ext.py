@@ -614,6 +614,61 @@ FROM documents
 """
 
 
+_TOP_TERMS_K = 3
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term salience (tf-idf-shaped retrieval scoring): top-3 tokens per
+    document by tf x linearized idf. The idf is the exact integer
+    floor(N*1e4 / df) rather than a log — same monotonic ranking signal
+    for salience, but bit-identical across engines (libm log rounding
+    differs), so the ranks are oracle-exact.
+
+    Scale: token explode -> one shuffle for per-(doc, term) tf, the df
+    table is a small broadcast, ranking windows partition by doc."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(
+        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "score_q",
+        F.col("tf") * F.floor(F.lit(n_docs * 10_000) / F.col("df")).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_TERMS_K)
+        .select("doc_id", "tok", "tf", "df", "score_q", "rnk")
+    )
+
+
+Q_TEXT_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split({_CANON}, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         tf * CAST(FLOOR((SELECT COUNT(*) FROM documents) * 10000.0 / df) AS BIGINT)
+           AS score_q
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok, tf, df, score_q, rnk FROM (
+  SELECT scored.*,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_q DESC, tok ASC) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {_TOP_TERMS_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -786,6 +841,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),
     "text_subword_stats": (q_text_subword_stats, Q_TEXT_SUBWORD_SQL),
+    "text_top_terms": (q_text_top_terms, Q_TEXT_TOP_TERMS_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
 }
