@@ -65,13 +65,18 @@ def main() -> None:
     # warmup: trigger JIT/codegen + file listing once with the flagship
     registry[names[0]](spark, sf_dir).count()
 
+    # min of two runs per query: the second run reuses warmed file
+    # listings/codegen, and min-of-2 suppresses machine-load spikes so
+    # round-over-round comparisons track the engine, not the host
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = registry[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 4)
-        _ = n
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            registry[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
