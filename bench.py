@@ -28,6 +28,7 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",

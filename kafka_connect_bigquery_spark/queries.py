@@ -638,6 +638,61 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): a supplier nation's
+    revenue share per year within one region's orders — conditional
+    aggregate ratio over a 6-way star join, both sums quantized before
+    the final division."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(F.lit(0.0))
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (_qval(_qsum(target)) / _qval(_qsum(volume))).alias("mkt_share")
+        )
+    )
+    return out
+
+
+Q_TPCH_Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ({_qsum_sql("CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+       / ({_qsum_sql('l_extendedprice * (1 - l_discount)')}) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): join + agg + top-20
     by revenue. Scale: the returnflag filter shrinks lineitem at the
@@ -1144,6 +1199,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q2_min_cost_supplier": (q_tpch_q2, Q_TPCH_Q2_SQL),
     "tpch_q16_supplier_diversity": (q_tpch_q16, Q_TPCH_Q16_SQL),
     "tpch_q18_large_orders": (q_tpch_q18, Q_TPCH_Q18_SQL),
+    "tpch_q8_market_share": (q_tpch_q8, Q_TPCH_Q8_SQL),
     "tpch_q10_returned_items": (q_tpch_q10, Q_TPCH_Q10_SQL),
     "tpch_q12_priority_shipping": (q_tpch_q12, Q_TPCH_Q12_SQL),
     "tpch_q17_small_qty_revenue": (q_tpch_q17, Q_TPCH_Q17_SQL),

@@ -57,6 +57,29 @@ def test_no_rowwise_python_or_unbounded_cartesian(spark, name):
             assert "BroadcastExchange" in plan
 
 
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """L1/L2 payoff: a date filter on a partitioned warehouse table
+    must prune at the partition level (PartitionFilters in the scan),
+    not post-filter all files."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 5), 12, 0), float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    wh.append(df, "t", TableSpec(partition_grain="DAY", timestamp_field="ts"))
+    q = wh.read("t").filter("p_date = '2024-01-03'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(p_date" in plan
+    assert q.count() == 10
+
+
 def test_scan_pushdown_and_pruning(spark):
     """Spot-check the pushdown contract on the flagship scan+agg."""
     plan = _plan(spark, "tpch_q1_pricing_summary")
