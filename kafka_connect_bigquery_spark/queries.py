@@ -1127,6 +1127,62 @@ GROUP BY 1, 2
 """
 
 
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract a field from the JSON props
+    column and aggregate over it — extraction happens in the scan
+    projection (codegen'd regexp), grouped on the parsed value."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    out = (
+        e.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _qval(_qsum(F.col("value"))).alias("sum_value"),
+        )
+    )
+    return out
+
+
+Q_EVENTS_JSON_AGG_SQL = f"""
+SELECT CAST(FLOOR(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) / 10.0)
+         AS BIGINT) AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_qsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per market segment by total price (the LATERAL /
+    top-N-per-group shape): one window over the segment join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+    return out
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 2
+"""
+
+
 def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT / UNION ALL): membership of
     each user across the two halves of the event stream. The reference
@@ -1214,6 +1270,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, None),
     "events_set_ops": (q_events_set_ops, Q_EVENTS_SET_OPS_SQL),
+    "events_json_agg": (q_events_json_agg, Q_EVENTS_JSON_AGG_SQL),
+    "top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_SQL),
     "events_pivot": (q_events_pivot, Q_EVENTS_PIVOT_SQL),
     "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
 }
