@@ -63,3 +63,23 @@ def split_dataset(
 ) -> DataFrame:
     """Add a ``split`` column assigning each row to a named split."""
     return df.withColumn("split", assign_split(F.col(id_col), fractions, salt=salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: each stratum keeps its own
+    rate (e.g. downsample dominant languages, keep all of rare ones) —
+    the corpus-rebalancing primitive of training-data pipelines.
+    Strata not listed keep ``default_rate``. Still a pure per-row
+    projection: no shuffle, no state."""
+    rate = F.lit(default_rate)
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(r)).otherwise(rate)
+    return df.filter(hash_uniform(F.col(id_col), salt=salt) < rate)

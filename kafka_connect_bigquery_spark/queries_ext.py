@@ -782,6 +782,37 @@ FROM documents
 
 Q_DATASET_SPLIT_SQL = _split_sql()
 
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: per-language keep rates
+    (all German, half English, quarter French, drop the rest),
+    deterministic per document."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        d, "doc_id", "lang", _STRAT_RATES
+    ).select("doc_id", "lang")
+
+
+def _strat_sql() -> str:
+    u = (
+        "CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8))"
+        " AS BIGINT) / 4294967296.0"
+    )
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {r}" for k, r in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < (CASE {cases} ELSE 0.0 END)
+"""
+
+
+Q_STRATIFIED_SAMPLE_SQL = _strat_sql()
+
 # ---------------------------------------------------------------------------
 # BQ-shape record projection (reference conversion surface, P3-P6 + L1)
 # ---------------------------------------------------------------------------
@@ -833,6 +864,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
     "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),

@@ -334,6 +334,20 @@ def test_hash_sample_rate_and_salt_independence(spark):
     assert 0.1 < overlap < 0.5  # ~rate-level overlap, not correlated
 
 
+def test_stratified_sample_per_group_rates(spark):
+    from collections import Counter
+
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = sampling.stratified_hash_sample(df, "id", "g", {"a": 1.0, "b": 0.3})
+    c = Counter(r["g"] for r in out.collect())
+    assert c["a"] == 1000  # rate 1.0 keeps everything
+    assert abs(c["b"] / 1000 - 0.3) < 0.06
+    assert c["c"] == 0  # unlisted stratum -> default_rate 0
+
+
 def test_split_fractions_validated(spark):
     from kafka_connect_bigquery_spark.operators import sampling
 
