@@ -110,6 +110,35 @@ def merge_upsert_delete(
     return untouched.unionByName(live)
 
 
+def surviving_after_tombstones(
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str = "i",
+    tombstone_col: str = "__tombstone",
+) -> DataFrame:
+    """Drop batch rows that precede their key's latest tombstone.
+
+    The reference's ``deletes`` subquery semantics
+    (MergeQueries.java:382-396) apply to the batch *itself*, independent
+    of any destination state — so a first batch against a not-yet-created
+    table must honor them too (a row upserted then tombstoned within one
+    batch never lands). Returns the batch minus pre-tombstone rows; the
+    tombstone rows themselves are retained (callers filter them out when
+    building inserts).
+    """
+    if tombstone_col not in batch.columns:
+        return batch
+    latest_tombstone = (
+        batch.filter(F.col(tombstone_col))
+        .groupBy(*key_cols)
+        .agg(F.max(order_col).alias("__del_i"))
+    )
+    with_del = batch.join(latest_tombstone, on=list(key_cols), how="left")
+    return with_del.filter(
+        F.col("__del_i").isNull() | (F.col(order_col) >= F.col("__del_i"))
+    ).drop("__del_i")
+
+
 def merge_delete_only(
     dest: DataFrame,
     batch: DataFrame,
@@ -137,16 +166,10 @@ def merge_delete_only(
     excluding the tombstones themselves).
     """
     value_cols = [c for c in dest.columns]
-    latest_tombstone = (
-        batch.filter(F.col(tombstone_col))
-        .groupBy(*key_cols)
-        .agg(F.max(order_col).alias("__del_i"))
-    )
-    with_del = batch.join(latest_tombstone, on=list(key_cols), how="left")
-    surviving = with_del.filter(
-        F.col("__del_i").isNull() | (F.col(order_col) >= F.col("__del_i"))
-    )
+    surviving = surviving_after_tombstones(batch, key_cols, order_col, tombstone_col)
     inserts = surviving.filter(~F.col(tombstone_col)).select(*value_cols)
-    tombstoned_keys = latest_tombstone.select(*key_cols)
+    tombstoned_keys = (
+        batch.filter(F.col(tombstone_col)).select(*key_cols).distinct()
+    )
     kept_dest = dest.join(tombstoned_keys, on=list(key_cols), how="left_anti")
     return kept_dest.unionByName(inserts)

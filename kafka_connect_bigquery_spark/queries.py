@@ -14,6 +14,7 @@ re-export this module's REGISTRY.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -758,10 +759,10 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TPCH_Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1019,6 +1020,53 @@ WHERE e.event_id < {_SPLIT_SQL}
 """
 
 
+def q_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/J1 via the warehouse's *bucketed* MERGE path — the 100 TB
+    default (sinks/warehouse.py:_merge_bucketed): dest stored hash-
+    bucketed by key, only buckets touched by the batch are read and
+    rewritten. Same semantics as merge_upsert, so the same oracle; this
+    entry makes the scale path the thing CORRECTNESS verifies."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    split = _events_split(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    # unique scratch dir per invocation: concurrent runs (pytest + verify
+    # + driver) must not share mutable state; the returned DataFrame reads
+    # these files lazily so the dir outlives this function. Old runs'
+    # dirs are swept opportunistically.
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_bmerge")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = os.path.join(base, _uuid.uuid4().hex[:12])
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    # the warehouse treats order_col as a batch-local helper (the Kafka
+    # offset in the reference) and drops it from stored state, so feed a
+    # copy rather than the event_id data column itself
+    for pred in (F.col("event_id") < split, F.col("event_id") >= split):
+        wh.merge(
+            e.filter(pred).withColumn("i", F.col("event_id")),
+            "t",
+            ["user_id"],
+            mode="upsert",
+            order_col="i",
+            spec=spec,
+        )
+    return wh.read_bucketed("t").select(*EVENT_COLS)
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -1230,7 +1278,8 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EVENTS_PIVOT_SQL = (
     "SELECT user_id, "
     + ", ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS \"{t}\""
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f' AS "{t}"'
         for t in _PIVOT_TYPES
     )
     + " FROM events GROUP BY user_id"
@@ -1266,6 +1315,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
     "merge_delete_only": (q_merge_delete_only, Q_MERGE_DELETE_ONLY_SQL),
+    "merge_upsert_bucketed": (q_merge_upsert_bucketed, Q_MERGE_UPSERT_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, None),

@@ -192,7 +192,8 @@ votes AS (
   FROM bits GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, b) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 

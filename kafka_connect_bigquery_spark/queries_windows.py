@@ -135,8 +135,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -272,8 +272,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 ),
 intervals AS (

@@ -72,6 +72,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # The driver harness (and any external caller) may hand us a plain
+    # SparkSession without engine confs; nanosAsLong is a runtime SQL conf,
+    # so set it here rather than relying on get_spark() having built the
+    # session. Without it every read of the ns-timestamp `events` parquet
+    # dies with PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
+        pass
+
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     try:

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_connect_bigquery_spark.schema.evolution import unionize
+from kafka_connect_bigquery_spark.schema.evolution import evolve, unionize
 
 Grain = Literal["HOUR", "DAY", "MONTH", "YEAR", "NONE"]
 
@@ -80,16 +80,66 @@ class TableSpec:
 
 
 class Warehouse:
-    """A directory of partitioned parquet tables with evolution."""
+    """A directory of partitioned parquet tables with evolution.
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    ``bucket_threshold_bytes``: above this stored size, MERGE switches to
+    the hash-bucketed layout automatically (one-time migration) even when
+    the TableSpec doesn't request it — the whole-table-rewrite merge is
+    O(table) per micro-batch and must not be the default at scale.
+    ``target_bucket_bytes`` sizes the bucket count at migration.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        bucket_threshold_bytes: int = 256 << 20,
+        target_bucket_bytes: int = 128 << 20,
+    ) -> None:
         self.spark = spark
         self.root = root
+        self.bucket_threshold_bytes = bucket_threshold_bytes
+        self.target_bucket_bytes = target_bucket_bytes
         os.makedirs(root, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # -- layout metadata -------------------------------------------------
+    def _layout_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_layout.json")
+
+    def layout_meta(self, table: str) -> dict:
+        """Persisted physical-layout facts (bucket count) that must stay
+        stable across merges — inferring the count from `__bucket=` dirs
+        is unsafe because empty buckets have no directory."""
+        import json
+
+        p = self._layout_path(table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_layout_meta(self, table: str, meta: dict) -> None:
+        import json
+
+        os.makedirs(self.path(table), exist_ok=True)
+        with open(self._layout_path(table), "w") as f:
+            json.dump(meta, f)
+
+    def table_bytes(self, table: str) -> int:
+        """Total stored parquet bytes (drives the bucketed-merge cutover)."""
+        import glob
+
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(
+                os.path.join(self.path(table), "**", "*.parquet"), recursive=True
+            )
+        )
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
@@ -141,7 +191,16 @@ class Warehouse:
         out = self._with_partition(df, spec)
         existing = self.table_schema(table)
         if existing is not None:
-            evolved = unionize(existing, out.schema) if allow_unionization else existing
+            # Policy-gated evolution (SchemaManager.java:264-281): a batch
+            # whose schema needs a disallowed change fails loudly with
+            # SchemaEvolutionError — never silently drop incoming fields.
+            evolved = evolve(
+                existing,
+                [out.schema],
+                allow_new_fields=allow_new_fields,
+                allow_relaxation=allow_relaxation,
+                allow_unionization=allow_unionization,
+            )
             # align both the stored data's view and the incoming batch
             out = _align_to(out, evolved)
         out = self._sorted_within(out, spec)
@@ -159,9 +218,12 @@ class Warehouse:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(tmp)
         final = self.path(table)
+        meta = self.layout_meta(table)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        if meta:
+            self._write_layout_meta(table, meta)
 
     # -- MERGE ----------------------------------------------------------
     def merge(
@@ -177,16 +239,27 @@ class Warehouse:
     ) -> None:
         """Apply a MERGE batch to the stored table (S4 + D1-D3).
 
-        Reads current state, merges via operators/merge.py, atomically
-        replaces. On partition-pruned layouts only partitions containing
-        touched keys need rewriting; the pure-parquet v1 rewrites the
-        table, which is correct (and fine at test scale) — the Delta
-        backend slots in here without interface change.
+        Path selection (the 100 TB default): an explicit
+        ``spec.key_bucket_count``, a previously persisted bucketed layout,
+        or a stored size above ``bucket_threshold_bytes`` all route to
+        ``_merge_bucketed`` — only buckets whose keys appear in the batch
+        are read and rewritten. Only small tables (below the threshold,
+        never bucketed) take the whole-table-rewrite path, where O(table)
+        per batch is by definition bounded.
         """
         from kafka_connect_bigquery_spark.operators import merge as M
 
         spec = spec or TableSpec(partition_grain="NONE")
-        if spec.key_bucket_count:
+        n_buckets = spec.key_bucket_count or self.layout_meta(table).get(
+            "key_bucket_count"
+        )
+        if n_buckets is None and self.exists(table):
+            size = self.table_bytes(table)
+            if size >= self.bucket_threshold_bytes:
+                # cutover: one-time migration into the bucketed layout,
+                # sized so each bucket holds ~target_bucket_bytes
+                n_buckets = max(16, min(4096, size // self.target_bucket_bytes + 1))
+        if n_buckets:
             self._merge_bucketed(
                 batch,
                 table,
@@ -194,18 +267,13 @@ class Warehouse:
                 mode=mode,
                 order_col=order_col,
                 tombstone_col=tombstone_col,
-                n_buckets=spec.key_bucket_count,
+                n_buckets=int(n_buckets),
             )
             return
         dest = self.read(table) if self.exists(table) else None
         drop_helpers = [c for c in (order_col, tombstone_col) if c in batch.columns]
         if dest is None:
-            if mode == "delete_only":
-                first = batch.filter(~F.col(tombstone_col)) if tombstone_col in batch.columns else batch
-            else:
-                first = M.dedup_latest_per_key(batch, key_cols, order_col)
-                if tombstone_col in batch.columns:
-                    first = first.filter(~F.col(tombstone_col))
+            first = _first_batch_state(batch, key_cols, mode, order_col, tombstone_col)
             self.overwrite(first.drop(*drop_helpers), table, spec)
             return
         if mode == "upsert":
@@ -248,20 +316,25 @@ class Warehouse:
         tdir = self.path(table)
 
         if not self.exists(table):
-            if mode == "delete_only":
-                first = (
-                    batch.filter(~F.col(tombstone_col))
-                    if tombstone_col in batch.columns
-                    else batch
-                )
-            else:
-                first = M.dedup_latest_per_key(batch, key_cols, order_col)
-                if tombstone_col in batch.columns:
-                    first = first.filter(~F.col(tombstone_col))
+            first = _first_batch_state(batch, key_cols, mode, order_col, tombstone_col)
             first.drop(*drop_helpers).write.mode("overwrite").partitionBy(
                 "__bucket"
             ).parquet(tdir)
+            self._write_layout_meta(table, {"key_bucket_count": n_buckets})
             return
+
+        # one-time migration: table exists but is not bucket-partitioned
+        # (it grew past bucket_threshold_bytes under the rewrite path).
+        # Rewrite once into the bucketed layout, then merge incrementally
+        # forever after.
+        stored = self.read(table)
+        if "__bucket" not in stored.columns:
+            migrated = stored.withColumn("__bucket", bucket_expr)
+            tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+            migrated.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+            shutil.rmtree(tdir)
+            os.replace(tmp, tdir)
+        self._write_layout_meta(table, {"key_bucket_count": n_buckets})
 
         touched = sorted(
             r["__bucket"] for r in batch.select("__bucket").distinct().collect()
@@ -342,8 +415,11 @@ class Warehouse:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
         final = self.path(table)
+        meta = self.layout_meta(table)
         shutil.rmtree(final)
         os.replace(tmp, final)
+        if meta:
+            self._write_layout_meta(table, meta)
         return len(files)
 
     # -- retention (L3) --------------------------------------------------
@@ -373,6 +449,30 @@ class Warehouse:
                 shutil.rmtree(os.path.join(tdir, name))
                 dropped += 1
         return dropped
+
+
+def _first_batch_state(
+    batch: DataFrame,
+    key_cols: list[str],
+    mode: str,
+    order_col: str,
+    tombstone_col: str,
+) -> DataFrame:
+    """Initial table state from the first MERGE batch (dest not yet
+    created). Reproduces the reference's semantics against an empty
+    destination: upsert modes keep the newest row per key; delete_only
+    keeps the append log but must still honor tombstone *ordering*
+    (MergeQueries.java:382-396) — a row upserted then tombstoned within
+    the same first batch never lands."""
+    from kafka_connect_bigquery_spark.operators import merge as M
+
+    if mode == "delete_only":
+        first = M.surviving_after_tombstones(batch, key_cols, order_col, tombstone_col)
+    else:
+        first = M.dedup_latest_per_key(batch, key_cols, order_col)
+    if tombstone_col in batch.columns:
+        first = first.filter(~F.col(tombstone_col))
+    return first
 
 
 def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -139,3 +139,56 @@ def test_bucketed_matches_unbucketed(spark, tmp_path):
         (r["k"], r["v"]) for r in wh.read("plain").select("k", "v").collect()
     }
     assert plain == _state(wh, "bucketed")
+
+
+def test_merge_auto_cutover_to_bucketed(spark, tmp_path):
+    """A table that grows past bucket_threshold_bytes is migrated into
+    the bucketed layout on the next merge, without an explicit
+    key_bucket_count — the scale path is the default, not an opt-in."""
+    wh = Warehouse(
+        spark, str(tmp_path / "wh"), bucket_threshold_bytes=1, target_bucket_bytes=1 << 30
+    )
+    plain = TableSpec(partition_grain="NONE")
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(30)]), "t", ["k"],
+             mode="upsert", spec=plain)
+    # second merge: size (> 1 byte) triggers migration + bucketed path
+    wh.merge(_mk(spark, [(5, "new", 100, False)]), "t", ["k"], mode="upsert", spec=plain)
+    assert any(n.startswith("__bucket=") for n in os.listdir(wh.path("t")))
+    n = wh.layout_meta("t").get("key_bucket_count")
+    assert n and n >= 16
+    got = {(r["k"], r["v"]) for r in wh.read_bucketed("t").select("k", "v").collect()}
+    assert got == {(k, f"v{k}") for k in range(30) if k != 5} | {(5, "new")}
+    # third merge keeps using the persisted bucket count (stable layout)
+    wh.merge(_mk(spark, [(6, "x", 200, False)]), "t", ["k"], mode="upsert", spec=plain)
+    assert wh.layout_meta("t").get("key_bucket_count") == n
+    assert (6, "x") in {
+        (r["k"], r["v"]) for r in wh.read_bucketed("t").select("k", "v").collect()
+    }
+
+
+def test_layout_meta_survives_compact(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for batch in range(3):
+        b = _mk(spark, [(k, f"v{k}_{batch}", batch * 100 + k, False) for k in range(20)])
+        wh.merge(b, "t", ["k"], mode="upsert", spec=SPEC)
+    assert wh.layout_meta("t").get("key_bucket_count") == N_BUCKETS
+    wh.compact("t", TableSpec(partition_grain="NONE"), target_file_rows=1_000_000)
+    assert wh.layout_meta("t").get("key_bucket_count") == N_BUCKETS
+
+
+def test_first_batch_delete_only_pre_tombstone_drop(spark, tmp_path):
+    """First batch against a not-yet-created table in delete_only mode
+    must drop rows preceding their key's latest tombstone
+    (MergeQueries.java:382-396) — both plain and bucketed layouts."""
+    rows = [
+        (1, "early", 0, False),   # precedes k=1 tombstone -> dropped
+        (1, None, 1, True),       # tombstone itself -> never lands
+        (1, "late", 2, False),    # at/after tombstone -> kept
+        (2, "solo", 3, False),    # untombstoned key -> kept
+    ]
+    for table, spec in (("plain", TableSpec(partition_grain="NONE")), ("bkt", SPEC)):
+        wh = Warehouse(spark, str(tmp_path / table))
+        wh.merge(_mk(spark, rows), table, ["k"], mode="delete_only", spec=spec)
+        read = wh.read_bucketed(table) if spec.key_bucket_count else wh.read(table)
+        got = {(r["k"], r["v"]) for r in read.select("k", "v").collect()}
+        assert got == {(1, "late"), (2, "solo")}, table

@@ -152,3 +152,41 @@ def test_config_valid_passes():
         kafka_key_field_name="k",
         clustering_field_names=("a", "b"),
     ).validate()
+
+
+def test_append_policy_rejects_new_field(spark, tmp_path):
+    """ADVICE r1: disallowed evolution must fail loudly, never silently
+    drop incoming columns (SchemaManager.java:264-281 policy gate)."""
+    from kafka_connect_bigquery_spark.schema.evolution import SchemaEvolutionError
+
+    wh = Warehouse(spark, str(tmp_path))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(spark.createDataFrame([(1, "a")], "id long, v string"), "t", spec)
+    with pytest.raises(SchemaEvolutionError, match="new fields"):
+        wh.append(
+            spark.createDataFrame([(2, "b", 9.5)], "id long, v string, extra double"),
+            "t",
+            spec,
+            allow_new_fields=False,
+        )
+    # the permissive default still evolves
+    wh.append(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, v string, extra double"),
+        "t",
+        spec,
+    )
+
+
+def test_append_policy_rejects_dropped_field_without_unionization(spark, tmp_path):
+    from kafka_connect_bigquery_spark.schema.evolution import SchemaEvolutionError
+
+    wh = Warehouse(spark, str(tmp_path))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(spark.createDataFrame([(1, "a")], "id long, v string"), "t", spec)
+    with pytest.raises(SchemaEvolutionError, match="drops existing"):
+        wh.append(
+            spark.createDataFrame([(2,)], "id long"),
+            "t",
+            spec,
+            allow_unionization=False,
+        )

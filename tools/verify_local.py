@@ -6,7 +6,16 @@ names/types, and an order-insensitive value comparison (exact for
 non-floats; floats must match to 1e-9 relative — we *aim* for bitwise
 equality via decimal-cast aggregation, and report max deviation).
 
-Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+Driver-strictness notes (post round-1): the comparison is
+**dtype-sensitive** — a Spark int64 column vs a DuckDB float64 column is
+a FAIL even when every value compares equal (the driver hashes
+materialized values, so `3123` vs `3123.0` mismatch). Pass
+``--plain-session`` to run the Spark side against a conf-free
+``SparkSession`` exactly like the driver harness does (no engine confs
+from get_spark()), which is how the round-1 nanos-parquet crash escaped
+local verification.
+
+Usage: python tools/verify_local.py [--plain-session] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -50,6 +59,24 @@ def _canon(v):
     return v
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class for driver-style sensitivity: int vs float vs
+    bool vs datetime vs other. The driver's value hash sees `3123` and
+    `3123.0` as different, so an int column on one side and a float
+    column on the other must FAIL here too."""
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "other"
+
+
 def compare(spark_df, duck_rel) -> dict:
     import pandas as pd  # noqa: F401
 
@@ -66,6 +93,22 @@ def compare(spark_df, duck_rel) -> dict:
         return res
     sp = sp[sp_cols]
     dp = dp[dp_cols]
+    # dtype-sensitive gate (driver strictness): int-vs-float = FAIL even
+    # if values are numerically equal. Empty frames can't be classified
+    # reliably (all-object), skip the gate there.
+    dtype_bad = []
+    if len(sp) > 0:
+        for c in sp_cols:
+            a, b = _dtype_class(sp[c].dtype), _dtype_class(dp[c].dtype)
+            # object-vs-anything is resolved by the value compare below;
+            # the hard gate is numeric-class disagreement.
+            if a != b and "other" not in (a, b):
+                dtype_bad.append(f"{c}: spark={sp[c].dtype} duck={dp[c].dtype}")
+    res["dtype_mismatches"] = dtype_bad
+    if dtype_bad:
+        res["value_mismatches"] = -1
+        res["exact_hash_match"] = False
+        return res
     s_rows = sorted((tuple(_canon(v) for v in row) for row in sp.itertuples(index=False)),
                     key=lambda r: tuple(str(x) for x in r))
     d_rows = sorted((tuple(_canon(v) for v in row) for row in dp.itertuples(index=False)),
@@ -106,14 +149,36 @@ def compare(spark_df, duck_rel) -> dict:
     return res
 
 
+def _plain_spark():
+    """A conf-free SparkSession mimicking the driver harness: no engine
+    confs (no nanosAsLong, default shuffle partitions, no UTC pin other
+    than what the driver itself sets). Queries must survive this."""
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("verify-plain")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    plain = "--plain-session" in argv
+    if plain:
+        argv.remove("--plain-session")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from kafka_connect_bigquery_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    spark = _plain_spark() if plain else get_spark("verify-local")
     con = _duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
