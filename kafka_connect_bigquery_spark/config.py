@@ -24,6 +24,10 @@ class SinkConfig:
     topic2table_map: dict[str, str] = field(default_factory=dict)
     sanitize_topics: bool = False
     default_dataset: str = "default"
+    # SMT-style RegexRouter chain applied before routing, exactly like
+    # Connect's transforms list (quickstart connector.properties:35-38):
+    # [(java_regex, replacement_with_$N), ...]
+    smt_regex_routers: list[tuple[str, str]] = field(default_factory=list)
     # schema policy (SchemaManager flags)
     allow_new_bigquery_fields: bool = False      # :301-306
     allow_required_field_relaxation: bool = False  # :308-313

@@ -28,14 +28,23 @@ class RoutingConfigError(ValueError):
 
 @dataclass
 class TopicRouter:
-    """topic2TableMap semantics (BigQuerySinkConfig.java:162-226).
+    """topic2TableMap semantics (BigQuerySinkConfig.java:162-226) with an
+    SMT-style RegexRouter stage in front.
 
-    - explicit map wins;
-    - otherwise ``dataset:table`` comes from a regex SMT-style rewrite
-      (``smt_rules``) applied to the topic, as the reference relies on
-      RegexRouter SMTs (quickstart connector.properties:35-38);
-    - optional sanitization of derived table names
-      (BigQuerySinkTask.java:210-214).
+    ``smt_rules`` reproduces ``org.apache.kafka.connect.transforms
+    .RegexRouter`` exactly (quickstart connector.properties:35-38,
+    BigQuerySinkConnectorIT.java:314-317): each ``(regex, replacement)``
+    rule rewrites the topic only when the regex matches the WHOLE topic
+    (RegexRouter calls ``matcher.matches()``), using Java ``$N`` capture
+    references; non-matching rules leave the topic unchanged; rules
+    chain in order like Connect's ``transforms`` list. Because SMTs run
+    *before* the sink task sees a record, the rewrite applies before the
+    topic2TableMap lookup — a map entry matches the rewritten topic.
+
+    Then, per the sink task (BigQuerySinkTask.java:180-245):
+    - explicit map entry wins;
+    - otherwise the (rewritten) topic is the table name, optionally
+      sanitized (:210-214).
     """
 
     topic_map: dict[str, str] = field(default_factory=dict)
@@ -53,14 +62,27 @@ class TopicRouter:
                     f"duplicate destination table {table!r} in topic2TableMap"
                 )
             seen[topic] = table
+        for pat, _repl in self.smt_rules:
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise RoutingConfigError(f"invalid RegexRouter regex {pat!r}: {e}")
+
+    def _rewrite(self, topic: str) -> str:
+        """Apply the RegexRouter chain driver-side (full-match + $N)."""
+        name = topic
+        for pat, repl in self.smt_rules:
+            m = re.fullmatch(pat, name)
+            if m is not None:
+                # Java replaceFirst uses $N refs; translate to \N for re
+                name = m.expand(re.sub(r"\$(\d+)", r"\\\1", repl))
+        return name
 
     def table_for(self, topic: str) -> str:
         """Driver-side resolution (used for table creation paths)."""
-        if topic in self.topic_map:
-            return self.topic_map[topic]
-        name = topic
-        for pat, repl in self.smt_rules:
-            name = re.sub(pat, repl, name)
+        name = self._rewrite(topic)
+        if name in self.topic_map:
+            return self.topic_map[name]
         if self.sanitize_names:
             from kafka_connect_bigquery_spark.schema.sanitize import sanitize_name
 
@@ -68,16 +90,22 @@ class TopicRouter:
         return name
 
     def routing_column(self, topic_col: Column) -> Column:
-        """Executor-side resolution as a Column expression: a chained
-        CASE over the explicit map with the rewrite fallback. Purely
-        declarative — no Python per row."""
+        """Executor-side resolution as a Column expression: the
+        RegexRouter chain as conditional regexp_replace (Spark's
+        replacement syntax is Java's ``$N``, matching RegexRouter), then
+        a chained CASE over the explicit map. Purely declarative — no
+        Python per row."""
+        rewritten = topic_col
+        for pat, repl in self.smt_rules:
+            anchored = f"^(?:{pat})$"  # RegexRouter matches the whole topic
+            rewritten = F.when(
+                rewritten.rlike(anchored), F.regexp_replace(rewritten, anchored, repl)
+            ).otherwise(rewritten)
         expr = None
         for topic, table in self.topic_map.items():
-            cond = topic_col == F.lit(topic)
+            cond = rewritten == F.lit(topic)
             expr = F.when(cond, F.lit(table)) if expr is None else expr.when(cond, F.lit(table))
-        fallback = topic_col
-        for pat, repl in self.smt_rules:
-            fallback = F.regexp_replace(fallback, pat, repl)
+        fallback = rewritten
         if self.sanitize_names:
             fallback = F.regexp_replace(fallback, "[^a-zA-Z0-9_]", "_")
         return fallback if expr is None else expr.otherwise(fallback)

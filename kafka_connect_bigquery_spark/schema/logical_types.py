@@ -37,6 +37,34 @@ class LogicalConverter:
 _REGISTRY: dict[str, LogicalConverter] = {}
 
 
+def decode_decimal(c: Column, scale: int = 0) -> Column:
+    """Decode a Connect ``Decimal`` value column to FLOAT64.
+
+    On the wire a Connect Decimal is the big-endian two's-complement
+    *unscaled* integer bytes; the scale lives in the schema parameters
+    (``Decimal.toLogical``: ``new BigDecimal(new BigInteger(bytes),
+    scale)``). The reference then writes it to a BigQuery FLOAT column
+    (KafkaLogicalConverters.java:66-81) — lossy by design, so the
+    double output here matches.
+
+    Pure-SQL decode (no UDF): hex -> unsigned decimal via ``conv``,
+    two's-complement sign fix from the top nibble, exact power-of-two
+    literals per byte length. Supports unscaled values up to 8 bytes
+    (int64 range) — beyond that the reference's FLOAT64 target has lost
+    the precision anyway.
+    """
+    hexs = F.hex(c)
+    unsigned = F.conv(hexs, 16, 10).cast("decimal(38,0)")
+    nbytes = F.length(c)
+    power = None
+    for n in range(1, 9):
+        lit = F.lit(str(1 << (8 * n))).cast("decimal(38,0)")
+        power = F.when(nbytes == n, lit) if power is None else power.when(nbytes == n, lit)
+    negative = F.conv(F.substring(hexs, 1, 1), 16, 10).cast("int") >= 8
+    signed = F.when(negative, unsigned - power).otherwise(unsigned)
+    return signed.cast("double") / F.lit(float(10**scale))
+
+
 def register(conv: LogicalConverter) -> None:
     """LogicalConverterRegistry.register (reference :26-31)."""
     _REGISTRY[conv.name] = conv
@@ -64,11 +92,14 @@ register(
 
 register(
     LogicalConverter(
-        # DECIMAL: bytes-encoded BigDecimal -> FLOAT (lossy!, ":66-81")
+        # DECIMAL: bytes-encoded BigDecimal -> FLOAT (lossy!, ":66-81").
+        # The wire value is the unscaled big-endian int; schema callers
+        # pass the 'scale' parameter (Connect Decimal.toLogical), e.g.
+        # ``lookup(...).convert(col, scale=2)``.
         name="org.apache.kafka.connect.data.Decimal",
         expected_base=_BYTES,
         spark_type=T.DoubleType(),
-        convert=lambda c: c.cast("double"),
+        convert=decode_decimal,
     )
 )
 
@@ -117,12 +148,19 @@ register(
 
 register(
     LogicalConverter(
-        # io.debezium.time.MicroTime: int64 micros-of-day -> TIME string with
-        # microsecond precision (":81-107": seconds + "." + micro remainder)
+        # io.debezium.time.MicroTime: int64 micros-of-day -> TIME string
+        # (":81-107"): "HH:mm:ss" + "." + the UNPADDED micro remainder —
+        # 1000001us -> "00:00:01.1", NOT "00:00:01.000001". That loses
+        # the remainder's leading zeros (a reference quirk), reproduced
+        # here verbatim so outputs match byte-for-byte.
         name="io.debezium.time.MicroTime",
         expected_base=_INT64,
         spark_type=T.StringType(),
-        convert=lambda c: F.date_format(F.timestamp_micros(c.cast("long")), "HH:mm:ss.SSSSSS"),
+        convert=lambda c: F.concat(
+            F.date_format(F.timestamp_micros(c.cast("long")), "HH:mm:ss"),
+            F.lit("."),
+            (c.cast("long") % F.lit(1_000_000)).cast("string"),
+        ),
     )
 )
 

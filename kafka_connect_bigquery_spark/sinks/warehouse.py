@@ -183,12 +183,36 @@ class Warehouse:
         allow_new_fields: bool = True,
         allow_relaxation: bool = True,
         allow_unionization: bool = True,
+        proposed_schema: T.StructType | None = None,
     ) -> None:
         """Create-if-needed + evolve + append (the adaptive writer S3,
         AdaptiveBigQueryWriter.java:85-148 — minus the retry loop, which
-        parquet appends don't need)."""
+        parquet appends don't need).
+
+        ``proposed_schema``: an authoritative schema from a pluggable
+        SchemaRetriever (X1) that overrides the batch's own schema as the
+        evolution proposal, like SchemaManager trusting
+        retrieveValueSchema over the record. Batch columns absent from it
+        fail loudly (the reference's per-row "no such field" insert
+        error).
+        """
         spec = spec or TableSpec()
         out = self._with_partition(df, spec)
+        proposal = proposed_schema
+        if proposal is not None:
+            # the layout partition column is engine-added, not part of
+            # the retrieved record schema
+            if spec.partition_col and spec.partition_col not in proposal.fieldNames():
+                proposal = T.StructType(
+                    list(proposal.fields)
+                    + [T.StructField(spec.partition_col, T.StringType(), True)]
+                )
+            unknown = sorted(set(out.columns) - set(proposal.fieldNames()))
+            if unknown:
+                raise WarehouseError(
+                    f"batch columns {unknown} absent from the retrieved schema "
+                    "(BigQueryErrorResponses.isUnrecognizedFieldError analog)"
+                )
         existing = self.table_schema(table)
         if existing is not None:
             # Policy-gated evolution (SchemaManager.java:264-281): a batch
@@ -196,13 +220,16 @@ class Warehouse:
             # SchemaEvolutionError — never silently drop incoming fields.
             evolved = evolve(
                 existing,
-                [out.schema],
+                [proposal if proposal is not None else out.schema],
                 allow_new_fields=allow_new_fields,
                 allow_relaxation=allow_relaxation,
                 allow_unionization=allow_unionization,
             )
             # align both the stored data's view and the incoming batch
             out = _align_to(out, evolved)
+        elif proposal is not None:
+            # table auto-create uses the retrieved schema verbatim
+            out = _align_to(out, proposal)
         out = self._sorted_within(out, spec)
         writer = out.write.mode("append")
         if spec.partition_col:

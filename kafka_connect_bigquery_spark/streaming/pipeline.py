@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.config import SinkConfig
+from kafka_connect_bigquery_spark.errors import is_retriable
 from kafka_connect_bigquery_spark.functions.bq_shape import (
     to_bq_shape,
     with_kafka_metadata,
@@ -77,6 +78,10 @@ class SinkPipeline:
     config: SinkConfig
     value_parser: object = None  # Callable[[Column], Column]
     key_parser: object = None
+    # X1 pluggable schema provider (SchemaRetriever.java:31-52): when set
+    # (and not identity), its per-topic value schema overrides each
+    # batch's own schema for table creation/evolution.
+    schema_retriever: object = None
     table_specs: dict[str, TableSpec] = dc_field(default_factory=dict)
     dedupe_by_offset: bool = True
     _batch_counter: int = 0
@@ -88,6 +93,7 @@ class SinkPipeline:
         self.config.validate()
         self.router = TopicRouter(
             topic_map=self.config.topic2table_map,
+            smt_rules=self.config.smt_regex_routers,
             sanitize_names=self.config.sanitize_topics,
             default_dataset=self.config.default_dataset,
         )
@@ -114,6 +120,44 @@ class SinkPipeline:
         if self.config.kafka_data_field_name:
             df = with_kafka_metadata(df, self.config.kafka_data_field_name)
         return df
+
+    def _retried(self, fn):
+        """Run one warehouse write under the reference's retry policy
+        (T8 + BigQueryErrorResponses taxonomy, config keys
+        bigQueryRetry/bigQueryRetryWait — BigQuerySinkConfig.java:421-440)."""
+        return retry_with_jitter(
+            fn,
+            retries=self.config.bigquery_retry,
+            wait_ms=self.config.bigquery_retry_wait_ms,
+            classify=is_retriable,
+        )
+
+    def _retrieved_schema(self, table: str, sub: DataFrame, extras: list[str]):
+        """Authoritative value schema for a table from the pluggable
+        SchemaRetriever (SchemaManager.java:290-377 consults
+        retrieveValueSchema; identity/None -> batch schema rules). The
+        pipeline's own engine-added columns (kafka data/key fields,
+        partition decorator) are appended from the live batch schema,
+        like SchemaManager augmenting the retrieved schema with
+        kafkaDataField."""
+        from pyspark.sql import types as T
+
+        if self.schema_retriever is None:
+            return None
+        topic = next(
+            (t for t in self.config.topics if self.router.table_for(t) == table),
+            table,
+        )
+        sch = self.schema_retriever.retrieve_value_schema(topic)
+        if sch is None:
+            return None
+        engine_added = set(extras) | {"p_date", self.config.kafka_key_field_name} - {None}
+        fields = list(sch.fields)
+        have = set(sch.fieldNames())
+        for f in sub.schema.fields:
+            if f.name in engine_added and f.name not in have:
+                fields.append(f)
+        return T.StructType(fields)
 
     def _spec_for(self, table: str) -> TableSpec:
         if table in self.table_specs:
@@ -160,13 +204,21 @@ class SinkPipeline:
             flat, clamp_doubles=self.config.convert_double_special_values
         )
         for table, sub in split_by_table(shaped).items():
-            self.warehouse.append(
-                sub,
-                table,
-                self._spec_for(table),
-                allow_new_fields=self.config.allow_new_bigquery_fields,
-                allow_relaxation=self.config.allow_required_field_relaxation,
-                allow_unionization=self.config.allow_schema_unionization,
+            # Retry policy = the reference's BigQueryWriter.java:98-149
+            # loop with the BigQueryErrorResponses taxonomy re-expressed
+            # for Spark failures (errors.py): transient infra/IO retries
+            # with jitter, schema violations fail fast. Parquet appends
+            # are at-least-once under retry, same as insertAll.
+            self._retried(
+                lambda sub=sub, table=table: self.warehouse.append(
+                    sub,
+                    table,
+                    self._spec_for(table),
+                    allow_new_fields=self.config.allow_new_bigquery_fields,
+                    allow_relaxation=self.config.allow_required_field_relaxation,
+                    allow_unionization=self.config.allow_schema_unionization,
+                    proposed_schema=self._retrieved_schema(table, sub, extras),
+                )
             )
         try:
             self.last_metrics = {"batch_id": batch_id, **self._obs.get}
@@ -196,14 +248,16 @@ class SinkPipeline:
             # (TableSpec.key_bucket_count) apply on the streaming path;
             # unconfigured tables keep the unpartitioned default.
             spec = self.table_specs.get(table, TableSpec(partition_grain="NONE"))
-            self.warehouse.merge(
-                shaped,
-                table,
-                key_cols,
-                mode=mode,
-                order_col="i",
-                tombstone_col="__tombstone",
-                spec=spec,
+            self._retried(
+                lambda shaped=shaped, table=table, spec=spec: self.warehouse.merge(
+                    shaped,
+                    table,
+                    key_cols,
+                    mode=mode,
+                    order_col="i",
+                    tombstone_col="__tombstone",
+                    spec=spec,
+                )
             )
 
     # -- path 3: batch load ---------------------------------------------
@@ -234,7 +288,11 @@ class SinkPipeline:
             if not batches:
                 continue
             df = self.warehouse.spark.read.json([os.path.join(tdir, b) for b in batches])
-            self.warehouse.append(df, table, self._spec_for(table))
+            self._retried(
+                lambda df=df, table=table: self.warehouse.append(
+                    df, table, self._spec_for(table)
+                )
+            )
             for b in batches:
                 shutil.rmtree(os.path.join(tdir, b))
             loaded.append(table)

@@ -307,3 +307,67 @@ def test_gcs_load_fixture(spark, tmp_path):
     assert got[0]["string_prim"] == "s" and got[1]["int_prim"] == 4
     # NDJSON staging serializes binary as base64 — same wire shape
     assert got[0]["bytes_prim"] == raw
+
+
+# ---------------------------------------------------------------------------
+# RegexRouter SMT — topic rewrite ahead of routing
+# (quickstart connector.properties:35-38 strip-prefix;
+#  BigQuerySinkConnectorIT.java:314-317 add-suffix)
+
+
+def test_regex_router_fixture(spark, tmp_path):
+    parser = lambda c: F.from_json(  # noqa: E731
+        c.cast("string"), T.StructType([T.StructField("row", T.LongType())])
+    )
+    rows = [
+        ("k1", {"row": 1}, "kcbq_orders", 0, 0),     # strip-prefix match
+        ("k2", {"row": 2}, "plain_topic", 0, 1),     # no match -> unchanged
+        ("k3", {"row": 3}, "kcbq_mapped", 0, 2),     # rewritten THEN mapped
+    ]
+    cfg = SinkConfig(
+        topics=["kcbq_orders", "plain_topic", "kcbq_mapped"],
+        time_partitioning_type="NONE",
+        smt_regex_routers=[("(kcbq_)(.*)", "$2")],
+        topic2table_map={"mapped": "custom_dest"},
+    )
+    wh, pipe = _run(spark, tmp_path, rows, cfg, parser)
+    # RegexRouter semantics: full-match rewrite, $N capture refs, SMT
+    # runs before the map lookup (the map key is the REWRITTEN topic)
+    assert pipe.router.table_for("kcbq_orders") == "orders"
+    assert pipe.router.table_for("plain_topic") == "plain_topic"
+    assert pipe.router.table_for("kcbq_mapped") == "custom_dest"
+    # partial matches must NOT rewrite (matcher.matches(), not find())
+    assert pipe.router.table_for("xkcbq_orders") == "xkcbq_orders"
+    assert {r.row for r in wh.read("orders").collect()} == {1}
+    assert {r.row for r in wh.read("plain_topic").collect()} == {2}
+    assert {r.row for r in wh.read("custom_dest").collect()} == {3}
+
+
+def test_regex_router_suffix_chain(spark, tmp_path):
+    """The IT's addSuffix shape ('(.*)' -> '$1<suffix>') chained after a
+    prefix strip — rules apply in transforms-list order."""
+    from kafka_connect_bigquery_spark.operators.routing import TopicRouter
+
+    router = TopicRouter(
+        smt_rules=[("(kcbq_)(.*)", "$2"), ("(.*)", "$1_it_suffix")]
+    )
+    assert router.table_for("kcbq_test_topic") == "test_topic_it_suffix"
+    # column-side expression agrees with driver-side resolution
+    df = spark.createDataFrame([("kcbq_test_topic",), ("other",)], "topic string")
+    got = {
+        r.t
+        for r in df.select(router.routing_column(F.col("topic")).alias("t")).collect()
+    }
+    assert got == {"test_topic_it_suffix", "other_it_suffix"}
+
+
+def test_regex_router_invalid_regex_rejected():
+    import pytest
+
+    from kafka_connect_bigquery_spark.operators.routing import (
+        RoutingConfigError,
+        TopicRouter,
+    )
+
+    with pytest.raises(RoutingConfigError, match="invalid RegexRouter"):
+        TopicRouter(smt_rules=[("(unclosed", "$1")])

@@ -189,3 +189,33 @@ def test_sanitize_field_names_recursive(spark):
     nested = out.schema["_1nest"].dataType
     assert nested.fieldNames() == ["x_y"]
     assert out.first()["_1nest"]["x_y"] == 2
+
+
+def test_microtime_unpadded_remainder(spark):
+    """DebeziumLogicalConverters.java:81-107 emits 'HH:mm:ss' + '.' +
+    the UNPADDED micro remainder (a reference quirk that drops the
+    remainder's leading zeros) — reproduced verbatim."""
+    df = spark.createDataFrame(
+        [(1_000_001,), (86_399_999_999,), (1_500_000,)], "us long"
+    )
+    conv = logical_types.lookup("io.debezium.time.MicroTime").convert
+    got = [r.t for r in df.select(conv(F.col("us")).alias("t")).collect()]
+    assert got == ["00:00:01.1", "23:59:59.999999", "00:00:01.500000"]
+
+
+def test_decimal_decode_bytes(spark):
+    """Connect Decimal wire format: big-endian two's-complement unscaled
+    bytes + schema 'scale' (Decimal.toLogical) -> FLOAT64 like the
+    reference's BigQuery FLOAT target (KafkaLogicalConverters.java:66-81)."""
+    rows = [
+        (bytearray((100).to_bytes(1, "big", signed=True)),),        # 100
+        (bytearray((-100).to_bytes(2, "big", signed=True)),),       # -100
+        (bytearray((1234567).to_bytes(4, "big", signed=True)),),    # 1234567
+        (bytearray((-1).to_bytes(8, "big", signed=True)),),         # -1
+    ]
+    df = spark.createDataFrame(rows, "b binary")
+    conv = logical_types.lookup("org.apache.kafka.connect.data.Decimal").convert
+    got0 = [r.v for r in df.select(conv(F.col("b")).alias("v")).collect()]
+    assert got0 == [100.0, -100.0, 1234567.0, -1.0]
+    got2 = [r.v for r in df.select(conv(F.col("b"), scale=2).alias("v")).collect()]
+    assert got2 == [1.0, -1.0, 12345.67, -0.01]

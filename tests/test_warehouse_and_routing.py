@@ -20,7 +20,8 @@ from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse, W
 # -- routing (S7/S8) ---------------------------------------------------------
 
 def test_topic_router_map_and_fallback(spark):
-    r = TopicRouter(topic_map={"t1": "table_one"}, smt_rules=[(r"^kcbq-", "")])
+    # RegexRouter semantics: full-topic match with $N capture refs
+    r = TopicRouter(topic_map={"t1": "table_one"}, smt_rules=[(r"kcbq-(.*)", "$1")])
     assert r.table_for("t1") == "table_one"
     assert r.table_for("kcbq-orders") == "orders"
     df = spark.createDataFrame([("t1",), ("kcbq-orders",), ("plain",)], "topic string")
