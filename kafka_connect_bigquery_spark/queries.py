@@ -1258,6 +1258,96 @@ SELECT user_id, 'second_only' FROM (SELECT user_id FROM second EXCEPT SELECT use
 """
 
 
+def q_logical_types_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 as a hard-correctness row: run the logical-type converter
+    registry (schema/logical_types.py, mirroring
+    KafkaLogicalConverters.java + DebeziumLogicalConverters.java) over
+    wire-shaped columns synthesized deterministically from events.
+    Covers Date, Time (ms), MicroTime (unpadded remainder quirk),
+    Timestamp (ms), MicroTimestamp, ZonedTimestamp, and the Decimal
+    bytes decode (two's-complement unscaled int + scale)."""
+    from kafka_connect_bigquery_spark.schema import logical_types as LT
+
+    e = _t(spark, sf_dir, "events")
+    conv = lambda name: LT.lookup(name).convert  # noqa: E731
+    days = (F.col("event_id") % 20000).cast("int")
+    ms_day = ((F.col("event_id") * 104729) % 86400000).cast("long")
+    us_day = ((F.col("event_id") * 7919) % 86400000000).cast("long")
+    epoch_us = F.expr("unix_micros(ts)")
+    epoch_ms = F.expr("unix_micros(ts) div 1000")
+    n = ((F.col("event_id") * 7) % 20001 - 10000).cast("long")
+    dec_bytes = F.unhex(F.lpad(F.hex(n.bitwiseAND(F.lit(4294967295))), 8, "0"))
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return e.select(
+        "event_id",
+        conv("org.apache.kafka.connect.data.Date")(days).cast("string").alias("date_str"),
+        conv("org.apache.kafka.connect.data.Time")(ms_day).alias("time_ms"),
+        conv("io.debezium.time.MicroTime")(us_day).alias("micro_time"),
+        conv("org.apache.kafka.connect.data.Timestamp")(epoch_ms).alias("ts_ms"),
+        conv("io.debezium.time.MicroTimestamp")(epoch_us).alias("ts_us"),
+        conv("io.debezium.time.ZonedTimestamp")(iso).alias("ts_zoned"),
+        conv("org.apache.kafka.connect.data.Decimal")(dec_bytes, scale=2).alias("dec_val"),
+    )
+
+
+Q_LOGICAL_TYPES_SQL = f"""
+SELECT event_id,
+       CAST(DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS VARCHAR)
+         AS date_str,
+       strftime(make_timestamp((event_id * 104729) % 86400000 * 1000),
+                '%H:%M:%S.%g') AS time_ms,
+       strftime(make_timestamp((event_id * 7919) % 86400000000), '%H:%M:%S')
+         || '.' || CAST((event_id * 7919) % 86400000000 % 1000000 AS VARCHAR)
+         AS micro_time,
+       make_timestamp(epoch_ns(ts) // 1000000 * 1000) AS ts_ms,
+       {_TS_US} AS ts_us,
+       date_trunc('second', {_TS_US}) AS ts_zoned,
+       CAST((event_id * 7) % 20001 - 10000 AS DOUBLE) / 100.0 AS dec_val
+FROM events
+"""
+
+
+def q_sanitized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 as a hard-correctness row: recursive field-name sanitization
+    (FieldNameSanitizer.java:29-54 via schema/sanitize.py) — illegal
+    characters become '_', digit-leading names get a '_' prefix, nested
+    struct fields sanitize recursively. The schema compare IS the
+    assertion: the oracle simply declares the expected legal names."""
+    from kafka_connect_bigquery_spark.schema.sanitize import sanitize_field_names
+
+    e = _t(spark, sf_dir, "events")
+    dirty = e.select(
+        F.col("event_id").alias("1 event/id"),
+        F.col("user_id").alias("user id"),
+        F.col("event_type").alias("event-type"),
+        F.struct(
+            F.col("value").alias("the value"),
+            (F.col("event_id") % 7).alias("n.items"),
+        ).alias("payload info"),
+    )
+    clean = sanitize_field_names(dirty)
+    # flatten through the *sanitized* nested names (struct outputs don't
+    # canonicalize across engines in the comparator) — resolving
+    # `payload_info.the_value` only works if the recursive rename landed
+    return clean.select(
+        "_1_event_id",
+        "user_id",
+        "event_type",
+        F.col("payload_info.the_value").alias("the_value"),
+        F.col("payload_info.n_items").alias("n_items"),
+    )
+
+
+Q_SANITIZED_SQL = """
+SELECT event_id AS _1_event_id,
+       user_id,
+       event_type,
+       value AS the_value,
+       event_id % 7 AS n_items
+FROM events
+"""
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1316,6 +1406,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
     "merge_delete_only": (q_merge_delete_only, Q_MERGE_DELETE_ONLY_SQL),
     "merge_upsert_bucketed": (q_merge_upsert_bucketed, Q_MERGE_UPSERT_SQL),
+    "logical_types_wire": (q_logical_types_wire, Q_LOGICAL_TYPES_SQL),
+    "sanitized_projection": (q_sanitized_projection, Q_SANITIZED_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, None),

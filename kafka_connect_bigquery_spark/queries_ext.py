@@ -852,6 +852,180 @@ FROM events
 """
 
 # ---------------------------------------------------------------------------
+# text: PII scrub (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing under Java regex (Spark) and
+# RE2 (DuckDB): character classes, +, {2,} only — no lookarounds.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: count and mask emails and URLs —
+    the standard scrub pass before LLM training. The synthetic corpus
+    carries no PII, so deterministic addresses derived from doc_id are
+    woven in first (both engines build the identical wire text); the
+    scrub itself is two JVM-side regexp passes, no UDFs, embarrassingly
+    parallel at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    wire = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" see https://data.example.org/doc/"), did),
+        ).otherwise(F.lit("")),
+    )
+    w = d.withColumn("w", wire)
+    return w.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("w"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("w"), F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("w"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ).alias("scrubbed"),
+    )
+
+
+Q_TEXT_PII_SQL = f"""
+WITH wire AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS w
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(w, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(w, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       regexp_replace(regexp_replace(w, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_URL_RE}', '<URL>', 'g') AS scrubbed
+FROM wire
+"""
+
+
+# ---------------------------------------------------------------------------
+# text: composite quality gate (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: token-count bounds plus
+    mean-token-length bounds decide keep/drop. Mean length is emitted as
+    a floor(x*100) integer so the threshold compare is engine-exact (no
+    raw double comparisons). Pure column arithmetic over the canonical
+    text — one projection, no shuffle."""
+    from kafka_connect_bigquery_spark.operators.dedup import canonical_text
+
+    d = _t(spark, sf_dir, "documents")
+    c = canonical_text(F.col("text"))
+    w = d.select("doc_id", c.alias("c"))
+    n = F.size(F.split(F.col("c"), " "))
+    # canonical text is single-spaced: total token chars = len - (n-1)
+    total_chars = F.length(F.col("c")) - n + 1
+    mean_len_x100 = F.floor(F.lit(100) * total_chars / n).cast("long")
+    out = w.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len_x100.alias("mean_len_x100"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 80)
+        & (F.col("mean_len_x100") >= 350)
+        & (F.col("mean_len_x100") <= 500),
+    )
+
+
+Q_DOCS_QUALITY_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+m AS (
+  SELECT doc_id,
+         len(str_split(c, ' ')) AS n,
+         length(c) - len(str_split(c, ' ')) + 1 AS total_chars
+  FROM canon)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor(100 * total_chars / n) AS BIGINT) AS mean_len_x100,
+       (n >= 20 AND n <= 80
+        AND floor(100 * total_chars / n) >= 350
+        AND floor(100 * total_chars / n) <= 500) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# text: repetition statistics (Gopher repetition-rule family)
+# ---------------------------------------------------------------------------
+
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal for quality filtering (the Gopher 'fraction of
+    characters in the most common n-gram' rule): per document, the count
+    of the most-frequent token bigram and the total bigram count. Ratio
+    stays integer/integer (emit both, compare exactly). Plan: bigrams are
+    built row-locally with zip_with against the token array's own tail
+    (no window, no extra shuffle), then explode -> two aggregations on
+    doc_id-prefixed keys. No UDFs anywhere."""
+    from kafka_connect_bigquery_spark.operators.dedup import canonical_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(canonical_text(F.col("text")), " ")
+    tail = F.slice(toks, F.lit(2), F.size(toks))
+    bigrams = F.filter(
+        F.zip_with(toks, tail, lambda x, y: F.concat_ws(" ", x, y)),
+        lambda b: b.contains(" "),
+    )
+    big = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    # only the max/total counts are emitted — naming the argmax bigram is
+    # tie-unstable across engines and adds nothing to the filter rule
+    return counts.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+
+
+Q_TEXT_REPETITION_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+tok AS (
+  -- DuckDB 1.0 has no WITH ORDINALITY; index through unnest(range())
+  SELECT doc_id,
+         str_split(c, ' ')[CAST(u.pos AS INT) + 1] AS tok,
+         u.pos AS pos
+  FROM canon, unnest(range(len(str_split(c, ' ')))) AS u(pos)
+),
+big AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tok
+),
+counts AS (
+  -- lead() past the end is NULL and NULL-concat nulls the bigram,
+  -- mirroring the Spark side's nxt IS NOT NULL filter
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM big WHERE bigram IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(max(c) AS BIGINT) AS top_bigram_count,
+       CAST(sum(c) AS BIGINT) AS n_bigrams
+FROM counts GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -875,6 +1049,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),
     "text_subword_stats": (q_text_subword_stats, Q_TEXT_SUBWORD_SQL),
     "text_top_terms": (q_text_top_terms, Q_TEXT_TOP_TERMS_SQL),
+    "text_pii_scrub": (q_text_pii_scrub, Q_TEXT_PII_SQL),
+    "docs_quality_filter": (q_docs_quality_filter, Q_DOCS_QUALITY_SQL),
+    "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
 }
