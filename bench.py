@@ -41,6 +41,9 @@ HEADLINE = [
     "tpch_q17_small_qty_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_part_promotion",
     "last_event_per_user",
     "merge_upsert",
     "merge_upsert_delete",

@@ -639,6 +639,176 @@ GROUP BY c_mktsegment
 """
 
 
+# profit = revenue - cost; the testdata has no partsupp table, so the
+# cost proxy is retail-price-based (10% of retail per unit), keeping
+# Q9's 5-way join + two-level grouping shape intact.
+_Q9_AMOUNT = "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1"
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): five-way join — lineitem
+    against part (name filter), supplier, nation, orders — aggregated by
+    supplier nation and order year.
+
+    Scale: the name-filtered part, supplier, and nation sides broadcast;
+    the only big shuffle is lineitem⋈orders on orderkey, then one
+    partial-aggregated groupBy on (nation, year). Profit sums are
+    quantized (order-independent)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_qval(_qsum(amount)).alias("sum_profit"))
+    )
+    return out
+
+
+Q_TPCH_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       {_qsum_sql(_Q9_AMOUNT)} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# Q11's importance threshold: share > 1.2x the mean share. TPC-H's
+# fixed fraction (0.0001/SF) needs the scale factor baked into the
+# query; an above-average multiple is scale-invariant and still the
+# same scalar-subquery shape. Compared on quantized integers.
+_Q11_NATIONS = ("NATION_12", "NATION_13", "NATION_15")
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock (TPC-H Q11 shape): per-part inventory value from
+    a nation group's suppliers, kept when above 1.2x the average part's
+    value — the scalar-subquery-threshold shape. No partsupp table in
+    the testdata: lineitem provides the supplier-part link, quantity x
+    retail price the value proxy.
+
+    Scale: nation-filtered supplier side broadcasts into lineitem; one
+    shuffle for the per-part aggregation; the grand total re-aggregates
+    the per-part frame and broadcasts back as a single row. The
+    threshold compares quantized integers, not doubles."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q11_NATIONS))
+    value_q = _qsum(F.col("l_quantity") * F.col("p_retailprice"))
+    per_part = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(value_q.alias("value_q"))
+    )
+    total = per_part.agg(
+        F.sum("value_q").alias("total_q"), F.count(F.lit(1)).alias("n_parts")
+    )
+    out = (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_q") * F.col("n_parts") * 10 > F.col("total_q") * 12
+        )
+        .select("p_partkey", _qval(F.col("value_q")).alias("value"))
+    )
+    return out
+
+
+Q_TPCH_Q11_SQL = f"""
+WITH per_part AS (
+  SELECT p_partkey,
+         SUM(CAST(FLOOR(l_quantity * p_retailprice * {_Q} + 0.5)
+             AS DECIMAL(38,0))) AS value_q
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+             AND n_name IN {_Q11_NATIONS!r}
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY p_partkey
+),
+tot AS (SELECT SUM(value_q) AS total_q, COUNT(*) AS n_parts FROM per_part)
+SELECT p_partkey, CAST(value_q AS DOUBLE) / {_Q}.0 AS value
+FROM per_part, tot
+WHERE value_q * n_parts * 10 > total_q * 12
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion (TPC-H Q20 shape): nested semi-join
+    chain — suppliers selected by an aggregated-HAVING subquery (their
+    1997 shipped quantity of name-filtered parts exceeds a threshold),
+    restricted to a nation subset. No partsupp: the availability
+    subquery becomes a shipped-quantity aggregate over lineitem.
+
+    Scale: part filter broadcasts into lineitem, the per-(supplier,
+    part) aggregate is one shuffle, and the resulting supplier-key set
+    is tiny — a broadcast semi-join into supplier. Quantity sums are
+    quantized for the exact threshold compare."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    qty_q = _qsum(F.col("l_quantity"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(qty_q.alias("qty_q"))
+        .filter(F.col("qty_q") > 45 * _Q)
+        .select("l_suppkey")
+        .distinct()
+    )
+    out = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+    return out
+
+
+Q_TPCH_Q20_SQL = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(FLOOR(l_quantity * {_Q} + 0.5) AS DECIMAL(38,0))) > 45 * {_Q}
+)
+"""
+
+
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share (TPC-H Q8 shape): a supplier nation's
     revenue share per year within one region's orders — conditional
@@ -1401,6 +1571,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q19_discounted_revenue": (q_tpch_q19, Q_TPCH_Q19_SQL),
     "tpch_q21_waiting_suppliers": (q_tpch_q21, Q_TPCH_Q21_SQL),
     "tpch_q22_idle_customers": (q_tpch_q22, Q_TPCH_Q22_SQL),
+    "tpch_q9_product_profit": (q_tpch_q9, Q_TPCH_Q9_SQL),
+    "tpch_q11_important_stock": (q_tpch_q11, Q_TPCH_Q11_SQL),
+    "tpch_q20_part_promotion": (q_tpch_q20, Q_TPCH_Q20_SQL),
     "last_event_per_user": (q_last_event_per_user, Q_LAST_EVENT_SQL),
     "merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "merge_upsert_delete": (q_merge_upsert_delete, Q_MERGE_UPSERT_DELETE_SQL),
