@@ -127,6 +127,24 @@ def assign_list(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def seed_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> list[list[float]]:
+    """The k-means *init* centroids alone: the k vectors with smallest
+    ids. No Lloyd iterations, so the whole IVF pipeline (assignment,
+    probing, ranking) is a closed-form function of the input and can be
+    mirrored exactly by a SQL oracle. ``kmeans_fit`` refines these when
+    recall matters more than checkability."""
+    return [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+
+
 def kmeans_fit(
     df: DataFrame,
     *,

@@ -453,16 +453,89 @@ Q_ANN_COSINE_SQL = _ann_sql(bucketed=False)
 _ANN_PLANES = 6
 
 
+_IVF_LISTS = 8
+_IVF_PROBE = 2
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: deterministic k-means coarse quantizer
-    (8 lists, 3 Lloyd iterations), probing the 2 nearest lists per
-    query. No SQL oracle — the index build is iterative — so the driver
-    records the weaker rows-only check; exactness vs brute force is
-    covered by unit tests (n_probe = n_lists degrades to exact)."""
+    """IVF approximate top-5 with a *seeded* coarse quantizer: the 8
+    init centroids (smallest vec_ids) without Lloyd refinement, probing
+    the 2 nearest lists per query. Seeding makes the whole pipeline a
+    closed-form function of the input, so the SQL oracle reproduces it
+    bit-exactly (quantized integer distances, see operators/ann.py).
+    The iterative ``kmeans_fit`` refinement is covered by unit tests
+    (n_probe = n_lists degrades to exact brute force)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ann.kmeans_fit(emb, k=8, iters=3)
+    cents = ann.seed_centroids(emb, k=_IVF_LISTS)
     queries = emb.filter(F.col("vec_id") < _ANN_NQ)
-    return ann.ivf_topk(queries, emb, cents, k=_ANN_K, n_probe=2)
+    return ann.ivf_topk(queries, emb, cents, k=_ANN_K, n_probe=_IVF_PROBE)
+
+
+_QD = ann.QD
+
+Q_ANN_IVF_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT vec_id AS list_id, d, vq AS sq FROM elq WHERE vec_id < {_IVF_LISTS}
+),
+dists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists WHERE vec_id < {_ANN_NQ}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el q ON q.vec_id = c.query_id
+  JOIN el n ON n.vec_id = c.neighbor_id AND n.d = q.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         (d.dq / {_QE}.0) / (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) AS cosine
+  FROM dots d
+  JOIN norms nq1 ON nq1.vec_id = d.query_id
+  JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,7 +1116,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),

@@ -9,6 +9,7 @@ for the Pandas-UDF slow path.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import SparkSession
@@ -60,6 +61,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@functools.lru_cache(maxsize=256)
+def _ns_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Names of nanosecond-precision timestamp columns in a parquet file.
+
+    Driver-side metadata probe, cached per path so the 67-query registry
+    pays the footer read once per table, not once per query.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        sch = pq.read_schema(path)
+        return tuple(
+            f.name
+            for f in sch
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    except Exception:  # pragma: no cover - pyarrow always present in env
+        return ()
+
+
+_NANOS_CONF_SESSIONS: set[int] = set()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata table, normalizing nanosecond-precision parquet
     timestamps to Spark's microsecond TimestampType.
@@ -76,27 +101,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # SparkSession without engine confs; nanosAsLong is a runtime SQL conf,
     # so set it here rather than relying on get_spark() having built the
     # session. Without it every read of the ns-timestamp `events` parquet
-    # dies with PARQUET_TYPE_ILLEGAL.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
-        pass
+    # dies with PARQUET_TYPE_ILLEGAL. Once per session, not per read.
+    if id(spark) not in _NANOS_CONF_SESSIONS:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
+            pass
+        _NANOS_CONF_SESSIONS.add(id(spark))
 
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
-    try:
-        import pyarrow.parquet as pq
-        import pyarrow as pa
-
-        sch = pq.read_schema(path)
-        for field in sch:
-            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
-                )
-    except Exception:  # pragma: no cover - pyarrow always present in env
-        pass
+    for col in _ns_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

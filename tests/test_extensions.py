@@ -378,7 +378,7 @@ def test_approx_stats_error_bounds(spark, sf_dir):
     for et, a in approx.items():
         x = exact[et]
         assert abs(a["approx_users"] - x["users"]) <= max(2, 0.05 * x["users"])
-        assert abs(a["value_quantiles"][0] - x["p50"]) <= 0.05 * max(abs(x["p50"]), 1.0)
+        assert abs(a["p50"] - x["p50"]) <= 0.05 * max(abs(x["p50"]), 1.0)
 
 
 # ---------------------------------------------------------------------------
