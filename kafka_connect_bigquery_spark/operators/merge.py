@@ -110,11 +110,28 @@ def merge_upsert_delete(
     return untouched.unionByName(live)
 
 
+def _latest_tombstones(
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tombstone_col: str,
+) -> DataFrame:
+    """Per key, the sequence number of the newest tombstone in the batch
+    (the reference's ``deletes`` subquery, MergeQueries.java:382-390)."""
+    return (
+        batch.filter(F.col(tombstone_col))
+        .groupBy(*key_cols)
+        .agg(F.max(order_col).alias("__del_i"))
+    )
+
+
 def surviving_after_tombstones(
     batch: DataFrame,
     key_cols: Sequence[str],
     order_col: str = "i",
     tombstone_col: str = "__tombstone",
+    *,
+    latest_tombstone: DataFrame | None = None,
 ) -> DataFrame:
     """Drop batch rows that precede their key's latest tombstone.
 
@@ -124,15 +141,13 @@ def surviving_after_tombstones(
     table must honor them too (a row upserted then tombstoned within one
     batch never lands). Returns the batch minus pre-tombstone rows; the
     tombstone rows themselves are retained (callers filter them out when
-    building inserts).
+    building inserts). Callers that also need the tombstone keys pass a
+    precomputed ``latest_tombstone`` so the aggregate is planned once.
     """
     if tombstone_col not in batch.columns:
         return batch
-    latest_tombstone = (
-        batch.filter(F.col(tombstone_col))
-        .groupBy(*key_cols)
-        .agg(F.max(order_col).alias("__del_i"))
-    )
+    if latest_tombstone is None:
+        latest_tombstone = _latest_tombstones(batch, key_cols, order_col, tombstone_col)
     with_del = batch.join(latest_tombstone, on=list(key_cols), how="left")
     return with_del.filter(
         F.col("__del_i").isNull() | (F.col(order_col) >= F.col("__del_i"))
@@ -166,10 +181,13 @@ def merge_delete_only(
     excluding the tombstones themselves).
     """
     value_cols = [c for c in dest.columns]
-    surviving = surviving_after_tombstones(batch, key_cols, order_col, tombstone_col)
-    inserts = surviving.filter(~F.col(tombstone_col)).select(*value_cols)
-    tombstoned_keys = (
-        batch.filter(F.col(tombstone_col)).select(*key_cols).distinct()
+    latest_tombstone = _latest_tombstones(batch, key_cols, order_col, tombstone_col)
+    surviving = surviving_after_tombstones(
+        batch, key_cols, order_col, tombstone_col, latest_tombstone=latest_tombstone
     )
+    inserts = surviving.filter(~F.col(tombstone_col)).select(*value_cols)
+    # reuse the aggregate for the delete keys — already unique per key,
+    # no extra distinct shuffle
+    tombstoned_keys = latest_tombstone.select(*key_cols)
     kept_dest = dest.join(tombstoned_keys, on=list(key_cols), how="left_anti")
     return kept_dest.unionByName(inserts)
