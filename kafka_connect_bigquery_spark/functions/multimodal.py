@@ -18,11 +18,16 @@ partition sizing — is the part that carries to production unchanged.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The codec seam: bytes -> (width, height, n_frames). Anything with this
+# signature — PIL, turbojpeg, a model server client — drops into
+# decode_image_meta unchanged (contract-tested in tests/test_extensions.py).
+Decoder = Callable[[bytes], tuple[int, int, int]]
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -55,13 +60,20 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:  # pragma: no cov
     )
 
 
-def decode_image_meta(df: DataFrame, *, batch_hint: int = 10_000) -> DataFrame:
+def decode_image_meta(
+    df: DataFrame,
+    *,
+    decoder: Decoder | None = None,
+    batch_hint: int = 10_000,
+) -> DataFrame:
     """Arrow-batched 'decode': mapInPandas over (doc_id, payload).
 
-    The stand-in derives width/height/frames from the payload's md5 so
-    results are deterministic and oracle-checkable; swap the body for
-    ``decode_image_real`` per row (or a vectorized codec) in production.
-    Batch shape and declared output schema are the real contract.
+    ``decoder`` is the pluggable codec seam (``Decoder``: bytes ->
+    (width, height, n_frames)); pass ``decode_image_real`` once codecs
+    exist, or any custom callable. With the default ``None`` the
+    deterministic md5 stand-in runs, so results stay oracle-checkable in
+    this codec-less environment. Batch shape and the declared output
+    schema are the contract either way.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -70,9 +82,15 @@ def decode_image_meta(df: DataFrame, *, batch_hint: int = 10_000) -> DataFrame:
             out = pdf[["doc_id"]].copy()
             out["n_bytes"] = pdf["payload"].map(len).astype("int64")
             out["content_md5"] = md5s
-            out["width"] = md5s.map(lambda m: 1 + int(m[0:2], 16)).astype("int64")
-            out["height"] = md5s.map(lambda m: 1 + int(m[2:4], 16)).astype("int64")
-            out["n_frames"] = (1 + out["n_bytes"] % 7).astype("int64")
+            if decoder is None:
+                out["width"] = md5s.map(lambda m: 1 + int(m[0:2], 16)).astype("int64")
+                out["height"] = md5s.map(lambda m: 1 + int(m[2:4], 16)).astype("int64")
+                out["n_frames"] = (1 + out["n_bytes"] % 7).astype("int64")
+            else:
+                decoded = pdf["payload"].map(lambda b: decoder(bytes(b)))
+                out["width"] = decoded.map(lambda t: t[0]).astype("int64")
+                out["height"] = decoded.map(lambda t: t[1]).astype("int64")
+                out["n_frames"] = decoded.map(lambda t: t[2]).astype("int64")
             yield out
 
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)

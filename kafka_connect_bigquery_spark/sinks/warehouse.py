@@ -19,6 +19,20 @@ Pure parquet (no Delta dependency): MERGE rewrites the table
 atomically via write-to-tmp + rename. At 100 TB the same interface
 backs onto Delta/Iceberg MERGE INTO; the layout decisions (partition
 column + key-hash bucketing) are what carry over.
+
+Crash safety of the bucketed MERGE (the 100 TB path): bucket data is
+immutable — each merge writes *new* generation directories
+(``__bucket=<b>/gen=<G>/``) next to the old ones, then commits by
+atomically replacing the layout manifest that maps bucket -> current
+generation, then garbage-collects superseded generations. The commit
+point is a single-file rename, which maps to a single-key atomic PUT
+on S3/GCS (where directory renames are neither atomic nor cheap); a
+crash before the manifest swap leaves readers on the old complete
+generation set, a crash after it leaves only unreferenced garbage
+that the next merge sweeps. This is the same manifest-commit idea as
+Iceberg/Delta's log, reduced to one JSON file per table; the
+reference instead leans on BigQuery MERGE being server-side atomic
+(MergeQueries.java:163-174).
 """
 
 from __future__ import annotations
@@ -124,11 +138,18 @@ class Warehouse:
             return json.load(f)
 
     def _write_layout_meta(self, table: str, meta: dict) -> None:
+        """Atomically replace the layout manifest: write a temp file and
+        rename over the old one. The rename IS the commit point for
+        bucketed-merge generations — on a local FS it's atomic by POSIX;
+        on an object store it maps to a single-key PUT (also atomic),
+        unlike the directory renames it replaces."""
         import json
 
         os.makedirs(self.path(table), exist_ok=True)
-        with open(self._layout_path(table), "w") as f:
+        tmp = self._layout_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, self._layout_path(table))
 
     def table_bytes(self, table: str) -> int:
         """Total stored parquet bytes (drives the bucketed-merge cutover)."""
@@ -144,7 +165,7 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         p = self.path(table)
         return os.path.isdir(p) and any(
-            n.startswith(("p_", "part-", "__bucket=")) or n == "_SUCCESS"
+            n.startswith(("p_", "part-", "__bucket=")) or n in ("_SUCCESS", "_buckets")
             for n in os.listdir(p)
         )
 
@@ -154,8 +175,27 @@ class Warehouse:
             return None
         return self.read(table).schema
 
+    def _bucket_gen_dir(self, table: str, bucket: int | str, gen: int) -> str:
+        # _buckets/ is underscore-prefixed so Spark's file index treats it
+        # as metadata and plain reads of the table dir never see it — that
+        # is what makes the one-time migration crash-safe (old flat files
+        # stay readable until the manifest commit).
+        return os.path.join(self.path(table), "_buckets", str(bucket), f"gen={gen}")
+
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        """Read a table, resolving bucketed tables through the generation
+        manifest so stale (superseded or half-written) generation dirs
+        are never visible to readers."""
+        meta = self.layout_meta(table)
+        gens = meta.get("generations")
+        if gens is None:
+            return self.spark.read.parquet(self.path(table))
+        if not gens:
+            raise WarehouseError(
+                f"table {table} has no live buckets (every key deleted)"
+            )
+        paths = [self._bucket_gen_dir(table, b, g) for b, g in gens.items()]
+        return self.spark.read.parquet(*paths)
 
     # -- write paths ----------------------------------------------------
     def _with_partition(self, df: DataFrame, spec: TableSpec) -> DataFrame:
@@ -245,7 +285,13 @@ class Warehouse:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(tmp)
         final = self.path(table)
-        meta = self.layout_meta(table)
+        # layout facts survive an overwrite, but generation pointers
+        # don't — the bucketed data they referenced is gone
+        meta = {
+            k: v
+            for k, v in self.layout_meta(table).items()
+            if k not in ("generations", "generation")
+        }
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -314,6 +360,79 @@ class Warehouse:
         self.overwrite(merged_local, table, spec)
 
     # -- bucketed MERGE (the 100 TB path) -------------------------------
+    def _move_dir(self, src: str, dst: str) -> None:
+        """Stage one bucket generation into place. A rename, not a copy;
+        factored out so crash tests can kill the commit mid-flight. A
+        pre-existing ``dst`` can only be garbage from a crashed previous
+        attempt (the manifest never references a generation before its
+        commit), so clear it."""
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+
+    def _commit_bucket_generations(
+        self,
+        table: str,
+        tmp: str,
+        buckets: list[int],
+        *,
+        n_buckets: int,
+        key_cols: list[str],
+    ) -> None:
+        """Publish new generation dirs for ``buckets`` from a staged
+        ``tmp`` write (partitioned by ``__bucket``), then commit via one
+        atomic manifest replace, then GC superseded generations.
+
+        Crash at any point is safe: before the manifest replace, readers
+        resolve the old manifest to old complete generations (the new
+        dirs are unreferenced); after it, only garbage remains, swept by
+        the next commit's GC pass.
+        """
+        meta = self.layout_meta(table)
+        gens: dict[str, int] = dict(meta.get("generations") or {})
+        new_gen = int(meta.get("generation", -1)) + 1
+        for b in buckets:
+            src_b = os.path.join(tmp, f"__bucket={b}")
+            if os.path.isdir(src_b):
+                self._move_dir(src_b, self._bucket_gen_dir(table, b, new_gen))
+                gens[str(b)] = new_gen
+            else:
+                # merge emptied this bucket (all its keys deleted)
+                gens.pop(str(b), None)
+        self._write_layout_meta(
+            table,
+            {
+                "key_bucket_count": n_buckets,
+                "key_cols": list(key_cols),
+                "generation": new_gen,
+                "generations": gens,
+            },
+        )
+        # -- post-commit GC (idempotent; a crash here just leaves
+        #    unreferenced dirs for the next pass) ----------------------
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._gc_stale(table, gens)
+
+    def _gc_stale(self, table: str, gens: dict[str, int]) -> None:
+        """Remove generation dirs the manifest no longer references, and
+        pre-migration flat files once a bucketed layout is live."""
+        tdir = self.path(table)
+        broot = os.path.join(tdir, "_buckets")
+        if os.path.isdir(broot):
+            for b in os.listdir(broot):
+                bdir = os.path.join(broot, b)
+                live = gens.get(b)
+                for g in os.listdir(bdir):
+                    if g != f"gen={live}":
+                        shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)
+                if live is None:
+                    shutil.rmtree(bdir, ignore_errors=True)
+        for name in os.listdir(tdir):
+            if name.startswith(("part-", "p_")) or name == "_SUCCESS":
+                p = os.path.join(tdir, name)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
     def _merge_bucketed(
         self,
         batch: DataFrame,
@@ -326,51 +445,70 @@ class Warehouse:
         n_buckets: int,
     ) -> None:
         """MERGE against a key-hash-bucketed layout: only buckets whose
-        keys appear in the batch are read, merged, and replaced —
-        untouched buckets are never opened (SURVEY §7 hard part (d):
-        bounded per-merge work regardless of table size).
+        keys appear in the batch are read, merged, and republished as new
+        generation dirs — untouched buckets are never opened (SURVEY §7
+        hard part (d): bounded per-merge work regardless of table size).
 
-        Layout: parquet partitioned by ``__bucket = pmod(hash(keys), n)``.
-        The same expression buckets batch and table, so the merge join
-        is bucket-to-bucket co-located; cost scales with the batch's key
-        spread, not the stored row count.
+        Layout: ``_buckets/<b>/gen=<G>/*.parquet`` where
+        ``b = pmod(hash(keys), n)``; the manifest maps bucket -> live
+        generation. The same bucket expression is applied to batch and
+        stored data, so the merge join is bucket-to-bucket co-located;
+        cost scales with the batch's key spread, not the stored row
+        count. Reading only the touched buckets' gen dirs is manifest-
+        driven partition pruning (the Iceberg/Delta file-pruning idea
+        with a one-file log).
         """
         from kafka_connect_bigquery_spark.operators import merge as M
 
         bucket_expr = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
         drop_helpers = [c for c in (order_col, tombstone_col) if c in batch.columns]
         batch = batch.withColumn("__bucket", bucket_expr)
-        tdir = self.path(table)
 
         if not self.exists(table):
             first = _first_batch_state(batch, key_cols, mode, order_col, tombstone_col)
+            tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
             first.drop(*drop_helpers).write.mode("overwrite").partitionBy(
                 "__bucket"
-            ).parquet(tdir)
-            self._write_layout_meta(table, {"key_bucket_count": n_buckets})
+            ).parquet(tmp)
+            self._commit_bucket_generations(
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+            )
             return
 
-        # one-time migration: table exists but is not bucket-partitioned
-        # (it grew past bucket_threshold_bytes under the rewrite path).
-        # Rewrite once into the bucketed layout, then merge incrementally
-        # forever after.
-        stored = self.read(table)
-        if "__bucket" not in stored.columns:
-            migrated = stored.withColumn("__bucket", bucket_expr)
+        # one-time migration: table exists but is not bucketed (it grew
+        # past bucket_threshold_bytes under the rewrite path). Stage the
+        # bucketed rewrite and commit; the old flat files keep serving
+        # reads until the manifest lands, then get GC'd.
+        meta = self.layout_meta(table)
+        if meta.get("generations") is None:
+            migrated = self.read(table).withColumn("__bucket", bucket_expr)
             tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
             migrated.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-            shutil.rmtree(tdir)
-            os.replace(tmp, tdir)
-        self._write_layout_meta(table, {"key_bucket_count": n_buckets})
+            self._commit_bucket_generations(
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+            )
 
         touched = sorted(
             r["__bucket"] for r in batch.select("__bucket").distinct().collect()
         )
-        # partition-pruned read: only touched bucket directories
-        dest = self.read(table)
-        dest_touched = dest.filter(F.col("__bucket").isin(touched)).drop("__bucket")
+        # manifest-driven pruning: open only the touched buckets' live
+        # generation dirs (no filter needed — the untouched data is
+        # never listed, let alone read)
+        gens = self.layout_meta(table).get("generations") or {}
+        dest_paths = [
+            self._bucket_gen_dir(table, b, gens[str(b)])
+            for b in touched
+            if str(b) in gens
+        ]
+        if dest_paths:
+            dest_touched = self.spark.read.parquet(*dest_paths)
+        else:
+            dest_touched = None
         batch_t = batch.drop("__bucket")
-        if mode == "upsert":
+        if dest_touched is None:
+            merged = _first_batch_state(batch_t, key_cols, mode, order_col, tombstone_col)
+            merged = merged.drop(*[c for c in drop_helpers if c in merged.columns])
+        elif mode == "upsert":
             merged = M.merge_upsert(dest_touched, batch_t, key_cols, order_col)
         elif mode == "upsert_delete":
             merged = M.merge_upsert_delete(
@@ -381,22 +519,17 @@ class Warehouse:
                 dest_touched, batch_t, key_cols, order_col, tombstone_col
             )
         merged = merged.withColumn("__bucket", bucket_expr)
-        merged_local = merged.localCheckpoint(eager=True)
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
-        merged_local.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-        # swap ONLY the touched bucket directories
-        for b in touched:
-            src_b = os.path.join(tmp, f"__bucket={b}")
-            dst_b = os.path.join(tdir, f"__bucket={b}")
-            if os.path.isdir(dst_b):
-                shutil.rmtree(dst_b)
-            if os.path.isdir(src_b):
-                os.replace(src_b, dst_b)
-        shutil.rmtree(tmp)
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        self._commit_bucket_generations(
+            table, tmp, touched, n_buckets=n_buckets, key_cols=key_cols
+        )
 
     def read_bucketed(self, table: str) -> DataFrame:
-        """Read a bucketed table without the layout column."""
-        return self.read(table).drop("__bucket")
+        """Read a bucketed table (generation-resolved; the bucket id is
+        physical layout, not data, so no column to drop)."""
+        df = self.read(table)
+        return df.drop("__bucket") if "__bucket" in df.columns else df
 
     # -- compaction ------------------------------------------------------
     def compact(
@@ -426,9 +559,26 @@ class Warehouse:
         df = self.read(table)
         n_rows = df.count()
         n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
-        part_cols = [spec.partition_col] if spec.partition_col else (
-            ["__bucket"] if "__bucket" in df.columns else []
-        )
+        meta = self.layout_meta(table)
+        if meta.get("generations") is not None:
+            # bucketed layout: recompute the bucket id from the persisted
+            # key columns and republish every bucket as a new generation
+            # (same crash-safe commit as a merge)
+            key_cols = meta["key_cols"]
+            n_buckets = int(meta["key_bucket_count"])
+            bucket_expr = F.pmod(
+                F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+            )
+            out = df.withColumn("__bucket", bucket_expr).repartition(n_out, "__bucket")
+            tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+            self._sorted_within(out, spec).write.mode("overwrite").partitionBy(
+                "__bucket"
+            ).parquet(tmp)
+            self._commit_bucket_generations(
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+            )
+            return len(files)
+        part_cols = [spec.partition_col] if spec.partition_col else []
         if part_cols:
             df = df.repartition(n_out, *part_cols)
         else:
@@ -442,7 +592,6 @@ class Warehouse:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
         final = self.path(table)
-        meta = self.layout_meta(table)
         shutil.rmtree(final)
         os.replace(tmp, final)
         if meta:

@@ -26,16 +26,11 @@ def _state(wh, table):
     }
 
 
-def _bucket_mtimes(wh, table):
-    tdir = wh.path(table)
-    out = {}
-    for name in os.listdir(tdir):
-        if name.startswith("__bucket="):
-            d = os.path.join(tdir, name)
-            out[name] = max(
-                os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
-            )
-    return out
+def _bucket_gens(wh, table):
+    """bucket -> live generation from the manifest (the unit of
+    rewrite: a merge bumps the generation of exactly the touched
+    buckets)."""
+    return dict(wh.layout_meta(table).get("generations") or {})
 
 
 def test_bucketed_upsert_result_and_pruning(spark, tmp_path):
@@ -43,18 +38,18 @@ def test_bucketed_upsert_result_and_pruning(spark, tmp_path):
     base = _mk(spark, [(k, f"v{k}", k, False) for k in range(50)])
     wh.merge(base, "t", ["k"], mode="upsert", spec=SPEC)
     assert _state(wh, "t") == {(k, f"v{k}") for k in range(50)}
-    before = _bucket_mtimes(wh, "t")
+    before = _bucket_gens(wh, "t")
     assert len(before) > 1  # data actually spread over buckets
 
-    # batch touches a single key -> a single bucket
+    # batch touches two keys -> at most two buckets
     batch = _mk(spark, [(7, "updated", 100, False), (999, "new", 101, False)])
     wh.merge(batch, "t", ["k"], mode="upsert", spec=SPEC)
     expect = {(k, f"v{k}") for k in range(50) if k != 7} | {(7, "updated"), (999, "new")}
     assert _state(wh, "t") == expect
 
-    after = _bucket_mtimes(wh, "t")
+    after = _bucket_gens(wh, "t")
     touched_buckets = {
-        f"__bucket={r['b']}"
+        str(r["b"])
         for r in batch.select(
             F.pmod(F.hash("k"), F.lit(N_BUCKETS)).alias("b")
         ).collect()
@@ -62,9 +57,9 @@ def test_bucketed_upsert_result_and_pruning(spark, tmp_path):
     untouched = set(before) - touched_buckets
     assert untouched, "test needs untouched buckets"
     for name in untouched:
-        assert after[name] == before[name], f"{name} was rewritten needlessly"
+        assert after[name] == before[name], f"bucket {name} was rewritten needlessly"
     for name in touched_buckets:
-        assert after[name] != before.get(name), f"{name} should have been rewritten"
+        assert after[name] != before.get(name), f"bucket {name} should have been rewritten"
 
 
 def test_bucketed_upsert_delete(spark, tmp_path):
@@ -114,10 +109,9 @@ def test_compact_preserves_bucket_layout(spark, tmp_path):
     before = _state(wh, "t")
     wh.compact("t", TableSpec(partition_grain="NONE"), target_file_rows=1_000_000)
     assert _state(wh, "t") == before
-    # bucket directories survive compaction (merge pruning still works)
-    assert any(
-        n.startswith("__bucket=") for n in _os.listdir(wh.path("t"))
-    )
+    # the bucketed layout survives compaction (merge pruning still works)
+    assert _bucket_gens(wh, "t")
+    assert "_buckets" in _os.listdir(wh.path("t"))
     wh.merge(_mk(spark, [(1, "post", 999, False)]), "t", ["k"], mode="upsert", spec=SPEC)
     assert (1, "post") in _state(wh, "t")
 
@@ -153,7 +147,9 @@ def test_merge_auto_cutover_to_bucketed(spark, tmp_path):
              mode="upsert", spec=plain)
     # second merge: size (> 1 byte) triggers migration + bucketed path
     wh.merge(_mk(spark, [(5, "new", 100, False)]), "t", ["k"], mode="upsert", spec=plain)
-    assert any(n.startswith("__bucket=") for n in os.listdir(wh.path("t")))
+    assert _bucket_gens(wh, "t")
+    # migration GC'd the pre-migration flat files (post-commit)
+    assert not any(n.startswith("part-") for n in os.listdir(wh.path("t")))
     n = wh.layout_meta("t").get("key_bucket_count")
     assert n and n >= 16
     got = {(r["k"], r["v"]) for r in wh.read_bucketed("t").select("k", "v").collect()}
@@ -192,3 +188,102 @@ def test_first_batch_delete_only_pre_tombstone_drop(spark, tmp_path):
         read = wh.read_bucketed(table) if spec.key_bucket_count else wh.read(table)
         got = {(r["k"], r["v"]) for r in read.select("k", "v").collect()}
         assert got == {(1, "late"), (2, "solo")}, table
+
+
+# ---------------------------------------------------------------------------
+# crash safety: the manifest is the commit point
+# ---------------------------------------------------------------------------
+
+
+def test_crash_mid_commit_keeps_old_generation_readable(spark, tmp_path, monkeypatch):
+    """Kill the commit after the first bucket-generation rename: the
+    manifest still references only old, complete generations, so reads
+    see exactly the pre-merge state (no torn mix of old and new
+    buckets). Retrying the merge then converges."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _mk(spark, [(k, f"v{k}", k, False) for k in range(40)])
+    wh.merge(base, "t", ["k"], mode="upsert", spec=SPEC)
+    state0 = _state(wh, "t")
+    gens0 = _bucket_gens(wh, "t")
+
+    # batch spans several buckets so the commit has >1 rename to die in
+    batch = _mk(spark, [(k, "updated", 100 + k, False) for k in range(10)])
+    n_touched = batch.select(
+        F.pmod(F.hash("k"), F.lit(N_BUCKETS)).alias("b")
+    ).distinct().count()
+    assert n_touched > 1
+
+    orig = Warehouse._move_dir
+    calls = {"n": 0}
+
+    def dying(self, src, dst):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash mid-commit")
+        calls["n"] += 1
+        orig(self, src, dst)
+
+    monkeypatch.setattr(Warehouse, "_move_dir", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        wh.merge(batch, "t", ["k"], mode="upsert", spec=SPEC)
+
+    # old generation set fully intact — not one new row, not one lost row
+    assert _state(wh, "t") == state0
+    assert _bucket_gens(wh, "t") == gens0
+
+    # recovery: re-running the merge sweeps the orphaned generation dir
+    # and commits normally
+    monkeypatch.setattr(Warehouse, "_move_dir", orig)
+    wh.merge(batch, "t", ["k"], mode="upsert", spec=SPEC)
+    expect = {(k, "updated") for k in range(10)} | {
+        (k, f"v{k}") for k in range(10, 40)
+    }
+    assert _state(wh, "t") == expect
+
+
+def test_crash_before_any_rename_is_a_noop(spark, tmp_path, monkeypatch):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    state0 = _state(wh, "t")
+
+    def dying(self, src, dst):
+        raise RuntimeError("simulated crash before staging")
+
+    monkeypatch.setattr(Warehouse, "_move_dir", dying)
+    with pytest.raises(RuntimeError):
+        wh.merge(_mk(spark, [(3, "x", 99, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    assert _state(wh, "t") == state0
+
+
+def test_stale_generations_invisible_and_swept(spark, tmp_path):
+    """Superseded generation dirs are GC'd by the commit; even if GC
+    died, reads resolve the manifest and never see them."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    wh.merge(_mk(spark, [(1, "b2", 50, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    wh.merge(_mk(spark, [(1, "b3", 60, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    # exactly one gen dir per live bucket on disk
+    broot = os.path.join(wh.path("t"), "_buckets")
+    gens = _bucket_gens(wh, "t")
+    for b in os.listdir(broot):
+        on_disk = os.listdir(os.path.join(broot, b))
+        assert on_disk == [f"gen={gens[b]}"]
+    assert (1, "b3") in _state(wh, "t")
+
+
+def test_delete_only_empties_bucket(spark, tmp_path):
+    """A merge that tombstones every key in a bucket drops the bucket
+    from the manifest; reads stay consistent."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(k, f"v{k}", k, False) for k in range(12)]
+    wh.merge(_mk(spark, rows), "t", ["k"], mode="upsert", spec=SPEC)
+    live0 = set(_bucket_gens(wh, "t"))
+    # tombstone every key -> every bucket empties
+    tomb = spark.createDataFrame(
+        [(k, None, 100 + k, True) for k in range(11)],
+        "k: bigint, v: string, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(tomb, "t", ["k"], mode="upsert_delete", spec=SPEC)
+    assert _state(wh, "t") == {(11, "v11")}
+    assert set(_bucket_gens(wh, "t")) < live0

@@ -503,3 +503,53 @@ def test_resize_stub_declares_target_dims(spark):
     out = multimodal.resize_stub(df, target=(128, 96))
     r = out.first()
     assert (r["resized_width"], r["resized_height"]) == (128, 96)
+
+
+def test_codec_seam_is_swappable_end_to_end(spark):
+    """Contract test for the declared codec seam: a plugged-in decoder
+    (decode_image_real's signature) must produce IMAGE_META_SCHEMA
+    output and drive the frame-sampling + feature pipeline unchanged."""
+    import struct
+
+    # defined inside the test so cloudpickle ships it by value (test
+    # modules aren't importable on executors) — a real codec would live
+    # in an installed package and pickle by reference
+    def _fake_png_decoder(payload: bytes) -> tuple[int, int, int]:
+        w, h, n = struct.unpack(">III", payload[:12])
+        return int(w), int(h), int(n)
+
+    rows = [
+        (1, bytearray(struct.pack(">III", 640, 480, 5) + b"imgdata-a")),
+        (2, bytearray(struct.pack(">III", 1920, 1080, 1) + b"imgdata-b")),
+    ]
+    packed = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+
+    meta = multimodal.decode_image_meta(packed, decoder=_fake_png_decoder)
+    assert meta.schema == multimodal.IMAGE_META_SCHEMA
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (640, 480, 5)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_frames"]) == (1920, 1080, 1)
+    # n_bytes/content_md5 come from the plumbing, not the codec
+    assert got[1]["n_bytes"] == 12 + len(b"imgdata-a")
+    assert got[1]["content_md5"] == hashlib.md5(bytes(rows[0][1])).hexdigest()
+
+    # downstream stages run unchanged on codec-decoded metadata
+    frames = multimodal.sample_frames(meta, every_nth=2)
+    idx = sorted((r["doc_id"], r["frame_index"]) for r in frames.collect())
+    assert idx == [(1, 0), (1, 2), (1, 4), (2, 0)]
+
+    feats = multimodal.extract_features(packed)
+    assert feats.schema == multimodal.FEATURES_SCHEMA
+    assert feats.count() == 2
+
+
+def test_codec_seam_default_matches_standin(spark):
+    """Omitting the decoder keeps the deterministic md5 stand-in —
+    the oracle-checked behavior — byte-identical."""
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    packed = multimodal.pack_payload(df, "doc_id", "text")
+    r = multimodal.decode_image_meta(packed).first()
+    m = hashlib.md5(b"hello").hexdigest()
+    assert r["width"] == 1 + int(m[0:2], 16)
+    assert r["height"] == 1 + int(m[2:4], 16)
+    assert r["n_frames"] == 1 + (r["n_bytes"] % 7)

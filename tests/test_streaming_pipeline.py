@@ -159,7 +159,8 @@ def test_upsert_delete_with_bucketed_layout(spark, tmp_path):
     _run_stream(pipe, spark, src, tmp_path, key_cols=["kkey"])
     got = {r.kkey: r.name for r in wh.read_bucketed("t").collect()}
     assert got == {"u1": "second"}
-    assert any(n.startswith("__bucket=") for n in os.listdir(wh.path("t")))
+    assert wh.layout_meta("t").get("generations"), "state should land bucketed"
+    assert "_buckets" in os.listdir(wh.path("t"))
 
 
 def test_batch_load_path(spark, tmp_path):
