@@ -158,6 +158,124 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style local fingerprinting)
+# --------------------------------------------------------------------------
+
+def _grams(c: Column, k: int) -> Column:
+    """Array of character k-grams of an (already materialized) canonical
+    text column.
+
+    ``c`` MUST be a plain attribute reference, not an inline expression:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated per element, so an inline regex canonicalization would
+    run len(c) times per document. The lambda body is a bare substr —
+    hashing happens later on exploded rows, where md5 runs inside
+    whole-stage codegen instead of the interpreted HOF path (~5x)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+
+
+def winnow_posts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprint postings (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every character k-gram, keep the minimum hash of
+    each window of ``w`` consecutive grams, distinct per document.
+    Guarantees any shared substring of length >= k + w - 1 produces at
+    least one shared fingerprint — *local* overlap detection, where
+    whole-document hashes only catch global duplicates.
+
+    Returns distinct (doc, fp) rows. Shape note: the gram array is
+    computed once per document *before* the repartition exchange, then
+    exploded; the window minimum is a single windowed pass over rows.
+    (A nested transform/slice over the array re-evaluates the gram
+    expression per window — O(len·w) md5 calls per doc — so the
+    row-based plan is the scale path.)
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # the exchange materializes the canonical text, so the HOF below
+    # sees a concrete string column (see _grams doc note)
+    canon = df.select(
+        F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("c")
+    ).repartition(par)
+    arrs = canon.select("doc", _grams(F.col("c"), k).alias("g"))
+    rows = arrs.select(
+        "doc", F.size("g").alias("n"), F.posexplode("g").alias("pos", "gram")
+    ).select(
+        "doc",
+        "n",
+        "pos",
+        # first 8 md5 hex digits as a bigint — engine- and
+        # partitioning-independent gram hash, codegen'd row-wise
+        F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("long").alias("gh"),
+    )
+    wspec = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        rows.withColumn("wm", F.min("gh").over(wspec))
+        # valid window starts only (0-based): 0 .. max(n - w, 0); a doc
+        # shorter than one window contributes its global min
+        .filter(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+        .select("doc", F.col("wm").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowed fingerprints.
+
+    Same inverted-index shape as the shingle join (shuffle candidates,
+    never the cross product), but over the winnowed selection — ~1/w of
+    the grams — so the postings list is a fraction of the full shingle
+    index at the same detection guarantee for overlaps >= k+w-1 chars.
+    Returns (id_a, id_b, n_shared, n_a, n_b) with id_a < id_b.
+    """
+    # materialize the postings once: five downstream branches (doc-freq
+    # guard, sizes, both sides of the candidate self-join) would each
+    # recompute the explode+window winnowing pipeline otherwise (at
+    # corpus scale the postings are a stored table between stages)
+    posts = winnow_posts(df, id_col, text_col, k=k, w=w).localCheckpoint(eager=True)
+    if max_doc_freq is not None:
+        freq = posts.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        posts = posts.join(
+            freq.filter(F.col("df_") <= max_doc_freq), "fp"
+        ).drop("df_").localCheckpoint(eager=True)
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = posts.select(F.col("doc").alias("id_a"), "fp")
+    b = posts.select(F.col("doc").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_a")
+        .join(sizes.withColumnRenamed("doc", "id_b"), "id_b")
+        .withColumnRenamed("n_fp", "n_b")
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 

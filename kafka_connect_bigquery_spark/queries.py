@@ -1629,6 +1629,8 @@ _PRIORITY_ORDER: list[str] = [
     # approx sketches + IVF (newly oracled / newly shaped)
     "events_approx_stats",
     "ann_ivf_topk",
+    # round-3 additions
+    "dedup_winnow",
 ]
 
 

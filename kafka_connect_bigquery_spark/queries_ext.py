@@ -101,6 +101,72 @@ WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {_JACCARD_MIN}
 """
 
 # ---------------------------------------------------------------------------
+# dedup: winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+# k=16/w=8: detect shared substrings >= 23 chars; the synthetic docs are
+# template-generated and share short runs ubiquitously, so short grams
+# make every pair a candidate. max_df=20 is the stop-fingerprint guard
+# (a fingerprint present in >20 docs is template noise, not overlap
+# signal — same role as the stop-shingle guard in the Jaccard pass).
+_WIN_K, _WIN_W = 16, 8
+_WIN_MIN_SHARED = 2
+_WIN_MAX_DF = 20
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs (MOSS local fingerprinting):
+    k-gram rolling hashes, window-minimum selection, inverted-index
+    join on shared fingerprints. Detects *local* overlaps (any shared
+    substring >= k+w-1 chars) that whole-document hashing misses, at
+    ~1/w of the full shingle index's postings volume."""
+    return dedup.winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_doc_freq=_WIN_MAX_DF,
+    )
+
+
+Q_DEDUP_WINNOW_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(c) - {_WIN_K - 1}, 1) + 1),
+           i -> CAST(concat('0x',
+                 substr(md5(substr(c, CAST(i AS INT), {_WIN_K})), 1, 8)) AS BIGINT)
+         ) AS g
+  FROM canon
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(g) - {_WIN_W - 1}, 1) + 1),
+           j -> list_aggregate(g[CAST(j AS INT):CAST(j + {_WIN_W - 1} AS INT)], 'min'))
+         ) AS f
+  FROM grams
+),
+posts AS (SELECT doc_id AS doc, unnest(f) AS fp FROM fps),
+kept AS (
+  SELECT p.doc, p.fp FROM posts p
+  JOIN (SELECT fp FROM posts GROUP BY fp
+        HAVING COUNT(*) <= {_WIN_MAX_DF}) ok USING (fp)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_fp FROM kept GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+)
+SELECT id_a, id_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b
+FROM pairs
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+"""
+
+# ---------------------------------------------------------------------------
 # dedup: MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1171,7 @@ FROM counts GROUP BY doc_id
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
+    "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),

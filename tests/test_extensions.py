@@ -106,6 +106,54 @@ def test_ngram_jaccard_stop_shingle_guard(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup: winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_locality_guarantee(spark):
+    """Winnowing's core property (SIGMOD'03 thm): any shared substring
+    of length >= k + w - 1 yields at least one shared fingerprint, even
+    when the rest of the documents differ completely."""
+    k, w = 8, 4
+    shared = "the common run of text both documents embed somewhere"
+    assert len(shared) >= k + w - 1
+    df = spark.createDataFrame(
+        [
+            (1, "first doc begins oddly " + shared + " then rambles on alone"),
+            (2, "completely unlike opening " + shared + " with another tail"),
+            (3, "no overlap here at all just unrelated words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_posts_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared boilerplate text") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, dedup.winnow_posts(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, dedup.winnow_posts(df.repartition(7), "doc_id", "text").collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    # shorter than one window -> exactly one fingerprint (global min)
+    df = spark.createDataFrame([(1, "tiny")], ["doc_id", "text"])
+    posts = dedup.winnow_posts(df, "doc_id", "text", k=8, w=4).collect()
+    assert len(posts) == 1
+
+
+# ---------------------------------------------------------------------------
 # dedup: MinHash + LSH
 # ---------------------------------------------------------------------------
 
