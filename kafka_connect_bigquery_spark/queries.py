@@ -1330,6 +1330,49 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles — the oracle-checkable twin of
+    ``events_approx_stats``. Values are quantized to 1e-4 integer quanta
+    before the percentile so the linear interpolation is exact dyadic
+    arithmetic (integer endpoints x dyadic fractions stay bit-identical
+    across engines; raw-double interpolation would not).
+
+    Scale: exact percentile needs the group's values together — one
+    shuffle on event_type, sort within group. For 100 TB interactive
+    use, prefer the sketch twin; this is the audit/verification path.
+    """
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT),"
+            " array(0.25D, 0.5D, 0.75D, 0.9D))"
+        ).alias("_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("_q")[0] / 10000.0).alias("p25"),
+        (F.col("_q")[1] / 10000.0).alias("p50"),
+        (F.col("_q")[2] / 10000.0).alias("p75"),
+        (F.col("_q")[3] / 10000.0).alias("p90"),
+        "n_events",
+    )
+
+
+_QUANT_INT = "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)"
+
+Q_EVENTS_VALUE_QUANTILES_SQL = f"""
+SELECT event_type,
+       quantile_cont({_QUANT_INT}, 0.25) / 10000.0 AS p25,
+       quantile_cont({_QUANT_INT}, 0.5) / 10000.0 AS p50,
+       quantile_cont({_QUANT_INT}, 0.75) / 10000.0 AS p75,
+       quantile_cont({_QUANT_INT}, 0.9) / 10000.0 AS p90,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/S8 analog: ingestion-time partition rollup — events bucketed to
     their HOUR partition (the reference's TimePartitioning grain,
@@ -1594,6 +1637,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, None),
+    "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
     "events_set_ops": (q_events_set_ops, Q_EVENTS_SET_OPS_SQL),
     "events_json_agg": (q_events_json_agg, Q_EVENTS_JSON_AGG_SQL),
     "top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_SQL),
@@ -1628,6 +1672,7 @@ _PRIORITY_ORDER: list[str] = [
     "text_top_terms",
     # approx sketches + IVF (newly oracled / newly shaped)
     "events_approx_stats",
+    "events_value_quantiles",
     "ann_ivf_topk",
     # round-3 additions
     "dedup_winnow",

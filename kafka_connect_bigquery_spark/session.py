@@ -105,6 +105,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if id(spark) not in _NANOS_CONF_SESSIONS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Without-timezone parquet timestamps (isAdjustedToUTC=false)
+            # would otherwise surface as TIMESTAMP_NTZ, a second timestamp
+            # type the engine would have to handle everywhere (e.g. NTZ
+            # forbids cast-to-double). Normalize at the read boundary: one
+            # engine-wide TimestampType, instants taken as UTC (the session
+            # timezone get_spark() pins).
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
             pass
         _NANOS_CONF_SESSIONS.add(id(spark))
