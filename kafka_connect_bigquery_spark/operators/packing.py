@@ -1,0 +1,165 @@
+"""Sequence packing and decontamination for LLM training-data pipelines.
+
+Two corpus-preparation operators the reference connector has no analog
+for (its job ends at the warehouse write; these consume the warehoused
+corpus):
+
+- ``sequence_pack``: concat-and-chunk packing of documents into
+  fixed-token-budget training sequences (the GPT-style pre-training
+  layout: documents are concatenated in a deterministic order and cut
+  every ``budget`` tokens, so a document may straddle a sequence
+  boundary). Sharded so packing parallelizes: each shard packs
+  independently, which is exactly how production pipelines shard their
+  tokenized corpus, and keeps the window sort per-shard instead of a
+  single global ORDER BY.
+
+- ``decontaminate``: n-gram overlap detection between a held-out split
+  and the training split (the GPT-3/PaLM eval-contamination check):
+  token n-grams of eval documents are matched against training
+  documents via an inverted-index equi-join on the n-gram hash.
+
+Both are pure DataFrame plans — no UDFs, no driver-side loops — and
+both are deterministic (md5-derived shards/hashes), so results are
+reproducible across engines, cluster sizes, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.functions.text import subword_tokens, tokens
+
+
+def _shard(col, n_shards: int, salt: str = "pack"):
+    """Deterministic shard in [0, n_shards) from a stable id (md5-based,
+    same draw the sampling operators use — pure per-row arithmetic)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each document its position in the packed training layout.
+
+    Within a shard, documents are ordered by id and concatenated; the
+    token stream is cut every ``budget`` tokens. Emits one row per
+    document: shard, token count, global token offset within the shard
+    stream, the sequence (pack) index its first token lands in, and
+    whether it straddles a sequence boundary (split across training
+    sequences).
+
+    Scale: one shuffle on ``shard`` for the running-sum window; shards
+    are md5-uniform so the sort is balanced, and ``n_shards`` bounds
+    per-task state at any corpus size. No global sort, no driver state.
+    """
+    toked = df.select(
+        F.col(id_col),
+        _shard(F.col(id_col), n_shards),
+        F.size(subword_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        toked.withColumn("token_end", cum)
+        .withColumn("token_offset", F.col("token_end") - F.col("n_tokens"))
+        .withColumn("seq_index", F.floor(F.col("token_offset") / budget))
+        .withColumn(
+            "straddles",
+            # last token of the doc falls in a later sequence than its
+            # first token (empty docs never straddle)
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("token_end") - 1) / budget)
+                != F.col("seq_index")
+            ),
+        )
+        .select(
+            id_col, "shard", "n_tokens", "token_offset", "seq_index", "straddles"
+        )
+    )
+
+
+def _gram_hashes(n: int):
+    """md5 hashes of whitespace-token n-grams over a ``_toks`` array
+    column. Guarded: Spark's ``sequence(1, 0)`` is the *descending*
+    sequence [1, 0], so short documents must short-circuit to an empty
+    array instead of relying on an empty sequence."""
+    return F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> md5(array_join(slice(_toks, i, {n}), ' ')))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    *,
+    train_split: str = "train",
+    eval_split: str = "test",
+    n: int = 5,
+    max_gram_doc_freq: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag training documents that share token ``n``-grams with any
+    eval-split document.
+
+    Returns one row per contaminated training document: the count of
+    distinct shared n-grams and of distinct eval documents hit. The
+    stop-gram guard (``max_gram_doc_freq``) drops n-grams present in
+    more than that many documents corpus-wide — boilerplate n-grams
+    carry no contamination signal and would otherwise make the
+    inverted-index join quadratic (same role as the stop-shingle guard
+    in the Jaccard dedup pass).
+
+    Scale: grams explode -> two equi-joins on the gram hash. The eval
+    side of a real corpus is tiny (benchmarks, not the crawl), so AQE
+    broadcasts it; the df-guard aggregation is one count per distinct
+    gram (map-side combinable).
+    """
+    posts = (
+        df.select(
+            F.col(id_col), F.col(split_col), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            id_col,
+            split_col,
+            F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
+        )
+    )
+    # stop-gram guard over the whole corpus (any split)
+    rare = (
+        posts.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") <= max_gram_doc_freq)
+        .select("gram")
+    )
+    guarded = posts.join(rare, "gram")
+    train = guarded.filter(F.col(split_col) == train_split).select(
+        F.col(id_col).alias("train_doc_id"), "gram"
+    )
+    eval_ = guarded.filter(F.col(split_col) == eval_split).select(
+        F.col(id_col).alias("eval_doc_id"), "gram"
+    )
+    hits = train.join(eval_, "gram")
+    return (
+        hits.groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )

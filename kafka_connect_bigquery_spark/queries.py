@@ -1676,6 +1676,8 @@ _PRIORITY_ORDER: list[str] = [
     "ann_ivf_topk",
     # round-3 additions
     "dedup_winnow",
+    "docs_sequence_pack",
+    "docs_decontaminate",
 ]
 
 

@@ -1165,6 +1165,114 @@ FROM counts GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# sequence packing + decontamination (training-data layout operators)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8  # sf-test value; production uses O(cluster cores)
+
+
+def q_docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: where each document's tokens
+    land in the fixed-budget training-sequence layout (shard, offset,
+    sequence index, boundary-straddle flag). See operators/packing.py
+    for the scale design (per-shard windows, no global sort)."""
+    from kafka_connect_bigquery_spark.operators import packing
+
+    return packing.sequence_pack(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+_SUBTOK_SQL = (
+    "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    " AS BIGINT)"
+)
+
+Q_DOCS_SEQUENCE_PACK_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('pack', CAST(doc_id AS VARCHAR))), 1, 8))
+              AS BIGINT) % {_PACK_SHARDS} AS shard,
+         {_SUBTOK_SQL} AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS token_end
+  FROM toked
+)
+SELECT doc_id, shard, n_tokens,
+       token_end - n_tokens AS token_offset,
+       CAST(FLOOR((token_end - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_index,
+       n_tokens > 0 AND
+         CAST(FLOOR((token_end - 1) / {_PACK_BUDGET}.0) AS BIGINT)
+           != CAST(FLOOR((token_end - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+         AS straddles
+FROM cum
+"""
+
+
+_DECON_N = 5
+_DECON_MAX_DF = 50
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: training documents sharing rare
+    token 5-grams with the held-out test split (the GPT-3-style n-gram
+    decontamination check), via inverted-index join on the gram hash
+    with a stop-gram document-frequency guard."""
+    from kafka_connect_bigquery_spark.operators import packing, sampling
+
+    d = sampling.split_dataset(_t(spark, sf_dir, "documents"), "doc_id", _SPLITS)
+    return packing.decontaminate(
+        d,
+        "doc_id",
+        "text",
+        "split",
+        n=_DECON_N,
+        max_gram_doc_freq=_DECON_MAX_DF,
+    )
+
+
+_SPLIT_U = (
+    "CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+
+Q_DOCS_DECONTAMINATE_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
+              WHEN {_SPLIT_U} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+posts AS (
+  SELECT doc_id, split, unnest(list_distinct(
+           list_transform(range(1, greatest(len({_TOKS}) - {_DECON_N - 1}, 0) + 1),
+             i -> md5(array_to_string({_TOKS}[CAST(i AS INT):CAST(i + {_DECON_N - 1} AS INT)], ' ')))
+         )) AS gram
+  FROM split
+),
+rare AS (SELECT gram FROM posts GROUP BY gram HAVING COUNT(*) <= {_DECON_MAX_DF}),
+guarded AS (SELECT posts.* FROM posts JOIN rare USING (gram))
+SELECT t.doc_id AS train_doc_id,
+       COUNT(DISTINCT t.gram) AS n_shared_grams,
+       COUNT(DISTINCT e.doc_id) AS n_eval_docs
+FROM (SELECT doc_id, gram FROM guarded WHERE split = 'train') t
+JOIN (SELECT doc_id, gram FROM guarded WHERE split = 'test') e USING (gram)
+GROUP BY 1
+HAVING COUNT(DISTINCT t.gram) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1194,4 +1302,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
+    "docs_sequence_pack": (q_docs_sequence_pack, Q_DOCS_SEQUENCE_PACK_SQL),
+    "docs_decontaminate": (q_docs_decontaminate, Q_DOCS_DECONTAMINATE_SQL),
 }

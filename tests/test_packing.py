@@ -1,0 +1,114 @@
+"""Sequence packing + decontamination operator semantics.
+
+Oracle parity is covered by verify_local/the driver; these tests pin
+the *semantics* on hand-computed fixtures: offsets are a per-shard
+prefix sum, boundary straddling is detected exactly, packing is
+invariant to input partitioning, and the decontamination join respects
+splits and the stop-gram guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.operators import packing
+
+
+def _doc(doc_id, n_words):
+    return (doc_id, " ".join(f"w{doc_id}x{i}" for i in range(n_words)))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # single shard (n_shards=1 below) so the layout is hand-checkable
+    rows = [_doc(1, 10), _doc(2, 90), _doc(3, 40), _doc(4, 5)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_prefix_sum_and_straddle(docs):
+    out = {
+        r["doc_id"]: r
+        for r in packing.sequence_pack(
+            docs, "doc_id", "text", budget=100, n_shards=1
+        ).collect()
+    }
+    # doc token counts are the word counts (words are single subword runs
+    # + digits: "w1x3" -> [w, 1, x, 3] = 4 subtokens per word)
+    assert out[1]["n_tokens"] == 40
+    assert out[1]["token_offset"] == 0 and out[1]["seq_index"] == 0
+    # doc2: 90 words * 4 = 360 tokens, starts at 40 -> seq 0, ends token
+    # 399 (seq 3) -> straddles
+    assert out[2]["token_offset"] == 40
+    assert out[2]["seq_index"] == 0 and out[2]["straddles"]
+    # doc3 starts at 400 -> exactly on a boundary, seq 4
+    assert out[3]["token_offset"] == 400
+    assert out[3]["seq_index"] == 4
+    # doc3: 160 tokens -> ends token 559 (seq 5) -> straddles
+    assert out[3]["straddles"]
+    # doc4: 20 tokens at offset 560 -> fits inside seq 5
+    assert out[4]["token_offset"] == 560
+    assert out[4]["seq_index"] == 5 and not out[4]["straddles"]
+
+
+def test_pack_partitioning_invariance(docs):
+    a = packing.sequence_pack(docs, "doc_id", "text", budget=64, n_shards=4)
+    b = packing.sequence_pack(
+        docs.repartition(7), "doc_id", "text", budget=64, n_shards=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_empty_doc_never_straddles(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a b c")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in packing.sequence_pack(
+            df, "doc_id", "text", budget=2, n_shards=1
+        ).collect()
+    }
+    assert rows[1]["n_tokens"] == 0 and not rows[1]["straddles"]
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        # planted contamination: train doc 1 contains the eval 6-gram
+        (1, f"one two {shared} three", "train"),
+        (2, "completely different training content here now", "train"),
+        (3, f"{shared} tail words", "test"),
+        # val split must not count as contamination
+        (4, f"{shared} in validation", "val"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "split"])
+
+
+def test_decontaminate_flags_planted_overlap(split_docs):
+    out = packing.decontaminate(
+        split_docs, "doc_id", "text", "split", n=5, max_gram_doc_freq=50
+    ).collect()
+    assert [r["train_doc_id"] for r in out] == [1]
+    r = out[0]
+    # shared run is 6 tokens -> two 5-grams, both rare, one eval doc
+    assert r["n_shared_grams"] == 2
+    assert r["n_eval_docs"] == 1
+
+
+def test_decontaminate_stop_gram_guard(split_docs):
+    # every gram of the shared run appears in 3 docs (train+test+val);
+    # a df guard of 2 drops them all -> no contamination reported
+    out = packing.decontaminate(
+        split_docs, "doc_id", "text", "split", n=5, max_gram_doc_freq=2
+    ).collect()
+    assert out == []
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "too short", "train"), (2, "too short", "test")],
+        ["doc_id", "text", "split"],
+    )
+    assert (
+        packing.decontaminate(df, "doc_id", "text", "split", n=5).collect() == []
+    )
