@@ -251,6 +251,202 @@ def ivf_topk(
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ (inverted file + residual product quantization, ADC scoring)
+# --------------------------------------------------------------------------
+
+def _qvec(xs: list[float]) -> list[int]:
+    """Python twin of the engine's per-element quantization
+    floor(x*QD + 0.5) — IEEE double ops, bit-identical to the SQL."""
+    import math
+
+    return [math.floor(float(x) * QD + 0.5) for x in xs]
+
+
+def pq_codebooks(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> list[list[list[int]]]:
+    """Seeded PQ codebooks over coarse-quantizer *residuals*.
+
+    Codebook entry j of subspace s is the s-th sub-slice of the
+    integer-quantized residual (vector minus its nearest coarse
+    centroid) of the j-th-smallest-id vector — the k-means++-style init
+    alone, no Lloyd refinement, so encoding is a closed-form function
+    of the input (same design as ``seed_centroids``). Returns
+    ``[m][ksub][dsub]`` ints; like any PQ index the codebooks
+    (m*ksub*dsub ints) live on the driver/broadcast side.
+    """
+    rows = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    d = len(vecs[0])
+    dsub = d // m
+    cents_q = [_qvec(c) for c in centroids]
+    books: list[list[list[int]]] = [[] for _ in range(m)]
+    for v in vecs:
+        vq = _qvec(v)
+        # nearest coarse centroid, ties -> lowest id (matches assign_list)
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(vq, cq)) for cq in cents_q
+        ]
+        cq = cents_q[dists.index(min(dists))]
+        resid = [a - b for a, b in zip(vq, cq)]
+        for s in range(m):
+            books[s].append(resid[s * dsub : (s + 1) * dsub])
+    return books
+
+
+def _resid_col(vec_col: Column, cents_q_lit: Column, list_col: Column) -> Column:
+    """Integer residual array: quantized vector minus the quantized
+    coarse centroid of its list."""
+    return F.zip_with(
+        vec_col,
+        F.element_at(cents_q_lit, list_col + 1),
+        lambda x, c: F.floor(x.cast("double") * QD + F.lit(0.5)).cast("long") - c,
+    )
+
+
+def _sub_sq_dist(resid: Column, s: int, dsub: int, code_vec: list[int]) -> Column:
+    """Quantized squared L2 distance of residual subspace ``s`` to one
+    codebook entry."""
+    cb = F.array(*[F.lit(int(c)) for c in code_vec])
+    diffs = F.zip_with(
+        F.slice(resid, s * dsub + 1, dsub), cb, lambda r, c: r - c
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d * d)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-ADC: approximate top-k via inverted lists + residual product
+    quantization, with exact re-ranking of the ADC shortlist.
+
+    Pipeline (the classic IVFADC index, as a declarative plan):
+    corpus vectors are coarse-assigned to inverted lists and
+    PQ-encoded (m codes of log2(ksub) bits — the 100 TB story: the
+    scan reads m bytes/vector instead of the full embedding); each
+    query probes its ``n_probe`` nearest lists, scores candidates by
+    asymmetric distance (sum of per-subspace lookup-table entries,
+    exact integer arithmetic), keeps a ``shortlist``, and re-ranks it
+    by exact cosine. Returns (query_id, neighbor_id, adc_dist, cosine,
+    rank<=k).
+
+    Scale: candidates flow through an equi-join on list_id (no
+    cartesian); codebooks/centroids are literal broadcast arrays; the
+    only full-vector reads are the shortlist re-rank.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    n_lists = len(centroids)
+    cents_q_lit = F.array(
+        *[F.array(*[F.lit(int(c)) for c in _qvec(cent)]) for cent in centroids]
+    )
+
+    # ---- corpus side: list assignment + PQ codes ----
+    enc = with_norm(corpus, vec_col).withColumn(
+        "list_id", assign_list(F.col(vec_col), centroids)
+    )
+    resid = _resid_col(F.col(vec_col), cents_q_lit, F.col("list_id"))
+    code_cols = []
+    for s in range(m):
+        dists = F.array(
+            *[_sub_sq_dist(resid, s, dsub, codebooks[s][j]) for j in range(ksub)]
+        )
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    c = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("__norm_q").alias("cn"),
+        "list_id",
+        F.array(*code_cols).alias("codes"),
+    )
+
+    # ---- query side: probe lists + per-list ADC lookup tables ----
+    dists_all = F.array(*[_sq_dist_to(F.col(vec_col), cent) for cent in centroids])
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists_all,
+                F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda st: st["i"],
+    )
+    q_probe = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("__norm_q").alias("qn"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+    )
+    q_resid = _resid_col(F.col("qv"), cents_q_lit, F.col("list_id"))
+    tabs = F.array(
+        *[
+            F.array(
+                *[_sub_sq_dist(q_resid, s, dsub, codebooks[s][j]) for j in range(ksub)]
+            )
+            for s in range(m)
+        ]
+    )
+    q = q_probe.withColumn("tabs", tabs)
+
+    # ---- ADC scoring within probed lists, shortlist, exact re-rank ----
+    joined = c.join(F.broadcast(q), "list_id")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tabs"),
+            lambda code, tab: F.element_at(tab, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.withColumn("adc_q", adc)
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("neighbor_id"))
+    short = scored.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= shortlist
+    )
+    reranked = short.withColumn(
+        "cosine",
+        cosine_from_quantized(
+            quantized_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_q") / F.lit(float(QD) * QD)).alias("adc_dist"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH (random hyperplanes) scale path
 # --------------------------------------------------------------------------
 

@@ -1678,6 +1678,7 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_winnow",
     "docs_sequence_pack",
     "docs_decontaminate",
+    "ann_ivfpq_topk",
 ]
 
 

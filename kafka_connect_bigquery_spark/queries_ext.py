@@ -604,6 +604,143 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
+_PQ_KSUB = 16  # codebook entries per subspace (4-bit codes)
+_PQ_SHORTLIST = 20
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-5: seeded coarse quantizer (8
+    lists, probe 2) + residual product quantization (8 subspaces x 16
+    codes), ADC scoring over the probed lists, exact-cosine re-rank of
+    the 20-candidate shortlist. Codebooks are seeded from the residuals
+    of the 16 smallest-id vectors — closed form, so the SQL oracle
+    reproduces encoding, ADC, and re-rank bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.seed_centroids(emb, k=_IVF_LISTS)
+    books = ann.pq_codebooks(emb, cents, m=_PQ_M, ksub=_PQ_KSUB)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    return ann.ivfpq_topk(
+        queries,
+        emb,
+        cents,
+        books,
+        k=_ANN_K,
+        n_probe=_IVF_PROBE,
+        shortlist=_PQ_SHORTLIST,
+    )
+
+
+_PQ_DSUB = 64 // _PQ_M
+
+Q_ANN_IVFPQ_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT vec_id AS list_id, d, vq AS sq FROM elq WHERE vec_id < {_IVF_LISTS}
+),
+cdists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, a.list_id, e.d, e.d // {_PQ_DSUB} AS s,
+         e.vq - sd.sq AS r
+  FROM elq e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN seeds sd ON sd.list_id = a.list_id AND sd.d = e.d
+),
+cb AS (
+  SELECT vec_id AS code_id, s, d, r AS cr FROM resid WHERE vec_id < {_PQ_KSUB}
+),
+codes AS (
+  SELECT vec_id, list_id, s, code_id FROM (
+    SELECT r.vec_id, r.list_id, r.s, c.code_id,
+           row_number() OVER (PARTITION BY r.vec_id, r.s
+                ORDER BY SUM((r.r - c.cr) * (r.r - c.cr)), c.code_id) AS rn
+    FROM resid r JOIN cb c ON c.s = r.s AND c.d = r.d
+    GROUP BY r.vec_id, r.list_id, r.s, c.code_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM cdists WHERE vec_id < {_ANN_NQ}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+qresid AS (
+  SELECT p.query_id, p.list_id, e.d, e.d // {_PQ_DSUB} AS s,
+         e.vq - sd.sq AS r
+  FROM probes p
+  JOIN elq e ON e.vec_id = p.query_id
+  JOIN seeds sd ON sd.list_id = p.list_id AND sd.d = e.d
+),
+tabs AS (
+  SELECT q.query_id, q.list_id, q.s, c.code_id,
+         SUM((q.r - c.cr) * (q.r - c.cr)) AS t
+  FROM qresid q JOIN cb c ON c.s = q.s AND c.d = q.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id, SUM(t.t) AS adc_q
+  FROM codes k
+  JOIN tabs t ON t.list_id = k.list_id AND t.s = k.s AND t.code_id = k.code_id
+  WHERE k.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_q FROM (
+    SELECT query_id, neighbor_id, adc_q,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_q, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_q,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM short s
+  JOIN el q ON q.vec_id = s.query_id
+  JOIN el n ON n.vec_id = s.neighbor_id AND n.d = q.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.adc_q,
+         (d.dq / {_QE}.0) / (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) AS cosine
+  FROM dots d
+  JOIN norms nq1 ON nq1.vec_id = d.query_id
+  JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_q / 1000000000000.0 AS adc_dist, cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, adc_q, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: exact cosine only within the
     query's hyperplane-sign bucket — the 100 TB path where the bucket is
@@ -1292,6 +1429,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, Q_ANN_IVFPQ_SQL),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "text_token_stats": (q_text_token_stats, Q_TEXT_TOKENS_SQL),

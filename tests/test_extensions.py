@@ -338,6 +338,57 @@ def test_ivf_single_probe_stays_in_cluster(spark):
     assert all(r["neighbor_id"] % 3 == 0 for r in out)  # same true cluster
 
 
+def test_ivfpq_full_probe_full_shortlist_equals_brute_force(spark):
+    # exact re-rank of an everything-shortlist under full probing must
+    # reproduce brute force regardless of PQ quantization error
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.seed_centroids(df, k=3)
+    books = ann.pq_codebooks(df, cents, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann.cosine_topk(q, df, k=5).collect()
+    )
+    pq = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann.ivfpq_topk(
+            q, df, cents, books, k=5, n_probe=3, shortlist=30
+        ).collect()
+    )
+    assert pq == exact
+
+
+def test_ivfpq_adc_prefers_true_cluster(spark):
+    # with narrow probing the ADC shortlist keeps same-cluster vectors
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.kmeans_fit(df, k=3, iters=4)
+    books = ann.pq_codebooks(df, cents, m=2, ksub=4)
+    out = ann.ivfpq_topk(
+        df.filter(F.col("vec_id") == 0), df, cents, books, k=5, n_probe=1
+    ).collect()
+    assert len(out) == 5
+    assert all(r["neighbor_id"] % 3 == 0 for r in out)
+    # adc_dist is a genuine distance: nonnegative, finite
+    assert all(r["adc_dist"] >= 0 for r in out)
+
+
+def test_ivfpq_deterministic_across_partitioning(spark):
+    df = spark.createDataFrame(_clustered_vectors(), ["vec_id", "embedding"])
+    cents = ann.seed_centroids(df, k=3)
+    books = ann.pq_codebooks(df, cents, m=2, ksub=4)
+    q = df.filter(F.col("vec_id") < 2)
+    a = sorted(map(tuple, ann.ivfpq_topk(q, df, cents, books, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ann.ivfpq_topk(
+                q.repartition(5), df.repartition(7), cents, books, k=3
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_lsh_bucket_deterministic_and_bounded(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.1, 0.9]), (2, [-0.5, 0.25, -0.1, -0.9])],
