@@ -122,6 +122,91 @@ def sample_frames(df: DataFrame, *, every_nth: int = 2) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# audio plumbing: decode seam + fixed-window chunking
+# --------------------------------------------------------------------------
+
+# bytes -> (sample_rate, n_samples, n_channels); librosa/soundfile/ffprobe
+# all fit this signature.
+AudioDecoder = Callable[[bytes], tuple[int, int, int]]
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+    ]
+)
+
+_AUDIO_RATES = (8000, 16000, 44100)
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+    """The production audio probe seam. Plug soundfile/ffprobe here."""
+    raise NotImplementedError(
+        "audio codecs are not available in this environment; "
+        "use decode_audio_meta (deterministic stand-in) for plumbing tests"
+    )
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    *,
+    decoder: AudioDecoder | None = None,
+) -> DataFrame:
+    """Arrow-batched audio header probe over (doc_id, payload) — the
+    audio twin of ``decode_image_meta``. Default is the deterministic
+    md5 stand-in (rate from {8k, 16k, 44.1k}, whole-second duration up
+    to 120 s) so results stay oracle-checkable without codecs; any
+    ``AudioDecoder`` drops into the same batch shape and schema."""
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["content_md5"] = md5s
+            if decoder is None:
+                rates = md5s.map(lambda m: _AUDIO_RATES[int(m[0:2], 16) % 3])
+                out["sample_rate"] = rates.astype("int64")
+                out["n_samples"] = (
+                    rates * (1 + md5s.map(lambda m: int(m[4:8], 16) % 120))
+                ).astype("int64")
+                out["n_channels"] = md5s.map(lambda m: 1 + int(m[2:3], 16) % 2).astype(
+                    "int64"
+                )
+            else:
+                decoded = pdf["payload"].map(lambda b: decoder(bytes(b)))
+                out["sample_rate"] = decoded.map(lambda t: t[0]).astype("int64")
+                out["n_samples"] = decoded.map(lambda t: t[1]).astype("int64")
+                out["n_channels"] = decoded.map(lambda t: t[2]).astype("int64")
+            yield out
+
+    return df.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+def chunk_audio(df: DataFrame, *, chunk_seconds: int = 10) -> DataFrame:
+    """Fixed-window audio chunking over decoded metadata: one row per
+    chunk with sample offsets — what an ASR/feature stage consumes
+    batch-wise. Pure sequence+explode (no Python), so the chunk table
+    partitions and prunes like any fact table at corpus scale; the
+    final (usually short) chunk is truncated to ``n_samples``."""
+    spc = F.col("sample_rate") * chunk_seconds
+    n_chunks = F.floor((F.col("n_samples") + spc - 1) / spc).cast("long")
+    return (
+        df.withColumn(
+            "chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn("start_sample", F.col("chunk_index") * spc)
+        .withColumn(
+            "end_sample", F.least(F.col("n_samples"), (F.col("chunk_index") + 1) * spc)
+        )
+    )
+
+
 FEATURE_DIM = 4
 
 FEATURES_SCHEMA = T.StructType(

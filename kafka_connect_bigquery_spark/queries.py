@@ -1679,6 +1679,7 @@ _PRIORITY_ORDER: list[str] = [
     "docs_sequence_pack",
     "docs_decontaminate",
     "ann_ivfpq_topk",
+    "multimodal_audio_chunks",
 ]
 
 

@@ -999,6 +999,55 @@ FROM m
 Q_MULTIMODAL_FRAMES_SQL = _frame_feature_sql()
 
 
+_CHUNK_SECONDS = 10
+
+
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing chain: pack payload -> Arrow-batched header probe
+    (deterministic stand-in at the declared AudioDecoder seam) ->
+    fixed-window chunking (declarative explode). One row per 10 s chunk
+    with sample offsets — the batch unit an ASR/feature stage consumes."""
+    d = _t(spark, sf_dir, "documents")
+    meta = multimodal.decode_audio_meta(
+        multimodal.pack_payload(d, "doc_id", "text")
+    )
+    return multimodal.chunk_audio(meta, chunk_seconds=_CHUNK_SECONDS).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "n_channels",
+        "chunk_index",
+        "start_sample",
+        "end_sample",
+    )
+
+
+Q_MULTIMODAL_AUDIO_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 3
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+         1 + CAST(concat('0x', substr(md5(text), 3, 1)) AS BIGINT) % 2 AS n_channels,
+         1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 120 AS secs
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+         CAST(sample_rate * secs AS BIGINT) AS n_samples,
+         CAST(n_channels AS BIGINT) AS n_channels,
+         CAST(sample_rate AS BIGINT) * {_CHUNK_SECONDS} AS spc
+  FROM m
+)
+SELECT doc_id, sample_rate, n_samples, n_channels,
+       CAST(unnest(range(0, (n_samples + spc - 1) // spc)) AS BIGINT) AS chunk_index,
+       CAST(unnest(range(0, (n_samples + spc - 1) // spc)) * spc AS BIGINT)
+         AS start_sample,
+       CAST(least(n_samples, (unnest(range(0, (n_samples + spc - 1) // spc)) + 1) * spc)
+            AS BIGINT) AS end_sample
+FROM meta
+"""
+
+
 Q_MULTIMODAL_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -1440,6 +1489,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
+    "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),
     "docs_sequence_pack": (q_docs_sequence_pack, Q_DOCS_SEQUENCE_PACK_SQL),
     "docs_decontaminate": (q_docs_decontaminate, Q_DOCS_DECONTAMINATE_SQL),
 }

@@ -642,6 +642,52 @@ def test_codec_seam_is_swappable_end_to_end(spark):
     assert feats.count() == 2
 
 
+def test_audio_seam_is_swappable_and_chunking_runs_unchanged(spark):
+    """Contract test for the audio decoder seam: an AudioDecoder-shaped
+    callable must produce AUDIO_META_SCHEMA output and drive the
+    chunking stage unchanged."""
+    import struct
+
+    def _fake_wav_decoder(payload: bytes) -> tuple[int, int, int]:
+        rate, n, ch = struct.unpack(">III", payload[:12])
+        return int(rate), int(n), int(ch)
+
+    rows = [
+        # 2.5 s mono @16k -> 3 chunks of 1 s
+        (1, bytearray(struct.pack(">III", 16000, 40000, 1) + b"wav-a")),
+        # exactly 2 s stereo @8k -> 2 chunks, no short tail
+        (2, bytearray(struct.pack(">III", 8000, 16000, 2) + b"wav-b")),
+    ]
+    packed = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    meta = multimodal.decode_audio_meta(packed, decoder=_fake_wav_decoder)
+    assert meta.schema == multimodal.AUDIO_META_SCHEMA
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert (got[1]["sample_rate"], got[1]["n_samples"], got[1]["n_channels"]) == (
+        16000,
+        40000,
+        1,
+    )
+    assert got[2]["content_md5"] == hashlib.md5(bytes(rows[1][1])).hexdigest()
+
+    chunks = multimodal.chunk_audio(meta, chunk_seconds=1)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["start_sample"], r["end_sample"])
+        )
+    assert sorted(by_doc[1]) == [
+        (0, 0, 16000),
+        (1, 16000, 32000),
+        (2, 32000, 40000),  # truncated tail
+    ]
+    assert sorted(by_doc[2]) == [(0, 0, 8000), (1, 8000, 16000)]
+
+
+def test_audio_real_decoder_is_explicit_seam():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_real(b"RIFF")
+
+
 def test_codec_seam_default_matches_standin(spark):
     """Omitting the decoder keeps the deterministic md5 stand-in —
     the oracle-checked behavior — byte-identical."""

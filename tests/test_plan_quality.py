@@ -15,7 +15,11 @@ SF = "/root/testdata/sf0.001"
 
 # Arrow-batched mapInPandas is the sanctioned Python seam for the
 # multimodal codec stages — everything else must stay JVM-side.
-PYTHON_OK = {"multimodal_image_meta", "multimodal_frame_features"}
+PYTHON_OK = {
+    "multimodal_image_meta",
+    "multimodal_frame_features",
+    "multimodal_audio_chunks",
+}
 # the ANN brute-force baseline broadcasts a tiny query side through an
 # explicit crossJoin — bounded by design (queries << corpus)
 CROSS_OK = {"ann_cosine_topk"}
