@@ -12,7 +12,7 @@ split-filtered scans push the predicate down like any other filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # use the first 8 md5 hex digits as a uniform draw in [0, 1)
@@ -63,6 +63,46 @@ def split_dataset(
 ) -> DataFrame:
     """Add a ``split`` column assigning each row to a named split."""
     return df.withColumn("split", assign_split(F.col(id_col), fractions, salt=salt))
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing: downsample each source so
+    the output mixture is proportional to ``count^alpha`` (alpha<1
+    flattens the natural distribution toward uniform — the standard
+    multilingual/multi-domain pre-training reweighting; alpha=1 keeps
+    the corpus as-is, alpha=0 equalizes sources).
+
+    With alpha=0.5 the per-source keep rate reduces to
+    ``sqrt(n_min / n_s)``: the rarest source keeps everything, dominant
+    sources shed mass. Rates derive from exact integer counts and
+    membership from the md5 draw, so the kept set is reproducible on
+    any engine or partitioning.
+
+    Scale: one map-side-combinable count per source (the rate table is
+    tiny and broadcast back), then a pure per-row filter — no shuffle
+    of the corpus itself.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # weight_s / n_s = n^(alpha-1), normalized so the largest ratio
+    # (the rarest source) keeps rate 1.0; the window runs over the
+    # tiny per-source rate table, not the corpus
+    ratio = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
+    rates = counts.select(
+        source_col,
+        F.col("_n").alias("n_source"),
+        (ratio / F.max(ratio).over(Window.partitionBy())).alias("keep_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_uniform(F.col(id_col), salt=salt) < F.col("keep_rate"))
+    )
 
 
 def stratified_hash_sample(

@@ -1680,6 +1680,7 @@ _PRIORITY_ORDER: list[str] = [
     "docs_decontaminate",
     "ann_ivfpq_topk",
     "multimodal_audio_chunks",
+    "mixture_rebalance",
 ]
 
 

@@ -1139,6 +1139,44 @@ WHERE {u} < (CASE {cases} ELSE 0.0 END)
 
 Q_STRATIFIED_SAMPLE_SQL = _strat_sql()
 
+_MIX_ALPHA = 0.5
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (alpha=0.5): keep rates
+    derived from per-source counts so the output mixture tracks
+    count^alpha — dominant sources shed mass, the rarest keeps all.
+    Deterministic md5 membership; rate table broadcast, corpus
+    un-shuffled."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.mixture_rebalance(
+        d, "doc_id", "lang", alpha=_MIX_ALPHA
+    ).select("doc_id", "lang", "n_source")
+
+
+_MIX_U = (
+    "CAST(concat('0x', substr(md5(concat('mix', CAST(doc_id AS VARCHAR))), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+
+Q_MIXTURE_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_source FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_source,
+         pow(CAST(n_source AS DOUBLE), {_MIX_ALPHA - 1.0}) /
+           MAX(pow(CAST(n_source AS DOUBLE), {_MIX_ALPHA - 1.0})) OVER ()
+           AS keep_rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang, r.n_source
+FROM documents d JOIN rates r USING (lang)
+WHERE {_MIX_U} < r.keep_rate
+"""
+
 # ---------------------------------------------------------------------------
 # BQ-shape record projection (reference conversion surface, P3-P6 + L1)
 # ---------------------------------------------------------------------------
@@ -1474,6 +1512,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
     "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),

@@ -123,6 +123,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register the testdata tables as temp views so the full engine
+    surface is reachable through plain ``spark.sql(...)`` — the same
+    table names the DuckDB oracles use, making ad-hoc SQL portable
+    between the two. Views go through ``read_table`` and therefore get
+    the same timestamp normalization as the DataFrame path."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the standard testdata tables as a dict of DataFrames."""
     names = names or [

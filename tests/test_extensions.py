@@ -404,6 +404,49 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
 # sampling / splits
 # ---------------------------------------------------------------------------
 
+def test_mixture_rebalance_flattens_dominant_sources(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1700)]
+    df = spark.createDataFrame(rows, ["id", "source"])
+    out = sampling.mixture_rebalance(df, "id", "source", alpha=0.5)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    # rarest source keeps everything (rate 1.0)
+    assert by_src["small"] == 100
+    # dominant source keeps ~sqrt(100/1600)=25% of its 1600 docs
+    assert 300 < by_src["big"] < 500
+    # alpha=1 keeps the corpus unchanged
+    assert sampling.mixture_rebalance(df, "id", "source", alpha=1.0).count() == 1700
+
+
+def test_mixture_rebalance_partitioning_independent(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "source"])
+    a = sorted(r["id"] for r in sampling.mixture_rebalance(df, "id", "source").collect())
+    b = sorted(
+        r["id"]
+        for r in sampling.mixture_rebalance(df.repartition(11), "id", "source").collect()
+    )
+    assert a == b
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from kafka_connect_bigquery_spark.session import register_views
+
+    register_views(spark, sf_dir, ["documents", "events"])
+    n = spark.sql("SELECT COUNT(*) AS n FROM documents").first()["n"]
+    assert n == 500
+    # event-time functions work through the view (LTZ normalization held)
+    r = spark.sql(
+        "SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events "
+        "GROUP BY 1 ORDER BY c DESC, h LIMIT 1"
+    ).first()
+    assert r["c"] > 0
+
+
 def test_split_dataset_stable_and_proportional(spark):
     from kafka_connect_bigquery_spark.operators import sampling
 
