@@ -140,23 +140,36 @@ def decontaminate(
             F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
         )
     )
-    # stop-gram guard over the whole corpus (any split)
-    rare = (
+    # One shuffle on the gram hash does guard + inversion together:
+    # per gram, the total doc frequency (stop-gram guard) and the train/
+    # eval posting lists. Grams passing the guard have <= max_df ids per
+    # side, so the pair explosion below is bounded by the guard, never
+    # quadratic in corpus size. (A groupBy+join formulation shuffles the
+    # postings three times; this shuffles them once.)
+    per_gram = (
         posts.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gram_df"))
-        .filter(F.col("gram_df") <= max_gram_doc_freq)
-        .select("gram")
+        .agg(
+            F.count(F.lit(1)).alias("gram_df"),
+            F.collect_set(
+                F.when(F.col(split_col) == train_split, F.col(id_col))
+            ).alias("train_ids"),
+            F.collect_set(
+                F.when(F.col(split_col) == eval_split, F.col(id_col))
+            ).alias("eval_ids"),
+        )
+        .filter(
+            (F.col("gram_df") <= max_gram_doc_freq)
+            & (F.size("train_ids") > 0)
+            & (F.size("eval_ids") > 0)
+        )
     )
-    guarded = posts.join(rare, "gram")
-    train = guarded.filter(F.col(split_col) == train_split).select(
-        F.col(id_col).alias("train_doc_id"), "gram"
-    )
-    eval_ = guarded.filter(F.col(split_col) == eval_split).select(
-        F.col(id_col).alias("eval_doc_id"), "gram"
-    )
-    hits = train.join(eval_, "gram")
+    pairs = per_gram.select(
+        "gram",
+        F.explode("train_ids").alias("train_doc_id"),
+        F.col("eval_ids"),
+    ).select("gram", "train_doc_id", F.explode("eval_ids").alias("eval_doc_id"))
     return (
-        hits.groupBy("train_doc_id")
+        pairs.groupBy("train_doc_id")
         .agg(
             F.countDistinct("gram").alias("n_shared_grams"),
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
