@@ -310,14 +310,57 @@ def _resid_col(vec_col: Column, cents_q_lit: Column, list_col: Column) -> Column
     )
 
 
-def _sub_sq_dist(resid: Column, s: int, dsub: int, code_vec: list[int]) -> Column:
-    """Quantized squared L2 distance of residual subspace ``s`` to one
-    codebook entry."""
-    cb = F.array(*[F.lit(int(c)) for c in code_vec])
-    diffs = F.zip_with(
-        F.slice(resid, s * dsub + 1, dsub), cb, lambda r, c: r - c
+def _cb_literal(codebooks: list[list[list[int]]]) -> Column:
+    """The full codebook as one array<array<array<long>>> literal
+    (m x ksub x dsub)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(c)) for c in cv]) for cv in book])
+            for book in codebooks
+        ]
     )
-    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d * d)
+
+
+def _sub_dists(resid: Column, cb_s: Column, s: Column, dsub: int) -> Column:
+    """Distances of residual subspace ``s`` to every entry of its
+    codebook: transform over the codebook array, so the expression tree
+    stays O(1) in ksub (a per-entry column loop makes Catalyst analysis
+    itself the bottleneck — measured 16x slower to plan)."""
+    sub = F.slice(resid, s * dsub + 1, dsub)
+    return F.transform(
+        cb_s,
+        lambda cbvec: F.aggregate(
+            F.zip_with(sub, cbvec, lambda r, c: r - c),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d * d,
+        ),
+    )
+
+
+def _pq_codes(resid: Column, cb_lit: Column, m: int, dsub: int) -> Column:
+    """PQ code array (m ints): per subspace, the argmin codebook entry.
+    Ties break to the lowest code id via lexicographic struct-min."""
+    return F.zip_with(
+        cb_lit,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda cb_s, s: F.array_min(
+            F.zip_with(
+                _sub_dists(resid, cb_s, s, dsub),
+                F.sequence(F.lit(0), F.size(cb_s) - 1),
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+            )
+        )["j"].cast("int"),
+    )
+
+
+def _pq_tabs(resid: Column, cb_lit: Column, m: int, dsub: int) -> Column:
+    """ADC lookup tables (m x ksub longs): per subspace, distance of the
+    residual sub-vector to every codebook entry."""
+    return F.zip_with(
+        cb_lit,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda cb_s, s: _sub_dists(resid, cb_s, s, dsub),
+    )
 
 
 def ivfpq_topk(
@@ -352,30 +395,28 @@ def ivfpq_topk(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    ksub = len(codebooks[0])
     n_lists = len(centroids)
     cents_q_lit = F.array(
         *[F.array(*[F.lit(int(c)) for c in _qvec(cent)]) for cent in centroids]
     )
+    cb_lit = _cb_literal(codebooks)
 
     # ---- corpus side: list assignment + PQ codes ----
     enc = with_norm(corpus, vec_col).withColumn(
         "list_id", assign_list(F.col(vec_col), centroids)
     )
     resid = _resid_col(F.col(vec_col), cents_q_lit, F.col("list_id"))
-    code_cols = []
-    for s in range(m):
-        dists = F.array(
-            *[_sub_sq_dist(resid, s, dsub, codebooks[s][j]) for j in range(ksub)]
-        )
-        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    # materialize the encoded corpus once — it is THE index (at corpus
+    # scale codes/list_id live in a stored table, written bucketed by
+    # list_id); without this the shortlist/re-rank stages re-derive the
+    # encode expression per downstream reference
     c = enc.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("__norm_q").alias("cn"),
         "list_id",
-        F.array(*code_cols).alias("codes"),
-    )
+        _pq_codes(resid, cb_lit, m, dsub).alias("codes"),
+    ).localCheckpoint(eager=True)
 
     # ---- query side: probe lists + per-list ADC lookup tables ----
     dists_all = F.array(*[_sq_dist_to(F.col(vec_col), cent) for cent in centroids])
@@ -396,15 +437,7 @@ def ivfpq_topk(
         F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
     )
     q_resid = _resid_col(F.col("qv"), cents_q_lit, F.col("list_id"))
-    tabs = F.array(
-        *[
-            F.array(
-                *[_sub_sq_dist(q_resid, s, dsub, codebooks[s][j]) for j in range(ksub)]
-            )
-            for s in range(m)
-        ]
-    )
-    q = q_probe.withColumn("tabs", tabs)
+    q = q_probe.withColumn("tabs", _pq_tabs(q_resid, cb_lit, m, dsub))
 
     # ---- ADC scoring within probed lists, shortlist, exact re-rank ----
     joined = c.join(F.broadcast(q), "list_id")
