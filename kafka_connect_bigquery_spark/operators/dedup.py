@@ -68,6 +68,65 @@ def exact_dedup(
 # shingling
 # --------------------------------------------------------------------------
 
+def passage_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    passage_tokens: int = 10,
+    max_doc_freq: int = 3,
+) -> DataFrame:
+    """Passage-level boilerplate detection (the C4/RefinedWeb line-dedup
+    analog for unstructured text): documents are cut into fixed-span
+    token passages; a passage whose hash occurs in more than
+    ``max_doc_freq`` documents is corpus boilerplate (navigation chrome,
+    license blurbs, template filler) and is dropped from the cleaned
+    fingerprint.
+
+    Returns per document: total passages, boilerplate passages, and the
+    md5 of the surviving passages in order (the dedup key for a
+    subsequent exact pass over cleaned content).
+
+    Scale: one shuffle on the passage hash for the document-frequency
+    count, one on the doc id to reassemble — both map-side combinable.
+    No pairwise joins anywhere.
+    """
+    toks = F.split(canonical_text(F.col(text_col)), " ")
+    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(passages).alias("pos", "passage")
+    ).withColumn("ph", F.md5(F.col("passage")))
+    # document frequency via a window over the passage hash: one shuffle,
+    # and the explode pipeline runs once (a groupBy+self-join would
+    # re-derive it for each side)
+    pass_df = F.size(
+        F.collect_set("doc").over(Window.partitionBy("ph"))
+    )
+    flagged = exploded.withColumn("is_boiler", pass_df > max_doc_freq)
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_boiler"),
+                    F.struct(F.col("pos").alias("p"), F.col("passage").alias("t")),
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boilerplate"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("cleaned_fp"),
+    )
+
+
 def char_shingles(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of the canonical text, as an array.
 

@@ -1681,6 +1681,7 @@ _PRIORITY_ORDER: list[str] = [
     "ann_ivfpq_topk",
     "multimodal_audio_chunks",
     "mixture_rebalance",
+    "dedup_passages",
 ]
 
 

@@ -34,6 +34,9 @@ _CANON = (
     " '\\s+', ' ', 'g'))"
 )
 
+# whitespace-token SQL twin of functions.text.tokens (used throughout)
+_TOKS = f"str_split({_CANON}, ' ')"
+
 # ---------------------------------------------------------------------------
 # dedup: exact
 # ---------------------------------------------------------------------------
@@ -99,6 +102,58 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {_JACCARD_MIN}
 """
+
+# ---------------------------------------------------------------------------
+# dedup: passage-level boilerplate
+# ---------------------------------------------------------------------------
+
+_PASSAGE_TOKENS = 10
+_PASSAGE_MAX_DF = 3
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate removal (C4-style line dedup over
+    fixed 10-token spans): passages occurring in >3 documents are
+    template noise; emits per-doc passage counts and the cleaned-text
+    fingerprint for a follow-up exact pass."""
+    return dedup.passage_boilerplate(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        passage_tokens=_PASSAGE_TOKENS,
+        max_doc_freq=_PASSAGE_MAX_DF,
+    )
+
+
+Q_DEDUP_PASSAGES_SQL = f"""
+WITH toked AS (
+  SELECT doc_id AS doc, {_TOKS} AS toks FROM documents
+),
+passages AS (
+  SELECT doc, CAST(i AS INT) - 1 AS pos,
+         array_to_string(
+           toks[(CAST(i AS INT) - 1) * {_PASSAGE_TOKENS} + 1
+                : CAST(i AS INT) * {_PASSAGE_TOKENS}], ' ') AS passage
+  FROM toked,
+       unnest(range(1, CAST(ceil(len(toks) / {_PASSAGE_TOKENS}.0) AS INT) + 1))
+         AS t(i)
+),
+hashed AS (SELECT doc, pos, passage, md5(passage) AS ph FROM passages),
+freq AS (SELECT ph, COUNT(DISTINCT doc) AS pass_df FROM hashed GROUP BY ph),
+flagged AS (
+  SELECT h.doc, h.pos, h.passage, f.pass_df > {_PASSAGE_MAX_DF} AS is_boiler
+  FROM hashed h JOIN freq f USING (ph)
+)
+SELECT doc,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT is_boiler), ''))
+         AS cleaned_fp
+FROM flagged
+GROUP BY doc
+"""
+
 
 # ---------------------------------------------------------------------------
 # dedup: winnowing fingerprints
@@ -755,9 +810,6 @@ Q_ANN_LSH_SQL = _ann_sql(bucketed=True)
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
-
-_TOKS = f"str_split({_CANON}, ' ')"
-
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-evidence language ID with deterministic tie-break, plus
@@ -1504,6 +1556,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
+    "dedup_passages": (q_dedup_passages, Q_DEDUP_PASSAGES_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),

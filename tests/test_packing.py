@@ -104,6 +104,34 @@ def test_decontaminate_stop_gram_guard(split_docs):
     assert out == []
 
 
+def test_passage_boilerplate_flags_shared_spans(spark):
+    from kafka_connect_bigquery_spark.operators import dedup
+
+    boiler = "all rights reserved contact us terms"  # 6 tokens -> 1 passage at P=6
+    rows = [
+        (1, f"{boiler} unique content one"),
+        (2, f"{boiler} other words here"),
+        (3, f"{boiler} third doc body"),
+        (4, boiler),  # all-boilerplate document
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc"]: r
+        for r in dedup.passage_boilerplate(
+            df, "doc_id", "text", passage_tokens=6, max_doc_freq=2
+        ).collect()
+    }
+    # the shared 6-token passage appears in 4 docs > max_df=2 -> boiler
+    assert all(out[d]["n_boilerplate"] == 1 for d in (1, 2, 3, 4))
+    assert out[1]["n_passages"] == 2
+    # all-boilerplate doc keeps nothing: md5 of empty string
+    import hashlib
+
+    assert out[4]["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+    # distinct survivors -> distinct cleaned fingerprints
+    assert len({out[d]["cleaned_fp"] for d in (1, 2, 3)}) == 3
+
+
 def test_decontaminate_short_docs_no_grams(spark):
     df = spark.createDataFrame(
         [(1, "too short", "train"), (2, "too short", "test")],
