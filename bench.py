@@ -55,6 +55,14 @@ HEADLINE = [
     "events_session_window",
     "events_asof_join",
     "events_interval_join",
+    # LLM-data-pipeline headline ops (added r03 — compare per-query or
+    # pro-rata vs earlier rounds, not raw totals; see BASELINE.md)
+    "events_value_quantiles",
+    "docs_sequence_pack",
+    "docs_decontaminate",
+    "dedup_passages",
+    "mixture_rebalance",
+    "multimodal_audio_chunks",
 ]
 
 
