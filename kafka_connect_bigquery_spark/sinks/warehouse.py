@@ -110,11 +110,17 @@ class Warehouse:
         *,
         bucket_threshold_bytes: int = 256 << 20,
         target_bucket_bytes: int = 128 << 20,
+        snapshot_retention: int = 2,
     ) -> None:
         self.spark = spark
         self.root = root
         self.bucket_threshold_bytes = bucket_threshold_bytes
         self.target_bucket_bytes = target_bucket_bytes
+        # bucketed-MERGE commits each publish an immutable snapshot
+        # manifest; the most recent `snapshot_retention` stay readable
+        # (time travel / auditing), older ones are pruned by commit GC
+        # or explicitly via vacuum().
+        self.snapshot_retention = max(1, snapshot_retention)
         os.makedirs(root, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -151,6 +157,60 @@ class Warehouse:
             json.dump(meta, f)
         os.replace(tmp, self._layout_path(table))
 
+    # -- snapshot manifests (time travel) --------------------------------
+    def _snapshot_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_manifests")
+
+    def _snapshot_path(self, table: str, version: int) -> str:
+        return os.path.join(self._snapshot_dir(table), f"v{version}.json")
+
+    def _write_snapshot(self, table: str, meta: dict) -> None:
+        """Persist one commit's manifest immutably (same temp+rename
+        discipline as the pointer; snapshots are never edited after)."""
+        import json
+
+        os.makedirs(self._snapshot_dir(table), exist_ok=True)
+        v = int(meta["generation"])
+        tmp = self._snapshot_path(table, v) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._snapshot_path(table, v))
+
+    def snapshots(self, table: str) -> list[int]:
+        """Readable snapshot versions, oldest first (bucketed tables
+        only — each bucketed MERGE commit adds one)."""
+        d = self._snapshot_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _snapshot_meta(self, table: str, version: int) -> dict:
+        import json
+
+        p = self._snapshot_path(table, version)
+        if not os.path.exists(p):
+            have = self.snapshots(table)
+            raise WarehouseError(
+                f"snapshot v{version} of {table} is not readable "
+                f"(available: {have}; older versions are pruned by the "
+                f"snapshot_retention policy / vacuum())"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def vacuum_snapshots(self, table: str, *, keep_last: int | None = None) -> None:
+        """Prune old snapshots (and any generation dirs only they
+        reference). ``keep_last`` defaults to the warehouse retention."""
+        keep = max(1, keep_last if keep_last is not None else self.snapshot_retention)
+        versions = self.snapshots(table)
+        for v in versions[:-keep] if len(versions) > keep else []:
+            os.remove(self._snapshot_path(table, v))
+        self._gc_stale(table, dict(self.layout_meta(table).get("generations") or {}))
+
     def table_bytes(self, table: str) -> int:
         """Total stored parquet bytes (drives the bucketed-merge cutover)."""
         import glob
@@ -182,13 +242,27 @@ class Warehouse:
         # stay readable until the manifest commit).
         return os.path.join(self.path(table), "_buckets", str(bucket), f"gen={gen}")
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, *, version: int | None = None) -> DataFrame:
         """Read a table, resolving bucketed tables through the generation
         manifest so stale (superseded or half-written) generation dirs
-        are never visible to readers."""
-        meta = self.layout_meta(table)
+        are never visible to readers.
+
+        ``version`` time-travels a bucketed table to an earlier commit's
+        snapshot manifest (within the retention window) — the audit /
+        reproducibility primitive: a training run can pin the exact
+        corpus state it consumed.
+        """
+        if version is not None:
+            meta = self._snapshot_meta(table, version)
+        else:
+            meta = self.layout_meta(table)
         gens = meta.get("generations")
         if gens is None:
+            if version is not None:
+                raise WarehouseError(
+                    f"table {table} is not bucketed; snapshots exist only "
+                    "for bucketed-MERGE tables"
+                )
             return self.spark.read.parquet(self.path(table))
         if not gens:
             raise WarehouseError(
@@ -400,33 +474,43 @@ class Warehouse:
             else:
                 # merge emptied this bucket (all its keys deleted)
                 gens.pop(str(b), None)
-        self._write_layout_meta(
-            table,
-            {
-                "key_bucket_count": n_buckets,
-                "key_cols": list(key_cols),
-                "generation": new_gen,
-                "generations": gens,
-            },
-        )
+        new_meta = {
+            "key_bucket_count": n_buckets,
+            "key_cols": list(key_cols),
+            "generation": new_gen,
+            "generations": gens,
+        }
+        # snapshot first (unreferenced until the pointer swap — a crash
+        # between the two just leaves one extra readable manifest), then
+        # the atomic pointer replace that IS the commit
+        self._write_snapshot(table, new_meta)
+        self._write_layout_meta(table, new_meta)
         # -- post-commit GC (idempotent; a crash here just leaves
         #    unreferenced dirs for the next pass) ----------------------
         shutil.rmtree(tmp, ignore_errors=True)
+        versions = self.snapshots(table)
+        for v in versions[: -self.snapshot_retention]:
+            os.remove(self._snapshot_path(table, v))
         self._gc_stale(table, gens)
 
     def _gc_stale(self, table: str, gens: dict[str, int]) -> None:
-        """Remove generation dirs the manifest no longer references, and
-        pre-migration flat files once a bucketed layout is live."""
+        """Remove generation dirs that neither the live manifest nor any
+        retained snapshot references, and pre-migration flat files once
+        a bucketed layout is live."""
+        live: dict[str, set[int]] = {b: {g} for b, g in gens.items()}
+        for v in self.snapshots(table):
+            for b, g in (self._snapshot_meta(table, v).get("generations") or {}).items():
+                live.setdefault(b, set()).add(int(g))
         tdir = self.path(table)
         broot = os.path.join(tdir, "_buckets")
         if os.path.isdir(broot):
             for b in os.listdir(broot):
                 bdir = os.path.join(broot, b)
-                live = gens.get(b)
+                keep = {f"gen={g}" for g in live.get(b, set())}
                 for g in os.listdir(bdir):
-                    if g != f"gen={live}":
+                    if g not in keep:
                         shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)
-                if live is None:
+                if not keep:
                     shutil.rmtree(bdir, ignore_errors=True)
         for name in os.listdir(tdir):
             if name.startswith(("part-", "p_")) or name == "_SUCCESS":

@@ -257,8 +257,9 @@ def test_crash_before_any_rename_is_a_noop(spark, tmp_path, monkeypatch):
 
 def test_stale_generations_invisible_and_swept(spark, tmp_path):
     """Superseded generation dirs are GC'd by the commit; even if GC
-    died, reads resolve the manifest and never see them."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    died, reads resolve the manifest and never see them.
+    (retention=1: no snapshot history, the pre-time-travel contract)"""
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=1)
     wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
              mode="upsert", spec=SPEC)
     wh.merge(_mk(spark, [(1, "b2", 50, False)]), "t", ["k"], mode="upsert", spec=SPEC)
@@ -270,6 +271,52 @@ def test_stale_generations_invisible_and_swept(spark, tmp_path):
         on_disk = os.listdir(os.path.join(broot, b))
         assert on_disk == [f"gen={gens[b]}"]
     assert (1, "b3") in _state(wh, "t")
+
+
+def test_time_travel_reads_prior_snapshot(spark, tmp_path):
+    """Each bucketed commit publishes an immutable snapshot manifest;
+    read(version=) reproduces the exact pre-merge state within the
+    retention window — the corpus-pinning primitive for training runs."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=3)
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    wh.merge(_mk(spark, [(3, "updated", 50, False)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    tomb = spark.createDataFrame(
+        [(5, None, 60, True)],
+        "k: bigint, v: string, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(tomb, "t", ["k"], mode="upsert_delete", spec=SPEC)
+
+    versions = wh.snapshots("t")
+    assert versions == [0, 1, 2]
+    v0 = {(r["k"], r["v"]) for r in wh.read("t", version=0).select("k", "v").collect()}
+    assert v0 == {(k, f"v{k}") for k in range(10)}
+    v1 = {(r["k"], r["v"]) for r in wh.read("t", version=1).select("k", "v").collect()}
+    assert (3, "updated") in v1 and (5, "v5") in v1
+    v2 = {(r["k"], r["v"]) for r in wh.read("t", version=2).select("k", "v").collect()}
+    assert (5, "v5") not in v2 and len(v2) == 9
+    # current read == latest snapshot
+    assert v2 == _state(wh, "t")
+
+
+def test_snapshot_retention_prunes_and_errors_cleanly(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=2)
+    for i in range(4):
+        wh.merge(_mk(spark, [(1, f"b{i}", 10 + i, False)]), "t", ["k"],
+                 mode="upsert", spec=SPEC)
+    assert wh.snapshots("t") == [2, 3]
+    with pytest.raises(Exception, match="not readable"):
+        wh.read("t", version=0)
+    # retained snapshot still resolves to complete data
+    assert {(r["k"], r["v"]) for r in wh.read("t", version=2).collect()} == {(1, "b2")}
+    # explicit vacuum to 1 drops the older retained snapshot + its dirs
+    wh.vacuum_snapshots("t", keep_last=1)
+    assert wh.snapshots("t") == [3]
+    broot = os.path.join(wh.path("t"), "_buckets")
+    gens = _bucket_gens(wh, "t")
+    for b in os.listdir(broot):
+        assert os.listdir(os.path.join(broot, b)) == [f"gen={gens[b]}"]
 
 
 def test_delete_only_empties_bucket(spark, tmp_path):

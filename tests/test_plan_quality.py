@@ -91,3 +91,30 @@ def test_scan_pushdown_and_pruning(spark):
     # column pruning: only the 7 referenced columns reach the scan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_sequence_pack_window_is_sharded(spark):
+    """The packing window must partition by shard — an unpartitioned
+    running-sum window is a single-task global sort at corpus scale."""
+    plan = _plan(spark, "docs_sequence_pack")
+    assert "windowspecdefinition(shard" in plan, (
+        "packing window lost its shard partitioning"
+    )
+
+
+def test_mixture_rebalance_broadcasts_rate_table(spark):
+    """The per-stratum rate table must broadcast — shuffling the corpus
+    to join a handful of rates would be the classic scale mistake."""
+    plan = _plan(spark, "mixture_rebalance")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the documents side must not hash-exchange for this join
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_join_is_equi_on_list(spark):
+    """IVF-PQ candidates must flow through the list_id equi-join; a
+    nested-loop/cartesian here would defeat the inverted index."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "list_id" in plan
