@@ -128,6 +128,65 @@ def test_upsert_delete_path(spark, tmp_path):
     assert got == {"u1": "second", "u3": "stays"}
 
 
+def test_streaming_merges_compose_with_time_travel_and_cdc(spark, tmp_path):
+    """End-to-end composition: each streaming micro-batch MERGE commit
+    is a readable snapshot, and read_changes yields the per-batch CDC
+    feed — the audit trail of what each micro-batch did to the table."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=4)
+    cfg = SinkConfig(
+        topics=["t"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        key_parser=lambda c: c.cast("string"),
+        table_specs={"t": TableSpec(partition_grain="NONE", key_bucket_count=4)},
+    )
+    b0 = spark.createDataFrame(
+        _kafka_rows(
+            [
+                ("u1", {"row": 1, "name": "first"}, "t", 0, 0),
+                ("u2", {"row": 2, "name": "keep"}, "t", 0, 1),
+            ]
+        ),
+        KAFKA_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        _kafka_rows(
+            [
+                ("u1", {"row": 3, "name": "updated"}, "t", 0, 2),
+                ("u2", None, "t", 0, 3),  # tombstone
+                ("u3", {"row": 4, "name": "new"}, "t", 0, 4),
+            ]
+        ),
+        KAFKA_SCHEMA,
+    )
+    pipe.merge_batch(b0, 0, key_cols=["kkey"])
+    pipe.merge_batch(b1, 1, key_cols=["kkey"])
+
+    assert wh.snapshots("t") == [0, 1]
+    v0 = {r.kkey: r.name for r in wh.read("t", version=0).collect()}
+    assert v0 == {"u1": "first", "u2": "keep"}
+    now = {r.kkey: r.name for r in wh.read("t").collect()}
+    assert now == {"u1": "updated", "u3": "new"}
+    changes = {
+        (r["_change_type"], r["kkey"]): r["name"]
+        for r in wh.read_changes("t", from_version=0).collect()
+    }
+    assert changes == {
+        ("update", "u1"): "updated",
+        ("delete", "u2"): "keep",
+        ("insert", "u3"): "new",
+    }
+
+
 def test_upsert_delete_with_bucketed_layout(spark, tmp_path):
     """The streaming merge path honors TableSpec.key_bucket_count:
     state lands in a __bucket= layout and upsert/delete semantics hold."""
