@@ -145,18 +145,35 @@ def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) postings list — the inverted index."""
-    # parallelize shingling: a compact source (few input splits) would
-    # otherwise explode millions of postings inside one or two tasks
+    # parallelize shingling, and materialize the canonical text at the
+    # exchange so the per-position substr lambda sees a concrete string
+    # attribute — an inline canonicalization expression inside the HOF
+    # re-runs its two regexes len(text) times per document (measured
+    # ~10x on the postings build; same trap winnow_posts documents)
     par = df.sparkSession.sparkContext.defaultParallelism
-    posts = df.repartition(par).select(
-        F.col(id_col).alias("doc"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    canon = df.select(
+        F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("_c")
+    ).repartition(par)
+    c = F.col("_c")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
     )
+    posts = canon.select("doc", F.explode(shingles).alias("sh"))
     if max_doc_freq is not None:
         # drop stop-shingles: they explode the candidate join and add no
-        # discriminative signal (classic skew guard at corpus scale)
-        freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        posts = posts.join(freq.filter(F.col("df_") <= max_doc_freq), "sh").drop("df_")
+        # discriminative signal (classic skew guard at corpus scale).
+        # Window count = one shuffle on sh and the explode runs once (a
+        # groupBy+join guard re-derives the postings for each side).
+        posts = (
+            posts.withColumn(
+                "df_", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
     return posts
 
 
