@@ -145,15 +145,20 @@ def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) postings list — the inverted index."""
-    # parallelize shingling, and materialize the canonical text at the
-    # exchange so the per-position substr lambda sees a concrete string
-    # attribute — an inline canonicalization expression inside the HOF
-    # re-runs its two regexes len(text) times per document (measured
-    # ~10x on the postings build; same trap winnow_posts documents)
+    # parallelize shingling, and materialize the canonical text BEFORE
+    # the per-position substr lambda — an inline canonicalization
+    # expression inside the HOF re-runs its two regexes len(text) times
+    # per document. A bare exchange is not a barrier (Catalyst pushes
+    # the projection below it); the checkpoint is, and the canon frame
+    # is the smallest thing in the pipeline.
     par = df.sparkSession.sparkContext.defaultParallelism
-    canon = df.select(
-        F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("_c")
-    ).repartition(par)
+    canon = (
+        df.select(
+            F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("_c")
+        )
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     c = F.col("_c")
     shingles = F.array_distinct(
         F.transform(
@@ -277,11 +282,19 @@ def winnow_posts(
     row-based plan is the scale path.)
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    # the exchange materializes the canonical text, so the HOF below
-    # sees a concrete string column (see _grams doc note)
-    canon = df.select(
-        F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("c")
-    ).repartition(par)
+    # A repartition exchange is NOT enough to materialize the canonical
+    # text: Catalyst pushes the projection below the exchange and the
+    # HOF lambda is back to re-running the regexes per element (measured
+    # 51 s -> 1.6 s at sf0.1 for the gram stage). The checkpoint is a
+    # hard barrier; the canon frame is ~doc-count x text bytes, the
+    # smallest thing in the pipeline.
+    canon = (
+        df.select(
+            F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("c")
+        )
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     arrs = canon.select("doc", _grams(F.col("c"), k).alias("g"))
     rows = arrs.select(
         "doc", F.size("g").alias("n"), F.posexplode("g").alias("pos", "gram")
