@@ -91,7 +91,16 @@ def passage_boilerplate(
     count, one on the doc id to reassemble — both map-side combinable.
     No pairwise joins anywhere.
     """
-    toks = F.split(canonical_text(F.col(text_col)), " ")
+    # materialize the token array before the slice-per-passage lambda:
+    # an inline split+canonicalization expression inside the HOF body is
+    # re-evaluated once per passage (see _shingle_postings note; a bare
+    # projection or exchange is collapsed by Catalyst, the checkpoint
+    # is a hard barrier)
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(canonical_text(F.col(text_col)), " ").alias("_toks"),
+    ).localCheckpoint(eager=True)
+    toks = F.col("_toks")
     n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
     passages = F.transform(
         F.sequence(F.lit(0), n_pass - 1),
@@ -99,8 +108,8 @@ def passage_boilerplate(
             F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
         ),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(passages).alias("pos", "passage")
+    exploded = toked.select(
+        "doc", F.posexplode(passages).alias("pos", "passage")
     ).withColumn("ph", F.md5(F.col("passage")))
     # document frequency via a window over the passage hash: one shuffle,
     # and the explode pipeline runs once (a groupBy+self-join would

@@ -130,15 +130,17 @@ def decontaminate(
     broadcasts it; the df-guard aggregation is one count per distinct
     gram (map-side combinable).
     """
-    posts = (
-        df.select(
-            F.col(id_col), F.col(split_col), tokens(F.col(text_col)).alias("_toks")
-        )
-        .select(
-            id_col,
-            split_col,
-            F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
-        )
+    # materialize the token array before the slice-per-gram lambda:
+    # Catalyst collapses a bare projection, putting the tokenization
+    # expression back inside the HOF body where it re-runs per gram
+    # (see dedup._shingle_postings); the checkpoint is a hard barrier
+    toked = df.select(
+        F.col(id_col), F.col(split_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=True)
+    posts = toked.select(
+        id_col,
+        split_col,
+        F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
     )
     # One shuffle on the gram hash does guard + inversion together:
     # per gram, the total doc frequency (stop-gram guard) and the train/
