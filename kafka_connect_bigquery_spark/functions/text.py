@@ -128,3 +128,60 @@ def quality_score(col: Column) -> Column:
         + F.lit(0.25) * F.least(ft["stopword_ratio"] * 5, F.lit(1.0))
         + F.lit(0.25) * ft["unique_ratio"]
     )
+
+
+# --------------------------------------------------------------------------
+# corpus bigram language-model fluency (KenLM-style quality proxy)
+# --------------------------------------------------------------------------
+
+LM_Q = 1_000_000  # probability quantization: per-bigram score is the
+# integer (count(w1,w2) * LM_Q) // count(w1) — pure bigint arithmetic,
+# so corpus-wide scoring is bit-identical on any engine or partitioning
+
+
+def doc_bigrams(df, id_col: str, text_col: str):
+    """(doc, w1, w2) rows — one per consecutive token pair. The token
+    array is referenced only at row scope (slice argument positions,
+    not lambda bodies), so no checkpoint barrier is needed."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+    ).select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def bigram_fluency(df, id_col: str, text_col: str):
+    """Per-document fluency under the corpus's own bigram model: the
+    mean quantized conditional probability (count(w1,w2)*LM_Q //
+    count(w1)) over the document's bigrams. Template-generated or
+    shuffled text scores low against natural word order; the classic
+    cheap LM-quality gate before training (perplexity filtering with
+    the corpus as its own model).
+
+    Scale: two count aggregations build the model (map-side
+    combinable); scoring is one equi-join from doc bigrams to the
+    bigram table (the w1 marginal rides along on the bigram row, so
+    the unigram table is never joined separately at explosion size).
+    Everything is integer arithmetic until the final mean.
+    """
+    from pyspark.sql import functions as F
+
+    grams = doc_bigrams(df, id_col, text_col)
+    lm = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    uni = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    # integer floor-div, never a double quotient: floor(a/b) in floating
+    # point can miss by one ulp at integer boundaries
+    model = lm.join(uni, "w1").withColumn(
+        "q", F.expr(f"c_bi * {LM_Q}L div c_uni")
+    )
+    scored = grams.join(model.select("w1", "w2", "q"), ["w1", "w2"])
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("lm_score_q"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("fluency"),
+    )

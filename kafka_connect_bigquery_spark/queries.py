@@ -1682,6 +1682,7 @@ _PRIORITY_ORDER: list[str] = [
     "multimodal_audio_chunks",
     "mixture_rebalance",
     "dedup_passages",
+    "text_bigram_fluency",
 ]
 
 

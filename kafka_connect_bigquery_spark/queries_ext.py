@@ -1440,6 +1440,36 @@ FROM counts GROUP BY doc_id
 """
 
 
+def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram LM fluency per document (the cheap perplexity
+    gate): mean quantized conditional bigram probability under the
+    corpus's own counts — integer arithmetic end to end, so scores are
+    engine- and partitioning-exact."""
+    return text_fns.bigram_fluency(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+Q_TEXT_BIGRAM_FLUENCY_SQL = f"""
+WITH toked AS (SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toked, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+),
+lm AS (SELECT w1, w2, COUNT(*) AS c_bi FROM grams GROUP BY 1, 2),
+uni AS (SELECT w1, COUNT(*) AS c_uni FROM grams GROUP BY 1),
+model AS (
+  SELECT lm.w1, lm.w2, (c_bi * {text_fns.LM_Q}) // c_uni AS q
+  FROM lm JOIN uni USING (w1)
+)
+SELECT doc, COUNT(*) AS n_bigrams,
+       CAST(SUM(q) AS BIGINT) AS lm_score_q,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS fluency
+FROM grams JOIN model USING (w1, w2)
+GROUP BY doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # sequence packing + decontamination (training-data layout operators)
 # ---------------------------------------------------------------------------
@@ -1579,6 +1609,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_pii_scrub": (q_text_pii_scrub, Q_TEXT_PII_SQL),
     "docs_quality_filter": (q_docs_quality_filter, Q_DOCS_QUALITY_SQL),
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
+    "text_bigram_fluency": (q_text_bigram_fluency, Q_TEXT_BIGRAM_FLUENCY_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),

@@ -404,6 +404,56 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
 # sampling / splits
 # ---------------------------------------------------------------------------
 
+def test_bigram_fluency_rewards_predictable_text(spark):
+    from kafka_connect_bigquery_spark.functions import text as text_fns
+
+    # docs 1-3 share the same phrasing (high-probability bigrams);
+    # doc 4 is one-off word soup (every bigram unique)
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        (4, "zeta omega kappa lambda sigma upsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r for r in text_fns.bigram_fluency(df, "doc_id", "text").collect()}
+    # 'the' branches (quick|lazy, p=1/2 each); the other 6 bigrams are
+    # deterministic -> mean = (6*1e6 + 2*5e5) / 8
+    assert out[1]["fluency"] == 875000.0
+    assert out[1]["n_bigrams"] == 8
+    # identical docs score identically
+    assert out[2]["lm_score_q"] == out[1]["lm_score_q"]
+    # the discriminating case: one doc reusing a shared prefix
+    df2 = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "to go")], ["doc_id", "text"]
+    )
+    out2 = {
+        r["doc"]: r for r in text_fns.bigram_fluency(df2, "doc_id", "text").collect()
+    }
+    # 'to' is followed by be/be/go across the corpus: p(be|to)=2/3,
+    # p(go|to)=1/3 -> doc 2's single bigram scores 333333
+    assert out2[2]["lm_score_q"] == 333333
+    assert out2[2]["n_bigrams"] == 1
+    # doc 1: bigrams to-be(2x @666666), be-or, or-not, not-to (1e6 each)
+    assert out2[1]["lm_score_q"] == 2 * 666666 + 3 * text_fns.LM_Q
+
+
+def test_bigram_fluency_partitioning_independent(spark):
+    from kafka_connect_bigquery_spark.functions import text as text_fns
+
+    rows = [(i, f"alpha beta gamma delta w{i} alpha beta") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, text_fns.bigram_fluency(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            text_fns.bigram_fluency(df.repartition(13), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
+
+
 def test_mixture_rebalance_flattens_dominant_sources(spark):
     from kafka_connect_bigquery_spark.operators import sampling
 
