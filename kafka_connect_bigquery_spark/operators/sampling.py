@@ -105,6 +105,33 @@ def mixture_rebalance(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    *,
+    salt: str = "kpg",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by deterministic
+    hash order — the eval-set construction primitive ("k examples per
+    language/domain") that `LIMIT`-per-group cannot do reproducibly and
+    rand() cannot do replayably. Adds ``sample_rank`` (1..k within the
+    group, stable).
+
+    Scale: one shuffle on the group for the ranking window; the hash
+    order de-correlates the pick from ingestion order, so the sample is
+    unbiased even when the table is time-clustered.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(id_col), salt=salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -1683,6 +1683,7 @@ _PRIORITY_ORDER: list[str] = [
     "mixture_rebalance",
     "dedup_passages",
     "text_bigram_fluency",
+    "sample_k_per_group",
 ]
 
 

@@ -1440,6 +1440,35 @@ FROM counts GROUP BY doc_id
 """
 
 
+_KPG_K = 5
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: exactly 5 documents per
+    language by md5-hash order — the reproducible eval-set construction
+    primitive (rand() is not replayable, LIMIT is not per-group)."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    return sampling.sample_k_per_group(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", _KPG_K
+    ).select("doc_id", "lang", "sample_rank")
+
+
+_KPG_U = (
+    "CAST(concat('0x', substr(md5(concat('kpg', CAST(doc_id AS VARCHAR))), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+
+Q_SAMPLE_K_PER_GROUP_SQL = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY {_KPG_U}, doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_KPG_K}
+"""
+
+
 def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self bigram LM fluency per document (the cheap perplexity
     gate): mean quantized conditional bigram probability under the
@@ -1596,6 +1625,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
+    "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),

@@ -202,6 +202,31 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
+    def history(self, table: str) -> DataFrame:
+        """Commit history of a bucketed table as a DataFrame (the
+        DESCRIBE HISTORY surface): one row per retained snapshot with
+        its version, bucket count, live-bucket count, and which buckets
+        that commit rewrote (generation == version). Driver-side work is
+        one small JSON read per retained snapshot — no data files are
+        opened."""
+        rows = []
+        for v in self.snapshots(table):
+            meta = self._snapshot_meta(table, v)
+            gens = {b: int(g) for b, g in (meta.get("generations") or {}).items()}
+            rows.append(
+                (
+                    v,
+                    int(meta.get("key_bucket_count") or 0),
+                    len(gens),
+                    sorted(int(b) for b, g in gens.items() if g == v),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version: int, key_bucket_count: int, live_buckets: int, "
+            "rewrote_buckets: array<int>",
+        )
+
     def vacuum_snapshots(self, table: str, *, keep_last: int | None = None) -> None:
         """Prune old snapshots (and any generation dirs only they
         reference). ``keep_last`` defaults to the warehouse retention."""

@@ -164,6 +164,54 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    within_seconds: int,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-bound condition
+    (the attribution shape: right-side events joined to the left-side
+    event they follow within ``within_seconds``).
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` to [left_ts, left_ts + within_seconds], so Spark can
+    size and evict join state — the precondition for running this
+    indefinitely: an unconstrained stream-stream join buffers both
+    streams forever. Outer variants emit unmatched rows only after the
+    watermark closes the possibility of a match (late-data-correct).
+
+    Batch mode degrades to the same declarative join without
+    watermarks, which is how the oracle checks the semantics.
+    """
+    l = left
+    r = right
+    if left.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    l = l.alias("l")
+    r = r.alias("r")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 # ---------------------------------------------------------------------------
 # Incremental rollup materialization
 # ---------------------------------------------------------------------------

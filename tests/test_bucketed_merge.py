@@ -347,6 +347,19 @@ def test_read_changes_between_snapshots(spark, tmp_path):
     assert cols[0] == "_change_type" and "k" in cols and "v" in cols
 
 
+def test_history_lists_commits(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=3)
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    wh.merge(_mk(spark, [(3, "x", 99, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    h = {r["version"]: r for r in wh.history("t").collect()}
+    assert sorted(h) == [0, 1]
+    assert h[0]["key_bucket_count"] == N_BUCKETS
+    # the initial commit rewrote every live bucket; the second exactly one
+    assert len(h[0]["rewrote_buckets"]) == h[0]["live_buckets"]
+    assert len(h[1]["rewrote_buckets"]) == 1
+
+
 def test_read_changes_prunes_unchanged_buckets(spark, tmp_path):
     """The CDC scan's input paths come from the manifest diff — buckets
     whose generation didn't move are never opened."""

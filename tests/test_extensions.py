@@ -497,6 +497,24 @@ def test_register_views_sql_surface(spark, sf_dir):
     assert r["c"] > 0
 
 
+def test_sample_k_per_group_exact_counts_and_stability(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = sampling.sample_k_per_group(df, "id", "grp", 4)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4, "c": 4, "rare": 1}  # min(k, |group|)
+    # stable under repartitioning (deterministic hash order)
+    a = sorted((r["id"], r["sample_rank"]) for r in out.collect())
+    b = sorted(
+        (r["id"], r["sample_rank"])
+        for r in sampling.sample_k_per_group(df.repartition(7), "id", "grp", 4).collect()
+    )
+    assert a == b
+
+
 def test_split_dataset_stable_and_proportional(spark):
     from kafka_connect_bigquery_spark.operators import sampling
 

@@ -287,3 +287,76 @@ def test_running_totals_state_across_batches(spark, tmp_path):
         q.stop()
     assert first == {1: (2, 15.0), 2: (1, 1.0)}
     assert (3, 17.5) in user1_rows
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Clicks joined to the purchase that follows within the bound;
+    purchases outside the bound never match. Streaming two sides from
+    files, asserting the watermarked join emits exactly the in-window
+    attributions."""
+    from kafka_connect_bigquery_spark.streaming.windows import stream_stream_join
+
+    clicks_p = str(tmp_path / "clicks")
+    buys_p = str(tmp_path / "buys")
+    _write_batch(
+        spark,
+        clicks_p,
+        [
+            (1, _ts(0, 0), "click", 1.0),
+            (2, _ts(0, 0), "click", 1.0),
+            (3, _ts(5, 0), "click", 1.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        buys_p,
+        [
+            (1, _ts(0, 30), "purchase", 9.0),   # within 60 s -> attributed
+            (2, _ts(3, 0), "purchase", 9.0),    # 180 s later -> outside bound
+            (3, _ts(4, 0), "purchase", 9.0),    # before the click -> no match
+        ],
+    )
+    clicks = _stream(spark, clicks_p).select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = _stream(spark, buys_p).select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("value").alias("amount")
+    )
+    joined = stream_stream_join(
+        clicks, buys, ["user_id"], "click_ts", "buy_ts", within_seconds=60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["user_id"], r["amount"])
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        ]
+    finally:
+        q.stop()
+    assert got == [(1, 9.0)]
+
+
+def test_stream_stream_join_batch_degrade_matches(spark):
+    """Batch mode: same declarative join, no watermarks — the
+    oracle-checkable twin of the streaming plan."""
+    from kafka_connect_bigquery_spark.streaming.windows import stream_stream_join
+
+    clicks = spark.createDataFrame(
+        [(1, _ts(0, 0)), (1, _ts(10, 0))], ["user_id", "click_ts"]
+    )
+    buys = spark.createDataFrame(
+        [(1, _ts(0, 45), 5.0), (1, _ts(10, 2), 7.0)],
+        ["user_id", "buy_ts", "amount"],
+    )
+    out = stream_stream_join(
+        clicks, buys, ["user_id"], "click_ts", "buy_ts", within_seconds=60
+    )
+    got = sorted((r["amount"],) for r in out.collect())
+    assert got == [(5.0,), (7.0,)]
