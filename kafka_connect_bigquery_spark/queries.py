@@ -1659,6 +1659,7 @@ _PRIORITY_ORDER: list[str] = [
     "events_session_window",
     "events_asof_join",
     "events_interval_join",
+    "events_attribution",
     # text / quality / PII / multimodal (queries_ext)
     "text_pii_scrub",
     "docs_quality_filter",

@@ -289,7 +289,75 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+_ATTR_WITHIN_S = 7200
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the latest
+    view by the same user within the preceding 2 hours — the batch
+    twin of streaming/windows.py::stream_stream_join (same declarative
+    join + rank; the streaming variant adds watermarks for state
+    eviction)."""
+    from pyspark.sql import Window
+    from kafka_connect_bigquery_spark.streaming.windows import stream_stream_join
+
+    e = _events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("amount"),
+    )
+    pairs = stream_stream_join(
+        views, buys, ["user_id"], "view_ts", "buy_ts",
+        within_seconds=_ATTR_WITHIN_S,
+    )
+    w = Window.partitionBy("buy_id").orderBy(F.desc("view_ts"), F.desc("view_id"))
+    return (
+        pairs.select(
+            F.col("l.user_id").alias("user_id"),
+            "view_id",
+            F.col("l.view_ts").alias("view_ts"),
+            "buy_id",
+            "amount",
+        )
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("user_id", "view_id", "buy_id", "amount")
+    )
+
+
+Q_ATTRIBUTION_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, {_TS_US} AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id, event_id AS buy_id, {_TS_US} AS buy_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT v.user_id, v.view_id, v.view_ts, b.buy_id, b.amount
+  FROM v JOIN b ON v.user_id = b.user_id
+   AND b.buy_ts >= v.view_ts
+   AND b.buy_ts <= v.view_ts + INTERVAL {_ATTR_WITHIN_S} SECONDS
+)
+SELECT user_id, view_id, buy_id, amount FROM (
+  SELECT pairs.*,
+         row_number() OVER (PARTITION BY buy_id
+              ORDER BY view_ts DESC, view_id DESC) AS pick
+  FROM pairs
+) WHERE pick = 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
