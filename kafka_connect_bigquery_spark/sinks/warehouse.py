@@ -294,7 +294,10 @@ class Warehouse:
                 f"table {table} has no live buckets (every key deleted)"
             )
         paths = [self._bucket_gen_dir(table, b, g) for b, g in gens.items()]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after a merge-path schema evolution only the
+        # touched buckets carry the new columns on disk; the union view
+        # fills the rest with NULLs (no O(table) rewrite at evolve time)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_changes(
         self, table: str, *, from_version: int, to_version: int | None = None
@@ -330,13 +333,20 @@ class Warehouse:
             if not paths:
                 # preserve schema for the join even when one side is empty
                 return self.read(table, version=from_version).limit(0)
-            return self.spark.read.parquet(*paths)
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-        data_cols = _side(ng).columns
+        n_df = _side(ng)
+        o_df = _side(og)
+        # schema evolution between the versions: the older side may lack
+        # newer columns — surface them as NULLs so the row compare works
+        for f in n_df.schema.fields:
+            if f.name not in o_df.columns:
+                o_df = o_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        data_cols = n_df.columns
         # explicit presence markers: a struct of all-NULL columns is not
         # itself NULL, so outer-join missing-side detection needs a flag
-        o = _side(og).withColumn("_o", F.lit(True)).alias("o")
-        n = _side(ng).withColumn("_n", F.lit(True)).alias("n")
+        o = o_df.withColumn("_o", F.lit(True)).alias("o")
+        n = n_df.withColumn("_n", F.lit(True)).alias("n")
         cond = [o[k].eqNullSafe(n[k]) for k in key_cols]
         joined = o.join(n, cond, "full_outer")
         o_row = F.struct(*[o[c] for c in data_cols])
@@ -455,6 +465,48 @@ class Warehouse:
             self._write_layout_meta(table, meta)
 
     # -- MERGE ----------------------------------------------------------
+    def _align_for_merge(
+        self,
+        dest: DataFrame,
+        batch: DataFrame,
+        helpers: list[str],
+        *,
+        allow_new_fields: bool,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Schema evolution on the MERGE path (reference S3/S4: the
+        adaptive writer evolves the destination schema, then retries the
+        write — AdaptiveBigQueryWriter.java:95-107): both sides project
+        to the unionized schema, with the side lacking a column filling
+        NULLs. Helper columns (order/tombstone) ride along on the batch
+        untouched. Raises when the batch carries new columns and the
+        policy forbids them (allowNewBigQueryFields parity)."""
+        from kafka_connect_bigquery_spark.schema.evolution import unionize
+
+        batch_helpers = [c for c in helpers if c in batch.columns]
+        batch_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name not in batch_helpers]
+        )
+        new_cols = [
+            f.name for f in batch_schema.fields if f.name not in dest.columns
+        ]
+        if new_cols and not allow_new_fields:
+            raise WarehouseError(
+                f"merge batch adds columns {new_cols} but allow_new_fields "
+                "is False (allowNewBigQueryFields policy)"
+            )
+        target = unionize(dest.schema, batch_schema)
+
+        def proj(df: DataFrame, extra: list[str]) -> DataFrame:
+            cols = [
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+            return df.select(*cols, *[F.col(c) for c in extra])
+
+        return proj(dest, []), proj(batch, batch_helpers)
+
     def merge(
         self,
         batch: DataFrame,
@@ -465,6 +517,7 @@ class Warehouse:
         order_col: str = "i",
         tombstone_col: str = "__tombstone",
         spec: TableSpec | None = None,
+        allow_new_fields: bool = True,
     ) -> None:
         """Apply a MERGE batch to the stored table (S4 + D1-D3).
 
@@ -497,6 +550,7 @@ class Warehouse:
                 order_col=order_col,
                 tombstone_col=tombstone_col,
                 n_buckets=int(n_buckets),
+                allow_new_fields=allow_new_fields,
             )
             return
         dest = self.read(table) if self.exists(table) else None
@@ -505,6 +559,9 @@ class Warehouse:
             first = _first_batch_state(batch, key_cols, mode, order_col, tombstone_col)
             self.overwrite(first.drop(*drop_helpers), table, spec)
             return
+        dest, batch = self._align_for_merge(
+            dest, batch, [order_col, tombstone_col], allow_new_fields=allow_new_fields
+        )
         if mode == "upsert":
             merged = M.merge_upsert(dest, batch, key_cols, order_col)
         elif mode == "upsert_delete":
@@ -609,6 +666,7 @@ class Warehouse:
         order_col: str,
         tombstone_col: str,
         n_buckets: int,
+        allow_new_fields: bool = True,
     ) -> None:
         """MERGE against a key-hash-bucketed layout: only buckets whose
         keys appear in the batch are read, merged, and republished as new
@@ -671,6 +729,16 @@ class Warehouse:
         else:
             dest_touched = None
         batch_t = batch.drop("__bucket")
+        if dest_touched is not None:
+            # evolution on the bucketed path: untouched buckets keep the
+            # old files — read() unions schemas across generations, so
+            # their missing columns surface as NULLs without a rewrite
+            dest_touched, batch_t = self._align_for_merge(
+                dest_touched,
+                batch_t,
+                [order_col, tombstone_col],
+                allow_new_fields=allow_new_fields,
+            )
         if dest_touched is None:
             merged = _first_batch_state(batch_t, key_cols, mode, order_col, tombstone_col)
             merged = merged.drop(*[c for c in drop_helpers if c in merged.columns])

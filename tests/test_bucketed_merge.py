@@ -347,6 +347,50 @@ def test_read_changes_between_snapshots(spark, tmp_path):
     assert cols[0] == "_change_type" and "k" in cols and "v" in cols
 
 
+def _evolved_batch(spark):
+    return spark.createDataFrame(
+        [(1, "x", "extra", 99, False)],
+        "k: bigint, v: string, new_col: string, i: bigint, __tombstone: boolean",
+    )
+
+
+def test_merge_evolves_schema_bucketed(spark, tmp_path):
+    """A batch carrying a new column evolves the table on the bucketed
+    path (AdaptiveBigQueryWriter parity): touched buckets persist the
+    column, untouched buckets surface NULLs via schema-merged reads."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    wh.merge(_evolved_batch(spark), "t", ["k"], mode="upsert", spec=SPEC)
+    out = {r["k"]: r for r in wh.read_bucketed("t").collect()}
+    assert "new_col" in wh.read_bucketed("t").columns
+    assert out[1]["v"] == "x" and out[1]["new_col"] == "extra"
+    assert out[2]["new_col"] is None  # untouched bucket -> NULL fill
+    assert len(out) == 10
+    # CDC across the evolution boundary classifies the update correctly
+    ch = {(r["_change_type"], r["k"]) for r in wh.read_changes("t", from_version=0).collect()}
+    assert ch == {("update", 1)}
+
+
+def test_merge_evolves_schema_rewrite_path(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    flat_spec = TableSpec(partition_grain="NONE")
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(5)]), "t", ["k"],
+             mode="upsert", spec=flat_spec)
+    wh.merge(_evolved_batch(spark), "t", ["k"], mode="upsert", spec=flat_spec)
+    out = {r["k"]: r for r in wh.read("t").collect()}
+    assert out[1]["new_col"] == "extra" and out[3]["new_col"] is None
+
+
+def test_merge_new_fields_policy_refusal(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(5)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    with pytest.raises(Exception, match="allow_new_fields"):
+        wh.merge(_evolved_batch(spark), "t", ["k"], mode="upsert", spec=SPEC,
+                 allow_new_fields=False)
+
+
 def test_history_lists_commits(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=3)
     wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
