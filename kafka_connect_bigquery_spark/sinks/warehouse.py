@@ -604,7 +604,8 @@ class Warehouse:
         """
         meta = self.layout_meta(table)
         gens: dict[str, int] = dict(meta.get("generations") or {})
-        new_gen = int(meta.get("generation", -1)) + 1
+        base_gen = int(meta.get("generation", -1))
+        new_gen = base_gen + 1
         for b in buckets:
             src_b = os.path.join(tmp, f"__bucket={b}")
             if os.path.isdir(src_b):
@@ -619,6 +620,20 @@ class Warehouse:
             "generation": new_gen,
             "generations": gens,
         }
+        # optimistic concurrency: this commit's manifest was derived from
+        # base_gen — if another writer landed meanwhile, publishing would
+        # silently drop their buckets. Fail loudly instead (the staged
+        # gen dirs become unreferenced garbage the next commit's GC
+        # sweeps; the caller re-runs the merge against the new state).
+        # Best-effort on a local FS; on an object store the pointer PUT
+        # becomes a conditional put (if-match etag) with the same shape.
+        current_gen = int(self.layout_meta(table).get("generation", -1))
+        if current_gen != base_gen:
+            raise WarehouseError(
+                f"concurrent MERGE commit on {table}: this merge read "
+                f"generation {base_gen} but generation {current_gen} has "
+                "been published meanwhile; retry the merge"
+            )
         # snapshot first (unreferenced until the pointer swap — a crash
         # between the two just leaves one extra readable manifest), then
         # the atomic pointer replace that IS the commit

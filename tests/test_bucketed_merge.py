@@ -347,6 +347,43 @@ def test_read_changes_between_snapshots(spark, tmp_path):
     assert cols[0] == "_change_type" and "k" in cols and "v" in cols
 
 
+def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """A writer whose base generation was superseded mid-merge must fail
+    loudly instead of silently dropping the other writer's buckets —
+    optimistic concurrency on the manifest pointer."""
+    import json
+    from kafka_connect_bigquery_spark.sinks import warehouse as whmod
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+
+    orig = Warehouse._move_dir
+    state = {"bumped": False}
+
+    def racing_move(self, src, dst):
+        orig(self, src, dst)
+        if not state["bumped"]:
+            # simulate another writer landing: bump the published generation
+            state["bumped"] = True
+            p = self._layout_path("t")
+            meta = json.load(open(p))
+            meta["generation"] = int(meta["generation"]) + 1
+            json.dump(meta, open(p, "w"))
+
+    monkeypatch.setattr(Warehouse, "_move_dir", racing_move)
+    with pytest.raises(whmod.WarehouseError, match="concurrent MERGE commit"):
+        wh.merge(_mk(spark, [(1, "mine", 50, False)]), "t", ["k"],
+                 mode="upsert", spec=SPEC)
+    monkeypatch.setattr(Warehouse, "_move_dir", orig)
+    # table still reads consistently at the published generation set
+    assert (1, "v1") in _state(wh, "t") and len(_state(wh, "t")) == 10
+    # and a retried merge (fresh base) succeeds
+    wh.merge(_mk(spark, [(1, "mine", 60, False)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    assert (1, "mine") in _state(wh, "t")
+
+
 def _evolved_batch(spark):
     return spark.createDataFrame(
         [(1, "x", "extra", 99, False)],
