@@ -1660,6 +1660,7 @@ _PRIORITY_ORDER: list[str] = [
     "events_asof_join",
     "events_interval_join",
     "events_attribution",
+    "events_funnel",
     # text / quality / PII / multimodal (queries_ext)
     "text_pii_scrub",
     "docs_quality_filter",

@@ -356,8 +356,59 @@ SELECT user_id, view_id, buy_id, amount FROM (
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase): per user,
+    each stage must occur at-or-after the previous stage's first
+    occurrence; emits users-reaching-stage counts. The product-analytics
+    staple, expressed as three per-user min aggregations chained by
+    time-guarded joins — each is one shuffle on user_id, and AQE reuses
+    the co-partitioning across the chain."""
+    e = _events(spark, sf_dir)
+
+    def stage(event_type: str, after=None):
+        s = e.filter(F.col("event_type") == event_type)
+        if after is not None:
+            s = s.join(after, "user_id").filter(F.col("ts") >= F.col("_prev_ts"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+
+    v = stage("view")
+    c = stage("click", v)
+    p = stage("purchase", c)
+    rows = None
+    for name, df_stage in (("1_view", v), ("2_click", c), ("3_purchase", p)):
+        one = df_stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+Q_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, min({_TS_US}) AS ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min({_ts_us('e.ts')}) AS ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND {_ts_us('e.ts')} >= v.ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min({_ts_us('e.ts')}) AS ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND {_ts_us('e.ts')} >= c.ts
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
+    "events_funnel": (q_funnel, Q_FUNNEL_SQL),
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),

@@ -257,6 +257,10 @@ class SinkPipeline:
                     order_col="i",
                     tombstone_col="__tombstone",
                     spec=spec,
+                    # S3 policy parity on the upsert path: evolving the
+                    # destination from batch columns needs the same flag
+                    # the append path enforces
+                    allow_new_fields=self.config.allow_new_bigquery_fields,
                 )
             )
 
