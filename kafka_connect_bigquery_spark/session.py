@@ -82,7 +82,12 @@ def _ns_timestamp_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
-_NANOS_CONF_SESSIONS: set[int] = set()
+# WeakSet, not an id() set: a GC'd session's id can be reused by a new
+# session object, which would then silently skip the conf setup and read
+# parquet with the wrong timestamp behavior.
+import weakref
+
+_NANOS_CONF_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
@@ -102,7 +107,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # so set it here rather than relying on get_spark() having built the
     # session. Without it every read of the ns-timestamp `events` parquet
     # dies with PARQUET_TYPE_ILLEGAL. Once per session, not per read.
-    if id(spark) not in _NANOS_CONF_SESSIONS:
+    if spark not in _NANOS_CONF_SESSIONS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # Without-timezone parquet timestamps (isAdjustedToUTC=false)
@@ -114,7 +119,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
             pass
-        _NANOS_CONF_SESSIONS.add(id(spark))
+        _NANOS_CONF_SESSIONS.add(spark)
 
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
