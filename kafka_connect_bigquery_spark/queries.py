@@ -1661,6 +1661,7 @@ _PRIORITY_ORDER: list[str] = [
     "events_interval_join",
     "events_attribution",
     "events_funnel",
+    "events_cohort_retention",
     # text / quality / PII / multimodal (queries_ext)
     "text_pii_scrub",
     "docs_quality_filter",
@@ -1686,6 +1687,7 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_passages",
     "text_bigram_fluency",
     "sample_k_per_group",
+    "dedup_minhash_recall",
 ]
 
 

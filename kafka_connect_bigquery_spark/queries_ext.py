@@ -79,7 +79,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DEDUP_NGRAM_SQL = f"""
+def _ngram_sql(min_jaccard: float) -> str:
+    return f"""
 WITH canon AS (SELECT doc_id, lang, {_CANON} AS c FROM documents),
 sh_all AS (
   SELECT doc_id, lang,
@@ -100,8 +101,75 @@ SELECT id_a, id_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {_JACCARD_MIN}
+WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {min_jaccard}
 """
+
+
+Q_DEDUP_NGRAM_SQL = _ngram_sql(_JACCARD_MIN)
+
+_RECALL_TRUTH_J = 0.5
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: recall/precision of the MinHash-LSH
+    candidate set against exact n-gram Jaccard truth (pairs with
+    J >= 0.5). The measurement every production dedup pipeline needs
+    before trusting an approximate index — here it is itself an
+    oracle-exact query (both sides are deterministic, the ratios are
+    integer-quantized)."""
+    d = _t(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, min_jaccard=_RECALL_TRUTH_J,
+        block_col="lang", max_doc_freq=_JACCARD_MAX_DF,
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, n=3
+    ).select("id_a", "id_b").distinct()
+    hits = truth.join(cand, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # 1-row frames: the nested-loop join is a broadcast of single rows
+    return (
+        t.join(h).join(c)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000L div greatest(n_truth, 1)").alias("recall_q"),
+            F.expr("n_hits * 1000000L div greatest(n_candidates, 1)").alias(
+                "precision_q"
+            ),
+        )
+    )
+
+
+def _minhash_pairs_sql_text() -> str:
+    # defined after the minhash section below; resolved lazily at
+    # registry-build time via the module attribute
+    return Q_DEDUP_MINHASH_SQL
+
+
+def _recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM ({_ngram_sql(_RECALL_TRUTH_J).strip().rstrip()})
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM ({_minhash_pairs_sql_text().strip()})
+),
+hits AS (SELECT id_a, id_b FROM truth JOIN cand USING (id_a, id_b)),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM hits) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       n_hits * 1000000 // greatest(n_truth, 1) AS recall_q,
+       n_hits * 1000000 // greatest(n_candidates, 1) AS precision_q
+FROM agg
+"""
+
 
 # ---------------------------------------------------------------------------
 # dedup: passage-level boilerplate
@@ -1617,6 +1685,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
     "dedup_passages": (q_dedup_passages, Q_DEDUP_PASSAGES_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
+    "dedup_minhash_recall": (q_dedup_minhash_recall, _recall_sql()),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),

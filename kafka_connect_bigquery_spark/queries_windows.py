@@ -406,9 +406,58 @@ UNION ALL SELECT '3_purchase', COUNT(*) FROM p
 """
 
 
+_RETENTION_OFFSETS = [0, 1, 2, 3, 7]
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-seen day, counted
+    again when active exactly N days later (N in 0,1,2,3,7). Two
+    aggregations (first-seen, distinct active-days) plus one equi-join
+    on user_id; day emitted as a string (cross-engine DATE comparison
+    is unreliable in the comparator)."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    joined = active.join(first_seen, "user_id").withColumn(
+        "offset", F.datediff(F.col("day"), F.col("cohort_day")).cast("long")
+    )
+    return (
+        joined.filter(
+            F.col("offset").isin([int(o) for o in _RETENTION_OFFSETS])
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "offset"
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+Q_COHORT_RETENTION_SQL = f"""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min({_TS_US})) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', {_TS_US}) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS "offset",
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first_seen f USING (user_id)
+WHERE date_diff('day', f.cohort_day, a.day) IN ({', '.join(str(o) for o in _RETENTION_OFFSETS)})
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     "events_funnel": (q_funnel, Q_FUNNEL_SQL),
+    "events_cohort_retention": (q_cohort_retention, Q_COHORT_RETENTION_SQL),
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
