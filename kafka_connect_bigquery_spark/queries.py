@@ -1662,6 +1662,7 @@ _PRIORITY_ORDER: list[str] = [
     "events_attribution",
     "events_funnel",
     "events_cohort_retention",
+    "events_daily_anomalies",
     # text / quality / PII / multimodal (queries_ext)
     "text_pii_scrub",
     "docs_quality_filter",

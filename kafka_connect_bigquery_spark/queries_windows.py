@@ -454,10 +454,74 @@ GROUP BY 1, 2
 """
 
 
+_ANOM_K = 2  # flag days beyond k sigma
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: days whose count
+    deviates more than 2 sigma from that type's daily mean.
+
+    The z-score test runs in EXACT integer arithmetic — cross-multiplied
+    so no sqrt/float ever happens:
+        (c_d - mu)^2 > k^2 sigma^2
+        <=> (D*c_d - S)^2 > k^2 (D*Sum(c^2) - S^2)
+    with S = sum of daily counts, D = day count. Engine- and
+    partitioning-exact, so the anomaly set is reproducible anywhere.
+    Scale: two groupBys (day counts, then per-type moments joined back
+    on a tiny broadcast table)."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    dev = F.col("d") * F.col("n_events") - F.col("s")
+    var_term = F.lit(_ANOM_K * _ANOM_K) * (
+        F.col("d") * F.col("s2") - F.col("s") * F.col("s")
+    )
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (dev * dev > var_term).alias("is_anomaly"),
+            (dev > 0).alias("above_mean"),
+        )
+    )
+
+
+_ANOM_DAY = f"strftime(date_trunc('day', {_TS_US}), '%Y-%m-%d')"
+
+Q_DAILY_ANOMALIES_SQL = f"""
+WITH daily AS (
+  SELECT event_type, {_ANOM_DAY} AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS d, SUM(n_events) AS s,
+         SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT daily.event_type, day, n_events,
+       (d * n_events - s) * (d * n_events - s)
+         > {_ANOM_K * _ANOM_K} * (d * s2 - s * s) AS is_anomaly,
+       d * n_events - s > 0 AS above_mean
+FROM daily JOIN m ON daily.event_type = m.event_type
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     "events_funnel": (q_funnel, Q_FUNNEL_SQL),
     "events_cohort_retention": (q_cohort_retention, Q_COHORT_RETENTION_SQL),
+    "events_daily_anomalies": (q_daily_anomalies, Q_DAILY_ANOMALIES_SQL),
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
