@@ -1689,6 +1689,8 @@ _PRIORITY_ORDER: list[str] = [
     "text_bigram_fluency",
     "sample_k_per_group",
     "dedup_minhash_recall",
+    "embedding_label_centroids",
+    "docs_length_histogram",
 ]
 
 

@@ -37,6 +37,12 @@ _CANON = (
 # whitespace-token SQL twin of functions.text.tokens (used throughout)
 _TOKS = f"str_split({_CANON}, ' ')"
 
+# BPE-ish subword count twin of functions.text.subword_count
+_SUBTOK_SQL = (
+    "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    " AS BIGINT)"
+)
+
 # ---------------------------------------------------------------------------
 # dedup: exact
 # ---------------------------------------------------------------------------
@@ -558,6 +564,77 @@ SELECT CAST(d AS BIGINT) AS dim, COUNT(*) AS n,
        MIN(v) AS min_v, MAX(v) AS max_v
 FROM el GROUP BY 1
 """
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids — the nearest-class-
+    mean / clustering-init primitive): posexplode to (label, dim, v),
+    one shuffle on the small (label x dim) key space with map-side
+    combine; means from quantized integer sums so the centroids are
+    bit-identical on any partitioning."""
+    from kafka_connect_bigquery_spark.queries import _qsum
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = (
+        emb.select(F.col("label").cast("long").alias("label"),
+                   F.posexplode("embedding").alias("dim", "v"))
+        .select("label", F.col("dim").cast("long").alias("dim"),
+                F.col("v").cast("double").alias("v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qsum(F.col("v")).alias("_sq"),
+        )
+    )
+    # mean = quantized-sum / (n * 1e4): one integer-exact division path
+    return g.select(
+        "label", "dim", "n",
+        (F.col("_sq").cast("double") / (F.col("n") * 10_000.0)).alias("mean_v"),
+    )
+
+
+Q_EMB_LABEL_CENTROIDS_SQL = """
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+)
+SELECT label, CAST(d AS BIGINT) AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(v * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+         / (COUNT(*) * 10000.0) AS mean_v
+FROM el GROUP BY 1, 2
+"""
+
+
+_HIST_BUCKET = 100
+
+
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution of the corpus in 100-token buckets —
+    the first chart every dataset card shows; integer bucketing, one
+    map-side-combinable groupBy."""
+    from kafka_connect_bigquery_spark.functions import text as text_fns
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (
+                F.floor(text_fns.subword_count(F.col("text")) / _HIST_BUCKET)
+                * _HIST_BUCKET
+            ).cast("long").alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q_DOCS_LENGTH_HIST_SQL = f"""
+SELECT CAST(({_SUBTOK_SQL} // {_HIST_BUCKET}) * {_HIST_BUCKET} AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # similarity search
@@ -1591,11 +1668,6 @@ def q_docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBTOK_SQL = (
-    "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
-    " AS BIGINT)"
-)
-
 Q_DOCS_SEQUENCE_PACK_SQL = f"""
 WITH toked AS (
   SELECT doc_id,
@@ -1691,6 +1763,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
+    "embedding_label_centroids": (q_embedding_label_centroids, Q_EMB_LABEL_CENTROIDS_SQL),
+    "docs_length_histogram": (q_docs_length_histogram, Q_DOCS_LENGTH_HIST_SQL),
     "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
