@@ -1663,6 +1663,7 @@ _PRIORITY_ORDER: list[str] = [
     "events_funnel",
     "events_cohort_retention",
     "events_daily_anomalies",
+    "events_transitions",
     # text / quality / PII / multimodal (queries_ext)
     "text_pii_scrub",
     "docs_quality_filter",

@@ -517,11 +517,57 @@ FROM daily JOIN m ON daily.event_type = m.event_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the behavioral Markov
+    matrix): lag over (user, time) -> (prev_type, next_type) pair
+    counts plus the integer-quantized transition probability. One
+    shuffle on user_id for the lag window, one tiny aggregation on the
+    (prev, next) key space. Ties at equal timestamps order by event_id
+    so the chain is deterministic."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("prev_type")
+    # integer floor-div (never a double quotient: float floor can miss
+    # integer boundaries by one ulp, breaking cross-engine exactness)
+    return (
+        pairs.withColumn("_total", F.sum("n").over(totals))
+        .withColumn("p_q", F.expr("n * 1000000L div _total"))
+        .drop("_total")
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY {_TS_US}, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q
+FROM pairs
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     "events_funnel": (q_funnel, Q_FUNNEL_SQL),
     "events_cohort_retention": (q_cohort_retention, Q_COHORT_RETENTION_SQL),
     "events_daily_anomalies": (q_daily_anomalies, Q_DAILY_ANOMALIES_SQL),
+    "events_transitions": (q_event_transitions, Q_EVENT_TRANSITIONS_SQL),
     "events_tumbling_window": (q_tumbling, Q_TUMBLING_SQL),
     "events_sliding_window": (q_sliding, Q_SLIDING_SQL),
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
