@@ -39,7 +39,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Literal
 
@@ -111,11 +113,13 @@ class Warehouse:
         bucket_threshold_bytes: int = 256 << 20,
         target_bucket_bytes: int = 128 << 20,
         snapshot_retention: int = 2,
+        commit_lock_timeout_sec: float = 60.0,
     ) -> None:
         self.spark = spark
         self.root = root
         self.bucket_threshold_bytes = bucket_threshold_bytes
         self.target_bucket_bytes = target_bucket_bytes
+        self.commit_lock_timeout_sec = commit_lock_timeout_sec
         # bucketed-MERGE commits each publish an immutable snapshot
         # manifest; the most recent `snapshot_retention` stay readable
         # (time travel / auditing), older ones are pruned by commit GC
@@ -212,13 +216,13 @@ class Warehouse:
         rows = []
         for v in self.snapshots(table):
             meta = self._snapshot_meta(table, v)
-            gens = {b: int(g) for b, g in (meta.get("generations") or {}).items()}
+            gens = dict(meta.get("generations") or {})
             rows.append(
                 (
                     v,
                     int(meta.get("key_bucket_count") or 0),
                     len(gens),
-                    sorted(int(b) for b, g in gens.items() if g == v),
+                    sorted(int(b) for b, g in gens.items() if _gen_version(g) == v),
                 )
             )
         return self.spark.createDataFrame(
@@ -260,7 +264,7 @@ class Warehouse:
             return None
         return self.read(table).schema
 
-    def _bucket_gen_dir(self, table: str, bucket: int | str, gen: int) -> str:
+    def _bucket_gen_dir(self, table: str, bucket: int | str, gen: int | str) -> str:
         # _buckets/ is underscore-prefixed so Spark's file index treats it
         # as metadata and plain reads of the table dir never see it — that
         # is what makes the one-time migration crash-safe (old flat files
@@ -322,21 +326,51 @@ class Warehouse:
         key_cols = list(new.get("key_cols") or old.get("key_cols") or [])
         if not key_cols:
             raise WarehouseError(f"table {table} has no bucketed key columns")
-        og = {b: int(g) for b, g in (old.get("generations") or {}).items()}
-        ng = {b: int(g) for b, g in (new.get("generations") or {}).items()}
+        og = dict(old.get("generations") or {})
+        ng = dict(new.get("generations") or {})
         changed = [b for b in set(og) | set(ng) if og.get(b) != ng.get(b)]
 
-        def _side(gens: dict[str, int]) -> DataFrame:
-            paths = [
+        def _side_paths(gens: dict[str, object]) -> list[str]:
+            return [
                 self._bucket_gen_dir(table, b, gens[b]) for b in changed if b in gens
             ]
-            if not paths:
-                # preserve schema for the join even when one side is empty
-                return self.read(table, version=from_version).limit(0)
-            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-        n_df = _side(ng)
-        o_df = _side(og)
+        n_paths, o_paths = _side_paths(ng), _side_paths(og)
+        n_df = (
+            self.spark.read.option("mergeSchema", "true").parquet(*n_paths)
+            if n_paths
+            else None
+        )
+        o_df = (
+            self.spark.read.option("mergeSchema", "true").parquet(*o_paths)
+            if o_paths
+            else None
+        )
+        # An empty side takes its schema from the other side, never from
+        # read() — a snapshot whose generations map is empty (a commit
+        # that deleted every key) has no live buckets to read, and the
+        # non-empty side's schema already includes columns added by
+        # later schema evolution.
+        if n_df is None and o_df is None:
+            # no changed buckets at either version — derive a schema from
+            # any live generation just to shape the empty result
+            any_gens = ng or og
+            if not any_gens:
+                raise WarehouseError(
+                    f"no data files at either version of {table} to "
+                    "derive a CDC schema from"
+                )
+            probe = self.spark.read.parquet(
+                self._bucket_gen_dir(table, *next(iter(any_gens.items())))
+            )
+            # fresh lineage-free frames: sharing one plan between the two
+            # join sides trips Spark's ambiguous-self-join detection
+            n_df = self.spark.createDataFrame([], probe.schema)
+            o_df = self.spark.createDataFrame([], probe.schema)
+        elif n_df is None:
+            n_df = self.spark.createDataFrame([], o_df.schema)
+        elif o_df is None:
+            o_df = self.spark.createDataFrame([], n_df.schema)
         # schema evolution between the versions: the older side may lack
         # newer columns — surface them as NULLs so the row compare works
         for f in n_df.schema.fields:
@@ -497,9 +531,10 @@ class Warehouse:
         target = unionize(dest.schema, batch_schema)
 
         def proj(df: DataFrame, extra: list[str]) -> DataFrame:
+            src_types = {f.name: f.dataType for f in df.schema.fields}
             cols = [
-                F.col(f.name)
-                if f.name in df.columns
+                _conform(F.col(f.name), src_types[f.name], f.dataType).alias(f.name)
+                if f.name in src_types
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target.fields
             ]
@@ -575,14 +610,58 @@ class Warehouse:
     # -- bucketed MERGE (the 100 TB path) -------------------------------
     def _move_dir(self, src: str, dst: str) -> None:
         """Stage one bucket generation into place. A rename, not a copy;
-        factored out so crash tests can kill the commit mid-flight. A
-        pre-existing ``dst`` can only be garbage from a crashed previous
-        attempt (the manifest never references a generation before its
-        commit), so clear it."""
+        factored out so crash tests can kill the commit mid-flight.
+        Generation dir names carry a per-commit token, so ``dst`` can
+        never legitimately exist — a collision means two writers tried to
+        publish the same path, and clobbering would destroy committed
+        data. Fail loudly instead of deleting."""
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
+        if os.path.exists(dst):
+            raise WarehouseError(
+                f"generation dir {dst} already exists — refusing to "
+                "overwrite a possibly-committed generation"
+            )
         os.replace(src, dst)
+
+    @contextmanager
+    def _commit_lock(self, table: str):
+        """Cross-process mutex for the commit critical section
+        (check-base-generation + manifest swap must be atomic together,
+        or two writers that both pass the check both publish and one
+        update is silently lost). ``O_CREAT|O_EXCL`` is atomic on POSIX
+        local filesystems; on an object store this whole lock disappears
+        and the manifest swap becomes a conditional PUT (if-match etag)
+        with identical semantics."""
+        os.makedirs(self.path(table), exist_ok=True)
+        lock = os.path.join(self.path(table), "_commit.lock")
+        deadline = time.monotonic() + self.commit_lock_timeout_sec
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                # stale-lock sweep: a committer that died holding the
+                # lock leaves the file behind; break it after a bound
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.commit_lock_timeout_sec:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    pass  # raced with the holder's release — retry
+                if time.monotonic() > deadline:
+                    raise WarehouseError(
+                        f"timed out waiting for commit lock on {table}"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def _commit_bucket_generations(
         self,
@@ -592,69 +671,79 @@ class Warehouse:
         *,
         n_buckets: int,
         key_cols: list[str],
+        base_gen: int,
     ) -> None:
         """Publish new generation dirs for ``buckets`` from a staged
         ``tmp`` write (partitioned by ``__bucket``), then commit via one
         atomic manifest replace, then GC superseded generations.
+
+        ``base_gen`` is the manifest generation the *merge read its
+        destination buckets at* — captured by the caller when it listed
+        the bucket paths, NOT re-read here. If another writer published
+        meanwhile, this commit's output was derived from stale bucket
+        contents and publishing it would silently drop the other
+        writer's updates; the check under the commit lock aborts loudly
+        instead (the caller re-runs the merge against the new state).
+        Generation dirs are named ``gen=<G>-<token>`` with a per-commit
+        random token, so an aborting loser can never have clobbered the
+        winner's just-published dirs.
 
         Crash at any point is safe: before the manifest replace, readers
         resolve the old manifest to old complete generations (the new
         dirs are unreferenced); after it, only garbage remains, swept by
         the next commit's GC pass.
         """
-        meta = self.layout_meta(table)
-        gens: dict[str, int] = dict(meta.get("generations") or {})
-        base_gen = int(meta.get("generation", -1))
-        new_gen = base_gen + 1
-        for b in buckets:
-            src_b = os.path.join(tmp, f"__bucket={b}")
-            if os.path.isdir(src_b):
-                self._move_dir(src_b, self._bucket_gen_dir(table, b, new_gen))
-                gens[str(b)] = new_gen
-            else:
-                # merge emptied this bucket (all its keys deleted)
-                gens.pop(str(b), None)
-        new_meta = {
-            "key_bucket_count": n_buckets,
-            "key_cols": list(key_cols),
-            "generation": new_gen,
-            "generations": gens,
-        }
-        # optimistic concurrency: this commit's manifest was derived from
-        # base_gen — if another writer landed meanwhile, publishing would
-        # silently drop their buckets. Fail loudly instead (the staged
-        # gen dirs become unreferenced garbage the next commit's GC
-        # sweeps; the caller re-runs the merge against the new state).
-        # Best-effort on a local FS; on an object store the pointer PUT
-        # becomes a conditional put (if-match etag) with the same shape.
-        current_gen = int(self.layout_meta(table).get("generation", -1))
-        if current_gen != base_gen:
-            raise WarehouseError(
-                f"concurrent MERGE commit on {table}: this merge read "
-                f"generation {base_gen} but generation {current_gen} has "
-                "been published meanwhile; retry the merge"
-            )
-        # snapshot first (unreferenced until the pointer swap — a crash
-        # between the two just leaves one extra readable manifest), then
-        # the atomic pointer replace that IS the commit
-        self._write_snapshot(table, new_meta)
-        self._write_layout_meta(table, new_meta)
-        # -- post-commit GC (idempotent; a crash here just leaves
-        #    unreferenced dirs for the next pass) ----------------------
-        shutil.rmtree(tmp, ignore_errors=True)
-        versions = self.snapshots(table)
-        for v in versions[: -self.snapshot_retention]:
-            os.remove(self._snapshot_path(table, v))
-        self._gc_stale(table, gens)
+        new_gen = int(base_gen) + 1
+        gen_id = f"{new_gen}-{uuid.uuid4().hex[:8]}"
+        with self._commit_lock(table):
+            meta = self.layout_meta(table)
+            current_gen = int(meta.get("generation", -1))
+            if current_gen != base_gen:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise WarehouseError(
+                    f"concurrent MERGE commit on {table}: this merge read "
+                    f"generation {base_gen} but generation {current_gen} "
+                    "has been published meanwhile; retry the merge"
+                )
+            gens: dict[str, object] = dict(meta.get("generations") or {})
+            for b in buckets:
+                src_b = os.path.join(tmp, f"__bucket={b}")
+                if os.path.isdir(src_b):
+                    self._move_dir(src_b, self._bucket_gen_dir(table, b, gen_id))
+                    gens[str(b)] = gen_id
+                else:
+                    # merge emptied this bucket (all its keys deleted)
+                    gens.pop(str(b), None)
+            new_meta = {
+                "key_bucket_count": n_buckets,
+                "key_cols": list(key_cols),
+                "generation": new_gen,
+                "generations": gens,
+            }
+            # snapshot first (unreferenced until the pointer swap — a
+            # crash between the two just leaves one extra readable
+            # manifest), then the atomic pointer replace that IS the
+            # commit
+            self._write_snapshot(table, new_meta)
+            self._write_layout_meta(table, new_meta)
+            # -- post-commit GC (idempotent; a crash here just leaves
+            #    unreferenced dirs for the next pass). Stays inside the
+            #    lock so a concurrent commit can't publish dirs while the
+            #    live-set is being computed. ---------------------------
+            shutil.rmtree(tmp, ignore_errors=True)
+            versions = self.snapshots(table)
+            for v in versions[: -self.snapshot_retention]:
+                os.remove(self._snapshot_path(table, v))
+            self._gc_stale(table, gens)
 
-    def _gc_stale(self, table: str, gens: dict[str, int]) -> None:
+    def _gc_stale(self, table: str, gens: dict[str, object]) -> None:
         """Remove generation dirs that neither the live manifest nor any
         retained snapshot references, and pre-migration flat files once
         a bucketed layout is live."""
-        live: dict[str, set[int]] = {b: {g} for b, g in gens.items()}
+        live: dict[str, set[object]] = {b: {g} for b, g in gens.items()}
         for v in self.snapshots(table):
             for b, g in (self._snapshot_meta(table, v).get("generations") or {}).items():
-                live.setdefault(b, set()).add(int(g))
+                live.setdefault(b, set()).add(g)
         tdir = self.path(table)
         broot = os.path.join(tdir, "_buckets")
         if os.path.isdir(broot):
@@ -709,8 +798,11 @@ class Warehouse:
             first.drop(*drop_helpers).write.mode("overwrite").partitionBy(
                 "__bucket"
             ).parquet(tmp)
+            # base_gen=-1: this writer saw no table; if a concurrent
+            # first-writer commits gen 0 meanwhile, the check aborts us
             self._commit_bucket_generations(
-                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets,
+                key_cols=key_cols, base_gen=-1,
             )
             return
 
@@ -724,7 +816,8 @@ class Warehouse:
             tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
             migrated.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
             self._commit_bucket_generations(
-                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets,
+                key_cols=key_cols, base_gen=int(meta.get("generation", -1)),
             )
 
         touched = sorted(
@@ -732,8 +825,13 @@ class Warehouse:
         )
         # manifest-driven pruning: open only the touched buckets' live
         # generation dirs (no filter needed — the untouched data is
-        # never listed, let alone read)
-        gens = self.layout_meta(table).get("generations") or {}
+        # never listed, let alone read). base_gen is captured from the
+        # SAME manifest read that resolves the bucket paths — it is the
+        # generation this merge's output derives from, which is what the
+        # commit-time optimistic-concurrency check must compare against.
+        meta = self.layout_meta(table)
+        gens = meta.get("generations") or {}
+        base_gen = int(meta.get("generation", -1))
         dest_paths = [
             self._bucket_gen_dir(table, b, gens[str(b)])
             for b in touched
@@ -771,7 +869,8 @@ class Warehouse:
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         self._commit_bucket_generations(
-            table, tmp, touched, n_buckets=n_buckets, key_cols=key_cols
+            table, tmp, touched, n_buckets=n_buckets, key_cols=key_cols,
+            base_gen=base_gen,
         )
 
     def read_bucketed(self, table: str) -> DataFrame:
@@ -805,10 +904,22 @@ class Warehouse:
         files = glob.glob(os.path.join(self.path(table), "**", "*.parquet"), recursive=True)
         if len(files) < min_files:
             return 0
-        df = self.read(table)
+        # one manifest read resolves BOTH the input paths and the base
+        # generation for the commit check — reading them separately
+        # would let a concurrent merge slip between the two
+        meta = self.layout_meta(table)
+        if meta.get("generations") is not None:
+            paths = [
+                self._bucket_gen_dir(table, b, g)
+                for b, g in meta["generations"].items()
+            ]
+            if not paths:  # every key deleted — nothing to compact
+                return 0
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        else:
+            df = self.read(table)
         n_rows = df.count()
         n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
-        meta = self.layout_meta(table)
         if meta.get("generations") is not None:
             # bucketed layout: recompute the bucket id from the persisted
             # key columns and republish every bucket as a new generation
@@ -824,7 +935,8 @@ class Warehouse:
                 "__bucket"
             ).parquet(tmp)
             self._commit_bucket_generations(
-                table, tmp, list(range(n_buckets)), n_buckets=n_buckets, key_cols=key_cols
+                table, tmp, list(range(n_buckets)), n_buckets=n_buckets,
+                key_cols=key_cols, base_gen=int(meta.get("generation", -1)),
             )
             return len(files)
         part_cols = [spec.partition_col] if spec.partition_col else []
@@ -876,6 +988,13 @@ class Warehouse:
         return dropped
 
 
+def _gen_version(gen: int | str) -> int:
+    """Commit version of a generation id. Ids are ``<version>-<token>``
+    since the collision-free-dir change; bare ints appear in manifests
+    written by earlier versions and stay readable."""
+    return int(str(gen).split("-", 1)[0])
+
+
 def _first_batch_state(
     batch: DataFrame,
     key_cols: list[str],
@@ -900,15 +1019,43 @@ def _first_batch_state(
     return first
 
 
+def _conform(col: F.Column, src: T.DataType, dst: T.DataType) -> F.Column:
+    """Rebuild ``col`` (typed ``src``) to the unionized target type
+    ``dst``. Nested evolution support for the MERGE path (the reference's
+    SchemaManager unionizes RECORDs recursively, SchemaManager.java:
+    449-461): a batch adding a field *inside* a struct column must
+    produce identically-shaped structs on both merge sides, so structs
+    are rebuilt field-by-field with missing nested fields filled by
+    typed NULLs — a plain cast between differently-shaped structs fails
+    analysis."""
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        src_fields = {f.name: f.dataType for f in src.fields}
+        parts = [
+            _conform(col[f.name], src_fields[f.name], f.dataType).alias(f.name)
+            if f.name in src_fields
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in dst.fields
+        ]
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.transform(
+            col, lambda x: _conform(x, src.elementType, dst.elementType)
+        )
+    return col.cast(dst)
+
+
 def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project df onto the evolved schema: missing fields -> NULL,
     order normalized (parquet handles the stored side via mergeSchema-
     style evolution on read)."""
     cols = []
-    have = {f.name for f in df.schema.fields}
+    src_types = {f.name: f.dataType for f in df.schema.fields}
     for f in target.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        if f.name in src_types:
+            cols.append(_conform(F.col(f.name), src_types[f.name], f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
