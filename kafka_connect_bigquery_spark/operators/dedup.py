@@ -108,16 +108,31 @@ def passage_boilerplate(
             F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
         ),
     )
-    exploded = toked.select(
-        "doc", F.posexplode(passages).alias("pos", "passage")
-    ).withColumn("ph", F.md5(F.col("passage")))
-    # document frequency via a window over the passage hash: one shuffle,
-    # and the explode pipeline runs once (a groupBy+self-join would
-    # re-derive it for each side)
-    pass_df = F.size(
-        F.collect_set("doc").over(Window.partitionBy("ph"))
+    # checkpoint the exploded postings so the explode pipeline runs once
+    # for both the document-frequency aggregate and the reassembly
+    exploded = (
+        toked.select("doc", F.posexplode(passages).alias("pos", "passage"))
+        .withColumn("ph", F.md5(F.col("passage")))
+        .localCheckpoint(eager=True)
     )
-    flagged = exploded.withColumn("is_boiler", pass_df > max_doc_freq)
+    # Document frequency via a two-level aggregate, NOT a window over the
+    # passage hash: the ultra-frequent passages this guard exists to drop
+    # are exactly the keys that would concentrate every posting into one
+    # window partition (skew stall) while collect_set holds the full doc
+    # set in memory (OOM at corpus scale). groupBy + countDistinct is
+    # planned as two map-side-combinable aggregations, and the resulting
+    # boilerplate set (only hashes with df > max_doc_freq) is small by
+    # construction — broadcast it back as a flag join, so the postings
+    # themselves never shuffle for the guard.
+    boiler = (
+        exploded.groupBy("ph")
+        .agg(F.countDistinct("doc").alias("pdf"))
+        .filter(F.col("pdf") > max_doc_freq)
+        .select("ph", F.lit(True).alias("is_boiler"))
+    )
+    flagged = exploded.join(F.broadcast(boiler), "ph", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
     kept_sorted = F.transform(
         F.array_sort(
             F.collect_list(
@@ -177,17 +192,23 @@ def _shingle_postings(
     )
     posts = canon.select("doc", F.explode(shingles).alias("sh"))
     if max_doc_freq is not None:
-        # drop stop-shingles: they explode the candidate join and add no
+        # Drop stop-shingles: they explode the candidate join and add no
         # discriminative signal (classic skew guard at corpus scale).
-        # Window count = one shuffle on sh and the explode runs once (a
-        # groupBy+join guard re-derives the postings for each side).
-        posts = (
-            posts.withColumn(
-                "df_", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            )
-            .filter(F.col("df_") <= max_doc_freq)
-            .drop("df_")
+        # Two-level form, NOT a window on `sh`: the hottest shingles are
+        # precisely the ones the guard drops, and an unbounded window
+        # partitioned on them funnels all their postings into single
+        # tasks. groupBy gets map-side partial counts (skew-safe); the
+        # stop set (df > max_doc_freq only — a bounded universe for
+        # char n-grams) broadcasts back as an anti-join, so the postings
+        # don't shuffle for the guard. Explode runs once: checkpointed.
+        posts = posts.localCheckpoint(eager=True)
+        stop = (
+            posts.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("sh")
         )
+        posts = posts.join(F.broadcast(stop), "sh", "left_anti")
     return posts
 
 
