@@ -7,12 +7,16 @@ leave the executor, Python sees them in columnar batches, and the
 output schema is declared up front so the rest of the plan stays
 declarative.
 
-The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
+General codec libraries (PIL/librosa/ffmpeg) are NOT available in this
 container, so ``decode_image_meta`` ships a clearly-marked deterministic
-stand-in (md5-derived dimensions) behind the same plumbing, and
-``decode_image_real`` raises NotImplementedError at the exact seam where
-the real decoder plugs in. The Spark-side contract — schema, batching,
-partition sizing — is the part that carries to production unchanged.
+stand-in (md5-derived dimensions) behind the same plumbing — that keeps
+results oracle-checkable. The production path exists too:
+``decode_image_real`` / ``decode_audio_real`` are dependency-free
+header parsers for the public PNG and WAV formats (stdlib
+``struct``+``zlib``), contract-tested against synthesized real files;
+richer codecs drop into the same ``Decoder`` signature. The Spark-side
+contract — schema, batching, partition sizing — carries to production
+unchanged either way.
 """
 
 from __future__ import annotations
@@ -52,12 +56,44 @@ def pack_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
-    """The production decode seam. Plug PIL/turbojpeg here."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use decode_image_meta (deterministic stand-in) for plumbing tests"
-    )
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Production image decode seam: a dependency-free PNG header
+    parser (pure stdlib ``struct``+``zlib`` over the public PNG spec).
+
+    PNG layout: 8-byte signature, then chunks of
+    ``[len u32][type 4s][data][crc u32]`` with IHDR required first;
+    IHDR data starts with width/height as big-endian u32. The IHDR CRC
+    is verified (zlib.crc32 over type+data) so truncated/corrupt
+    payloads fail loudly instead of yielding garbage dimensions.
+    n_frames is the APNG ``acTL`` frame count when present, else 1.
+    Swap in PIL/turbojpeg here for formats beyond PNG — same signature.
+    """
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < 33 or not payload.startswith(sig):
+        raise ValueError("not a PNG payload (bad signature)")
+    ln, typ = struct.unpack_from(">I4s", payload, 8)
+    if typ != b"IHDR" or ln != 13:
+        raise ValueError("malformed PNG: first chunk is not IHDR")
+    data = payload[16 : 16 + 13]
+    (crc,) = struct.unpack_from(">I", payload, 16 + 13)
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("malformed PNG: IHDR CRC mismatch")
+    width, height = struct.unpack_from(">II", data, 0)
+    # APNG animation control chunk (if present before IDAT) carries the
+    # frame count; plain PNGs are single-frame
+    n_frames, off = 1, 16 + 13 + 4
+    while off + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, off)
+        if typ == b"acTL" and ln >= 4:
+            (n_frames,) = struct.unpack_from(">I", payload, off + 8)
+            break
+        if typ in (b"IDAT", b"IEND"):
+            break
+        off += 8 + ln + 4
+    return int(width), int(height), int(n_frames)
 
 
 def decode_image_meta(
@@ -144,12 +180,36 @@ AUDIO_META_SCHEMA = T.StructType(
 _AUDIO_RATES = (8000, 16000, 44100)
 
 
-def decode_audio_real(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
-    """The production audio probe seam. Plug soundfile/ffprobe here."""
-    raise NotImplementedError(
-        "audio codecs are not available in this environment; "
-        "use decode_audio_meta (deterministic stand-in) for plumbing tests"
-    )
+def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
+    """Production audio probe seam: a dependency-free RIFF/WAVE header
+    parser (pure stdlib ``struct`` over the public WAV spec).
+
+    WAV layout: ``RIFF <size> WAVE`` then chunks of
+    ``[id 4s][size u32le][data]`` (word-aligned); the ``fmt `` chunk
+    carries channels/sample-rate/block-align, the ``data`` chunk's size
+    over block-align is the per-channel sample count. Swap in
+    soundfile/ffprobe here for formats beyond WAV — same signature."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF header)")
+    sample_rate = n_channels = block_align = None
+    n_samples = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt " and size >= 16:
+            _fmt, n_channels, sample_rate, _byte_rate, block_align = (
+                struct.unpack_from("<HHIIH", payload, off + 8)
+            )
+        elif cid == b"data":
+            if block_align is None:
+                raise ValueError("malformed WAV: data chunk before fmt")
+            n_samples = size // block_align if block_align else 0
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or n_samples is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    return int(sample_rate), int(n_samples), int(n_channels)
 
 
 def decode_audio_meta(
@@ -196,10 +256,15 @@ def chunk_audio(df: DataFrame, *, chunk_seconds: int = 10) -> DataFrame:
     final (usually short) chunk is truncated to ``n_samples``."""
     spc = F.col("sample_rate") * chunk_seconds
     n_chunks = F.floor((F.col("n_samples") + spc - 1) / spc).cast("long")
+    # n_samples=0 (reachable via any plugged-in decoder on an empty
+    # file) would make sequence(0, -1) the DESCENDING array [0, -1] —
+    # the same trap packing._gram_hashes guards against. Empty audio
+    # emits zero chunk rows.
+    chunk_idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
-        df.withColumn(
-            "chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-        )
+        df.withColumn("chunk_index", F.explode(chunk_idx))
         .withColumn("start_sample", F.col("chunk_index") * spc)
         .withColumn(
             "end_sample", F.least(F.col("n_samples"), (F.col("chunk_index") + 1) * spc)

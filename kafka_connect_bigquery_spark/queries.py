@@ -1309,25 +1309,56 @@ def q_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for 100 TB interactive analytics:
     HyperLogLog++ distinct users and t-digest-style value quantiles per
     event type. Sketches merge associatively, so partial aggregation
-    and AQE apply exactly as for exact aggregates. No SQL oracle —
-    sketch internals are engine-specific — unit tests bound the error
-    against exact answers (rows-only driver check)."""
+    and AQE apply exactly as for exact aggregates.
+
+    Sketch *internals* are engine-specific, so the oracle checks the
+    published error contracts instead of raw sketch values: the Spark
+    side computes both the sketches and the exact answers in one
+    aggregation and emits per-group booleans
+    (``hll_ok`` = HLL++ estimate within 3*rsd of the exact distinct
+    count; ``pXX_ok`` = percentile_approx result inside the exact value
+    band at rank p±0.01, a 100x-slack envelope over the 1/accuracy=1e-4
+    rank-error guarantee). The DuckDB oracle computes the exact columns
+    and asserts the contract booleans literally TRUE — a sketch that
+    drifts out of its bound hash-mismatches the driver row."""
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_q"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        # exact rank bands: lower at p-0.01, upper at p+0.01 (p99 upper = max)
+        F.expr("percentile(value, array(0.49D, 0.94D, 0.98D))").alias("_lo"),
+        F.expr("percentile(value, array(0.51D, 0.96D, 1.0D))").alias("_hi"),
     )
-    # scalar quantile columns: array-typed output breaks downstream
-    # canonicalization (pandas sort over list cells is unhashable)
+    within = lambda i: (  # noqa: E731 — local contract predicate
+        (F.col("_q")[i] >= F.col("_lo")[i]) & (F.col("_q")[i] <= F.col("_hi")[i])
+    )
     return agg.select(
         "event_type",
-        "approx_users",
-        F.col("_q")[0].alias("p50"),
-        F.col("_q")[1].alias("p95"),
-        F.col("_q")[2].alias("p99"),
+        "exact_users",
         "n_events",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= 3 * 0.02 * F.col("exact_users")
+        ).alias("hll_ok"),
+        within(0).alias("p50_ok"),
+        within(1).alias("p95_ok"),
+        within(2).alias("p99_ok"),
     )
+
+
+Q_EVENTS_APPROX_STATS_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,7 +1667,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitized_projection": (q_sanitized_projection, Q_SANITIZED_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
-    "events_approx_stats": (q_events_approx_stats, None),
+    "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
     "events_set_ops": (q_events_set_ops, Q_EVENTS_SET_OPS_SQL),
     "events_json_agg": (q_events_json_agg, Q_EVENTS_JSON_AGG_SQL),
@@ -1648,50 +1679,53 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Names surfaced FIRST in queries()/oracle_sql() order. External harnesses
 # that budget a fixed number of correctness checks walk the registry in
-# insertion order, so lead with the operators that most need witnessing
-# (windowing, text-quality, PII, multimodal, approx sketches) and park the
-# long-stable TPC-H shapes at the tail — they remain in bench.py regardless.
+# insertion order. The window ALTERNATES round to round: lead with the
+# entries whose most recent driver row is oldest, park last round's fresh
+# greens at the tail. Round 4: the 22 TPC-H shapes + 13 dedup/ANN/sampling
+# entries were last witnessed in r02, before the LTZ read-boundary change —
+# they go first, followed by queries new or re-oracled this round.
 _PRIORITY_ORDER: list[str] = [
-    # event-time windowing family (queries_windows)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_session_window",
-    "events_asof_join",
-    "events_interval_join",
-    "events_attribution",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_transitions",
-    # text / quality / PII / multimodal (queries_ext)
-    "text_pii_scrub",
-    "docs_quality_filter",
-    "text_repetition_stats",
-    "multimodal_image_meta",
-    "multimodal_frame_features",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_subword_stats",
-    "text_top_terms",
-    # approx sketches + IVF (newly oracled / newly shaped)
+    # TPC-H family (last driver row: r02)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    # dedup / ANN / sampling entries last witnessed in r02
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "bq_shape_projection",
+    "dataset_split",
+    "stratified_sample",
+    "embedding_dim_stats",
+    # re-oracled / new this round
     "events_approx_stats",
-    "events_value_quantiles",
-    "ann_ivf_topk",
-    # round-3 additions
-    "dedup_winnow",
-    "docs_sequence_pack",
-    "docs_decontaminate",
-    "ann_ivfpq_topk",
-    "multimodal_audio_chunks",
-    "mixture_rebalance",
-    "dedup_passages",
-    "text_bigram_fluency",
-    "sample_k_per_group",
-    "dedup_minhash_recall",
-    "embedding_label_centroids",
-    "docs_length_histogram",
+    "dedup_incremental",
+    "warehouse_zonemap_read",
 ]
 
 

@@ -570,25 +570,28 @@ def test_split_fractions_validated(spark):
 # ---------------------------------------------------------------------------
 
 def test_approx_stats_error_bounds(spark, sf_dir):
+    """The tolerance-contract booleans must all hold: each sketch value
+    stays inside its published error bound vs the exact aggregate
+    computed in the same query (this is what the DuckDB oracle asserts
+    via literal TRUE columns)."""
     from kafka_connect_bigquery_spark.queries import q_events_approx_stats
     from kafka_connect_bigquery_spark.session import read_table
 
-    approx = {r["event_type"]: r for r in q_events_approx_stats(spark, sf_dir).collect()}
+    rows = {r["event_type"]: r for r in q_events_approx_stats(spark, sf_dir).collect()}
     e = read_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r
         for r in e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        x = exact[et]
-        assert abs(a["approx_users"] - x["users"]) <= max(2, 0.05 * x["users"])
-        assert abs(a["p50"] - x["p50"]) <= 0.05 * max(abs(x["p50"]), 1.0)
+    assert set(rows) == set(exact)
+    for et, a in rows.items():
+        assert a["exact_users"] == exact[et]["users"]
+        assert a["n_events"] == exact[et]["n"]
+        assert a["hll_ok"], f"HLL++ out of 3*rsd bound for {et}"
+        for p in ("p50_ok", "p95_ok", "p99_ok"):
+            assert a[p], f"percentile_approx out of rank band for {et}: {p}"
 
 
 # ---------------------------------------------------------------------------
@@ -683,9 +686,101 @@ def test_multimodal_decode_schema_and_determinism(spark):
     assert rows[1]["n_frames"] == 1 + 5 % 7
 
 
-def test_multimodal_real_decoder_is_explicit_seam():
-    with pytest.raises(NotImplementedError):
+def _synth_png(width: int, height: int, n_frames: int | None = None) -> bytes:
+    """A minimal valid PNG built with stdlib only (struct + zlib):
+    signature, IHDR, optional APNG acTL, one IDAT scanline set, IEND."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if n_frames is not None:
+        out += chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _synth_wav(rate: int, n_samples: int, channels: int) -> bytes:
+    """A minimal valid PCM WAV built with stdlib only (struct)."""
+    import struct
+
+    block = channels * 2  # 16-bit PCM
+    data = b"\x01\x00" * (n_samples * channels)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_png_decoder_parses_synthesized_files():
+    """decode_image_real is a real stdlib PNG parser, not a promise:
+    it parses synthesized valid PNGs (incl. APNG frame counts) and
+    rejects corrupt ones loudly."""
+    assert multimodal.decode_image_real(_synth_png(640, 480)) == (640, 480, 1)
+    assert multimodal.decode_image_real(_synth_png(3, 2, n_frames=7)) == (3, 2, 7)
+    with pytest.raises(ValueError, match="bad signature"):
         multimodal.decode_image_real(b"\x89PNG")
+    corrupt = bytearray(_synth_png(10, 10))
+    corrupt[18] ^= 0xFF  # flip a width byte -> IHDR CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image_real(bytes(corrupt))
+
+
+def test_real_wav_decoder_parses_synthesized_files():
+    assert multimodal.decode_audio_real(_synth_wav(16000, 40000, 1)) == (
+        16000,
+        40000,
+        1,
+    )
+    assert multimodal.decode_audio_real(_synth_wav(8000, 0, 2)) == (8000, 0, 2)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio_real(b"nope")
+    with pytest.raises(ValueError, match="missing fmt"):
+        multimodal.decode_audio_real(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_real_decoders_drive_pipeline_end_to_end(spark):
+    """The production path exists: real PNG/WAV bytes flow through the
+    same mapInPandas plumbing and downstream stages as the stand-in,
+    with decode_image_real/decode_audio_real plugged into the seam."""
+    png_rows = [
+        (1, bytearray(_synth_png(640, 480, n_frames=5))),
+        (2, bytearray(_synth_png(1920, 1080))),
+    ]
+    packed = spark.createDataFrame(png_rows, "doc_id: long, payload: binary")
+    meta = multimodal.decode_image_meta(packed, decoder=multimodal.decode_image_real)
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (640, 480, 5)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_frames"]) == (1920, 1080, 1)
+    idx = sorted(
+        (r["doc_id"], r["frame_index"])
+        for r in multimodal.sample_frames(meta, every_nth=2).collect()
+    )
+    assert idx == [(1, 0), (1, 2), (1, 4), (2, 0)]
+
+    wav_rows = [
+        (1, bytearray(_synth_wav(16000, 40000, 1))),
+        (2, bytearray(_synth_wav(8000, 0, 2))),  # empty audio: zero chunks
+    ]
+    packed_a = spark.createDataFrame(wav_rows, "doc_id: long, payload: binary")
+    ameta = multimodal.decode_audio_meta(packed_a, decoder=multimodal.decode_audio_real)
+    chunks = multimodal.chunk_audio(ameta, chunk_seconds=1)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["start_sample"], r["end_sample"])
+        )
+    assert sorted(by_doc[1]) == [(0, 0, 16000), (1, 16000, 32000), (2, 32000, 40000)]
+    # the n_samples=0 guard: no bogus descending-sequence rows
+    assert 2 not in by_doc
 
 
 def test_sample_frames_indices(spark):
@@ -794,9 +889,20 @@ def test_audio_seam_is_swappable_and_chunking_runs_unchanged(spark):
     assert sorted(by_doc[2]) == [(0, 0, 8000), (1, 8000, 16000)]
 
 
-def test_audio_real_decoder_is_explicit_seam():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio_real(b"RIFF")
+def test_chunk_audio_empty_audio_emits_no_rows(spark):
+    """n_samples=0 must yield zero chunk rows, not the descending
+    sequence(0,-1) artifact rows (chunk_index -1, negative offsets)."""
+    df = spark.createDataFrame(
+        [(1, 16000, 0, 1), (2, 16000, 100, 1)],
+        "doc_id: long, sample_rate: long, n_samples: long, n_channels: long",
+    )
+    got = {r["doc_id"]: r for r in multimodal.chunk_audio(df, chunk_seconds=1).collect()}
+    assert set(got) == {2}
+    assert (got[2]["chunk_index"], got[2]["start_sample"], got[2]["end_sample"]) == (
+        0,
+        0,
+        100,
+    )
 
 
 def test_codec_seam_default_matches_standin(spark):
