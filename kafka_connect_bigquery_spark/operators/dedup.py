@@ -415,6 +415,29 @@ def minhash_signature(
     return posts.groupBy("doc").agg(*aggs).withColumnRenamed("doc", id_col)
 
 
+def lsh_band_postings(
+    sig_df: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, bucket) LSH band postings — the *index* rows: bucket =
+    md5 of each signature band. This is the thing a persistent dedup
+    service stores (e.g. as a warehouse table keyed by bucket); both the
+    full self-join dedup and the incremental probe build on it."""
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
+    banded = sig_df.select(F.col(id_col).alias("doc"), *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -428,23 +451,53 @@ def lsh_candidate_pairs(
     collide in >= 1 band. Probability of collision ≈ 1-(1-j^r)^b for
     Jaccard j with r = num_hashes/bands rows per band.
     """
-    r = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]
-        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
-    banded = sig_df.select(F.col(id_col).alias("doc"), *band_cols)
-    stacked = banded.select(
-        "doc",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
-    )
-    a = stacked.select(F.col("doc").alias("id_a"), "bucket")
-    b2 = stacked.select(F.col("doc").alias("id_b"), F.col("bucket").alias("bucket_b"))
+    stacked = lsh_band_postings(sig_df, id_col, num_hashes=num_hashes, bands=bands)
+    return lsh_pairs_from_postings(stacked)
+
+
+def lsh_pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) bucket-collision pairs from (doc, bucket)
+    postings — the self-join form used when the postings/index already
+    exist (so signatures aren't recomputed)."""
+    a = postings.select(F.col("doc").alias("id_a"), "bucket")
+    b2 = postings.select(F.col("doc").alias("id_b"), F.col("bucket").alias("bucket_b"))
     return (
         a.join(b2, (a.bucket == b2.bucket_b) & (a.id_a < b2.id_b))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_probe_index(
+    new_postings: DataFrame, index_postings: DataFrame
+) -> DataFrame:
+    """Incremental LSH probe: candidate pairs involving at least one
+    *new* document — new×index plus new×new — via bucket equi-join.
+
+    This is the daily-ingest operation at 100 TB: the corpus-sized
+    index is NEVER self-joined or recomputed; it is only probed on the
+    bucket key by the (ingest-sized) new postings, so per-ingest cost
+    follows the delta, not the corpus. Invariant (oracle-checked by
+    ``dedup_incremental``): pairs(index ∪ new) = pairs(index) ∪
+    probe(new, index) — the decomposition loses and invents nothing.
+
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    n = new_postings.select(F.col("doc").alias("n_doc"), F.col("bucket").alias("n_bucket"))
+    # new × index: the new side is the small side of the equi-join
+    i = index_postings.select(F.col("doc").alias("i_doc"), "bucket")
+    cross = n.join(i, n.n_bucket == i.bucket).select(
+        F.least("n_doc", "i_doc").alias("id_a"),
+        F.greatest("n_doc", "i_doc").alias("id_b"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    # new × new: same self-join shape as the full dedup, delta-sized
+    n2 = new_postings.select(
+        F.col("doc").alias("id_b"), F.col("bucket").alias("bucket_b")
+    )
+    nn = new_postings.select(F.col("doc").alias("id_a"), "bucket").join(
+        n2, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return cross.unionByName(nn).distinct()
 
 
 def minhash_lsh_dedup_pairs(

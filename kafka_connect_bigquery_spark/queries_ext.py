@@ -353,6 +353,78 @@ FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 Q_DEDUP_MINHASH_SQL = _minhash_sql()
 
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup over the warehouse CDC feed — the
+    operation a 100 TB ingest pipeline runs daily: newly landed
+    documents (from ``read_changes`` on the bucketed corpus table)
+    probe the *existing* band-postings index instead of recomputing the
+    corpus (operators/dedup.py:lsh_probe_index).
+
+    Scenario staged here: the corpus lands in a bucketed warehouse
+    table as a base MERGE (snapshot v0) + a delta MERGE (every 10th
+    doc, snapshot v1); the delta is recovered through the manifest-diff
+    CDC feed, NOT from the source frame. Result = pairs(index) ∪
+    probe(delta, index) — which the oracle (the full-recompute MinHash
+    SQL over all documents) proves identical to one-shot dedup of the
+    union. In production only the probe term runs per ingest; cost
+    follows the delta, never the corpus.
+    """
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+    import os as _os
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # scratch warehouse per invocation (same discipline as
+    # queries.q_merge_upsert_bucketed: lazy readers outlive the call,
+    # stale dirs swept opportunistically)
+    base = _os.path.join(tempfile.gettempdir(), "kcbq_spark_incdedup")
+    _os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in _os.listdir(base):
+        p = _os.path.join(base, stale)
+        try:
+            if now - _os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, _os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    is_delta = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    for pred in (~is_delta, is_delta):
+        wh.merge(
+            docs.filter(pred).withColumn("i", F.col("doc_id")),
+            "docs",
+            ["doc_id"],
+            mode="upsert",
+            order_col="i",
+            spec=spec,
+        )
+    base_docs = wh.read("docs", version=0).select("doc_id", "text")
+    delta_docs = (
+        wh.read_changes("docs", from_version=0)
+        .filter(F.col("_change_type").isin("insert", "update"))
+        .select("doc_id", "text")
+    )
+    kw = dict(num_hashes=_MH_HASHES, bands=_MH_BANDS)
+    sig_base = dedup.minhash_signature(
+        base_docs, "doc_id", "text", n=3, num_hashes=_MH_HASHES
+    )
+    sig_delta = dedup.minhash_signature(
+        delta_docs, "doc_id", "text", n=3, num_hashes=_MH_HASHES
+    )
+    idx = dedup.lsh_band_postings(sig_base, "doc_id", **kw)
+    newp = dedup.lsh_band_postings(sig_delta, "doc_id", **kw)
+    # pairs already known to the index (production keeps these), plus
+    # the incremental probe for everything the delta introduces
+    known_pairs = dedup.lsh_pairs_from_postings(idx)
+    return known_pairs.unionByName(dedup.lsh_probe_index(newp, idx)).distinct()
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash signatures
 # ---------------------------------------------------------------------------
@@ -1757,6 +1829,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
     "dedup_passages": (q_dedup_passages, Q_DEDUP_PASSAGES_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
+    "dedup_incremental": (q_dedup_incremental, Q_DEDUP_MINHASH_SQL),
     "dedup_minhash_recall": (q_dedup_minhash_recall, _recall_sql()),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
