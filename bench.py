@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_passages",
     "mixture_rebalance",
     "multimodal_audio_chunks",
+    # r04: clustered write + zone-map-pruned read through the warehouse
+    "warehouse_zonemap_read",
 ]
 
 

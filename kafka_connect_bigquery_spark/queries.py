@@ -1237,6 +1237,50 @@ def q_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read_bucketed("t").select(*EVENT_COLS)
 
 
+def q_warehouse_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (L4 clustering made useful on read):
+    events land in a warehouse table clustered by event_type
+    (range-partitioned files + per-file min/max recorded from the
+    parquet footers at write, sinks/warehouse.py:_record_zonemap), then
+    a clustered-predicate read resolves the zone map and opens only the
+    files whose [min, max] can contain the predicate value —
+    complementing parquet's row-group skipping with *file-level*
+    pruning before Spark lists any data. The oracle re-derives the same
+    filter from the source table, proving pruning loses no rows; the
+    plan-level fewer-files assertion lives in tests/test_layout.py."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_zonemap")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", clustering=("event_type",))
+    wh.overwrite(e, "events_c", spec)
+    # re-cluster into explicitly-sized range files so the map has
+    # something to prune (a toy-scale single-file write prunes nothing)
+    wh.compact("events_c", spec, target_file_rows=2000, min_files=1)
+    return wh.read_pruned("events_c", "event_type", eq="purchase")
+
+
+Q_WAREHOUSE_ZONEMAP_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -1666,6 +1710,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "logical_types_wire": (q_logical_types_wire, Q_LOGICAL_TYPES_SQL),
     "sanitized_projection": (q_sanitized_projection, Q_SANITIZED_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
+    "warehouse_zonemap_read": (q_warehouse_zonemap_read, Q_WAREHOUSE_ZONEMAP_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),

@@ -414,6 +414,118 @@ class Warehouse:
             return df
         return df.sortWithinPartitions(*spec.clustering)
 
+    def _clustered(self, df: DataFrame, spec: TableSpec, n: int | None = None) -> DataFrame:
+        """Clustering (L4) with teeth: range-partition on the clustering
+        columns so each output file covers a *narrow* value range, then
+        sort within files for row-group locality. Narrow per-file ranges
+        are what make the zone map (per-file min/max, recorded at write)
+        actually prune files under equality/range predicates — the
+        sort-only form keeps rows ordered inside files whose min/max
+        still span the whole domain, which prunes nothing. This is the
+        BigQuery-clustering/Z-order idea in plain Spark primitives."""
+        if not spec.clustering:
+            return df.repartition(n) if n else df
+        cols = [F.col(c) for c in spec.clustering]
+        df = df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+        return df.sortWithinPartitions(*spec.clustering)
+
+    # -- zone maps (file skipping on clustering columns) -----------------
+    def _zonemap_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_zonemap.json")
+
+    def _record_zonemap(self, table: str) -> None:
+        """Record per-file min/max of every stats-bearing column from
+        the parquet footers (driver-side metadata reads only — no data
+        pages are opened; at fleet scale the same footer scan fans out
+        as one task per file). Written atomically next to the data;
+        consulted by ``read_pruned``."""
+        import glob
+        import json
+
+        import pyarrow.parquet as pq
+
+        tdir = self.path(table)
+        zm: dict[str, dict[str, list]] = {}
+        for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+            md = pq.read_metadata(p)
+            zones: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
+                        continue  # bytes/logical types: not zone-mapped
+                    name = col.path_in_schema
+                    if name in zones:
+                        zones[name] = [min(zones[name][0], lo), max(zones[name][1], hi)]
+                    else:
+                        zones[name] = [lo, hi]
+            zm[os.path.relpath(p, tdir)] = zones
+        tmp = self._zonemap_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(zm, f)
+        os.replace(tmp, self._zonemap_path(table))
+
+    def read_pruned(
+        self,
+        table: str,
+        col: str,
+        *,
+        eq=None,
+        lo=None,
+        hi=None,
+    ) -> DataFrame:
+        """Read a table under an equality/range predicate on ``col``,
+        skipping every file whose zone-map [min, max] cannot contain a
+        match (the read-side payoff of clustering L4: with
+        range-clustered files, an equality predicate opens ~1/k of the
+        files). The predicate is re-applied to the surviving files, so
+        the result is exactly ``read(table).filter(...)`` regardless of
+        zone-map state; with no zone map recorded it degrades to the
+        full read. IO cost at 100 TB: the map prunes at *file*
+        granularity before Spark ever lists the data, complementing
+        parquet's own row-group min/max skipping inside opened files."""
+        import json
+
+        if eq is not None:
+            lo = hi = eq
+        pred = F.col(col).between(lo, hi) if lo is not None else F.lit(True)
+        if (
+            lo is None
+            or not os.path.exists(self._zonemap_path(table))
+            # bucketed tables resolve files through the generation
+            # manifest, not the flat zone map — full read there
+            or self.layout_meta(table).get("generations") is not None
+        ):
+            return self.read(table).filter(pred)
+        import glob
+
+        with open(self._zonemap_path(table)) as f:
+            zm = json.load(f)
+        tdir = self.path(table)
+        keep = []
+        # files on disk but not in the map (e.g. appended by a writer
+        # that didn't refresh it) can never be skipped — only a recorded
+        # non-overlapping zone is evidence of absence
+        for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+            z = zm.get(os.path.relpath(p, tdir), {}).get(col)
+            if z is None or (z[0] <= hi and z[1] >= lo):
+                keep.append(p)
+        if not keep:
+            return self.read(table).limit(0).filter(pred)
+        # basePath keeps Hive-style partition columns visible when
+        # individual files inside partition dirs are listed explicitly
+        return (
+            self.spark.read.option("basePath", tdir)
+            .option("mergeSchema", "true")
+            .parquet(*keep)
+            .filter(pred)
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -470,15 +582,17 @@ class Warehouse:
         elif proposal is not None:
             # table auto-create uses the retrieved schema verbatim
             out = _align_to(out, proposal)
-        out = self._sorted_within(out, spec)
+        out = self._clustered(out, spec)
         writer = out.write.mode("append")
         if spec.partition_col:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(self.path(table))
+        if spec.clustering:
+            self._record_zonemap(table)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
-        out = self._sorted_within(self._with_partition(df, spec), spec)
+        out = self._clustered(self._with_partition(df, spec), spec)
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
         if spec.partition_col:
@@ -497,6 +611,8 @@ class Warehouse:
         os.replace(tmp, final)
         if meta:
             self._write_layout_meta(table, meta)
+        if spec.clustering:
+            self._record_zonemap(table)
 
     # -- MERGE ----------------------------------------------------------
     def _align_for_merge(
@@ -940,14 +1056,15 @@ class Warehouse:
             )
             return len(files)
         part_cols = [spec.partition_col] if spec.partition_col else []
-        if part_cols:
-            df = df.repartition(n_out, *part_cols)
-        else:
-            df = df.repartition(n_out)
         # write directly (not via overwrite(), which would recompute
         # partition columns) so stored values stay byte-stable
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
-        out = self._sorted_within(df, spec)
+        if spec.clustering:
+            out = self._clustered(df, spec, n_out)  # re-cluster on compact
+        elif part_cols:
+            out = df.repartition(n_out, *part_cols)
+        else:
+            out = df.repartition(n_out)
         writer = out.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -957,6 +1074,8 @@ class Warehouse:
         os.replace(tmp, final)
         if meta:
             self._write_layout_meta(table, meta)
+        if spec.clustering:
+            self._record_zonemap(table)
         return len(files)
 
     # -- retention (L3) --------------------------------------------------

@@ -57,3 +57,80 @@ def test_zorder_files_skip_on_both_columns(spark, grid_df, tmp_path):
     assert z_b < lex_b * 0.5, f"z-order b-span {z_b} not tighter than lex {lex_b}"
     # and the z-layout still bounds the first column usefully
     assert avg_span(zpath, "a") < 40  # full range would be 63
+
+
+# ---------------------------------------------------------------------------
+# zone-map file skipping (the read-side payoff of clustering L4)
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_prunes_files_under_clustered_predicate(spark, tmp_path):
+    """A clustered write records per-file min/max; read_pruned under an
+    equality predicate on the clustering column must open strictly
+    fewer files than exist while returning exactly the filtered rows."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cats = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(i, cats[i % 5], float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k: bigint, cat: string, v: double")
+    spec = TableSpec(partition_grain="NONE", clustering=("cat",))
+    wh.overwrite(df, "t", spec)
+    # compaction re-clusters into explicitly-sized range files (AQE
+    # coalesces a toy-sized overwrite into one file, where file-level
+    # pruning is moot)
+    wh.compact("t", spec, target_file_rows=1000, min_files=1)
+
+    all_files = set(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert len(all_files) > 1, "test needs multiple files to show pruning"
+
+    pruned = wh.read_pruned("t", "cat", eq="beta")
+    opened = {f.replace("file://", "") for f in pruned.inputFiles()}
+    assert opened < all_files, "zone map did not skip any file"
+    got = {(r["k"], r["v"]) for r in pruned.collect()}
+    expect = {(i, float(i)) for i in range(5000) if cats[i % 5] == "beta"}
+    assert got == expect
+
+    # range predicate on a numeric clustering column after compaction
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    spec_k = TableSpec(partition_grain="NONE", clustering=("k",))
+    for lo in range(0, 5000, 1000):  # multiple appends -> many files
+        part = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 1000)], "k: bigint, v: double"
+        )
+        wh2.append(part, "t", spec_k)
+    pr = wh2.read_pruned("t", "k", lo=100, hi=150)
+    assert {r["k"] for r in pr.collect()} == set(range(100, 151))
+    all2 = set(glob.glob(f"{wh2.path('t')}/**/*.parquet", recursive=True))
+    opened2 = {f.replace("file://", "") for f in pr.inputFiles()}
+    assert opened2 < all2
+
+
+def test_zonemap_never_skips_unmapped_files(spark, tmp_path):
+    """Files appended without a zone-map refresh (no clustering spec)
+    must still be read — absence from the map is not evidence of
+    absence of matches."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE", clustering=("cat",))
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(100)],
+        "k: bigint, cat: string, v: double",
+    )
+    wh.overwrite(df, "t", spec)
+    # append WITHOUT clustering: the zone map goes stale
+    extra = spark.createDataFrame([(999, "b", 9.9)], "k: bigint, cat: string, v: double")
+    wh.append(extra, "t", TableSpec(partition_grain="NONE"))
+    got = {r["k"] for r in wh.read_pruned("t", "cat", eq="b").collect()}
+    assert 999 in got and len(got) == 51
+
+
+def test_read_pruned_matches_full_filter_on_unclustered_table(spark, tmp_path):
+    """No zone map at all -> read_pruned degrades to read().filter()."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k: bigint, v: double")
+    wh.overwrite(df, "t", TableSpec(partition_grain="NONE"))
+    assert {r["k"] for r in wh.read_pruned("t", "k", lo=10, hi=12).collect()} == {10, 11, 12}
