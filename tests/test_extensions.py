@@ -915,3 +915,44 @@ def test_codec_seam_default_matches_standin(spark):
     assert r["width"] == 1 + int(m[0:2], 16)
     assert r["height"] == 1 + int(m[2:4], 16)
     assert r["n_frames"] == 1 + (r["n_bytes"] % 7)
+
+
+# ---------------------------------------------------------------------------
+# registry hygiene: every entry witnessed, no silent gaps
+# ---------------------------------------------------------------------------
+
+
+def test_registry_every_entry_has_oracle_and_order_is_consistent():
+    """Guards the correctness-gate contract as the registry grows:
+    (1) every registry entry carries oracle SQL (entries exempted for
+    genuinely non-SQL-expressible ops must be listed here explicitly —
+    currently none, the approx-sketch query has a tolerance-contract
+    oracle); (2) every _PRIORITY_ORDER name resolves to a real entry
+    (a typo would silently drop it from the witnessing window); (3) the
+    three registry modules never shadow each other's keys (dict.update
+    would silently keep only one)."""
+    from kafka_connect_bigquery_spark import queries, queries_ext, queries_windows
+
+    declared_no_oracle: set[str] = set()
+
+    full = queries._full_registry()
+    missing = {
+        n for n, (_, sql) in full.items() if sql is None
+    } - declared_no_oracle
+    assert not missing, f"registry entries without oracle SQL: {sorted(missing)}"
+
+    dangling = set(queries._PRIORITY_ORDER) - set(full)
+    assert not dangling, f"_PRIORITY_ORDER names not in registry: {sorted(dangling)}"
+
+    k1, k2, k3 = (
+        set(queries.REGISTRY),
+        set(queries_ext.REGISTRY),
+        set(queries_windows.REGISTRY),
+    )
+    assert not (k1 & k2) and not (k1 & k3) and not (k2 & k3), (
+        "registry key collision across modules"
+    )
+    assert len(full) == len(k1) + len(k2) + len(k3)
+    # and the public surface agrees with the registry
+    assert set(queries.queries()) == set(full)
+    assert set(queries.oracle_sql()) == set(full) - declared_no_oracle
