@@ -1281,6 +1281,192 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (IVM) over the
+    warehouse CDC feed (operators/rollup.py): the per-(user, type)
+    count/sum rollup built at snapshot v0 is kept fresh by applying the
+    signed pre/post-image deltas from ``read_changes(images="both")`` —
+    never recomputed from the corpus. The reference refreshes by
+    re-running MERGE-side queries in BigQuery (MergeQueries.java:137);
+    an engine that owns storage maintains the aggregate at CDC cost.
+
+    Staged scenario: all events MERGE in at v0; a delta MERGE updates
+    every 7th event's value (+100) and tombstones every event_id ≡ 3
+    (mod 11) at v1. The returned frame is rollup(v0) ⊕ delta(CDC), and
+    the oracle recomputes the v1 aggregate directly from the source
+    table — proving maintained == recomputed, including groups that
+    empty out. Exactness: contributions are integer-quantized
+    (rollup.quantized), so maintenance is order- and
+    history-independent. Cost ∝ |changes| + |rollup|, never |corpus|.
+    """
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.operators import rollup as R
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_rollup")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    base_batch = (
+        e.withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(base_batch, "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    updates = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    deletes = (
+        e.filter(F.col("event_id") % 11 == 3)
+        .withColumn("i", F.lit(2).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        updates.unionByName(deletes), "t", ["event_id"],
+        mode="upsert_delete", order_col="i", spec=spec,
+    )
+    keys = ["user_id", "event_type"]
+    measures = {
+        "n_events": F.lit(1).cast("bigint"),
+        "sum_value_q": R.quantized("value"),
+    }
+    base_rollup = R.build_rollup(wh.read("t", version=0), keys, measures)
+    changes = wh.read_changes("t", from_version=0, images="both")
+    delta = R.rollup_delta(changes, keys, measures)
+    maintained = R.apply_rollup_delta(base_rollup, delta, keys, count_measure="n_events")
+    return maintained.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        R.dequantized("sum_value_q").alias("sum_value"),
+    )
+
+
+Q_ROLLUP_INCREMENTAL_SQL = f"""
+WITH final AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value + 100 ELSE value END AS value
+  FROM events WHERE event_id % 11 <> 3
+)
+SELECT user_id, event_type, COUNT(*) AS n_events, {_qsum_sql("value")} AS sum_value
+FROM final GROUP BY 1, 2
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of the orders table
+    (operators/profile.py): null counts, exact cardinalities, numeric /
+    timestamp ranges, string ranges and mean lengths — one aggregate
+    job, one row out per column. The stats that drive broadcast-join
+    decisions and data-quality gates at 100 TB."""
+    from kafka_connect_bigquery_spark.operators.profile import profile
+
+    return profile(_t(spark, sf_dir, "orders"))
+
+
+def _profile_oracle_sql() -> str:
+    num = lambda c: (
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct,"
+        f" CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,"
+        f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,"
+        f" CAST(NULL AS DOUBLE) AS avg_len FROM orders"
+    )
+    ts = lambda c: (
+        f"SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),"
+        f" CAST(MIN(epoch_us({c})) AS DOUBLE), CAST(MAX(epoch_us({c})) AS DOUBLE),"
+        f" CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)"
+        f" FROM orders"
+    )
+    st = lambda c: (
+        f"SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),"
+        f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN({c}), MAX({c}),"
+        f" CAST(SUM(length({c})) AS DOUBLE) / COUNT({c}) FROM orders"
+    )
+    return "\nUNION ALL\n".join(
+        [
+            num("o_orderkey"),
+            num("o_custkey"),
+            st("o_orderstatus"),
+            num("o_totalprice"),
+            ts("o_orderdate"),
+            st("o_orderpriority"),
+        ]
+    )
+
+
+Q_TABLE_PROFILE_SQL = _profile_oracle_sql()
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over event user_ids
+    (operators/sketch.py): the depth x width additive sketch is built in
+    one bounded-output shuffle, probed for every distinct user, and
+    audited against the exact per-user counts — ``never_underestimates``
+    is the CMS guarantee made hash-checkable. Deterministic depth-salted
+    md5 slots mean the oracle rebuilds the identical sketch in SQL."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    kw = dict(depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    sk = SK.count_min_build(e, "user_id", **kw)
+    est = SK.count_min_estimate(sk, e, "user_id", **kw)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "cm_estimate",
+        "n_exact",
+        (F.col("cm_estimate") >= F.col("n_exact")).alias("never_underestimates"),
+    )
+
+
+Q_SKETCH_COUNT_MIN_SQL = f"""
+WITH ds AS (SELECT unnest(range({_CMS_DEPTH})) AS d),
+hashed AS (
+  SELECT user_id, d,
+         CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {_CMS_WIDTH} AS slot
+  FROM events, ds
+  WHERE user_id IS NOT NULL
+),
+sketch AS (SELECT d, slot, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id, d, slot FROM hashed),
+est AS (
+  SELECT user_id, MIN(COALESCE(cnt, 0)) AS cm_estimate
+  FROM probes LEFT JOIN sketch USING (d, slot) GROUP BY 1
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT user_id, cm_estimate, n_exact,
+       cm_estimate >= n_exact AS never_underestimates
+FROM est JOIN exact USING (user_id)
+"""
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -1711,6 +1897,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitized_projection": (q_sanitized_projection, Q_SANITIZED_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "warehouse_zonemap_read": (q_warehouse_zonemap_read, Q_WAREHOUSE_ZONEMAP_SQL),
+    "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
+    "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
+    "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -1771,6 +1960,9 @@ _PRIORITY_ORDER: list[str] = [
     "events_approx_stats",
     "dedup_incremental",
     "warehouse_zonemap_read",
+    "rollup_incremental",
+    "table_profile",
+    "sketch_count_min",
 ]
 
 

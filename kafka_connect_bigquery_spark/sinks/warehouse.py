@@ -304,12 +304,24 @@ class Warehouse:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_changes(
-        self, table: str, *, from_version: int, to_version: int | None = None
+        self,
+        table: str,
+        *,
+        from_version: int,
+        to_version: int | None = None,
+        images: Literal["post", "both"] = "post",
     ) -> DataFrame:
         """Row-level changes between two snapshots of a bucketed table
-        (the CDC feed a downstream incremental consumer wants): one row
-        per changed key with ``_change_type`` in {insert, update,
-        delete} — post-image for insert/update, pre-image for delete.
+        (the CDC feed a downstream incremental consumer wants).
+
+        ``images="post"`` (default): one row per changed key with
+        ``_change_type`` in {insert, update, delete} — post-image for
+        insert/update, pre-image for delete.
+
+        ``images="both"``: Delta-CDF-style — an update emits TWO rows,
+        ``update_preimage`` (old values) and ``update_postimage`` (new
+        values), so a downstream incremental aggregate can subtract the
+        old contribution and add the new one (operators/rollup.py).
 
         Scale: the manifest diff names exactly the buckets whose
         generation moved, so only those buckets are read at either
@@ -385,16 +397,35 @@ class Warehouse:
         joined = o.join(n, cond, "full_outer")
         o_row = F.struct(*[o[c] for c in data_cols])
         n_row = F.struct(*[n[c] for c in data_cols])
-        change = (
-            F.when(o["_o"].isNull(), F.lit("insert"))
-            .when(n["_n"].isNull(), F.lit("delete"))
-            .when(~o_row.eqNullSafe(n_row), F.lit("update"))
+        if images == "post":
+            change = (
+                F.when(o["_o"].isNull(), F.lit("insert"))
+                .when(n["_n"].isNull(), F.lit("delete"))
+                .when(~o_row.eqNullSafe(n_row), F.lit("update"))
+            )
+            image = F.when(n["_n"].isNull(), o_row).otherwise(n_row)
+            return (
+                joined.select(change.alias("_change_type"), image.alias("_r"))
+                .filter(F.col("_change_type").isNotNull())
+                .select("_change_type", "_r.*")
+            )
+
+        def _ev(kind: str, row) -> F.Column:
+            return F.struct(F.lit(kind).alias("_change_type"), row.alias("_r"))
+
+        # no .otherwise(): an unchanged row leaves the array NULL, and
+        # explode(NULL) emits zero rows — exactly the filter we want
+        events = (
+            F.when(o["_o"].isNull(), F.array(_ev("insert", n_row)))
+            .when(n["_n"].isNull(), F.array(_ev("delete", o_row)))
+            .when(
+                ~o_row.eqNullSafe(n_row),
+                F.array(_ev("update_preimage", o_row), _ev("update_postimage", n_row)),
+            )
         )
-        image = F.when(n["_n"].isNull(), o_row).otherwise(n_row)
         return (
-            joined.select(change.alias("_change_type"), image.alias("_r"))
-            .filter(F.col("_change_type").isNotNull())
-            .select("_change_type", "_r.*")
+            joined.select(F.explode(events).alias("_e"))
+            .select("_e._change_type", "_e._r.*")
         )
 
     # -- write paths ----------------------------------------------------
