@@ -63,8 +63,12 @@ HEADLINE = [
     "dedup_passages",
     "mixture_rebalance",
     "multimodal_audio_chunks",
-    # r04: clustered write + zone-map-pruned read through the warehouse
-    "warehouse_zonemap_read",
+    # r04: count-min sketch build+probe+audit (pure query). The other
+    # r04 entries (warehouse_zonemap_read, rollup_incremental,
+    # dedup_incremental) stage a scratch warehouse per invocation —
+    # their timing is parquet-write dominated, so like
+    # merge_upsert_bucketed they stay out of the throughput headline.
+    "sketch_count_min",
 ]
 
 
@@ -79,13 +83,14 @@ def main() -> None:
     # warmup: trigger JIT/codegen + file listing once with the flagship
     registry[names[0]](spark, sf_dir).count()
 
-    # min of two runs per query: the second run reuses warmed file
-    # listings/codegen, and min-of-2 suppresses machine-load spikes so
+    # min of three runs per query: later runs reuse warmed file
+    # listings/codegen, and the minimum suppresses machine-load spikes
+    # (this host shows ±30% noise with repeated-run decay) so
     # round-over-round comparisons track the engine, not the host
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             registry[name](spark, sf_dir).count()
             dt = time.time() - t0

@@ -436,6 +436,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy("l_suppkey").agg(
         _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_q")
     )
+    # rev feeds BOTH the scalar max and the join-back; without an
+    # explicit materialization Spark plans two full lineitem scans —
+    # neither plan-time ReuseExchange nor AQE dedups the branches
+    # (measured 2x at sf0.1). Same one-shot-checkpoint discipline as
+    # the ANN encoded corpus (operators/ann.py). rev is per-supplier —
+    # tiny relative to lineitem at any scale.
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("rev_q").alias("max_q"))
     out = (
         rev.join(F.broadcast(mx), rev.rev_q == mx.max_q)
@@ -564,6 +571,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_brand", "l_suppkey")
         .agg(F.min(cost_q).alias("cost_q"))
     )
+    # pair feeds both the per-part minimum and the join-back; checkpoint
+    # once or the lineitem join+shuffle runs twice (see q15 note)
+    pair = pair.localCheckpoint(eager=False)
     best = pair.groupBy("p_partkey").agg(F.min("cost_q").alias("best_q"))
     out = (
         pair.join(best, "p_partkey")
@@ -721,6 +731,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(value_q.alias("value_q"))
     )
+    # per_part feeds both the grand total and the threshold filter;
+    # checkpoint once or the lineitem joins run twice (see q15 note)
+    per_part = per_part.localCheckpoint(eager=False)
     total = per_part.agg(
         F.sum("value_q").alias("total_q"), F.count(F.lit(1)).alias("n_parts")
     )
@@ -947,9 +960,17 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quantized so the comparison is engine-exact."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    # per-part avg quantity, quantized: avg = qsum / count
-    per_part = l.groupBy("l_partkey").agg(
-        _qsum(F.col("l_quantity")).alias("qty_q"), F.count(F.lit(1)).alias("cnt")
+    # per-part avg quantity, quantized: avg = qsum / count. Only the
+    # brand's parts survive the final join, so push the part filter
+    # BELOW the aggregate as a broadcast semi-join — the avg shuffle
+    # carries 1/|brands| of lineitem instead of all of it (result-
+    # identical: the join would prune the other groups anyway).
+    per_part = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(_qsum(F.col("l_quantity")).alias("qty_q"),
+             F.count(F.lit(1)).alias("cnt"))
     )
     thresh = (
         F.lit(0.2) * (F.col("qty_q").cast("double") / F.lit(float(_Q))) / F.col("cnt")
@@ -1467,6 +1488,55 @@ FROM est JOIN exact USING (user_id)
 """
 
 
+def q_cobucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join through catalog-native bucketing
+    (sinks/bucketed_catalog.py): customer and orders land bucketed by
+    their join key, so the fact⨝fact join plans with ZERO Exchange on
+    either side (plan property pinned in tests/test_bucketed_catalog.py)
+    — the one-time write shuffle is amortized over every later join, the
+    repeated-join regime a 100 TB warehouse lives in. The oracle is the
+    plain join: bucketing must change the plan, never the answer."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks import bucketed_catalog as BC
+
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_cobkt")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    suffix = _uuid.uuid4().hex[:10]
+    root = os.path.join(base, suffix)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    tc, to = f"cbkt_c_{suffix}", f"cbkt_o_{suffix}"
+    BC.save_bucketed(c, tc, ["c_custkey"], 8, path=os.path.join(root, "c"))
+    BC.save_bucketed(o, to, ["o_custkey"], 8, path=os.path.join(root, "o"))
+    j = spark.table(tc).join(
+        spark.table(to), F.col("c_custkey") == F.col("o_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _qval(_qsum(F.col("o_totalprice"))).alias("total_price"),
+    )
+
+
+Q_COBUCKETED_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {_qsum_sql("o_totalprice")} AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -1900,6 +1970,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
+    "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -1963,6 +2034,7 @@ _PRIORITY_ORDER: list[str] = [
     "rollup_incremental",
     "table_profile",
     "sketch_count_min",
+    "cobucketed_join",
 ]
 
 

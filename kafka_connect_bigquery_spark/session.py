@@ -89,6 +89,14 @@ import weakref
 
 _NANOS_CONF_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
+# Resolved-relation cache per session: the catalog role a metastore
+# plays on a real cluster. Re-resolving a parquet relation re-lists
+# files and re-reads footers — pure constant overhead when the same 90
+# registry queries hit the same 10 immutable tables in one session.
+# Keyed weakly by session (a dead session must not pin its JVM state);
+# DataFrames are immutable so sharing one per (dir, table) is safe.
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata table, normalizing nanosecond-precision parquet
@@ -121,10 +129,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             pass
         _NANOS_CONF_SESSIONS.add(spark)
 
+    cache = _TABLE_CACHE.setdefault(spark, {})
     path = table_path(sf_dir, name)
-    df = spark.read.parquet(path)
-    for col in _ns_timestamp_columns(path):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        for col in _ns_timestamp_columns(path):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        cache[path] = df
     return df
 
 

@@ -462,6 +462,57 @@ def test_two_session_writer_race_no_lost_update(spark, tmp_path):
         assert os.listdir(os.path.join(broot, b)) == [f"gen={gens[b]}"]
 
 
+def test_two_process_writer_race_loses_nothing(spark, tmp_path):
+    """The same race as above but across two REAL processes — separate
+    JVMs, separate Python interpreters, nothing shared but the
+    filesystem (the deployment shape two independent ingest jobs have).
+    Barrier files force the deterministic interleaving: A stages its
+    merge from gen G and holds its commit until B publishes G+1. A's
+    commit MUST abort loudly (stale base generation), A's retry must
+    converge, and no writer's rows may be lost or clobbered."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    # retention=1 everywhere so the last commit's GC sweeps superseded
+    # generations — the per-bucket single-dir assertion below needs no
+    # time-travel snapshots pinning old gens
+    wh0 = Warehouse(spark, root, snapshot_retention=1)
+    wh0.merge(_mk(spark, [(k, "base", k, False) for k in range(20)]), "t", ["k"],
+              mode="upsert", spec=TableSpec(partition_grain="NONE", key_bucket_count=4))
+
+    script = os.path.join(os.path.dirname(__file__), "race_writer_proc.py")
+    procs = {
+        role: subprocess.Popen(
+            [_sys.executable, script, root, role, sync],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for role in ("A", "B")
+    }
+    outs = {r: p.communicate(timeout=420) for r, p in procs.items()}
+    for role, p in procs.items():
+        assert p.returncode == 0, (role, outs[role][1].decode()[-2000:])
+
+    # the conflict really fired and was retried, not silently passed
+    assert os.path.exists(os.path.join(sync, "a_conflict"))
+    assert not os.path.exists(os.path.join(sync, "a_no_conflict"))
+    assert os.path.exists(os.path.join(sync, "a_done"))
+
+    got = _state(wh0, "t")
+    assert got == {(k, "A") for k in range(10)} | {(k, "B") for k in range(10, 20)}
+    # three serialized commits: base=0, B=1, A's retry=2
+    assert wh0.layout_meta("t")["generation"] == 2
+    # exactly one live gen dir per bucket — the aborted stale commit
+    # never published and its staging was swept
+    broot = os.path.join(wh0.path("t"), "_buckets")
+    gens = _bucket_gens(wh0, "t")
+    for b in os.listdir(broot):
+        assert os.listdir(os.path.join(broot, b)) == [f"gen={gens[b]}"]
+    assert not [d for d in os.listdir(wh0.path("t")) if d.startswith(".tmp_")]
+
+
 def _evolved_batch(spark):
     return spark.createDataFrame(
         [(1, "x", "extra", 99, False)],
