@@ -1,0 +1,82 @@
+"""Iterative graph analytics: integer-exact PageRank.
+
+Companion to the min-label-propagation connected components
+(operators/dedup.py:connected_components): a fixed-iteration PageRank
+whose arithmetic is ENTIRELY integer — ranks live on a 1/q lattice,
+per-edge shares use floor division, and the damping mix is a scaled
+integer expression — so the result is bit-identical across engines,
+partitionings, and summation orders (the property that lets a DuckDB
+oracle hash-match a distributed run; float PageRank never can).
+
+Update rule per iteration, all in BIGINT:
+
+    share(u -> v)  = rank_q(u) // outdeg(u)
+    rank_q'(v)     = ((dden-dnum) * q) // (dden * N)
+                     + (dnum * SUM share(u->v)) // dden
+
+(the simple non-redistributing dangling-mass variant: rank leaking
+through sinks is not recycled — documented, and mirrored exactly by
+the oracle).
+
+Scale shape: one groupBy for out-degrees, then per iteration one
+equi-join edges⨝ranks + one groupBy(dst) — the standard Pregel-style
+message pass as plain DataFrame ops. Ranks are localCheckpoint'ed per
+round (same discipline as connected_components) so the plan stays
+O(1) deep; total work is O(iterations * |E|) with map-side combine on
+the share sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 1_000_000  # rank lattice: 1e-6 quanta
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    q: int = Q,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+    Returns ``(node, rank_q)`` with rank_q on the 1/q lattice (BIGINT —
+    exact, hash-comparable). Duplicate edges count once."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg): the message-passing edge list, reused every round
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    teleport_q = ((damping_den - damping_num) * q) // (damping_den * n)
+    ranks = nodes.withColumn("rank_q", F.lit(q // n).cast("bigint"))
+    for _ in range(iterations):
+        sums = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank_q div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport_q)
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("bigint").alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

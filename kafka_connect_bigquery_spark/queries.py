@@ -1537,6 +1537,56 @@ GROUP BY 1
 """
 
 
+_PR_ITERS = 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the directed
+    supplier→customer trade graph (an edge per distinct supplier that
+    served a customer's order; suppliers carry negated keys so the two
+    id spaces never collide). Three message-passing rounds, every
+    operation on the 1/q integer lattice — the oracle replays the same
+    rounds as chained CTEs and must hash-match bit-for-bit, something
+    float PageRank can never promise across engines."""
+    from kafka_connect_bigquery_spark.operators import graph as G
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return G.pagerank(edges, iterations=_PR_ITERS)
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n.node,
+         (15 * 1000000) // (100 * c.n)
+           + (85 * COALESCE(s.s, 0)) // 100 AS rank_q
+  FROM nodes n CROSS JOIN cnt c
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank_q // o.deg) AS BIGINT) AS s
+             FROM edges e JOIN r{i - 1} r ON e.src = r.node
+             JOIN outdeg o ON e.src = o.src GROUP BY 1) s ON n.node = s.node
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT -l_suppkey AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1000000 // n AS rank_q FROM nodes CROSS JOIN cnt),
+{",".join(steps)}
+SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r{iters}
+"""
+
+
+Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -1971,6 +2021,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
+    "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -2035,6 +2086,7 @@ _PRIORITY_ORDER: list[str] = [
     "table_profile",
     "sketch_count_min",
     "cobucketed_join",
+    "graph_pagerank",
 ]
 
 
