@@ -883,10 +883,11 @@ class Warehouse:
                 os.remove(self._snapshot_path(table, v))
             self._gc_stale(table, gens)
 
-    def _gc_stale(self, table: str, gens: dict[str, object]) -> None:
+    def _gc_stale(self, table: str, gens: dict[str, object]) -> int:
         """Remove generation dirs that neither the live manifest nor any
         retained snapshot references, and pre-migration flat files once
-        a bucketed layout is live."""
+        a bucketed layout is live. Returns the number of paths removed."""
+        removed = 0
         live: dict[str, set[object]] = {b: {g} for b, g in gens.items()}
         for v in self.snapshots(table):
             for b, g in (self._snapshot_meta(table, v).get("generations") or {}).items():
@@ -900,12 +901,56 @@ class Warehouse:
                 for g in os.listdir(bdir):
                     if g not in keep:
                         shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)
+                        removed += 1
                 if not keep:
                     shutil.rmtree(bdir, ignore_errors=True)
         for name in os.listdir(tdir):
             if name.startswith(("part-", "p_")) or name == "_SUCCESS":
                 p = os.path.join(tdir, name)
                 (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                removed += 1
+        return removed
+
+    def vacuum(
+        self,
+        table: str,
+        *,
+        staging_grace_sec: float = 3600.0,
+        keep_snapshots: int | None = None,
+    ) -> int:
+        """Operational GC on demand (the ``VACUUM`` analog): prune
+        snapshots beyond retention, sweep generation dirs no retained
+        manifest references (e.g. orphans of a commit that crashed
+        after staging), and remove abandoned ``.tmp_<table>_*`` staging
+        dirs older than ``staging_grace_sec`` (the grace keeps a live
+        writer's in-flight staging safe — staging happens outside the
+        commit lock, so age is the only safe signal). Normally the
+        per-commit GC keeps tables clean; vacuum() is for tables whose
+        writers crashed or whose retention policy shrank. Returns the
+        number of paths removed."""
+        removed = 0
+        with self._commit_lock(table):
+            keep = self.snapshot_retention if keep_snapshots is None else max(1, keep_snapshots)
+            versions = self.snapshots(table)
+            for v in versions[:-keep]:
+                os.remove(self._snapshot_path(table, v))
+                removed += 1
+            gens = self.layout_meta(table).get("generations")
+            if gens is not None:
+                removed += self._gc_stale(table, dict(gens))
+            now = time.time()
+            prefix = f".tmp_{table}_"
+            for name in os.listdir(self.root):
+                if not name.startswith(prefix):
+                    continue
+                p = os.path.join(self.root, name)
+                try:
+                    if now - os.path.getmtime(p) > staging_grace_sec:
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed += 1
+                except OSError:
+                    pass  # racing a concurrent cleanup is fine
+        return removed
 
     def _merge_bucketed(
         self,

@@ -513,6 +513,92 @@ def test_two_process_writer_race_loses_nothing(spark, tmp_path):
     assert not [d for d in os.listdir(wh0.path("t")) if d.startswith(".tmp_")]
 
 
+def test_vacuum_sweeps_orphans_respects_grace_and_retention(spark, tmp_path):
+    """vacuum(): removes crashed-commit orphan generation dirs and aged
+    staging dirs, prunes snapshots to the requested retention, and never
+    touches live data or a fresh (possibly in-flight) staging dir."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(20)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    wh.merge(_mk(spark, [(1, "u1", 100, False)]), "t", ["k"], mode="upsert", spec=SPEC)
+    state0 = _state(wh, "t")
+    assert wh.snapshots("t") == [0, 1]
+
+    # orphan of a commit that crashed after staging its rename
+    broot = os.path.join(wh.path("t"), "_buckets")
+    some_bucket = os.listdir(broot)[0]
+    orphan = os.path.join(broot, some_bucket, "gen=99-deadbeef")
+    os.makedirs(orphan)
+    # abandoned staging (old) vs in-flight staging (fresh)
+    old_tmp = os.path.join(wh.root, ".tmp_t_deadbeef")
+    new_tmp = os.path.join(wh.root, ".tmp_t_inflight")
+    os.makedirs(old_tmp)
+    os.makedirs(new_tmp)
+    os.utime(old_tmp, (0, 0))
+
+    removed = wh.vacuum("t", keep_snapshots=1)
+    # orphan gen + old staging + pruned snapshot v0 + the superseded
+    # generation dir that only v0's manifest was keeping alive
+    assert removed == 4
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(new_tmp)  # grace protected it
+    assert wh.snapshots("t") == [1]
+    assert _state(wh, "t") == state0
+    with pytest.raises(Exception, match="not readable"):
+        wh.read("t", version=0)
+
+
+def test_compact_aborts_on_concurrent_merge_then_retries(spark, tmp_path):
+    """Compaction races a MERGE: compact stages from generation G, a
+    merge publishes G+1 before compact's commit — compact must abort
+    loudly (its output would resurrect the pre-merge rows), and a retry
+    against the new state must succeed."""
+    import threading
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import WarehouseError
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(40)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+
+    staged, merged = threading.Event(), threading.Event()
+    outcome: list = []
+
+    class HoldingWarehouse(Warehouse):
+        def _commit_bucket_generations(self, *a, **kw):
+            staged.set()
+            assert merged.wait(timeout=120)
+            return super()._commit_bucket_generations(*a, **kw)
+
+    def compacting():
+        whc = HoldingWarehouse(spark.newSession(), root)
+        try:
+            whc.compact("t", SPEC, target_file_rows=5, min_files=1)
+            outcome.append("committed")
+        except WarehouseError as e:
+            outcome.append(str(e))
+
+    th = threading.Thread(target=compacting)
+    th.start()
+    assert staged.wait(timeout=120)
+    wh.merge(_mk(spark, [(1, "updated", 100, False)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    merged.set()
+    th.join(timeout=300)
+    assert outcome and "concurrent MERGE commit" in outcome[0], outcome
+
+    # the merge's update survived (compact's stale output never landed)
+    assert (1, "updated") in _state(wh, "t")
+    assert wh.layout_meta("t")["generation"] == 1
+    # retry compacts the post-merge state and preserves it exactly
+    before = _state(wh, "t")
+    assert wh.compact("t", SPEC, target_file_rows=5, min_files=1) > 0
+    assert _state(wh, "t") == before
+    assert wh.layout_meta("t")["generation"] == 2
+
+
 def _evolved_batch(spark):
     return spark.createDataFrame(
         [(1, "x", "extra", 99, False)],
