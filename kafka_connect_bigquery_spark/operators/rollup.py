@@ -116,3 +116,81 @@ def apply_rollup_delta(
         *[F.sum(m).alias(m) for m in measure_cols]
     )
     return out.filter(F.col(count_measure) > 0)
+
+
+class RollupMaintainer:
+    """Keeps a materialized rollup table fresh against a bucketed
+    source table by consuming the warehouse CDC feed — the IVM consumer
+    a streaming MERGE pipeline attaches per micro-batch.
+
+    Crash tolerance via a durable cursor: the rollup's layout manifest
+    records the source generation it has applied
+    (``rollup_applied_version``). Each refresh applies the CDC span
+    cursor→current, so a crash between a merge commit and its rollup
+    refresh loses nothing — the next refresh covers both batches. A
+    replayed idempotent merge contributes an empty row-diff, so
+    refresh is replay-safe too. If the cursor's snapshot has been
+    pruned (consumer lagged past snapshot_retention), refresh falls
+    back to a full rebuild — correct, just not incremental.
+    """
+
+    CURSOR_KEY = "rollup_applied_version"
+
+    def __init__(
+        self,
+        warehouse,
+        source_table: str,
+        rollup_table: str,
+        keys: list[str],
+        measures: dict[str, Column],
+        *,
+        count_measure: str,
+    ) -> None:
+        self.wh = warehouse
+        self.source = source_table
+        self.table = rollup_table
+        self.keys = keys
+        self.measures = measures
+        self.count_measure = count_measure
+
+    def _rebuild(self) -> DataFrame:
+        return build_rollup(self.wh.read(self.source), self.keys, self.measures)
+
+    def refresh(self) -> int:
+        """Bring the rollup up to the source's current generation.
+        Returns the number of source versions applied (0 = current)."""
+        cur = self.wh.layout_meta(self.source).get("generation")
+        if cur is None:
+            raise ValueError(
+                f"source {self.source} is not a bucketed table; rollup "
+                "maintenance consumes the bucketed-MERGE CDC feed"
+            )
+        cur = int(cur)
+        last = self.wh.table_property(self.table, self.CURSOR_KEY)
+        if last is not None and int(last) == cur:
+            return 0
+        if last is None:
+            out = self._rebuild()
+        else:
+            try:
+                changes = self.wh.read_changes(
+                    self.source, from_version=int(last), images="both"
+                )
+                delta = rollup_delta(changes, self.keys, self.measures)
+                out = apply_rollup_delta(
+                    self.wh.read(self.table),
+                    delta,
+                    self.keys,
+                    count_measure=self.count_measure,
+                )
+            except Exception:
+                # cursor snapshot pruned (lagged past retention) or the
+                # rollup table is missing — rebuild from the source
+                out = self._rebuild()
+        # the source snapshot is immutable, so materialize (one pass)
+        # before the overwrite drops the old rollup files out from
+        # under the lazily-read plan
+        out = out.localCheckpoint(eager=True)
+        self.wh.overwrite(out, self.table)
+        self.wh.set_table_property(self.table, self.CURSOR_KEY, cur)
+        return cur - (int(last) if last is not None else cur - 1)

@@ -161,6 +161,18 @@ class Warehouse:
             json.dump(meta, f)
         os.replace(tmp, self._layout_path(table))
 
+    def table_property(self, table: str, key: str, default=None):
+        """Read one durable table property from the layout manifest
+        (e.g. an incremental consumer's applied-version cursor)."""
+        return self.layout_meta(table).get(key, default)
+
+    def set_table_property(self, table: str, key: str, value) -> None:
+        """Durably set one table property (atomic manifest replace,
+        other keys preserved)."""
+        meta = self.layout_meta(table)
+        meta[key] = value
+        self._write_layout_meta(table, meta)
+
     # -- snapshot manifests (time travel) --------------------------------
     def _snapshot_dir(self, table: str) -> str:
         return os.path.join(self.path(table), "_manifests")

@@ -83,6 +83,11 @@ class SinkPipeline:
     # batch's own schema for table creation/evolution.
     schema_retriever: object = None
     table_specs: dict[str, TableSpec] = dc_field(default_factory=dict)
+    # IVM consumers (operators/rollup.py:RollupMaintainer) per
+    # destination table: after each micro-batch MERGE commits, its
+    # rollups catch up through the CDC feed (cursor-tracked, so a crash
+    # between merge and refresh loses nothing — next batch covers both)
+    rollup_maintainers: dict[str, list] = dc_field(default_factory=dict)
     dedupe_by_offset: bool = True
     _batch_counter: int = 0
     # A3 batch counters (MergeBatches.java:146-167,305-349): per-batch
@@ -263,6 +268,8 @@ class SinkPipeline:
                     allow_new_fields=self.config.allow_new_bigquery_fields,
                 )
             )
+            for maintainer in self.rollup_maintainers.get(table, []):
+                self._retried(maintainer.refresh)
 
     # -- path 3: batch load ---------------------------------------------
     def stage_batch(self, batch: DataFrame, batch_id: int, staging_dir: str) -> None:

@@ -118,6 +118,48 @@ def test_rollup_delta_rejects_post_only_feed(spark, tmp_path):
         delta.collect()
 
 
+def test_maintainer_rebuilds_when_cursor_snapshot_pruned(spark, tmp_path):
+    """retention=1: after the maintainer falls several merges behind,
+    its cursor snapshot is gone — refresh degrades to a full rebuild
+    and still lands on the recomputed answer."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=1)
+    wh.merge(
+        _mk(spark, [(1, "a", 1.0, 0, False), (2, "b", 2.0, 0, False)]),
+        "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC,
+    )
+    m = R.RollupMaintainer(
+        wh, "t", "t_roll", ["g"], _measures(), count_measure="n"
+    )
+    m.refresh()  # cursor at v0
+    for step in range(1, 4):  # three more merges; v0 gets pruned
+        wh.merge(
+            _mk(spark, [(10 + step, "a", float(step), step, False)]),
+            "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC,
+        )
+    assert 0 not in wh.snapshots("t")
+    assert m.refresh() >= 1
+    got = {(r["g"], r["n"]) for r in wh.read("t_roll").select("g", "n").collect()}
+    want = {
+        (r["g"], r["n"])
+        for r in R.build_rollup(wh.read_bucketed("t"), ["g"], _measures())
+        .select("g", "n").collect()
+    }
+    assert got == want
+
+
+def test_maintainer_requires_bucketed_source(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(
+        spark.createDataFrame([(1, "a", 1.0)], "k: bigint, g: string, v: double"),
+        "flat",
+    )
+    m = R.RollupMaintainer(
+        wh, "flat", "flat_roll", ["g"], _measures(), count_measure="n"
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        m.refresh()
+
+
 def test_null_group_key_is_a_group(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "whn"))
     base = spark.createDataFrame(

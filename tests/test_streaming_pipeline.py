@@ -187,6 +187,83 @@ def test_streaming_merges_compose_with_time_travel_and_cdc(spark, tmp_path):
     }
 
 
+def test_streaming_merge_maintains_rollup(spark, tmp_path):
+    """A RollupMaintainer attached to the pipeline keeps its aggregate
+    table fresh per micro-batch through the CDC feed; a detached
+    (lagging) maintainer catches up across multiple versions in one
+    refresh — the crash-between-merge-and-refresh story."""
+    from kafka_connect_bigquery_spark.operators import rollup as R
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=4)
+    cfg = SinkConfig(
+        topics=["t"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+    )
+    measures = {
+        "n": F.lit(1).cast("bigint"),
+        "sum_row": F.col("row").cast("bigint"),
+    }
+    live = R.RollupMaintainer(
+        wh, "t", "t_by_name", ["name"], measures, count_measure="n"
+    )
+    lagging = R.RollupMaintainer(
+        wh, "t", "t_by_name_lag", ["name"], measures, count_measure="n"
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        key_parser=lambda c: c.cast("string"),
+        table_specs={"t": TableSpec(partition_grain="NONE", key_bucket_count=4)},
+        rollup_maintainers={"t": [live]},
+    )
+    b0 = spark.createDataFrame(
+        _kafka_rows(
+            [
+                ("u1", {"row": 1, "name": "a"}, "t", 0, 0),
+                ("u2", {"row": 2, "name": "a"}, "t", 0, 1),
+                ("u3", {"row": 3, "name": "b"}, "t", 0, 2),
+            ]
+        ),
+        KAFKA_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        _kafka_rows(
+            [
+                ("u1", {"row": 4, "name": "b"}, "t", 0, 3),  # group move a->b
+                ("u3", None, "t", 0, 4),                      # delete
+                ("u4", {"row": 5, "name": "c"}, "t", 0, 5),   # new group
+            ]
+        ),
+        KAFKA_SCHEMA,
+    )
+
+    def snap(table):
+        return {
+            (r["name"], r["n"], r["sum_row"]) for r in wh.read(table).collect()
+        }
+
+    def recomputed():
+        return {
+            (r["name"], r["n"], r["sum_row"])
+            for r in R.build_rollup(wh.read_bucketed("t"), ["name"], measures).collect()
+        }
+
+    pipe.merge_batch(b0, 0, key_cols=["kkey"])
+    assert snap("t_by_name") == recomputed() == {("a", 2, 3), ("b", 1, 3)}
+    pipe.merge_batch(b1, 1, key_cols=["kkey"])
+    assert snap("t_by_name") == recomputed() == {("a", 1, 2), ("b", 1, 4), ("c", 1, 5)}
+    assert live.refresh() == 0  # already current
+
+    # the lagging consumer never ran: one refresh spans both versions
+    assert lagging.refresh() >= 1
+    assert snap("t_by_name_lag") == recomputed()
+
+
 def test_upsert_delete_with_bucketed_layout(spark, tmp_path):
     """The streaming merge path honors TableSpec.key_bucket_count:
     state lands in a __bucket= layout and upsert/delete semantics hold."""
