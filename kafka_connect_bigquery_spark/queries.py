@@ -1779,6 +1779,37 @@ GROUP BY 1, 2
 """
 
 
+def q_user_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (the W-surface beyond ranks):
+    ntile quartiles, percent_rank, cume_dist over one shared window —
+    single shuffle+sort per event type. Outputs are exact rationals of
+    row positions (deterministic IEEE division), and the sort is fully
+    pinned (value, event_id unique tiebreak; NULLS FIRST explicit —
+    Spark's ASC default, which DuckDB must be told)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first("value"), F.asc("event_id")
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+Q_USER_VALUE_DISTRIBUTION_SQL = """
+SELECT event_type, event_id, value,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC NULLS FIRST, event_id ASC)
+"""
+
+
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics: extract a field from the JSON props
     column and aggregate over it — extraction happens in the scan
@@ -2022,6 +2053,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
+    "user_value_distribution": (q_user_value_distribution, Q_USER_VALUE_DISTRIBUTION_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -2087,6 +2119,7 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_count_min",
     "cobucketed_join",
     "graph_pagerank",
+    "user_value_distribution",
 ]
 
 
