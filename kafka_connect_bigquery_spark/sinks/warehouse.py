@@ -161,6 +161,43 @@ class Warehouse:
             json.dump(meta, f)
         os.replace(tmp, self._layout_path(table))
 
+    def describe_detail(self, table: str) -> dict:
+        """Operational snapshot of one table (the DESCRIBE DETAIL
+        analog): physical footprint, layout, and commit state — the
+        numbers a maintenance scheduler reads to decide compaction /
+        vacuum cadence. Pure metadata + directory walk; no Spark job."""
+        import glob
+
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            raise WarehouseError(f"no such table: {table}")
+        files = glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+        meta = self.layout_meta(table)
+        gens = meta.get("generations")
+        detail = {
+            "table": table,
+            "location": tdir,
+            "num_files": len(files),
+            "size_bytes": sum(os.path.getsize(f) for f in files),
+            "layout": "bucketed" if gens is not None else "flat",
+            "snapshots": self.snapshots(table),
+        }
+        if gens is not None:
+            detail.update(
+                generation=int(meta.get("generation", -1)),
+                key_cols=list(meta.get("key_cols") or []),
+                key_bucket_count=int(meta.get("key_bucket_count", 0)),
+                live_buckets=len(gens),
+            )
+        extras = {
+            k: v
+            for k, v in meta.items()
+            if k not in ("generations", "generation", "key_cols", "key_bucket_count")
+        }
+        if extras:
+            detail["properties"] = extras
+        return detail
+
     def table_property(self, table: str, key: str, default=None):
         """Read one durable table property from the layout manifest
         (e.g. an incremental consumer's applied-version cursor)."""

@@ -513,6 +513,22 @@ def test_two_process_writer_race_loses_nothing(spark, tmp_path):
     assert not [d for d in os.listdir(wh0.path("t")) if d.startswith(".tmp_")]
 
 
+def test_describe_detail(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"],
+             mode="upsert", spec=SPEC)
+    d = wh.describe_detail("t")
+    assert d["layout"] == "bucketed" and d["generation"] == 0
+    assert d["key_cols"] == ["k"] and d["key_bucket_count"] == N_BUCKETS
+    assert 0 < d["live_buckets"] <= N_BUCKETS
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["snapshots"] == [0]
+    wh.append(spark.createDataFrame([(1, "x")], "a: bigint, b: string"), "flat")
+    assert wh.describe_detail("flat")["layout"] == "flat"
+    with pytest.raises(Exception, match="no such table"):
+        wh.describe_detail("missing")
+
+
 def test_vacuum_sweeps_orphans_respects_grace_and_retention(spark, tmp_path):
     """vacuum(): removes crashed-commit orphan generation dirs and aged
     staging dirs, prunes snapshots to the requested retention, and never
