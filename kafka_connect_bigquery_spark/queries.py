@@ -2120,6 +2120,8 @@ _PRIORITY_ORDER: list[str] = [
     "cobucketed_join",
     "graph_pagerank",
     "user_value_distribution",
+    "text_hashed_tf",
+    "text_sparse_cosine",
 ]
 
 

@@ -1820,6 +1820,74 @@ HAVING COUNT(DISTINCT t.gram) >= 1
 
 
 # ---------------------------------------------------------------------------
+# sparse text features: hashing trick + integer-exact cosine join
+# ---------------------------------------------------------------------------
+
+_SPARSE_DIM = 256
+_SPARSE_T = 80
+_SPARSE_MAXDF = 200
+
+
+def q_text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (operators/sparse.py): every document becomes a
+    sparse term-frequency vector with no vocabulary pass — token →
+    md5 bucket, one (doc, bucket, tf) row per occupied feature. The
+    deterministic hash means the same text vectorizes identically on
+    any engine, which the oracle proves."""
+    from kafka_connect_bigquery_spark.operators import sparse
+
+    return sparse.hashed_tf(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=_SPARSE_DIM
+    )
+
+
+_SPARSE_TF_SQL = f"""
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_SPARSE_DIM} AS bucket,
+         COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+"""
+
+Q_TEXT_HASHED_TF_SQL = f"SELECT doc_id, bucket, tf FROM ({_SPARSE_TF_SQL})"
+
+
+def q_text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity join over hashed-tf vectors: inverted-
+    index join on shared feature buckets (stop-feature guard bounds the
+    postings), integer dot products, and a cross-multiplied threshold —
+    cos >= 0.8 decided without a single float op."""
+    from kafka_connect_bigquery_spark.operators import sparse
+
+    tf = sparse.hashed_tf(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=_SPARSE_DIM
+    )
+    return sparse.cosine_pairs(
+        tf, "doc_id", threshold_pct=_SPARSE_T, max_bucket_df=_SPARSE_MAXDF
+    )
+
+
+Q_TEXT_SPARSE_COSINE_SQL = f"""
+WITH tf AS ({_SPARSE_TF_SQL}),
+bdf AS (SELECT bucket, COUNT(*) AS d FROM tf GROUP BY 1),
+g AS (SELECT tf.* FROM tf JOIN bdf USING (bucket) WHERE d <= {_SPARSE_MAXDF}),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2 FROM g GROUP BY 1)
+SELECT id_a, id_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+FROM dots
+JOIN norms na ON id_a = na.doc_id
+JOIN norms nb ON id_b = nb.doc_id
+WHERE CAST(dot AS HUGEINT) * dot * 10000
+      >= {_SPARSE_T * _SPARSE_T} * CAST(na.norm2 AS HUGEINT) * nb.norm2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1861,4 +1929,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),
     "docs_sequence_pack": (q_docs_sequence_pack, Q_DOCS_SEQUENCE_PACK_SQL),
     "docs_decontaminate": (q_docs_decontaminate, Q_DOCS_DECONTAMINATE_SQL),
+    "text_hashed_tf": (q_text_hashed_tf, Q_TEXT_HASHED_TF_SQL),
+    "text_sparse_cosine": (q_text_sparse_cosine, Q_TEXT_SPARSE_COSINE_SQL),
 }
