@@ -53,6 +53,32 @@ def save_bucketed(
     writer.saveAsTable(table)
 
 
+def attach_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    *,
+    sort: bool = True,
+) -> None:
+    """Re-register an existing bucketed data directory as a catalog
+    table (the after-restart / new-cluster path: the parquet files and
+    their bucket-id file naming survive on storage; only the catalog
+    entry is session-state). The declared spec must match how the data
+    was written by ``save_bucketed`` — Spark trusts the catalog's
+    bucket spec, so a wrong declaration silently mis-plans joins."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    sorted_clause = f" SORTED BY ({key_list})" if sort else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key_list}){sorted_clause} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — the scan carries the bucket spec into planning."""
     return spark.table(table)

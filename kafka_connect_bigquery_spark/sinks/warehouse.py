@@ -79,6 +79,11 @@ class TableSpec:
     partition_grain: Grain = "DAY"
     timestamp_field: str | None = None  # L2 column-based; None -> ingestion time
     clustering: tuple[str, ...] = ()
+    # Z-order the clustering columns (numeric, >=2 of them) instead of
+    # sorting lexicographically: files come out narrow in EVERY
+    # clustered dimension, so read_pruned_where conjunctions multiply
+    # their pruning power (operators/layout.py::zorder_write_sorted)
+    zorder: bool = False
     partition_expiration_days: int | None = None
     key_bucket_count: int | None = None  # hash-bucketed MERGE layout
 
@@ -505,6 +510,12 @@ class Warehouse:
         BigQuery-clustering/Z-order idea in plain Spark primitives."""
         if not spec.clustering:
             return df.repartition(n) if n else df
+        if spec.zorder and len(spec.clustering) > 1:
+            from kafka_connect_bigquery_spark.operators.layout import (
+                zorder_write_sorted,
+            )
+
+            return zorder_write_sorted(df, list(spec.clustering), n_files=n)
         cols = [F.col(c) for c in spec.clustering]
         df = df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
         return df.sortWithinPartitions(*spec.clustering)
@@ -569,13 +580,34 @@ class Warehouse:
         full read. IO cost at 100 TB: the map prunes at *file*
         granularity before Spark ever lists the data, complementing
         parquet's own row-group min/max skipping inside opened files."""
-        import json
-
         if eq is not None:
             lo = hi = eq
-        pred = F.col(col).between(lo, hi) if lo is not None else F.lit(True)
+        if lo is None:
+            return self.read(table)
+        return self.read_pruned_where(table, {col: (lo, hi)})
+
+    def read_pruned_where(self, table: str, predicates: dict) -> DataFrame:
+        """Multi-column zone-map pruning: a CONJUNCTION of equality /
+        range predicates — ``{col: value}`` or ``{col: (lo, hi)}`` per
+        entry. A file survives only when EVERY predicate's range
+        overlaps that column's recorded zone, so pruning power
+        multiplies across dimensions — the read-side payoff of Z-order
+        clustering (operators/layout.py), where files are narrow in
+        *several* columns at once (a lexicographic sort is only ever
+        narrow in the leading one). Result is exactly
+        ``read(table).filter(AND of predicates)`` regardless of
+        zone-map state."""
+        import json
+
+        ranges = {}
+        for col, spec in predicates.items():
+            lo, hi = spec if isinstance(spec, tuple) else (spec, spec)
+            ranges[col] = (lo, hi)
+        pred = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            pred = pred & F.col(col).between(lo, hi)
         if (
-            lo is None
+            not ranges
             or not os.path.exists(self._zonemap_path(table))
             # bucketed tables resolve files through the generation
             # manifest, not the flat zone map — full read there
@@ -592,8 +624,14 @@ class Warehouse:
         # that didn't refresh it) can never be skipped — only a recorded
         # non-overlapping zone is evidence of absence
         for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
-            z = zm.get(os.path.relpath(p, tdir), {}).get(col)
-            if z is None or (z[0] <= hi and z[1] >= lo):
+            zones = zm.get(os.path.relpath(p, tdir), {})
+            survives = True
+            for col, (lo, hi) in ranges.items():
+                z = zones.get(col)
+                if z is not None and not (z[0] <= hi and z[1] >= lo):
+                    survives = False
+                    break
+            if survives:
                 keep.append(p)
         if not keep:
             return self.read(table).limit(0).filter(pred)

@@ -75,6 +75,19 @@ def test_plain_join_has_exchange_control(spark, tables):
     assert "Exchange" in plan, plan
 
 
+def test_attach_bucketed_restores_exchange_free_join(spark, tables, tmp_path):
+    """Dropping the catalog entry (what a restart does to the
+    in-memory catalog) and re-attaching the surviving data directory
+    restores the zero-Exchange join plan and identical data."""
+    ta, tb, a, b = tables
+    before = {(r["k"], r["va"]) for r in spark.table(ta).collect()}
+    spark.sql(f"DROP TABLE {ta}")
+    BC.attach_bucketed(spark, ta, str(tmp_path / "ta"), ["k"], 8)
+    assert {(r["k"], r["va"]) for r in spark.table(ta).collect()} == before
+    plan = _executed_plan(BC.cobucketed_join(spark, ta, tb, ["k"]))
+    assert "Exchange" not in plan and "Bucketed: true" in plan, plan
+
+
 def test_one_file_per_bucket(spark, tables, tmp_path):
     import glob
 

@@ -134,3 +134,48 @@ def test_read_pruned_matches_full_filter_on_unclustered_table(spark, tmp_path):
     df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k: bigint, v: double")
     wh.overwrite(df, "t", TableSpec(partition_grain="NONE"))
     assert {r["k"] for r in wh.read_pruned("t", "k", lo=10, hi=12).collect()} == {10, 11, 12}
+
+
+def test_zorder_warehouse_multicolumn_pruning(spark, tmp_path):
+    """End-to-end: TableSpec(zorder=True) writes Z-ordered files whose
+    zones are narrow in BOTH columns, and read_pruned_where's
+    conjunction opens fewer files than either single-column predicate
+    alone — while returning exactly the filtered rows."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x: bigint, y: bigint, v: bigint")
+    spec = TableSpec(partition_grain="NONE", clustering=("x", "y"), zorder=True)
+    wh.overwrite(df, "t", spec)
+    wh.compact("t", spec, target_file_rows=256, min_files=1)
+
+    all_files = set(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert len(all_files) > 4
+
+    def opened(pred):
+        d = wh.read_pruned_where("t", pred)
+        return d, {f.replace("file://", "") for f in d.inputFiles()}
+
+    both, f_both = opened({"x": (10, 15), "y": (50, 55)})
+    _, f_x = opened({"x": (10, 15)})
+    _, f_y = opened({"y": (50, 55)})
+    # each dimension prunes something; the conjunction prunes strictly
+    # more than either alone (the z-order payoff)
+    assert f_x < all_files and f_y < all_files
+    assert f_both <= f_x and f_both <= f_y
+    assert len(f_both) < min(len(f_x), len(f_y))
+    got = {(r["x"], r["y"]) for r in both.collect()}
+    assert got == {(x, y) for x in range(10, 16) for y in range(50, 56)}
+
+
+def test_read_pruned_where_eq_shorthand_and_degradation(spark, tmp_path):
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(50)], "k: bigint, cat: string"
+    )
+    wh.overwrite(df, "t", TableSpec(partition_grain="NONE"))  # no zone map
+    got = {r["k"] for r in wh.read_pruned_where("t", {"cat": "b", "k": (0, 9)}).collect()}
+    assert got == {1, 3, 5, 7, 9}
