@@ -1810,6 +1810,57 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value ASC NULLS FIRST, event_id AS
 """
 
 
+def q_events_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface (corr/covar/stddev family) in
+    EXACT integer moments: per event type, n, Σx, Σy, Σxy, Σx², Σy²
+    over (value, hour-of-day) — the sufficient statistics from which
+    any consumer derives variance/covariance/correlation, without the
+    engine ever doing a sqrt or order-dependent float sum. Moments are
+    additive, so per-partition partials combine map-side and per-day
+    moment tables merge by addition (the same property the rollup IVM
+    exploits)."""
+    e = _t(spark, sf_dir, "events")
+    xq = F.floor(F.col("value") * _Q + F.lit(0.5)).cast("decimal(19,0)")
+    y = F.hour("ts").cast("decimal(10,0)")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(xq * y).alias("_sxy"),
+        F.sum(xq * xq).alias("_sx2"),
+        F.sum(y * y).alias("_sy2"),
+    )
+    # exact decimals -> doubles at the very end (one correctly-rounded
+    # conversion + one power-of-ten division; identical on any engine)
+    q = float(_Q)
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("_sx").cast("double") / q).alias("sum_x"),
+        F.col("_sy").cast("double").alias("sum_y"),
+        (F.col("_sxy").cast("double") / q).alias("sum_xy"),
+        (F.col("_sx2").cast("double") / (q * q)).alias("sum_x2"),
+        F.col("_sy2").cast("double").alias("sum_y2"),
+    )
+
+
+Q_EVENTS_MOMENT_STATS_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(FLOOR(value * {_Q} + 0.5) AS DECIMAL(19,0)) AS xq,
+         CAST(EXTRACT(hour FROM {_TS_US}) AS DECIMAL(10,0)) AS y
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(xq) AS DOUBLE) / {_Q}.0 AS sum_x,
+       CAST(SUM(y) AS DOUBLE) AS sum_y,
+       CAST(SUM(xq * y) AS DOUBLE) / {_Q}.0 AS sum_xy,
+       CAST(SUM(xq * xq) AS DOUBLE) / ({_Q}.0 * {_Q}.0) AS sum_x2,
+       CAST(SUM(y * y) AS DOUBLE) AS sum_y2
+FROM m GROUP BY 1
+"""
+
+
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics: extract a field from the JSON props
     column and aggregate over it — extraction happens in the scan
@@ -2054,6 +2105,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "user_value_distribution": (q_user_value_distribution, Q_USER_VALUE_DISTRIBUTION_SQL),
+    "events_moment_stats": (q_events_moment_stats, Q_EVENTS_MOMENT_STATS_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -2122,6 +2174,7 @@ _PRIORITY_ORDER: list[str] = [
     "user_value_distribution",
     "text_hashed_tf",
     "text_sparse_cosine",
+    "events_moment_stats",
 ]
 
 
