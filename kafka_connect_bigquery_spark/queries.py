@@ -2175,6 +2175,7 @@ _PRIORITY_ORDER: list[str] = [
     "text_hashed_tf",
     "text_sparse_cosine",
     "events_moment_stats",
+    "embedding_gram",
 ]
 
 

@@ -1888,6 +1888,42 @@ WHERE CAST(dot AS HUGEINT) * dot * 10000
 
 
 # ---------------------------------------------------------------------------
+# distributed linear algebra: Gram matrix over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_GRAM_DIM = 64
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X over the embedding corpus (operators/linalg.py): the
+    normal-equations / PCA building block as one aggregation — per-row
+    upper-triangle outer products via a higher-order function (no
+    self-join, no data shuffle), d(d+1)/2 output groups regardless of
+    corpus size. Quantized-exact on the ANN QE lattice, so the oracle
+    hash-matches the distributed sum."""
+    from kafka_connect_bigquery_spark.operators import linalg
+
+    return linalg.gram_matrix(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=_GRAM_DIM
+    )
+
+
+Q_EMBEDDING_GRAM_SQL = f"""
+WITH idx AS (SELECT unnest(range({_GRAM_DIM})) AS n),
+p AS (
+  SELECT i.n AS i, j.n AS j,
+         CAST(FLOOR(CAST(embedding[CAST(i.n + 1 AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(j.n + 1 AS INT)] AS DOUBLE)
+                    * {_QE} + 0.5)
+              AS BIGINT) AS p
+  FROM embeddings, idx i, idx j
+  WHERE j.n >= i.n
+)
+SELECT i, j, CAST(SUM(p) AS DOUBLE) / {_QE}.0 AS gram FROM p GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1931,4 +1967,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "docs_decontaminate": (q_docs_decontaminate, Q_DOCS_DECONTAMINATE_SQL),
     "text_hashed_tf": (q_text_hashed_tf, Q_TEXT_HASHED_TF_SQL),
     "text_sparse_cosine": (q_text_sparse_cosine, Q_TEXT_SPARSE_COSINE_SQL),
+    "embedding_gram": (q_embedding_gram, Q_EMBEDDING_GRAM_SQL),
 }
