@@ -1,0 +1,86 @@
+"""Stateful fuzz of the bucketed warehouse: random interleavings of
+upsert/delete MERGE batches, compaction, and vacuum, checked against a
+dict model after every step. Hypothesis explores operation orders a
+hand-written test never would (delete-then-reinsert across compaction,
+vacuum mid-history, emptied buckets...)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import settings
+from hypothesis import strategies as st
+from hypothesis.stateful import (
+    RuleBasedStateMachine, initialize, invariant, precondition, rule,
+)
+
+from kafka_connect_bigquery_spark.session import get_spark
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+SPEC = TableSpec(partition_grain="NONE", key_bucket_count=4)
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=99),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+class WarehouseMachine(RuleBasedStateMachine):
+    def __init__(self):
+        super().__init__()
+        self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+        self.tmp = tempfile.mkdtemp(prefix="wh_fuzz_")
+        self.wh = Warehouse(self.spark, self.tmp, snapshot_retention=2)
+        self.model: dict[int, int] = {}
+        self.created = False
+
+    @rule(batch=_batch)
+    def merge(self, batch):
+        rows = [(k, v, i, t) for i, (k, v, t) in enumerate(batch)]
+        df = self.spark.createDataFrame(
+            rows, "k: bigint, v: bigint, i: bigint, __tombstone: boolean"
+        )
+        self.wh.merge(df, "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC)
+        newest = {}
+        for k, v, t in batch:
+            newest[k] = (v, t)  # later index wins
+        for k, (v, t) in newest.items():
+            if t:
+                self.model.pop(k, None)
+            else:
+                self.model[k] = v
+        self.created = True
+
+    @precondition(lambda self: self.created)
+    @rule()
+    def compact(self):
+        self.wh.compact("t", SPEC, target_file_rows=4, min_files=1)
+
+    @precondition(lambda self: self.created)
+    @rule()
+    def vacuum(self):
+        self.wh.vacuum("t")
+
+    @invariant()
+    def state_matches_model(self):
+        if not self.created:
+            return
+        got = {
+            r["k"]: r["v"]
+            for r in self.wh.read_bucketed("t").select("k", "v").collect()
+        }
+        assert got == self.model
+
+    def teardown(self):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+TestWarehouseStateful = WarehouseMachine.TestCase
+TestWarehouseStateful.settings = settings(
+    max_examples=5, stateful_step_count=8, deadline=None
+)
