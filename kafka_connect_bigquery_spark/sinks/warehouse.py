@@ -197,7 +197,8 @@ class Warehouse:
         extras = {
             k: v
             for k, v in meta.items()
-            if k not in ("generations", "generation", "key_cols", "key_bucket_count")
+            if k
+            not in ("generations", "generation", "key_cols", "key_bucket_count", "schema")
         }
         if extras:
             detail["properties"] = extras
@@ -307,10 +308,18 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return os.path.isdir(p) and any(
+        if not os.path.isdir(p):
+            return False
+        if any(
             n.startswith(("p_", "part-", "__bucket=")) or n in ("_SUCCESS", "_buckets")
             for n in os.listdir(p)
-        )
+        ):
+            return True
+        # a committed-but-empty bucketed table (every key deleted — even
+        # by its FIRST batch) has no data dirs, only its manifest; it
+        # still exists (fuzz-found: treating it as absent sent the next
+        # merge down the create path into a guaranteed conflict abort)
+        return self.layout_meta(table).get("generation") is not None
 
     # -- schema ---------------------------------------------------------
     def table_schema(self, table: str) -> T.StructType | None:
@@ -348,8 +357,19 @@ class Warehouse:
                 )
             return self.spark.read.parquet(self.path(table))
         if not gens:
+            # every key deleted: the table still exists with a schema
+            # (persisted in the manifest since the all-tombstone-first-
+            # batch fix) — read as empty, like a truncated table
+            schema_json = meta.get("schema")
+            if schema_json is not None:
+                import json
+
+                return self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
             raise WarehouseError(
-                f"table {table} has no live buckets (every key deleted)"
+                f"table {table} has no live buckets (every key deleted) "
+                "and predates manifest schemas — cannot derive a schema"
             )
         paths = [self._bucket_gen_dir(table, b, g) for b, g in gens.items()]
         # mergeSchema: after a merge-path schema evolution only the
@@ -419,12 +439,23 @@ class Warehouse:
         # later schema evolution.
         if n_df is None and o_df is None:
             # no changed buckets at either version — derive a schema from
-            # any live generation just to shape the empty result
+            # any live generation (or the manifest schema when both
+            # states are fully emptied) just to shape the empty result
             any_gens = ng or og
             if not any_gens:
-                raise WarehouseError(
-                    f"no data files at either version of {table} to "
-                    "derive a CDC schema from"
+                import json as _json
+
+                schema_json = new.get("schema") or old.get("schema")
+                if schema_json is None:
+                    raise WarehouseError(
+                        f"no data files at either version of {table} to "
+                        "derive a CDC schema from"
+                    )
+                schema = T.StructType.fromJson(_json.loads(schema_json))
+                return (
+                    self.spark.createDataFrame([], schema)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .select("_change_type", *[f.name for f in schema.fields])
                 )
             probe = self.spark.read.parquet(
                 self._bucket_gen_dir(table, *next(iter(any_gens.items())))
@@ -906,6 +937,7 @@ class Warehouse:
         n_buckets: int,
         key_cols: list[str],
         base_gen: int,
+        schema_json: str | None = None,
     ) -> None:
         """Publish new generation dirs for ``buckets`` from a staged
         ``tmp`` write (partitioned by ``__bucket``), then commit via one
@@ -954,6 +986,13 @@ class Warehouse:
                 "generation": new_gen,
                 "generations": gens,
             }
+            # logical schema rides in the manifest so a table whose
+            # every key is deleted (gens == {}) stays readable as an
+            # empty frame (found by the stateful fuzz: an all-tombstone
+            # FIRST batch creates a table with zero data files)
+            schema_json = schema_json or meta.get("schema")
+            if schema_json is not None:
+                new_meta["schema"] = schema_json
             # snapshot first (unreferenced until the pointer swap — a
             # crash between the two just leaves one extra readable
             # manifest), then the atomic pointer replace that IS the
@@ -1073,15 +1112,15 @@ class Warehouse:
 
         if not self.exists(table):
             first = _first_batch_state(batch, key_cols, mode, order_col, tombstone_col)
+            out_first = first.drop(*drop_helpers)
             tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
-            first.drop(*drop_helpers).write.mode("overwrite").partitionBy(
-                "__bucket"
-            ).parquet(tmp)
+            out_first.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
             # base_gen=-1: this writer saw no table; if a concurrent
             # first-writer commits gen 0 meanwhile, the check aborts us
             self._commit_bucket_generations(
                 table, tmp, list(range(n_buckets)), n_buckets=n_buckets,
                 key_cols=key_cols, base_gen=-1,
+                schema_json=out_first.drop("__bucket").schema.json(),
             )
             return
 
@@ -1150,6 +1189,7 @@ class Warehouse:
         self._commit_bucket_generations(
             table, tmp, touched, n_buckets=n_buckets, key_cols=key_cols,
             base_gen=base_gen,
+            schema_json=merged.drop("__bucket").schema.json(),
         )
 
     def read_bucketed(self, table: str) -> DataFrame:

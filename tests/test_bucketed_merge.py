@@ -365,7 +365,7 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
     orig = Warehouse._commit_bucket_generations
     state = {"interleaved": False}
 
-    def interleaving(self, table, tmp, buckets, *, n_buckets, key_cols, base_gen):
+    def interleaving(self, table, tmp, buckets, **kw):
         if not state["interleaved"]:
             state["interleaved"] = True
             # writer B: a complete merge by an independent Warehouse,
@@ -373,8 +373,7 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
             wh_b = Warehouse(spark, root)
             wh_b.merge(_mk(spark, [(2, "from_b", 55, False)]), "t", ["k"],
                        mode="upsert", spec=SPEC)
-        return orig(self, table, tmp, buckets, n_buckets=n_buckets,
-                    key_cols=key_cols, base_gen=base_gen)
+        return orig(self, table, tmp, buckets, **kw)
 
     monkeypatch.setattr(Warehouse, "_commit_bucket_generations", interleaving)
     with pytest.raises(whmod.WarehouseError, match="concurrent MERGE commit"):
@@ -511,6 +510,30 @@ def test_two_process_writer_race_loses_nothing(spark, tmp_path):
     for b in os.listdir(broot):
         assert os.listdir(os.path.join(broot, b)) == [f"gen={gens[b]}"]
     assert not [d for d in os.listdir(wh0.path("t")) if d.startswith(".tmp_")]
+
+
+def test_all_tombstone_first_batch_leaves_live_empty_table(spark, tmp_path):
+    """Fuzz-found (tests/test_warehouse_stateful.py): a FIRST batch
+    consisting solely of tombstones must create a live, readable-as-
+    empty table (schema persisted in the manifest — no data files
+    exist), and the NEXT merge must take the normal path, not the
+    create path (which would abort on the concurrency check)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(0, "x", 0, True)]), "t", ["k"],
+             mode="upsert_delete", spec=SPEC)
+    assert wh.exists("t")
+    empty = wh.read_bucketed("t")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v"}
+    assert wh.layout_meta("t")["generation"] == 0
+    # the table is fully usable afterwards
+    wh.merge(_mk(spark, [(0, "back", 1, False)]), "t", ["k"],
+             mode="upsert_delete", spec=SPEC)
+    assert _state(wh, "t") == {(0, "back")}
+    assert wh.layout_meta("t")["generation"] == 1
+    # and an emptied-at-head CDC span still shapes correctly
+    ch = wh.read_changes("t", from_version=0, images="both")
+    assert {(r["_change_type"], r["k"]) for r in ch.collect()} == {("insert", 0)}
 
 
 def test_describe_detail(spark, tmp_path):
