@@ -35,9 +35,17 @@ class WarehouseMachine(RuleBasedStateMachine):
         super().__init__()
         self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
         self.tmp = tempfile.mkdtemp(prefix="wh_fuzz_")
-        self.wh = Warehouse(self.spark, self.tmp, snapshot_retention=2)
+        self.wh = Warehouse(self.spark, self.tmp, snapshot_retention=3)
         self.model: dict[int, int] = {}
+        # version -> model snapshot at that commit (time-travel oracle);
+        # compaction also commits a version, with the same logical state
+        self.history: dict[int, dict[int, int]] = {}
         self.created = False
+
+    def _committed(self):
+        gen = int(self.wh.layout_meta("t")["generation"])
+        self.history[gen] = dict(self.model)
+        self.created = True
 
     @rule(batch=_batch)
     def merge(self, batch):
@@ -54,12 +62,13 @@ class WarehouseMachine(RuleBasedStateMachine):
                 self.model.pop(k, None)
             else:
                 self.model[k] = v
-        self.created = True
+        self._committed()
 
     @precondition(lambda self: self.created)
     @rule()
     def compact(self):
-        self.wh.compact("t", SPEC, target_file_rows=4, min_files=1)
+        if self.wh.compact("t", SPEC, target_file_rows=4, min_files=1):
+            self._committed()
 
     @precondition(lambda self: self.created)
     @rule()
@@ -75,6 +84,19 @@ class WarehouseMachine(RuleBasedStateMachine):
             for r in self.wh.read_bucketed("t").select("k", "v").collect()
         }
         assert got == self.model
+
+    @invariant()
+    def retained_snapshots_match_history(self):
+        if not self.created:
+            return
+        for v in self.wh.snapshots("t"):
+            if v not in self.history:
+                continue
+            got = {
+                r["k"]: r["v"]
+                for r in self.wh.read("t", version=v).select("k", "v").collect()
+            }
+            assert got == self.history[v], f"time travel to v{v} diverged"
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)
