@@ -85,6 +85,30 @@ class WarehouseMachine(RuleBasedStateMachine):
         }
         assert got == self.model
 
+    @precondition(lambda self: self.created)
+    @rule()
+    def cdc_between_retained_versions_matches_model_diff(self):
+        versions = [v for v in self.wh.snapshots("t") if v in self.history]
+        if len(versions) < 2:
+            return
+        lo, hi = versions[0], versions[-1]
+        a, b = self.history[lo], self.history[hi]
+        want = set()
+        for k in set(a) | set(b):
+            if k not in a:
+                want.add(("insert", k, b[k]))
+            elif k not in b:
+                want.add(("delete", k, a[k]))
+            elif a[k] != b[k]:
+                want.add(("update", k, b[k]))
+        got = {
+            (r["_change_type"], r["k"], r["v"])
+            for r in self.wh.read_changes(
+                "t", from_version=lo, to_version=hi
+            ).collect()
+        }
+        assert got == want, f"CDC v{lo}->v{hi} diverged"
+
     @invariant()
     def retained_snapshots_match_history(self):
         if not self.created:
