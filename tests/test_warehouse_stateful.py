@@ -37,6 +37,9 @@ class WarehouseMachine(RuleBasedStateMachine):
         self.tmp = tempfile.mkdtemp(prefix="wh_fuzz_")
         self.wh = Warehouse(self.spark, self.tmp, snapshot_retention=3)
         self.model: dict[int, int] = {}
+        # evolved-column model: k -> w (None = row written without w)
+        self.extra: dict[int, int | None] = {}
+        self.evolved = False
         # version -> model snapshot at that commit (time-travel oracle);
         # compaction also commits a version, with the same logical state
         self.history: dict[int, dict[int, int]] = {}
@@ -44,15 +47,26 @@ class WarehouseMachine(RuleBasedStateMachine):
 
     def _committed(self):
         gen = int(self.wh.layout_meta("t")["generation"])
-        self.history[gen] = dict(self.model)
+        # history keys map to (v, w): the CDC diff must see a row as
+        # changed when ONLY the evolved column moved (e.g. same v
+        # re-upserted by an evolving batch flips w NULL -> v*10)
+        self.history[gen] = {
+            k: (v, self.extra.get(k)) for k, v in self.model.items()
+        }
         self.created = True
 
-    @rule(batch=_batch)
-    def merge(self, batch):
-        rows = [(k, v, i, t) for i, (k, v, t) in enumerate(batch)]
-        df = self.spark.createDataFrame(
-            rows, "k: bigint, v: bigint, i: bigint, __tombstone: boolean"
-        )
+    def _apply_merge(self, batch, with_extra):
+        if with_extra:
+            rows = [
+                (k, v, v * 10, i, t) for i, (k, v, t) in enumerate(batch)
+            ]
+            schema = (
+                "k: bigint, v: bigint, w: bigint, i: bigint, __tombstone: boolean"
+            )
+        else:
+            rows = [(k, v, i, t) for i, (k, v, t) in enumerate(batch)]
+            schema = "k: bigint, v: bigint, i: bigint, __tombstone: boolean"
+        df = self.spark.createDataFrame(rows, schema)
         self.wh.merge(df, "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC)
         newest = {}
         for k, v, t in batch:
@@ -62,7 +76,25 @@ class WarehouseMachine(RuleBasedStateMachine):
                 self.model.pop(k, None)
             else:
                 self.model[k] = v
+                # model tracks the evolved column too: NULL for rows
+                # written before evolution, v*10 after
+                self.extra[k] = v * 10 if with_extra else None
+        for k in list(self.extra):
+            if k not in self.model:
+                self.extra.pop(k)
+        if with_extra:
+            self.evolved = True
         self._committed()
+
+    @rule(batch=_batch)
+    def merge(self, batch):
+        self._apply_merge(batch, with_extra=False)
+
+    @rule(batch=_batch)
+    def merge_evolving(self, batch):
+        """A batch carrying a new column w — merge-path schema
+        evolution interleaved with everything else."""
+        self._apply_merge(batch, with_extra=True)
 
     @precondition(lambda self: self.created)
     @rule()
@@ -79,11 +111,13 @@ class WarehouseMachine(RuleBasedStateMachine):
     def state_matches_model(self):
         if not self.created:
             return
-        got = {
-            r["k"]: r["v"]
-            for r in self.wh.read_bucketed("t").select("k", "v").collect()
-        }
+        df = self.wh.read_bucketed("t")
+        got = {r["k"]: r["v"] for r in df.select("k", "v").collect()}
         assert got == self.model
+        if self.evolved:
+            assert "w" in df.columns, "evolved column lost"
+            got_w = {r["k"]: r["w"] for r in df.select("k", "w").collect()}
+            assert got_w == self.extra, "evolved column values diverged"
 
     @precondition(lambda self: self.created)
     @rule()
@@ -96,11 +130,11 @@ class WarehouseMachine(RuleBasedStateMachine):
         want = set()
         for k in set(a) | set(b):
             if k not in a:
-                want.add(("insert", k, b[k]))
+                want.add(("insert", k, b[k][0]))
             elif k not in b:
-                want.add(("delete", k, a[k]))
-            elif a[k] != b[k]:
-                want.add(("update", k, b[k]))
+                want.add(("delete", k, a[k][0]))
+            elif a[k] != b[k]:  # tuple compare: v OR evolved w moved
+                want.add(("update", k, b[k][0]))
         got = {
             (r["_change_type"], r["k"], r["v"])
             for r in self.wh.read_changes(
@@ -120,7 +154,8 @@ class WarehouseMachine(RuleBasedStateMachine):
                 r["k"]: r["v"]
                 for r in self.wh.read("t", version=v).select("k", "v").collect()
             }
-            assert got == self.history[v], f"time travel to v{v} diverged"
+            want = {k: vw[0] for k, vw in self.history[v].items()}
+            assert got == want, f"time travel to v{v} diverged"
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)
