@@ -1,0 +1,114 @@
+"""BPE-style vocabulary induction over a text corpus.
+
+The statistic that drives byte-pair encoding — adjacent-subword pair
+frequencies — is a pure aggregation: explode each document's
+(token[i], token[i+1]) pairs, one map-side-combinable groupBy. The
+iterative learner then alternates
+
+    count pairs  ->  pick the most frequent (deterministic tie-break)
+    ->  merge its adjacent occurrences left-to-right in every document
+
+for a fixed number of rounds, exactly the classic BPE training loop
+(Sennrich et al. 2016) with the corpus pass expressed as a
+higher-order fold (``F.aggregate``) — no UDF, no driver-side text.
+Token arrays are checkpointed per round (the repo's HOF-hygiene rule)
+so each round is one linear pass.
+
+Scale: the pair table is bounded by (vocab size)^2 — corpus-size-
+independent — so the per-round top-1 (and the ``top_pairs`` report)
+may use a single global window over that small aggregate; the corpus
+itself only streams through the fold.
+
+Determinism: counts are exact integers and ties break on the pair
+text, so the learned merge sequence is identical on any engine or
+partitioning (the pytest replays the loop in pure Python and demands
+equality; the pair statistics have a SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.functions.text import subword_tokens
+
+
+def _tokenized(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(subword_tokens(F.col(text_col)).alias("tk")).localCheckpoint(
+        eager=False
+    )
+
+
+def _pair_counts(toked: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at("tk", i.cast("int")).alias("a"),
+            F.element_at("tk", (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        toked.filter(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def adjacent_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(a, b, cnt): frequency of each adjacent subword pair."""
+    return _pair_counts(_tokenized(df, text_col))
+
+
+def top_pairs(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """The k most frequent adjacent pairs with a fully deterministic
+    order (count desc, then pair text) — the candidates round one of
+    BPE training would merge. Global window over the vocab^2-bounded
+    pair table, never over the corpus."""
+    w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+    return (
+        adjacent_pair_counts(df, text_col)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _merge_pair(toked: DataFrame, a: str, b: str) -> DataFrame:
+    """One BPE merge round: replace left-to-right non-overlapping
+    (a, b) adjacencies with the fused token a+b, as a fold."""
+    merged = F.aggregate(
+        F.col("tk"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return toked.select(merged.alias("tk")).localCheckpoint(eager=False)
+
+
+def learn_merges(
+    df: DataFrame, text_col: str, *, n_merges: int = 4
+) -> list[tuple[str, str]]:
+    """Run ``n_merges`` BPE training rounds; returns the learned merge
+    sequence [(a, b), ...] in order. Stops early when no pair repeats."""
+    toked = _tokenized(df, text_col)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(toked)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        toked = _merge_pair(toked, a, b)
+    return merges

@@ -2176,6 +2176,7 @@ _PRIORITY_ORDER: list[str] = [
     "text_sparse_cosine",
     "events_moment_stats",
     "embedding_gram",
+    "bpe_top_pairs",
 ]
 
 

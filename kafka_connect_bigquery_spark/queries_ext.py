@@ -1924,6 +1924,42 @@ SELECT i, j, CAST(SUM(p) AS DOUBLE) / {_QE}.0 AS gram FROM p GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary induction: adjacent-pair statistics
+# ---------------------------------------------------------------------------
+
+_BPE_K = 20
+
+
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k most frequent adjacent subword pairs over the corpus
+    (operators/bpe.py) — the statistic each BPE training round merges
+    on, with a fully deterministic (count, pair-text) order. One
+    map-side-combinable groupBy; the ranking window runs over the
+    vocab^2-bounded pair table, never the corpus."""
+    from kafka_connect_bigquery_spark.operators import bpe
+
+    return bpe.top_pairs(_t(spark, sf_dir, "documents"), "text", k=_BPE_K)
+
+
+_SUBTOK_ARR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+
+Q_BPE_TOP_PAIRS_SQL = f"""
+WITH toks AS (SELECT {_SUBTOK_ARR} AS tk FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(a := tk[CAST(i AS INT)],
+                            b := tk[CAST(i + 1 AS INT)]))) AS pr
+  FROM toks WHERE len(tk) >= 2
+),
+c AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+r AS (SELECT a, b, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rnk
+      FROM c)
+SELECT a, b, cnt, rnk FROM r WHERE rnk <= {_BPE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1968,4 +2004,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_hashed_tf": (q_text_hashed_tf, Q_TEXT_HASHED_TF_SQL),
     "text_sparse_cosine": (q_text_sparse_cosine, Q_TEXT_SPARSE_COSINE_SQL),
     "embedding_gram": (q_embedding_gram, Q_EMBEDDING_GRAM_SQL),
+    "bpe_top_pairs": (q_bpe_top_pairs, Q_BPE_TOP_PAIRS_SQL),
 }
