@@ -1,0 +1,99 @@
+"""Stateful fuzz of the FLAT (append-log) warehouse paths: random
+append/overwrite/compact sequences — clustered and not, so the zone
+map goes stale and gets refreshed — with two invariants: the full read
+matches the model multiset, and a zone-map-pruned read NEVER loses a
+row relative to the plain filter (absence from the map must never be
+treated as absence of matches)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections import Counter
+
+from hypothesis import settings
+from hypothesis import strategies as st
+from hypothesis.stateful import RuleBasedStateMachine, invariant, precondition, rule
+
+from kafka_connect_bigquery_spark.session import get_spark
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+CATS = ["a", "b", "c"]
+PLAIN = TableSpec(partition_grain="NONE")
+CLUSTERED = TableSpec(partition_grain="NONE", clustering=("cat",))
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),
+        st.sampled_from(CATS),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+class FlatWarehouseMachine(RuleBasedStateMachine):
+    def __init__(self):
+        super().__init__()
+        self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+        self.tmp = tempfile.mkdtemp(prefix="whf_fuzz_")
+        self.wh = Warehouse(self.spark, self.tmp)
+        self.model: Counter = Counter()
+        self.created = False
+
+    def _df(self, batch):
+        return self.spark.createDataFrame(
+            batch, "k: bigint, cat: string, v: bigint"
+        )
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def append(self, batch, clustered):
+        self.wh.append(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model.update(batch)
+        self.created = True
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def overwrite(self, batch, clustered):
+        self.wh.overwrite(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model = Counter(batch)
+        self.created = True
+
+    @precondition(lambda self: self.created)
+    @rule()
+    def compact(self):
+        self.wh.compact("t", CLUSTERED, target_file_rows=4, min_files=1)
+
+    @invariant()
+    def full_read_matches_model(self):
+        if not self.created:
+            return
+        got = Counter(
+            (r["k"], r["cat"], r["v"])
+            for r in self.wh.read("t").select("k", "cat", "v").collect()
+        )
+        assert got == self.model
+
+    @invariant()
+    def pruned_read_equals_plain_filter(self):
+        if not self.created:
+            return
+        for cat in CATS:
+            got = Counter(
+                (r["k"], r["v"])
+                for r in self.wh.read_pruned("t", "cat", eq=cat)
+                .select("k", "v")
+                .collect()
+            )
+            want = Counter(
+                (k, v) for k, c, v in self.model.elements() if c == cat
+            )
+            assert got == want, f"zone-map pruning diverged for cat={cat}"
+
+    def teardown(self):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+TestFlatWarehouseStateful = FlatWarehouseMachine.TestCase
+TestFlatWarehouseStateful.settings = settings(
+    max_examples=4, stateful_step_count=6, deadline=None
+)
