@@ -1,0 +1,40 @@
+"""Warehouse maintenance CLI (tools/warehouse_admin.py)."""
+
+from __future__ import annotations
+
+import json
+
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+SPEC = TableSpec(partition_grain="NONE", key_bucket_count=4)
+
+
+def _run(capsys, *argv):
+    from tools.warehouse_admin import main
+
+    assert main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_describe_vacuum_snapshots_cli(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [(k, f"v{k}", k, False) for k in range(10)],
+        "k: bigint, v: string, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(df, "t", ["k"], mode="upsert", spec=SPEC)
+    wh.merge(df.limit(2), "t", ["k"], mode="upsert", spec=SPEC)
+
+    d = _run(capsys, "describe", root, "t")
+    assert d["layout"] == "bucketed" and d["generation"] == 1
+
+    s = _run(capsys, "snapshots", root, "t")
+    assert s["snapshots"] == [0, 1]
+
+    v = _run(capsys, "vacuum", root, "t", "--keep-snapshots", "1")
+    assert v["removed_paths"] >= 1
+    assert _run(capsys, "snapshots", root, "t")["snapshots"] == [1]
+
+    h = _run(capsys, "history", root, "t")
+    assert len(h["commits"]) >= 1

@@ -1,0 +1,73 @@
+"""Operational CLI for warehouse maintenance — the commands an
+operator (or cron) runs against a table directory without writing
+Spark code:
+
+    python tools/warehouse_admin.py describe <root> <table>
+    python tools/warehouse_admin.py vacuum   <root> <table> [--keep-snapshots N]
+    python tools/warehouse_admin.py compact  <root> <table> [--target-file-rows N]
+    python tools/warehouse_admin.py history  <root> <table>
+    python tools/warehouse_admin.py snapshots <root> <table>
+
+Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
+metadata-only (no Spark job); `compact`/`history` start a local
+session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="warehouse_admin")
+    p.add_argument("command", choices=["describe", "vacuum", "compact", "history", "snapshots"])
+    p.add_argument("root")
+    p.add_argument("table")
+    p.add_argument("--keep-snapshots", type=int, default=None)
+    p.add_argument("--target-file-rows", type=int, default=1_000_000)
+    args = p.parse_args(argv)
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    def wh(spark=None):
+        if spark is None:
+            from kafka_connect_bigquery_spark.session import get_spark
+
+            spark = get_spark("warehouse-admin")
+        return Warehouse(spark, args.root)
+
+    if args.command == "describe":
+        out = Warehouse(None, args.root).describe_detail(args.table)
+    elif args.command == "snapshots":
+        out = {"table": args.table, "snapshots": Warehouse(None, args.root).snapshots(args.table)}
+    elif args.command == "vacuum":
+        removed = Warehouse(None, args.root).vacuum(
+            args.table, keep_snapshots=args.keep_snapshots
+        )
+        out = {"table": args.table, "removed_paths": removed}
+    elif args.command == "compact":
+        w = wh()
+        n = w.compact(
+            args.table,
+            TableSpec(partition_grain="NONE"),
+            target_file_rows=args.target_file_rows,
+        )
+        out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    else:  # history
+        w = wh()
+        out = {
+            "table": args.table,
+            "commits": [r.asDict() for r in w.history(args.table).collect()],
+        }
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
