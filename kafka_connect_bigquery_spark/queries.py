@@ -1861,6 +1861,101 @@ FROM m GROUP BY 1
 """
 
 
+def q_events_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup pyramid: hourly partials re-aggregate to
+    daily, daily to monthly — each level computed ONLY from the level
+    below (the continuous-aggregate cascade TimescaleDB/Druid serve
+    dashboards from). Counts and quantized sums are associative, so the
+    pyramid is exactly equal to aggregating the raw events directly —
+    which is what the oracle does. At 100 TB only the hourly level ever
+    reads the raw table; day/month re-aggregations touch frames that
+    are orders of magnitude smaller."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _qsum(F.col("value")).alias("sq"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("n").alias("n"), F.sum("sq").alias("sq"))
+    monthly = daily.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("month", "d"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum("n").alias("n_events"),
+        _qval(F.sum("sq")).alias("sum_value"),
+    )
+    return monthly
+
+
+Q_EVENTS_ROLLUP_PYRAMID_SQL = f"""
+SELECT event_type,
+       strftime(date_trunc('month', {_TS_US}), '%Y-%m') AS month,
+       COUNT(*) AS n_events,
+       {_qsum_sql("value")} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value decile profile: per-customer total spend
+    (orders⨝customer), ntile(10) deciles over a fully pinned order,
+    then per-decile aggregates — the two-level windowed-then-aggregated
+    shape BI cohort dashboards run. Spend totals are quantized-exact,
+    the decile window's ordering is total (spend, custkey), and the
+    per-decile min/max/sum re-derive from those exact integers.
+
+    Scale note: the frame under the global ntile is the per-customer
+    AGGREGATE (|customers| rows, not |orders|); at extreme customer
+    cardinality the exact global window would be swapped for two-pass
+    decile boundaries (approx quantiles of spend_q + a range join) —
+    here exactness wins because the oracle must hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(_qsum(F.col("o_totalprice")).alias("spend_q"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("spend_q"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            _qval(F.sum("spend_q")).alias("total_spend"),
+            _qval(F.min("spend_q")).alias("min_spend"),
+            _qval(F.max("spend_q")).alias("max_spend"),
+        )
+    )
+
+
+Q_CUSTOMER_LTV_DECILES_SQL = f"""
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         SUM(CAST(FLOOR(o_totalprice * {_Q} + 0.5) AS DECIMAL(38,0))) AS spend_q,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT spend.*,
+         CAST(ntile(10) OVER (ORDER BY spend_q DESC, c_custkey) AS BIGINT) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(spend_q) AS DOUBLE) / {_Q}.0 AS total_spend,
+       CAST(MIN(spend_q) AS DOUBLE) / {_Q}.0 AS min_spend,
+       CAST(MAX(spend_q) AS DOUBLE) / {_Q}.0 AS max_spend
+FROM ranked GROUP BY 1
+"""
+
+
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics: extract a field from the JSON props
     column and aggregate over it — extraction happens in the scan
@@ -2106,6 +2201,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "user_value_distribution": (q_user_value_distribution, Q_USER_VALUE_DISTRIBUTION_SQL),
     "events_moment_stats": (q_events_moment_stats, Q_EVENTS_MOMENT_STATS_SQL),
+    "events_rollup_pyramid": (q_events_rollup_pyramid, Q_EVENTS_ROLLUP_PYRAMID_SQL),
+    "customer_ltv_deciles": (q_customer_ltv_deciles, Q_CUSTOMER_LTV_DECILES_SQL),
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
@@ -2177,6 +2274,8 @@ _PRIORITY_ORDER: list[str] = [
     "events_moment_stats",
     "embedding_gram",
     "bpe_top_pairs",
+    "events_rollup_pyramid",
+    "customer_ltv_deciles",
 ]
 
 
