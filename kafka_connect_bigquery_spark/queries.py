@@ -2276,6 +2276,7 @@ _PRIORITY_ORDER: list[str] = [
     "bpe_top_pairs",
     "events_rollup_pyramid",
     "customer_ltv_deciles",
+    "dedup_simhash_pairs",
 ]
 
 

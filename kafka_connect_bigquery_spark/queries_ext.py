@@ -464,6 +464,36 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (the read side of the signature
+    pass): pigeonhole segment blocking — two 16-bit signatures within
+    Hamming distance 3 must share one of 4 whole segments, so the
+    candidate join keys on (segment index, segment value), never the
+    cross product — then the exact Hamming re-rank."""
+    sigs = dedup.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )
+    return dedup.simhash_pairs(sigs, "doc_id", bits=_SIMHASH_BITS, max_hamming=3)
+
+
+Q_DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sigs AS ({Q_DEDUP_SIMHASH_SQL}),
+segs AS (
+  SELECT doc_id, simhash, g.s AS si,
+         CAST(FLOOR(simhash / POWER(2.0, g.s * 4)) AS BIGINT) % 16 AS sv
+  FROM sigs, generate_series(0, 3) AS g(s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM segs a JOIN segs b
+    ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: duplicate clustering
 # ---------------------------------------------------------------------------
@@ -1972,6 +2002,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_incremental": (q_dedup_incremental, Q_DEDUP_MINHASH_SQL),
     "dedup_minhash_recall": (q_dedup_minhash_recall, _recall_sql()),
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, Q_DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
