@@ -1171,6 +1171,24 @@ class Warehouse:
                 allow_new_fields=allow_new_fields,
             )
         if dest_touched is None:
+            # the table EXISTS but every touched bucket is empty (e.g.
+            # fully emptied by deletes). Its evolved schema lives in the
+            # manifest — align the batch against it, or a batch lacking
+            # an evolved column would silently shrink the table schema
+            # (fuzz-found: all-tombstone evolving first batch, then a
+            # plain batch)
+            stored_schema_json = meta.get("schema")
+            if stored_schema_json is not None:
+                import json as _json
+
+                stored = T.StructType.fromJson(_json.loads(stored_schema_json))
+                empty_dest = self.spark.createDataFrame([], stored)
+                _, batch_t = self._align_for_merge(
+                    empty_dest,
+                    batch_t,
+                    [order_col, tombstone_col],
+                    allow_new_fields=allow_new_fields,
+                )
             merged = _first_batch_state(batch_t, key_cols, mode, order_col, tombstone_col)
             merged = merged.drop(*[c for c in drop_helpers if c in merged.columns])
         elif mode == "upsert":

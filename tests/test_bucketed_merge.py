@@ -536,6 +536,24 @@ def test_all_tombstone_first_batch_leaves_live_empty_table(spark, tmp_path):
     assert {(r["_change_type"], r["k"]) for r in ch.collect()} == {("insert", 0)}
 
 
+def test_emptied_evolved_table_keeps_schema_on_refill(spark, tmp_path):
+    """Fuzz-found: table created by an all-tombstone batch CARRYING an
+    evolved column, then refilled by a batch WITHOUT it — the evolved
+    column must survive (manifest schema), refill rows carrying NULL,
+    exactly like merging into a non-empty evolved table."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    first = spark.createDataFrame(
+        [(0, "x", 7, 0, True)],
+        "k: bigint, v: string, w: bigint, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(first, "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC)
+    assert set(wh.read_bucketed("t").columns) == {"k", "v", "w"}
+    refill = _mk(spark, [(1, "back", 1, False)])
+    wh.merge(refill, "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC)
+    rows = wh.read_bucketed("t").collect()
+    assert {(r["k"], r["v"], r["w"]) for r in rows} == {(1, "back", None)}
+
+
 def test_describe_detail(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"],
