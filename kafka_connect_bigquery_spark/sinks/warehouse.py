@@ -555,20 +555,34 @@ class Warehouse:
     def _zonemap_path(self, table: str) -> str:
         return os.path.join(self.path(table), "_zonemap.json")
 
-    def _record_zonemap(self, table: str) -> None:
+    def _record_zonemap(self, table: str, *, incremental: bool = False) -> None:
         """Record per-file min/max of every stats-bearing column from
         the parquet footers (driver-side metadata reads only — no data
         pages are opened; at fleet scale the same footer scan fans out
         as one task per file). Written atomically next to the data;
-        consulted by ``read_pruned``."""
+        consulted by ``read_pruned``.
+
+        ``incremental=True`` (the append path): keep existing entries
+        for files already mapped and read footers only for NEW files —
+        per-append cost follows the batch, not the table (vanished
+        files are dropped from the map either way). Full rebuilds
+        (overwrite/compact) pass False."""
         import glob
         import json
 
         import pyarrow.parquet as pq
 
         tdir = self.path(table)
+        prior: dict[str, dict[str, list]] = {}
+        if incremental and os.path.exists(self._zonemap_path(table)):
+            with open(self._zonemap_path(table)) as f:
+                prior = json.load(f)
         zm: dict[str, dict[str, list]] = {}
         for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(p, tdir)
+            if rel in prior:
+                zm[rel] = prior[rel]
+                continue
             md = pq.read_metadata(p)
             zones: dict[str, list] = {}
             for rg in range(md.num_row_groups):
@@ -737,7 +751,7 @@ class Warehouse:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(self.path(table))
         if spec.clustering:
-            self._record_zonemap(table)
+            self._record_zonemap(table, incremental=True)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
