@@ -2220,7 +2220,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail. Round 4: the 22 TPC-H shapes + 13 dedup/ANN/sampling
 # entries were last witnessed in r02, before the LTZ read-boundary change —
-# they go first, followed by queries new or re-oracled this round.
+# they go first, followed by the 18 queries new or re-oracled this round
+# (53 total; a 50-query window witnesses all but the last few, which have
+# verify_local EXACT evidence at both scales and lead the r05 rotation).
 _PRIORITY_ORDER: list[str] = [
     # TPC-H family (last driver row: r02)
     "tpch_q1_pricing_summary",
