@@ -95,5 +95,5 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
 
 TestFlatWarehouseStateful = FlatWarehouseMachine.TestCase
 TestFlatWarehouseStateful.settings = settings(
-    max_examples=4, stateful_step_count=6, deadline=None
+    max_examples=8, stateful_step_count=10, deadline=None
 )

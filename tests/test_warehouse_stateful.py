@@ -163,5 +163,5 @@ class WarehouseMachine(RuleBasedStateMachine):
 
 TestWarehouseStateful = WarehouseMachine.TestCase
 TestWarehouseStateful.settings = settings(
-    max_examples=5, stateful_step_count=8, deadline=None
+    max_examples=12, stateful_step_count=14, deadline=None
 )
