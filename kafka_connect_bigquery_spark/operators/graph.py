@@ -34,6 +34,71 @@ from pyspark.sql import functions as F
 Q = 1_000_000  # rank lattice: 1e-6 quanta
 
 
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph,
+    via degree-ordered edge orientation (the node-iterator++ / compact-
+    forward algorithm): orient every edge from the endpoint that is
+    smaller under the total order ``(degree, node)`` toward the larger,
+    so each triangle {x,y,z} with x ≺ y ≺ z materializes exactly once
+    as the oriented wedge (x→y)+(y→z) closed by (x→z).
+
+    Returns ``(node, n_triangles)`` for nodes in ≥1 triangle (BIGINT,
+    hash-exact).
+
+    Scale shape: orientation bounds every node's oriented out-degree by
+    O(sqrt(|E|)) on any graph (and by arboricity on sparse ones), so the
+    wedge join e1.dst = e2.src — the only superlinear step — never
+    explodes on high-degree hubs the way a naive edge³ self-join does;
+    hubs become wedge *closers* (the cheap semi-join side), not wedge
+    centers. Three equi-joins + one groupBy, all broadcast-free and
+    AQE-skew-splittable.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = oe.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oe.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])  # (x, y, z), each once
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

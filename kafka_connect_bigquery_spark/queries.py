@@ -1587,6 +1587,56 @@ SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r{iters}
 Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts (operators/graph.py:triangle_counts)
+    over the co-supply graph: suppliers adjacent when they served the
+    same order. Pair generation is a lineitem self-join on l_orderkey —
+    fan-out bounded by lines-per-order (≤7 in TPC-H), never quadratic in
+    |lineitem| — and the count itself uses degree-ordered orientation so
+    hub suppliers close wedges instead of centering them."""
+    from kafka_connect_bigquery_spark.operators import graph as G
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    r = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = l.join(r, l.l_orderkey == r.o).filter(
+        F.col("l_suppkey") < F.col("s2")
+    )
+    return G.triangle_counts(pairs, "l_suppkey", "s2")
+
+
+Q_GRAPH_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_suppkey < l2.l_suppkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+oe AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tris AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+  JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+) GROUP BY 1
+"""
+
+
 def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface beyond top-1 (W1): rank, dense_rank,
     lag delta, and running sum per user ordered by value — one window
@@ -2199,6 +2249,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
+    "graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "user_value_distribution": (q_user_value_distribution, Q_USER_VALUE_DISTRIBUTION_SQL),
     "events_moment_stats": (q_events_moment_stats, Q_EVENTS_MOMENT_STATS_SQL),
     "events_rollup_pyramid": (q_events_rollup_pyramid, Q_EVENTS_ROLLUP_PYRAMID_SQL),

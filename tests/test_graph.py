@@ -57,3 +57,57 @@ def test_rank_mass_bounded(spark):
     # integer floors + dangling leak only ever LOSE mass vs q
     assert 0 < sum(ranks.values()) <= G.Q
     assert all(v >= 0 for v in ranks.values())
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def _tri_reference(edges):
+    """Brute-force per-node triangle counts from an undirected edge set."""
+    import itertools
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _tri_run(spark, edges):
+    df = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    return {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    edges = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert _tri_run(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_direction_and_dups_ignored(spark):
+    # same triangle given with mixed orientations + duplicates + a self-loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 4)]
+    assert _tri_run(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    assert _tri_run(spark, edges) == _tri_reference(edges)
+
+
+def test_triangles_triangle_free_bipartite(spark):
+    edges = [(u, 100 + v) for u in range(3) for v in range(3)]
+    assert _tri_run(spark, edges) == {}
