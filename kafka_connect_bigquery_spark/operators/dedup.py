@@ -665,6 +665,77 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    mark near-duplicates *within each cluster only* — the cluster id is
+    the blocking key, so pairwise cosine work is bounded per cluster
+    and the corpus-wide cross product never materializes.
+
+    Returns one row per vector ``(id, list_id, keep)``: ``keep=false``
+    iff some same-cluster vector with a smaller id has quantized cosine
+    >= min_cosine (the deterministic keep-min-id representative policy;
+    the paper's keep-farthest-from-centroid is a one-line swap that
+    sacrifices closed-form checkability).
+
+    Scale shape: one assignment pass (centroids are a k×dim broadcast
+    literal, as in any IVF build), one equi-join on ``list_id``, one
+    distinct + left join back. Cross-cluster near-dups are missed by
+    design — that is SemDeDup's approximation, reproduced faithfully by
+    the oracle. Cosines use the quantized-integer arithmetic from
+    operators/ann.py, so the verdict set is engine- and partitioning-
+    exact."""
+    from kafka_connect_bigquery_spark.operators import ann
+
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ann.assign_list(F.col(vec_col), centroids).alias("list_id"),
+    ).localCheckpoint(eager=False)  # assignment feeds both pair sides + output
+    a = ann.with_norm(assigned, vec_col).select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__norm_q").alias("na"),
+    )
+    b = ann.with_norm(assigned, vec_col).select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__norm_q").alias("nb"),
+    )
+    losers = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            ann.cosine_from_quantized(
+                ann.quantized_dot(F.col("va"), F.col("vb")),
+                F.col("na"),
+                F.col("nb"),
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col("id_b").alias("__loser"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers, assigned[id_col] == losers["__loser"], "left")
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.col("__loser").isNull().alias("keep"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # duplicate clustering (connected components)
 # --------------------------------------------------------------------------

@@ -576,6 +576,81 @@ WHERE (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0)) >= {_EMB_
 """
 
 # ---------------------------------------------------------------------------
+# dedup: semantic (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEM_LISTS = 8
+_SEM_MIN_COS = 0.4
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: seeded coarse quantizer
+    (8 lists, no Lloyd — closed-form, see ann.seed_centroids), within-
+    cluster quantized-cosine near-dup marking, keep-min-id policy.
+    The cluster id doubles as the blocking key, so this is the shape a
+    100 TB semantic-dedup pass actually runs: assignment scan + one
+    per-cluster equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.seed_centroids(emb, k=_SEM_LISTS)
+    return dedup.semantic_dedup(emb, cents, min_cosine=_SEM_MIN_COS)
+
+
+Q_DEDUP_SEMANTIC_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {ann.QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT vec_id AS list_id, d, vq AS sq FROM elq WHERE vec_id < {_SEM_LISTS}
+),
+dists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+  FROM assign a1 JOIN assign a2
+    ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el q ON q.vec_id = c.id_a
+  JOIN el n ON n.vec_id = c.id_b AND n.d = q.d
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT d.id_b AS vec_id
+  FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.id_a
+  JOIN norms n2 ON n2.vec_id = d.id_b
+  WHERE (d.dq / {_QE}.0) / (sqrt(n1.nq / {_QE}.0) * sqrt(n2.nq / {_QE}.0))
+        >= {_SEM_MIN_COS}
+)
+SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+       (l.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN losers l ON l.vec_id = a.vec_id
+"""
+
+# ---------------------------------------------------------------------------
 # dedup: edit distance
 # ---------------------------------------------------------------------------
 
@@ -2004,6 +2079,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, Q_DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),

@@ -956,3 +956,63 @@ def test_registry_every_entry_has_oracle_and_order_is_consistent():
     # and the public surface agrees with the registry
     assert set(queries.queries()) == set(full)
     assert set(queries.oracle_sql()) == set(full) - declared_no_oracle
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    # two tight clusters around e1 and e2; 10/11 are near-dups of their
+    # cluster seed, 20 is identical to 10 but assigned to the OTHER
+    # cluster seed's list — cross-cluster dups are missed BY DESIGN
+    vecs = {
+        0: [1.0, 0.0],
+        1: [0.0, 1.0],
+        10: [0.99, 0.01],
+        11: [0.02, 0.98],
+        20: [0.55, 0.45],  # nearer cluster 0, but not a near-dup of anything there
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    cents = ann.seed_centroids(df, k=2)
+    out = {
+        r["vec_id"]: (r["list_id"], r["keep"])
+        for r in dedup.semantic_dedup(df, cents, min_cosine=0.95).collect()
+    }
+    assert len(out) == 5
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[10] == (0, False)  # dup of 0 within cluster 0
+    assert out[11] == (1, False)  # dup of 1 within cluster 1
+    assert out[20][1] is True     # same cluster as 0 but below threshold
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(13)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    for i in range(40):
+        b = base[i % 6]
+        rows.append((i, [x + rng.uniform(-0.02, 0.02) for x in b]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ann.seed_centroids(df, k=4)
+    got = {
+        r["vec_id"]: (r["list_id"], r["keep"])
+        for r in dedup.semantic_dedup(df, cents, min_cosine=0.98).collect()
+    }
+
+    # brute-force replay of the same policy (float cosine: thresholds
+    # here are far from any quantization boundary)
+    def assign(v):
+        dists = [sum((x - c) ** 2 for x, c in zip(v, cent)) for cent in cents]
+        return dists.index(min(dists))
+
+    lists = {i: assign(v) for i, v in rows}
+    keep = {}
+    for i, v in rows:
+        keep[i] = not any(
+            j < i and lists[j] == lists[i] and _cos(dict(rows)[j], v) >= 0.98
+            for j, _ in rows
+        )
+    assert {i: lists[i] for i in lists} == {i: got[i][0] for i in got}
+    assert keep == {i: got[i][1] for i in got}
+    assert sum(1 for k in keep.values() if not k) > 5  # dups actually found
