@@ -185,3 +185,71 @@ def bigram_fluency(df, id_col: str, text_col: str):
         F.sum("q").alias("lm_score_q"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("fluency"),
     )
+
+
+BM25_Q = 1_000_000  # score quantization lattice
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q: int = BM25_Q,
+):
+    """Okapi BM25 relevance of every document to a fixed term query
+    (Robertson & Walker, the standard ranking function for sparse
+    retrieval): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), tf
+    normalization with length prior b and saturation k1.
+
+    Engine-exactness: every float step is an IEEE double op both Spark
+    and an oracle perform identically on identical inputs; the one
+    transcendental (ln) is evaluated on an identical double argument
+    and immediately quantized to the 1/q lattice, and per-term
+    contributions are floored to integers before the (order-sensitive)
+    final sum — so the score is a BIGINT, hash-comparable.
+
+    Scale shape: tokenization + explode is the corpus scan; the filter
+    to query terms happens BEFORE the groupBy so the tf shuffle carries
+    only matching postings (|terms| × df rows, not the corpus); the df
+    table (≤|terms| rows) and the 1-row corpus stats broadcast. Returns
+    (doc, score_q, score, n_terms) for docs matching ≥1 term.
+    """
+    from pyspark.sql import functions as F
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        toked.select("doc", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin([t.lower() for t in query_terms]))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_arg = F.lit(1.0) + (
+        (F.col("n_docs") - F.col("dfq")).cast("double") + F.lit(0.5)
+    ) / (F.col("dfq").cast("double") + F.lit(0.5))
+    idf_q = F.floor(F.log(idf_arg) * q + F.lit(0.5)).cast("long")
+    tfnorm = (F.col("tf") * F.lit(float(k1 + 1.0))) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (F.lit(float(1.0 - b)) + F.lit(float(b)) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib_q", F.floor(tfnorm * idf_q + F.lit(0.5)).cast("long"))
+    )
+    return scored.groupBy("doc").agg(
+        F.sum("contrib_q").cast("bigint").alias("score_q"),
+        (F.sum("contrib_q").cast("double") / q).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )

@@ -1821,6 +1821,56 @@ GROUP BY doc
 """
 
 
+_BM25_TERMS = ["dup", "vector", "merge"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed 3-term query
+    (functions/text.py:bm25_scores): quantized-ln idf, length-normalized
+    tf saturation, integer per-term contributions. Sparse-retrieval
+    scoring — the ranking half of a hybrid (BM25 + ANN) search stack."""
+    return text_fns.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Literal doubles are CAST explicitly: DuckDB parses 0.75 as DECIMAL and
+# would do exact decimal math where Spark does IEEE double math.
+Q_TEXT_BM25_SQL = f"""
+WITH toked AS (SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+dls AS (SELECT doc, len(toks) AS dl, toks FROM toked),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dls
+),
+posts AS (SELECT doc, dl, unnest(toks) AS term FROM dls),
+tf AS (
+  SELECT doc, dl, term, COUNT(*) AS tf FROM posts
+  WHERE term IN ({_BM25_IN}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc,
+    CAST(FLOOR(
+      ((t.tf * CAST(2.2 AS DOUBLE)) /
+       (t.tf + CAST(1.2 AS DOUBLE) *
+        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * t.dl /
+         (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+      * FLOOR(ln(CAST(1.0 AS DOUBLE) +
+           (CAST(s.n_docs - d.dfq AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+           (CAST(d.dfq AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+          * {text_fns.BM25_Q} + CAST(0.5 AS DOUBLE))
+      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib_q
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+       CAST(SUM(contrib_q) AS DOUBLE) / {text_fns.BM25_Q} AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # sequence packing + decontamination (training-data layout operators)
 # ---------------------------------------------------------------------------
@@ -2103,6 +2153,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "docs_quality_filter": (q_docs_quality_filter, Q_DOCS_QUALITY_SQL),
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
     "text_bigram_fluency": (q_text_bigram_fluency, Q_TEXT_BIGRAM_FLUENCY_SQL),
+    "text_bm25": (q_text_bm25, Q_TEXT_BM25_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),

@@ -1016,3 +1016,67 @@ def test_semantic_dedup_matches_bruteforce(spark):
     assert {i: lists[i] for i in lists} == {i: got[i][0] for i in got}
     assert keep == {i: got[i][1] for i in got}
     assert sum(1 for k in keep.values() if not k) > 5  # dups actually found
+
+
+def test_bm25_idf_and_length_normalization(spark):
+    docs = [
+        (0, "rare common common filler filler filler"),
+        (1, "common common common filler filler filler"),
+        (2, "rare filler filler filler filler filler filler filler "
+            "filler filler filler filler filler filler filler filler"),
+        (3, "common filler filler"),
+        (4, "filler filler filler"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc"]: r
+        for r in text_fns.bm25_scores(
+            df, "doc_id", "text", ["rare", "common"]
+        ).collect()
+    }
+    assert 4 not in out                       # no query term -> no row
+    assert out[0]["n_terms"] == 2 and out[2]["n_terms"] == 1
+    # 'rare' (df=2) outranks 'common' (df=3): doc0 > doc1 at equal length
+    assert out[0]["score_q"] > out[1]["score_q"]
+    # length normalization: 'rare' appears once in both doc0 and doc2,
+    # but doc2 is much longer, so its score is lower
+    assert out[2]["score_q"] < out[0]["score_q"]
+    # score is score_q on the 1/Q lattice
+    assert out[0]["score"] == out[0]["score_q"] / text_fns.BM25_Q
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+
+    docs = [
+        (0, "a b c a"),
+        (1, "b c d"),
+        (2, "a a a a a"),
+        (3, "d e f g h i"),
+    ]
+    terms = ["a", "d"]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["score_q"], r["n_terms"])
+        for r in text_fns.bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    exp = {}
+    for i, t in toks.items():
+        s, m = 0, 0
+        for term in terms:
+            tf = t.count(term)
+            if not tf:
+                continue
+            dfq = sum(1 for tt in toks.values() if term in tt)
+            idf_q = math.floor(
+                math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) * text_fns.BM25_Q + 0.5
+            )
+            tfnorm = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            s += math.floor(tfnorm * idf_q + 0.5)
+            m += 1
+        if m:
+            exp[i] = (s, m)
+    assert got == exp
