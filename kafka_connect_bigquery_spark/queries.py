@@ -1302,6 +1302,48 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_warehouse_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (sinks/warehouse.py:record_bloom):
+    events append in three batches with interleaved user_ids, so every
+    file's [min, max] spans the whole id domain and a zone map can
+    prune NOTHING — then per-file Bloom bitmaps (built by a distributed
+    md5/double-hash pass; only set-bit positions reach the driver)
+    let an equality probe on user_id open only files that can contain
+    it. The oracle re-derives the same filter from the source table:
+    Bloom false negatives are impossible, so pruning loses no rows.
+    The fewer-files assertions live in tests/test_layout.py."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_bloom")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    for res in range(3):
+        wh.append(e.filter(F.col("user_id") % 3 == res), "events_b", spec)
+    wh.record_bloom("events_b", ["user_id"])
+    return wh.read_pruned_where("events_b", {"user_id": 7})
+
+
+Q_WAREHOUSE_BLOOM_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE user_id = 7
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -2244,6 +2286,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitized_projection": (q_sanitized_projection, Q_SANITIZED_SQL),
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "warehouse_zonemap_read": (q_warehouse_zonemap_read, Q_WAREHOUSE_ZONEMAP_SQL),
+    "warehouse_bloom_read": (q_warehouse_bloom_read, Q_WAREHOUSE_BLOOM_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),

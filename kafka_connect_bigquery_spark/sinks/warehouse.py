@@ -606,6 +606,179 @@ class Warehouse:
             json.dump(zm, f)
         os.replace(tmp, self._zonemap_path(table))
 
+    # -- bloom filters (file skipping on point-lookup columns) ------------
+    #
+    # Zone maps prune RANGE predicates on clustered columns; they are
+    # useless for equality probes on a column the layout was not sorted
+    # by (every file's [min,max] spans the domain). A per-file Bloom
+    # filter answers "can this file contain v?" for exactly that case —
+    # the high-cardinality point-lookup (user_id, order id, join key)
+    # a 100 TB table serves without re-clustering. False positives only
+    # cost an extra file read; false negatives are impossible.
+
+    BLOOM_M_BITS = 8192  # 1 KiB bitmap per column per file
+    BLOOM_K_HASHES = 4
+
+    _BLOOMABLE = (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+    def _bloom_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_bloom.json")
+
+    @staticmethod
+    def _bloom_probe_positions(value, m: int, k: int) -> list[int]:
+        """Kirsch-Mitzenmacher double hashing from one md5: position_i =
+        (h1 + i*h2) mod m. MUST mirror the Spark-side build expression
+        (md5 of CAST(value AS STRING), first/second 8 hex digits)."""
+        import hashlib
+
+        h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def _bloom_build(
+        self, table: str, cols: list[str], m: int, k: int, files: list[str] | None
+    ) -> dict[str, dict[str, str]]:
+        """Distributed bitmap build: ONE Spark pass computes the distinct
+        (file, position) pairs — md5 + double hashing as JVM expressions,
+        map-side distinct, then ≤m positions per file-column reach the
+        driver, never row data. ``files=None`` scans the whole table;
+        a file list (the append path) scans only those files."""
+        tdir = self.path(table)
+        if files is None:
+            src = self.read(table)
+        else:
+            src = (
+                self.spark.read.option("basePath", tdir)
+                .option("mergeSchema", "true")
+                .parquet(*files)
+            )
+        fields = {f.name: f.dataType for f in src.schema.fields}
+        out: dict[str, dict[str, str]] = {}
+        for c in cols:
+            if c not in fields or not isinstance(fields[c], self._BLOOMABLE):
+                continue
+            posdf = (
+                src.select(F.input_file_name().alias("f"), F.col(c).alias("v"))
+                .filter(F.col("v").isNotNull())
+                .withColumn("h", F.md5(F.col("v").cast("string")))
+                .select(
+                    "f",
+                    F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
+                    F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
+                )
+                .select(
+                    "f",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(k - 1)),
+                            lambda i: (F.col("h1") + i * F.col("h2")) % m,
+                        )
+                    ).alias("pos"),
+                )
+                .distinct()
+            )
+            for r in posdf.collect():
+                path = r["f"]
+                for pre in ("file://", "file:"):
+                    if path.startswith(pre):
+                        path = path[len(pre):]
+                        break
+                rel = os.path.relpath(path, tdir)
+                ent = out.setdefault(rel, {})
+                if c not in ent:
+                    ent[c] = bytearray(m // 8)
+                bits = ent[c]
+                pos = r["pos"]
+                bits[pos >> 3] |= 1 << (pos & 7)
+        bloomable = [
+            c
+            for c in cols
+            if c in fields and isinstance(fields[c], self._BLOOMABLE)
+        ]
+        return (
+            {
+                rel: {c: bytes(b).hex() for c, b in ent.items()}
+                for rel, ent in out.items()
+            },
+            bloomable,
+        )
+
+    def record_bloom(
+        self,
+        table: str,
+        cols: list[str],
+        *,
+        m_bits: int = BLOOM_M_BITS,
+        k_hashes: int = BLOOM_K_HASHES,
+        incremental: bool = False,
+    ) -> None:
+        """Record per-file Bloom filters for ``cols`` (int/string columns
+        only — float equality probes are a bug, not a query). Written
+        atomically next to the data like the zone map; consulted by
+        ``read_pruned_where`` for equality predicates. Once recorded,
+        ``append`` keeps it fresh incrementally (new files only) and
+        ``overwrite``/``compact`` rebuild it. Not applicable to bucketed
+        tables (their bucket key IS the file-routing predicate)."""
+        import glob
+        import json
+
+        if self.layout_meta(table).get("generations") is not None:
+            raise WarehouseError(
+                f"table {table} is bucketed: bucket routing already prunes "
+                "by key; bloom filters apply to flat tables"
+            )
+        meta = {"m": m_bits, "k": k_hashes, "cols": sorted(cols)}
+        prior: dict[str, dict[str, str]] = {}
+        if incremental and os.path.exists(self._bloom_path(table)):
+            with open(self._bloom_path(table)) as f:
+                doc = json.load(f)
+            if doc.get("meta") == meta:
+                prior = doc.get("files", {})
+        tdir = self.path(table)
+        live = {
+            os.path.relpath(p, tdir): p
+            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+        }
+        keep = {rel: prior[rel] for rel in live if rel in prior}
+        new_files = [p for rel, p in live.items() if rel not in keep]
+        if new_files:
+            built, bloomable = self._bloom_build(
+                table, meta["cols"], m_bits, k_hashes,
+                None if not incremental else new_files,
+            )
+            keep.update(built)
+            # scanned files with no surviving value (all-NULL, or the
+            # column absent pre-evolution) get explicit all-zero bitmaps:
+            # an equality probe can PROVE absence there, where a missing
+            # entry must conservatively keep the file
+            zero = bytes(m_bits // 8).hex()
+            for p in new_files:
+                rel = os.path.relpath(p, tdir)
+                ent = keep.setdefault(rel, {})
+                for c in bloomable:
+                    ent.setdefault(c, zero)
+        tmp = self._bloom_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"meta": meta, "files": keep}, f)
+        os.replace(tmp, self._bloom_path(table))
+
+    def _refresh_bloom_if_recorded(self, table: str, *, incremental: bool) -> None:
+        import json
+
+        if not os.path.exists(self._bloom_path(table)):
+            return
+        with open(self._bloom_path(table)) as f:
+            meta = json.load(f).get("meta", {})
+        if not meta:
+            return
+        self.record_bloom(
+            table,
+            meta["cols"],
+            m_bits=meta["m"],
+            k_hashes=meta["k"],
+            incremental=incremental,
+        )
+
     def read_pruned(
         self,
         table: str,
@@ -639,9 +812,11 @@ class Warehouse:
         multiplies across dimensions — the read-side payoff of Z-order
         clustering (operators/layout.py), where files are narrow in
         *several* columns at once (a lexicographic sort is only ever
-        narrow in the leading one). Result is exactly
-        ``read(table).filter(AND of predicates)`` regardless of
-        zone-map state."""
+        narrow in the leading one). Equality predicates additionally
+        probe the per-file Bloom filters when ``record_bloom`` has run —
+        membership pruning on columns the layout is NOT sorted by.
+        Result is exactly ``read(table).filter(AND of predicates)``
+        regardless of zone-map/bloom state."""
         import json
 
         ranges = {}
@@ -651,9 +826,11 @@ class Warehouse:
         pred = F.lit(True)
         for col, (lo, hi) in ranges.items():
             pred = pred & F.col(col).between(lo, hi)
+        have_zm = os.path.exists(self._zonemap_path(table))
+        have_bloom = os.path.exists(self._bloom_path(table))
         if (
             not ranges
-            or not os.path.exists(self._zonemap_path(table))
+            or (not have_zm and not have_bloom)
             # bucketed tables resolve files through the generation
             # manifest, not the flat zone map — full read there
             or self.layout_meta(table).get("generations") is not None
@@ -661,21 +838,49 @@ class Warehouse:
             return self.read(table).filter(pred)
         import glob
 
-        with open(self._zonemap_path(table)) as f:
-            zm = json.load(f)
+        zm = {}
+        if have_zm:
+            with open(self._zonemap_path(table)) as f:
+                zm = json.load(f)
+        bloom_files: dict = {}
+        bloom_meta: dict = {}
+        if have_bloom:
+            with open(self._bloom_path(table)) as f:
+                bdoc = json.load(f)
+            bloom_meta = bdoc.get("meta", {})
+            bloom_files = bdoc.get("files", {})
+        # equality predicates get their probe positions computed ONCE
+        probes = {
+            col: self._bloom_probe_positions(lo, bloom_meta["m"], bloom_meta["k"])
+            for col, (lo, hi) in ranges.items()
+            if lo == hi and col in bloom_meta.get("cols", [])
+        }
         tdir = self.path(table)
         keep = []
         # files on disk but not in the map (e.g. appended by a writer
         # that didn't refresh it) can never be skipped — only a recorded
-        # non-overlapping zone is evidence of absence
+        # non-overlapping zone / zero bloom bit is evidence of absence
         for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
-            zones = zm.get(os.path.relpath(p, tdir), {})
+            rel = os.path.relpath(p, tdir)
+            zones = zm.get(rel, {})
             survives = True
             for col, (lo, hi) in ranges.items():
                 z = zones.get(col)
                 if z is not None and not (z[0] <= hi and z[1] >= lo):
                     survives = False
                     break
+            if survives and probes:
+                blooms = bloom_files.get(rel, {})
+                for col, positions in probes.items():
+                    hexmap = blooms.get(col)
+                    if hexmap is None:
+                        continue
+                    bits = bytes.fromhex(hexmap)
+                    if not all(
+                        bits[pos >> 3] & (1 << (pos & 7)) for pos in positions
+                    ):
+                        survives = False
+                        break
             if survives:
                 keep.append(p)
         if not keep:
@@ -752,6 +957,7 @@ class Warehouse:
         writer.parquet(self.path(table))
         if spec.clustering:
             self._record_zonemap(table, incremental=True)
+        self._refresh_bloom_if_recorded(table, incremental=True)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
@@ -776,6 +982,7 @@ class Warehouse:
             self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
+        self._refresh_bloom_if_recorded(table, incremental=False)
 
     # -- MERGE ----------------------------------------------------------
     def _align_for_merge(
@@ -1311,6 +1518,7 @@ class Warehouse:
             self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
+        self._refresh_bloom_if_recorded(table, incremental=False)
         return len(files)
 
     # -- retention (L3) --------------------------------------------------

@@ -179,3 +179,118 @@ def test_read_pruned_where_eq_shorthand_and_degradation(spark, tmp_path):
     wh.overwrite(df, "t", TableSpec(partition_grain="NONE"))  # no zone map
     got = {r["k"] for r in wh.read_pruned_where("t", {"cat": "b", "k": (0, 9)}).collect()}
     assert got == {1, 3, 5, 7, 9}
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter file skipping (point lookups on NON-clustered columns)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_table(spark, tmp_path, name="wh"):
+    """Three appends with interleaved-but-disjoint id sets (residues mod
+    3): every file spans the whole [0, 3000) range, so a zone map could
+    never prune — exactly the case bloom filters exist for."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / name))
+    for res in range(3):
+        rows = [(i * 3 + res, f"u{i * 3 + res}", float(i)) for i in range(1000)]
+        wh.append(
+            spark.createDataFrame(rows, "id: bigint, user: string, v: double"),
+            "t",
+            TableSpec(partition_grain="NONE"),
+        )
+    return wh
+
+
+def test_bloom_prunes_files_on_point_lookup(spark, tmp_path):
+    wh = _bloom_table(spark, tmp_path)
+    wh.record_bloom("t", ["id", "user"])
+    all_files = set(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert len(all_files) >= 3
+
+    pruned = wh.read_pruned_where("t", {"id": 42})  # 42 % 3 == 0: batch 0 only
+    opened = {f.replace("file://", "") for f in pruned.inputFiles()}
+    assert opened < all_files, "bloom filter did not skip any file"
+    assert [(r["id"], r["v"]) for r in pruned.collect()] == [(42, 14.0)]
+
+    # string column probe
+    pruned_s = wh.read_pruned_where("t", {"user": "u100"})  # 100 % 3 == 1
+    opened_s = {f.replace("file://", "") for f in pruned_s.inputFiles()}
+    assert opened_s < all_files
+    assert [r["id"] for r in pruned_s.collect()] == [100]
+
+    # absent value: provable absence -> zero files opened, empty result
+    gone = wh.read_pruned_where("t", {"id": 999_983})
+    assert gone.count() == 0 and gone.inputFiles() == []
+
+
+def test_bloom_matches_full_filter_on_many_probes(spark, tmp_path):
+    wh = _bloom_table(spark, tmp_path, "wh2")
+    wh.record_bloom("t", ["id"])
+    full = {r["id"] for r in wh.read("t").collect()}
+    for probe in (0, 1, 2, 1499, 2998, 2999, 5000):
+        got = {r["id"] for r in wh.read_pruned_where("t", {"id": probe}).collect()}
+        assert got == ({probe} if probe in full else set())
+
+
+def test_bloom_incremental_refresh_on_append(spark, tmp_path):
+    import json
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    wh = _bloom_table(spark, tmp_path, "wh3")
+    wh.record_bloom("t", ["id"])
+    with open(wh._bloom_path("t")) as f:
+        before = json.load(f)["files"]
+
+    # append WITHOUT an explicit record_bloom: the writer keeps it fresh
+    new = spark.createDataFrame(
+        [(10_000 + i, f"n{i}", 0.0) for i in range(50)],
+        "id: bigint, user: string, v: double",
+    )
+    wh.append(new, "t", TableSpec(partition_grain="NONE"))
+    with open(wh._bloom_path("t")) as f:
+        doc = json.load(f)
+    assert len(doc["files"]) > len(before)
+    # old entries were NOT rebuilt (incremental: bitmaps carried over)
+    for rel, ent in before.items():
+        assert doc["files"][rel] == ent
+
+    found = wh.read_pruned_where("t", {"id": 10_007})
+    assert found.count() == 1
+    assert len(found.inputFiles()) < len(doc["files"])
+
+
+def test_bloom_compact_rebuilds(spark, tmp_path):
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    wh = _bloom_table(spark, tmp_path, "wh4")
+    wh.record_bloom("t", ["id"])
+    wh.compact("t", TableSpec(partition_grain="NONE"), target_file_rows=500, min_files=1)
+    # post-compact bitmaps reflect the NEW files; results stay exact
+    for probe in (42, 43, 44, 123_456):
+        got = {r["id"] for r in wh.read_pruned_where("t", {"id": probe}).collect()}
+        assert got == ({probe} if probe < 3000 else set())
+
+
+def test_bloom_rejects_bucketed_tables(spark, tmp_path):
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import (
+        TableSpec,
+        Warehouse,
+        WarehouseError,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh5"))
+    df = spark.createDataFrame(
+        [(k, f"v{k}", k, False) for k in range(20)],
+        "id: bigint, s: string, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(
+        df, "t", ["id"], mode="upsert",
+        spec=TableSpec(partition_grain="NONE", key_bucket_count=4),
+    )
+    with _pytest.raises(WarehouseError):
+        wh.record_bloom("t", ["id"])
