@@ -69,6 +69,11 @@ HEADLINE = [
     # their timing is parquet-write dominated, so like
     # merge_upsert_bucketed they stay out of the throughput headline.
     "sketch_count_min",
+    # r04 late additions (pure queries; the staged-warehouse entries
+    # warehouse_bloom_read / ann_incremental stay out, same rationale)
+    "graph_triangles",
+    "text_bm25",
+    "dedup_semantic",
 ]
 
 

@@ -35,6 +35,30 @@ def hash_sample(
     return df.filter(hash_uniform(F.col(id_col), salt=salt) < rate)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    cap: float,
+    salt: str = "w",
+) -> DataFrame:
+    """Poisson (independent-inclusion) importance sampling: keep row i
+    with probability p_i = min(1, w_i / cap), deterministically from the
+    id hash — the per-ROW generalization of the per-SOURCE rates in
+    ``mixture_rebalance`` (e.g. token-count-proportional sampling, so a
+    long document is as likely to contribute as its token mass).
+
+    The returned frame carries ``p_sample`` so downstream estimators can
+    Horvitz-Thompson reweight by 1/p_sample. Pure per-row projection +
+    filter: no shuffle, no state, identical membership on any engine or
+    partitioning (every arithmetic step is an IEEE double op on exact
+    integer inputs)."""
+    u = hash_uniform(F.col(id_col), salt=salt)
+    p = F.least(F.lit(1.0), F.col(weight_col).cast("double") / F.lit(float(cap)))
+    return df.withColumn("p_sample", p).filter(u < F.col("p_sample"))
+
+
 def assign_split(
     col: Column,
     fractions: dict[str, float],

@@ -1629,30 +1629,71 @@ SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r{iters}
 Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+_TRI_TOP = 8  # k-NN sparsification: keep each node's 8 strongest edges
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier triangle counts (operators/graph.py:triangle_counts)
-    over the co-supply graph: suppliers adjacent when they served the
-    same order. Pair generation is a lineitem self-join on l_orderkey —
-    fan-out bounded by lines-per-order (≤7 in TPC-H), never quadratic in
-    |lineitem| — and the count itself uses degree-ordered orientation so
-    hub suppliers close wedges instead of centering them."""
+    over the k-NN co-supply graph: each supplier keeps its 8 strongest
+    partners by shared-order count (ties broken by partner id), an edge
+    surviving when EITHER endpoint ranks it. Pair generation is a
+    lineitem self-join on l_orderkey — fan-out bounded by
+    lines-per-order (≤7 in TPC-H), never quadratic in |lineitem|. The
+    top-k sparsification is the point at scale: the raw co-supply graph
+    densifies toward a clique as orders accumulate (≈half of all
+    supplier pairs co-occur at sf0.1 already) and triangle counting on
+    a clique is Θ(n³) for any algorithm; a bounded-degree similarity
+    graph keeps wedge work O(n·k²) forever. Orientation by degree then
+    makes hubs close wedges instead of centering them."""
     from kafka_connect_bigquery_spark.operators import graph as G
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct (order, supplier) FIRST: per-order pairs are then unique,
+    # so the edge weight is a plain count — one shuffle, map-side
+    # combinable — instead of a two-shuffle count_distinct expansion
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     r = l.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2")
     )
-    pairs = l.join(r, l.l_orderkey == r.o).filter(
-        F.col("l_suppkey") < F.col("s2")
+    pairs = (
+        l.join(r, l.l_orderkey == r.o)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .groupBy("l_suppkey", "s2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    return G.triangle_counts(pairs, "l_suppkey", "s2")
+    sym = pairs.select(
+        F.col("l_suppkey").alias("node"), F.col("s2").alias("nbr"), "n_orders"
+    ).unionByName(
+        pairs.select(
+            F.col("s2").alias("node"), F.col("l_suppkey").alias("nbr"), "n_orders"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n_orders"), F.asc("nbr"))
+    knn = sym.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TRI_TOP
+    )
+    return G.triangle_counts(knn, "node", "nbr")
 
 
-Q_GRAPH_TRIANGLES_SQL = """
-WITH e AS (
-  SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
-  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+Q_GRAPH_TRIANGLES_SQL = f"""
+WITH ds AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, COUNT(*) AS n_orders
+  FROM ds l1 JOIN ds l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_suppkey < l2.l_suppkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT a AS node, b AS nbr, n_orders FROM pairs
+  UNION ALL
+  SELECT b AS node, a AS nbr, n_orders FROM pairs
+),
+e AS (
+  SELECT DISTINCT LEAST(node, nbr) AS u, GREATEST(node, nbr) AS v FROM (
+    SELECT node, nbr,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n_orders DESC, nbr) AS rk
+    FROM sym
+  ) WHERE rk <= {_TRI_TOP}
 ),
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (

@@ -1569,6 +1569,34 @@ FROM documents
 
 Q_DATASET_SPLIT_SQL = _split_sql()
 
+_WS_CAP = 500.0  # chars at which inclusion saturates to certainty
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional Poisson sampling (operators/sampling.py:
+    weighted_sample): keep each document with probability
+    min(1, n_chars/500) so sampled mass tracks character mass; the
+    emitted p_sample enables Horvitz-Thompson reweighting downstream."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(d, "doc_id", "n_chars", cap=_WS_CAP).select(
+        "doc_id", "n_chars", "p_sample"
+    )
+
+
+_WS_U = (
+    "CAST(concat('0x', substr(md5(concat('w', CAST(doc_id AS VARCHAR))), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST({_WS_CAP} AS DOUBLE)) AS p_sample
+FROM documents
+WHERE {_WS_U} < LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST({_WS_CAP} AS DOUBLE))
+"""
+
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
 
@@ -2224,6 +2252,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "docs_length_histogram": (q_docs_length_histogram, Q_DOCS_LENGTH_HIST_SQL),
     "dataset_split": (q_dataset_split, Q_DATASET_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),

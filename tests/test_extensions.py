@@ -1080,3 +1080,27 @@ def test_bm25_matches_pure_python(spark):
         if m:
             exp[i] = (s, m)
     assert got == exp
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [(i, (i % 10 + 1) * 10) for i in range(2000)]  # weights 10..100
+    df = spark.createDataFrame(rows, "id: bigint, w: bigint")
+    out = sampling.weighted_sample(df, "id", "w", cap=100.0)
+    got = {(r["id"], r["p_sample"]) for r in out.collect()}
+    # deterministic across invocations and partitionings
+    got2 = {
+        (r["id"], r["p_sample"])
+        for r in sampling.weighted_sample(df.repartition(7), "id", "w", cap=100.0).collect()
+    }
+    assert got == got2
+    # p clamps at 1: every weight-100 row is kept with certainty
+    full = {i for i, w in rows if w == 100}
+    assert full <= {i for i, _ in got}
+    assert all(p == 1.0 for i, p in got if i in full)
+    # inclusion tracks weight: keep-rate of weight-20 rows well below weight-80
+    def rate(w):
+        ids = {i for i, ww in rows if ww == w}
+        return len(ids & {i for i, _ in got}) / len(ids)
+    assert rate(20) < 0.35 and rate(80) > 0.65
