@@ -117,3 +117,56 @@ def interval_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & end_pred)
         .drop("__bucket")
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-series regularization: resample each key's event stream to
+    a dense DAILY grid spanning its own [first, last] observation and
+    forward-fill the last observed value across gaps — the
+    shape feature stores and monitoring rollups need before any
+    same-grid comparison (diff, correlation, anomaly z-score) is
+    meaningful.
+
+    Per day the carried observation is the LAST event by (ts, id-free
+    tiebreak on the value column is avoided: ties break by ts only
+    after a deterministic max on the value struct) — implemented as a
+    max over (ts, value) pairs so the pick is total-order deterministic.
+
+    Scale shape: one groupBy to the daily grain (map-side combinable),
+    one tiny per-key span aggregate, grid fan-out bounded by the key's
+    day span (explode of a sequence — no cross join against a global
+    calendar), and one window per key ordered by day for the fill.
+    Returns (key, day, value, is_observed); days carry as 'yyyy-MM-dd'
+    strings (stable across engines and Arrow round-trips).
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("day"),
+                  F.col(ts_col).alias("ts"), F.col(value_col).alias("v"))
+        .groupBy("k", "day")
+        .agg(F.max(F.struct("ts", "v")).alias("last"))
+        .select("k", "day", F.col("last.v").alias("v"))
+    )
+    spans = daily.groupBy("k").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = spans.select(
+        "k", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = grid.join(daily, ["k", "day"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("k"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )

@@ -562,7 +562,51 @@ FROM pairs
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample + forward fill (operators/temporal.py:
+    gap_fill_daily): each user's value stream lands on a dense daily
+    grid spanning its own [first, last] day, gaps carrying the last
+    observation forward — the regularization step before any same-grid
+    time-series math. Grid fan-out is bounded per key (sequence +
+    explode, no global-calendar cross join)."""
+    from kafka_connect_bigquery_spark.operators import temporal
+
+    e = read_table(spark, sf_dir, "events")
+    return temporal.gap_fill_daily(e, "user_id", "ts", "value").withColumnRenamed(
+        "k", "user_id"
+    )
+
+
+Q_GAP_FILL_SQL = f"""
+WITH daily AS (
+  SELECT k, day, v FROM (
+    SELECT user_id AS k, CAST(date_trunc('day', {_TS_US}) AS DATE) AS day,
+           {_TS_US} AS ts, value AS v,
+           row_number() OVER (PARTITION BY user_id,
+                              CAST(date_trunc('day', {_TS_US}) AS DATE)
+                              ORDER BY {_TS_US} DESC, value DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+spans AS (SELECT k, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+  SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+j AS (
+  SELECT g.k, g.day, d.v FROM grid g
+  LEFT JOIN daily d ON d.k = g.k AND d.day = g.day
+)
+SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING) AS value,
+       (v IS NOT NULL) AS is_observed
+FROM j
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "events_gap_fill": (q_gap_fill, Q_GAP_FILL_SQL),
     "events_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     "events_funnel": (q_funnel, Q_FUNNEL_SQL),
     "events_cohort_retention": (q_cohort_retention, Q_COHORT_RETENTION_SQL),

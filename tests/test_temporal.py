@@ -73,3 +73,44 @@ def test_interval_join_end_exclusive(spark):
         points, intervals, ["key"], "ts", "s", "e", bucket_seconds=600, end_inclusive=False
     )
     assert out.count() == 0
+
+
+def test_gap_fill_daily_dense_grid_and_ffill(spark):
+    import datetime as dt
+
+    from kafka_connect_bigquery_spark.operators import temporal
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 10.0),
+        (1, dt.datetime(2024, 1, 1, 18), 11.0),  # later same day wins
+        (1, dt.datetime(2024, 1, 4, 12), 40.0),  # 3-day gap -> ffill 11.0
+        (2, dt.datetime(2024, 2, 1, 0), 5.0),    # single-day key
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp, value: double")
+    out = {
+        (r["k"], r["day"]): (r["value"], r["is_observed"])
+        for r in temporal.gap_fill_daily(df, "user_id", "ts", "value").collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): (11.0, True),
+        (1, "2024-01-02"): (11.0, False),
+        (1, "2024-01-03"): (11.0, False),
+        (1, "2024-01-04"): (40.0, True),
+        (2, "2024-02-01"): (5.0, True),
+    }
+
+
+def test_gap_fill_deterministic_tie_on_same_ts(spark):
+    import datetime as dt
+
+    from kafka_connect_bigquery_spark.operators import temporal
+
+    ts = dt.datetime(2024, 3, 1, 12)
+    df = spark.createDataFrame(
+        [(1, ts, 3.0), (1, ts, 7.0)], "user_id: bigint, ts: timestamp, value: double"
+    )
+    for _ in range(2):
+        out = temporal.gap_fill_daily(
+            df.repartition(5), "user_id", "ts", "value"
+        ).collect()
+        assert [(r["value"], r["is_observed"]) for r in out] == [(7.0, True)]
