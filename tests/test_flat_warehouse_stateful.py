@@ -1,9 +1,11 @@
 """Stateful fuzz of the FLAT (append-log) warehouse paths: random
 append/overwrite/compact sequences — clustered and not, so the zone
-map goes stale and gets refreshed — with two invariants: the full read
-matches the model multiset, and a zone-map-pruned read NEVER loses a
+map goes stale and gets refreshed — with three invariants: the full
+read matches the model multiset, a zone-map-pruned read NEVER loses a
 row relative to the plain filter (absence from the map must never be
-treated as absence of matches)."""
+treated as absence of matches), and once Bloom filters are recorded,
+point-lookup reads through them stay exact across every subsequent
+append (incremental refresh) / overwrite / compact (rebuild)."""
 
 from __future__ import annotations
 
@@ -40,6 +42,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.wh = Warehouse(self.spark, self.tmp)
         self.model: Counter = Counter()
         self.created = False
+        self.bloomed = False
 
     def _df(self, batch):
         return self.spark.createDataFrame(
@@ -62,6 +65,12 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     @rule()
     def compact(self):
         self.wh.compact("t", CLUSTERED, target_file_rows=4, min_files=1)
+
+    @precondition(lambda self: self.created)
+    @rule()
+    def record_bloom(self):
+        self.wh.record_bloom("t", ["k", "cat"])
+        self.bloomed = True
 
     @invariant()
     def full_read_matches_model(self):
@@ -88,6 +97,22 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
                 (k, v) for k, c, v in self.model.elements() if c == cat
             )
             assert got == want, f"zone-map pruning diverged for cat={cat}"
+
+    @invariant()
+    def bloom_point_lookups_stay_exact(self):
+        if not self.bloomed:
+            return
+        for key in (0, 7, 99, 1234):  # 1234 never inserted
+            got = Counter(
+                (r["cat"], r["v"])
+                for r in self.wh.read_pruned_where("t", {"k": key})
+                .select("cat", "v")
+                .collect()
+            )
+            want = Counter(
+                (c, v) for k, c, v in self.model.elements() if k == key
+            )
+            assert got == want, f"bloom point lookup diverged for k={key}"
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)
