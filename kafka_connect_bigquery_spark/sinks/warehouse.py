@@ -334,7 +334,35 @@ class Warehouse:
         # stay readable until the manifest commit).
         return os.path.join(self.path(table), "_buckets", str(bucket), f"gen={gen}")
 
-    def read(self, table: str, *, version: int | None = None) -> DataFrame:
+    def version_at(self, table: str, ts: float) -> int:
+        """Latest committed version at wall-clock ``ts`` — the AS OF
+        <timestamp> resolution rule (Delta/Iceberg semantics: the
+        newest commit whose commit time is <= ts). Commit times are
+        recorded in the manifest under the commit lock, so they are
+        monotonic per table; snapshots that predate the field fall back
+        to the snapshot file's mtime (same event, observed by the FS)."""
+        best = None
+        for v in self.snapshots(table):
+            meta = self._snapshot_meta(table, v)
+            cat = meta.get("committed_at")
+            if cat is None:
+                cat = os.path.getmtime(self._snapshot_path(table, v))
+            if cat <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise WarehouseError(
+                f"no snapshot of {table} committed at or before ts={ts} "
+                f"(available versions: {self.snapshots(table)})"
+            )
+        return best
+
+    def read(
+        self,
+        table: str,
+        *,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
         """Read a table, resolving bucketed tables through the generation
         manifest so stale (superseded or half-written) generation dirs
         are never visible to readers.
@@ -342,8 +370,14 @@ class Warehouse:
         ``version`` time-travels a bucketed table to an earlier commit's
         snapshot manifest (within the retention window) — the audit /
         reproducibility primitive: a training run can pin the exact
-        corpus state it consumed.
+        corpus state it consumed. ``as_of_ts`` (epoch seconds) resolves
+        to a version via :meth:`version_at` — the wall-clock form of the
+        same pin.
         """
+        if as_of_ts is not None:
+            if version is not None:
+                raise WarehouseError("pass version OR as_of_ts, not both")
+            version = self.version_at(table, as_of_ts)
         if version is not None:
             meta = self._snapshot_meta(table, version)
         else:
@@ -1206,6 +1240,10 @@ class Warehouse:
                 "key_cols": list(key_cols),
                 "generation": new_gen,
                 "generations": gens,
+                # wall-clock commit time: what AS OF <timestamp> reads
+                # resolve against (monotonic per table — commits are
+                # serialized by this very lock)
+                "committed_at": time.time(),
             }
             # logical schema rides in the manifest so a table whose
             # every key is deleted (gens == {}) stays readable as an

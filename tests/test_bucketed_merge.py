@@ -9,7 +9,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
 
 N_BUCKETS = 8
 SPEC = TableSpec(partition_grain="NONE", key_bucket_count=N_BUCKETS)
@@ -778,3 +782,37 @@ def test_delete_only_empties_bucket(spark, tmp_path):
     wh.merge(tomb, "t", ["k"], mode="upsert_delete", spec=SPEC)
     assert _state(wh, "t") == {(11, "v11")}
     assert set(_bucket_gens(wh, "t")) < live0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS OF <timestamp> resolves to the newest commit at or before the
+    timestamp (Delta/Iceberg rule), from the committed_at recorded in
+    the manifest under the commit lock."""
+    import time
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(1, "a", 0, False)]), "t", ["k"], spec=SPEC)
+    t_mid = time.time()
+    time.sleep(0.05)
+    wh.merge(_mk(spark, [(1, "b", 1, False), (2, "c", 1, False)]), "t", ["k"], spec=SPEC)
+
+    v_mid = wh.version_at("t", t_mid)
+    assert v_mid == wh.snapshots("t")[0]
+    assert _state(wh, "t") == {(1, "b"), (2, "c")}
+    old = {
+        (r["k"], r["v"])
+        for r in wh.read("t", as_of_ts=t_mid).select("k", "v").collect()
+    }
+    assert old == {(1, "a")}
+    # a timestamp after the last commit resolves to the latest version
+    now_state = {
+        (r["k"], r["v"])
+        for r in wh.read("t", as_of_ts=time.time()).select("k", "v").collect()
+    }
+    assert now_state == {(1, "b"), (2, "c")}
+
+    import pytest as _pytest
+    with _pytest.raises(WarehouseError):
+        wh.version_at("t", 0.0)  # before any commit
+    with _pytest.raises(WarehouseError):
+        wh.read("t", version=0, as_of_ts=t_mid)
