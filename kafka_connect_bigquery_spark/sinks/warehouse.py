@@ -86,6 +86,15 @@ class TableSpec:
     zorder: bool = False
     partition_expiration_days: int | None = None
     key_bucket_count: int | None = None  # hash-bucketed MERGE layout
+    # CHECK constraints: (name, SQL predicate) pairs enforced on every
+    # append/merge batch BEFORE data lands. SQL semantics: a row
+    # violates a check only when the predicate evaluates to FALSE
+    # (NULL/unknown passes, as in standard CHECK). ``constraint_mode``:
+    # "fail" rejects the whole batch loudly (counts per constraint);
+    # "quarantine" diverts violating rows to <table>__quarantine with a
+    # _violated column naming the failed checks and lands the rest.
+    constraints: tuple[tuple[str, str], ...] = ()
+    constraint_mode: Literal["fail", "quarantine"] = "fail"
 
     def __post_init__(self) -> None:
         if len(self.clustering) > 4:
@@ -94,6 +103,11 @@ class TableSpec:
             raise WarehouseError(f"bad partition grain {self.partition_grain}")
         if self.key_bucket_count is not None and self.key_bucket_count < 1:
             raise WarehouseError("key_bucket_count must be >= 1")
+        if self.constraint_mode not in ("fail", "quarantine"):
+            raise WarehouseError(f"bad constraint_mode {self.constraint_mode}")
+        names = [n for n, _ in self.constraints]
+        if len(set(names)) != len(names):
+            raise WarehouseError("duplicate constraint names")
 
     @property
     def partition_col(self) -> str | None:
@@ -928,6 +942,57 @@ class Warehouse:
             .filter(pred)
         )
 
+    # -- CHECK constraints (write-path data-quality gate) -----------------
+    def _enforce_constraints(self, df: DataFrame, table: str, spec: TableSpec) -> DataFrame:
+        """Enforce ``spec.constraints`` on a batch before it lands.
+        Violation = predicate IS FALSE (standard CHECK: NULL passes).
+
+        ``fail``: one aggregate pass computes per-constraint violation
+        counts; any violation aborts the write with the counts in the
+        error — the batch never touches disk. ``quarantine``: violating
+        rows (tagged with the names of the checks they failed) append to
+        ``<table>__quarantine`` and clean rows proceed — the streaming-
+        ingest posture where one poison record must not stall the
+        pipeline (the reference routes such records to the DLQ/error
+        reporter, BigQuerySinkTask error handling). The batch is
+        localCheckpoint'ed first so the split does not recompute an
+        upstream pipeline twice."""
+        if not spec.constraints:
+            return df
+        is_false = {
+            name: F.expr(expr).eqNullSafe(F.lit(False))
+            for name, expr in spec.constraints
+        }
+        if spec.constraint_mode == "fail":
+            counts = df.agg(
+                *[
+                    F.sum(F.when(c, 1).otherwise(0)).alias(name)
+                    for name, c in is_false.items()
+                ]
+            ).collect()[0]
+            bad = {n: counts[n] for n, _ in spec.constraints if (counts[n] or 0) > 0}
+            if bad:
+                raise WarehouseError(
+                    f"constraint violation writing {table}: "
+                    + ", ".join(f"{n}: {c} rows" for n, c in sorted(bad.items()))
+                )
+            return df
+        df = df.localCheckpoint(eager=False)
+        violated = F.array_compact(
+            F.array(
+                *[
+                    F.when(c, F.lit(name)).otherwise(F.lit(None))
+                    for name, c in is_false.items()
+                ]
+            )
+        )
+        flagged = df.withColumn("_violated", violated)
+        bad_rows = flagged.filter(F.size("_violated") > 0)
+        quarantine_spec = TableSpec(partition_grain="NONE")
+        if bad_rows.limit(1).count() > 0:
+            self.append(bad_rows, f"{table}__quarantine", quarantine_spec)
+        return flagged.filter(F.size("_violated") == 0).drop("_violated")
+
     def append(
         self,
         df: DataFrame,
@@ -951,6 +1016,7 @@ class Warehouse:
         error).
         """
         spec = spec or TableSpec()
+        df = self._enforce_constraints(df, table, spec)
         out = self._with_partition(df, spec)
         proposal = proposed_schema
         if proposal is not None:
@@ -1087,6 +1153,7 @@ class Warehouse:
         from kafka_connect_bigquery_spark.operators import merge as M
 
         spec = spec or TableSpec(partition_grain="NONE")
+        batch = self._enforce_constraints(batch, table, spec)
         n_buckets = spec.key_bucket_count or self.layout_meta(table).get(
             "key_bucket_count"
         )
