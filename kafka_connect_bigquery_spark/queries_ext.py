@@ -1597,6 +1597,76 @@ FROM documents
 WHERE {_WS_U} < LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST({_WS_CAP} AS DOUBLE))
 """
 
+_ENT_Q = 1_000_000
+
+
+def q_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diagnostics per language: Shannon entropy of the
+    source distribution within each language, and KL divergence of that
+    conditional distribution from the global source mix — the two
+    numbers a data-mixture dashboard watches to catch a domain
+    collapsing into one source or drifting from the corpus-wide blend.
+
+    Exactness: per-term contributions -p·ln(p) and p·ln(p/q) are IEEE
+    double chains on identical inputs, each floored to the 1/Q lattice
+    before the (integer) per-group sum — the quantized-ln discipline
+    shared with BM25. Scale shape: two count aggregations (lang×source
+    and source), the ≤|sources|-row global table broadcast; the corpus
+    is scanned once."""
+    d = _t(spark, sf_dir, "documents")
+    ls = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ls"))
+    l = ls.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
+    s = ls.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
+    n = ls.agg(F.sum("n_ls").alias("n_total"))
+    p = F.col("n_ls").cast("double") / F.col("n_l").cast("double")
+    q = F.col("n_s").cast("double") / F.col("n_total").cast("double")
+    ent_term = F.floor(-(p * F.log(p)) * _ENT_Q + F.lit(0.5)).cast("long")
+    kl_term = F.floor((p * F.log(p / q)) * _ENT_Q + F.lit(0.5)).cast("long")
+    joined = (
+        ls.join(l, "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            F.col("n_ls"),
+            ent_term.alias("eq"),
+            kl_term.alias("kq"),
+        )
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n_ls").cast("bigint").alias("n_docs"),
+        F.sum("eq").cast("bigint").alias("entropy_q"),
+        (F.sum("eq").cast("double") / _ENT_Q).alias("entropy"),
+        F.sum("kq").cast("bigint").alias("kl_q"),
+        (F.sum("kq").cast("double") / _ENT_Q).alias("kl"),
+    )
+
+
+Q_MIXTURE_ENTROPY_SQL = f"""
+WITH ls AS (SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2),
+l AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l FROM ls GROUP BY 1),
+s AS (SELECT source, CAST(SUM(n_ls) AS BIGINT) AS n_s FROM ls GROUP BY 1),
+n AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n_total FROM ls),
+terms AS (
+  SELECT ls.lang, ls.n_ls,
+    CAST(FLOOR(-((CAST(ls.n_ls AS DOUBLE) / CAST(l.n_l AS DOUBLE))
+        * ln(CAST(ls.n_ls AS DOUBLE) / CAST(l.n_l AS DOUBLE)))
+        * {_ENT_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eq,
+    CAST(FLOOR(((CAST(ls.n_ls AS DOUBLE) / CAST(l.n_l AS DOUBLE))
+        * ln((CAST(ls.n_ls AS DOUBLE) / CAST(l.n_l AS DOUBLE))
+             / (CAST(s.n_s AS DOUBLE) / CAST(n.n_total AS DOUBLE))))
+        * {_ENT_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS kq
+  FROM ls JOIN l USING (lang) JOIN s USING (source) CROSS JOIN n
+)
+SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_docs,
+       CAST(SUM(eq) AS BIGINT) AS entropy_q,
+       CAST(SUM(eq) AS DOUBLE) / {_ENT_Q} AS entropy,
+       CAST(SUM(kq) AS BIGINT) AS kl_q,
+       CAST(SUM(kq) AS DOUBLE) / {_ENT_Q} AS kl
+FROM terms GROUP BY 1
+"""
+
+
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
 
@@ -2254,6 +2324,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
+    "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
