@@ -1887,6 +1887,74 @@ GROUP BY event_type
 """
 
 
+_MAD_K = 5  # flag |x - median| > K * MAD
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: median / MAD (median absolute
+    deviation) instead of mean / stddev, so a user's own extreme events
+    cannot mask themselves by inflating the scale estimate — the robust
+    twin of ``events_daily_anomalies``. A row is an outlier when
+    |x - median| > K·MAD (multiplication only: no division, so MAD = 0
+    degenerates deterministically instead of dividing by zero).
+
+    Exactness: values quantized to the 1e-4 integer lattice before the
+    exact percentile (type-7 interpolation of integers is dyadic —
+    bit-identical across engines); deviations then live on the half-
+    integer lattice, so the second percentile is exact too. Scale: two
+    groupBy passes + a join-back on user_id — the audit-path cousin of
+    a sketch-based production rollup."""
+    e = _t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    base = e.select("user_id", vq.alias("vq"))
+    med = base.groupBy("user_id").agg(
+        F.expr("percentile(vq, 0.5D)").alias("med_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    j = base.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("vq") - F.col("med_q"))
+    )
+    mad = j.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad_q")
+    )
+    return (
+        j.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (F.first("med_q") / 10000.0).alias("median_value"),
+            (F.first("mad_q") / 10000.0).alias("mad_value"),
+            F.first("n_events").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > _MAD_K * F.col("mad_q"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+Q_EVENTS_MAD_SQL = f"""
+WITH base AS (
+  SELECT user_id, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(vq, 0.5) AS med_q, COUNT(*) AS n_events
+  FROM base GROUP BY 1
+),
+j AS (
+  SELECT b.user_id, b.vq, m.med_q, m.n_events, abs(b.vq - m.med_q) AS adev
+  FROM base b JOIN med m USING (user_id)
+),
+mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad_q FROM j GROUP BY 1)
+SELECT j.user_id,
+       ANY_VALUE(j.med_q) / 10000.0 AS median_value,
+       ANY_VALUE(d.mad_q) / 10000.0 AS mad_value,
+       CAST(ANY_VALUE(j.n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN j.adev > {_MAD_K} * d.mad_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM j JOIN mad d USING (user_id)
+GROUP BY 1
+"""
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/S8 analog: ingestion-time partition rollup — events bucketed to
     their HOUR partition (the reference's TimePartitioning grain,
@@ -2341,6 +2409,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_value_ranks": (q_user_value_ranks, Q_USER_VALUE_RANKS_SQL),
     "events_approx_stats": (q_events_approx_stats, Q_EVENTS_APPROX_STATS_SQL),
     "events_value_quantiles": (q_events_value_quantiles, Q_EVENTS_VALUE_QUANTILES_SQL),
+    "events_mad_outliers": (q_events_mad_outliers, Q_EVENTS_MAD_SQL),
     "events_set_ops": (q_events_set_ops, Q_EVENTS_SET_OPS_SQL),
     "events_json_agg": (q_events_json_agg, Q_EVENTS_JSON_AGG_SQL),
     "top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_SQL),
