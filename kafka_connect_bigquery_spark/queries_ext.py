@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions import multimodal, text as text_fns
 from kafka_connect_bigquery_spark.operators import ann, dedup
+from kafka_connect_bigquery_spark.operators import search as search_ops
 from kafka_connect_bigquery_spark.queries import _qsum_sql, _ts_us
 from kafka_connect_bigquery_spark.session import read_table
 
@@ -1065,6 +1066,119 @@ SELECT vec_id, list_id FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
   FROM dists
 ) WHERE rn = 1
+"""
+
+
+_RRF_TOP_N = 20  # per-retriever depth
+_RRF_TOP_K = 10  # fused depth
+
+
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py): for each of the 10 query
+    documents, a lexical ranking (char-trigram Jaccard via the dedup
+    inverted index) and a dense ranking (exact cosine over the aligned
+    embeddings) are fused by integer reciprocal-rank fusion — the
+    rank-level combiner of the modern RAG stack, needing no score
+    calibration between the two retrievers. Assumes the testdata's
+    doc_id ↔ vec_id alignment (one embedding per document)."""
+    from kafka_connect_bigquery_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = search.jaccard_rank(
+        docs.filter(F.col("doc_id") < _ANN_NQ),
+        docs,
+        "doc_id",
+        "text",
+        top_n=_RRF_TOP_N,
+        max_doc_freq=_JACCARD_MAX_DF,
+    ).select("query_id", "doc_id", "rank")
+    dense = (
+        ann.cosine_topk(
+            emb.filter(F.col("vec_id") < _ANN_NQ), emb, k=_RRF_TOP_N
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return search.rrf_fuse([lex, dense], top_k=_RRF_TOP_K)
+
+
+Q_SEARCH_HYBRID_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+sh_all AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 3)
+                 for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
+  FROM canon
+),
+freq AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= {_JACCARD_MAX_DF}),
+sh AS (SELECT sh_all.* FROM sh_all JOIN freq USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS inter_size
+  FROM sh q JOIN sh c ON q.sh = c.sh
+  WHERE q.doc_id < {_ANN_NQ} AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT qid AS query_id, did AS doc_id, rank FROM (
+    SELECT i.qid, i.did,
+           row_number() OVER (
+             PARTITION BY i.qid
+             ORDER BY i.inter_size /
+                      CAST(sq.sz + sd.sz - i.inter_size AS DOUBLE) DESC,
+                      i.did) AS rank
+    FROM inter i
+    JOIN sizes sq ON sq.doc_id = i.qid
+    JOIN sizes sd ON sd.doc_id = i.did
+  ) WHERE rank <= {_RRF_TOP_N}
+),
+el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         SUM(CAST(FLOOR(q.v * c.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM el q JOIN el c ON q.d = c.d
+  WHERE q.vec_id < {_ANN_NQ} AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT d.query_id, d.doc_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY (d.dq / {_QE}.0) /
+                      (sqrt(n1.nq / {_QE}.0) * sqrt(n2.nq / {_QE}.0)) DESC,
+                      d.doc_id) AS rank
+    FROM dots d
+    JOIN norms n1 ON n1.vec_id = d.query_id
+    JOIN norms n2 ON n2.vec_id = d.doc_id
+  ) WHERE rank <= {_RRF_TOP_N}
+),
+contribs AS (
+  SELECT query_id, doc_id, {search_ops.RRF_Q} // ({search_ops.RRF_K} + rank) AS contrib
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, {search_ops.RRF_Q} // ({search_ops.RRF_K} + rank)
+  FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM contribs GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_q, n_lists, rank FROM (
+  SELECT query_id, doc_id, score_q, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOP_K}
 """
 
 
@@ -2331,6 +2445,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
+    "search_hybrid_rrf": (q_search_hybrid_rrf, Q_SEARCH_HYBRID_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, Q_ANN_IVFPQ_SQL),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),

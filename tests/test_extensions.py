@@ -1104,3 +1104,44 @@ def test_weighted_sample_deterministic_and_proportional(spark):
         ids = {i for i, ww in rows if ww == w}
         return len(ids & {i for i, _ in got}) / len(ids)
     assert rate(20) < 0.35 and rate(80) > 0.65
+
+
+def test_rrf_fuse_integer_scores_and_ranks(spark):
+    from kafka_connect_bigquery_spark.operators import search
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id: long, doc_id: long, rank: int"
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id: long, doc_id: long, rank: int"
+    )
+    out = {
+        r["doc_id"]: (r["score_q"], r["n_lists"], r["rank"])
+        for r in search.rrf_fuse([lex, dense], k=60, top_k=10).collect()
+    }
+    q = search.RRF_Q
+    # doc 11: rank 2 lexically + rank 1 densely
+    assert out[11] == (q // 62 + q // 61, 2, 1)
+    assert out[10] == (q // 61, 1, 2)  # ties under: 13 same score, higher id
+    assert out[13] == (q // 62, 1, 3)
+    assert out[12] == (q // 63, 1, 4)
+
+
+def test_jaccard_rank_orders_by_overlap(spark):
+    from kafka_connect_bigquery_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abcdefgh"),
+            (1, "abcdefgx"),   # near-identical to 0
+            (2, "abcdzzzz"),   # partial overlap
+            (3, "qqqqqqqq"),   # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = search.jaccard_rank(
+        docs.filter("doc_id = 0"), docs, "doc_id", "text", top_n=5, max_doc_freq=None
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]  # 3 shares no trigram; self excluded
+    assert all(r["query_id"] == 0 for r in out)
