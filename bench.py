@@ -74,6 +74,11 @@ HEADLINE = [
     "graph_triangles",
     "text_bm25",
     "dedup_semantic",
+    "events_gap_fill",
+    "events_mad_outliers",
+    "mixture_entropy",
+    "weighted_sample",
+    "search_hybrid_rrf",
 ]
 
 
