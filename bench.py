@@ -79,6 +79,7 @@ HEADLINE = [
     "mixture_entropy",
     "weighted_sample",
     "search_hybrid_rrf",
+    "events_rolling_7d",
 ]
 
 

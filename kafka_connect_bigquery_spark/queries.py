@@ -1760,6 +1760,49 @@ SELECT user_id, event_id, value, rnk, drnk, prev_value, running_value FROM (
 """
 
 
+_ROLL_WIN_S = 7 * 86400  # rolling 7 days, in seconds
+
+
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day aggregates via a RANGE window frame
+    (value-based, not row-based: the frame is defined by the timestamp
+    interval, so sparse and bursty users get the same semantics) — the
+    rolling-feature shape every feature store materializes. One shuffle
+    on user_id, one sort; counts and quantized sums share the frame."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    base = e.select("event_id", "user_id", sec.alias("sec"), vq.alias("vq"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_ROLL_WIN_S, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum("vq").over(w).cast("bigint").alias("sum_7d_q"),
+        (F.sum("vq").over(w).cast("double") / 10000.0).alias("sum_7d"),
+    )
+
+
+Q_EVENTS_ROLLING_SQL = f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(vq) OVER w AS BIGINT) AS sum_7d_q,
+       CAST(SUM(vq) OVER w AS DOUBLE) / 10000.0 AS sum_7d
+FROM (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {_ROLL_WIN_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional aggregation: CUBE over (event_type, day) with
     grouping ids — the OLAP rollup surface. Spark expands grouping sets
@@ -2415,6 +2458,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_SQL),
     "events_pivot": (q_events_pivot, Q_EVENTS_PIVOT_SQL),
     "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
+    "events_rolling_7d": (q_events_rolling_7d, Q_EVENTS_ROLLING_SQL),
 }
 
 
