@@ -1760,6 +1760,84 @@ SELECT user_id, event_id, value, rnk, drnk, prev_value, running_value FROM (
 """
 
 
+def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:salted_aggregate)
+    over the events fact keyed by event_type — 5 keys over the whole
+    corpus, the textbook hot-key shape where single-phase groupBy
+    funnels each key into one task. Phase 1 aggregates on (key, salt),
+    phase 2 recombines the decomposable partials; the oracle (plain
+    GROUP BY) proves the recombination exact, making the skew machinery
+    itself a driver-gated correctness surface, not just a pytest one."""
+    from kafka_connect_bigquery_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    )
+    out = skew.salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_q": ("vq", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_q").cast("bigint").alias("sum_q"),
+        (F.col("sum_q").cast("double") / 10000.0).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+Q_EVENTS_SALTED_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⨝dimension join (operators/skew.py:salted_join): the
+    orders fact salts into 8 sub-keys, the customer dimension replicates
+    once per bucket, so a hot customer's orders spread across 8
+    partitions instead of one. The oracle (plain join + GROUP BY)
+    proves salting changes the plan, never the result — the property
+    that makes it safe to flip on for a skewed production key."""
+    from kafka_connect_bigquery_spark.operators import skew
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = skew.salted_join(o, c, ["custkey"], salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        _qval(_qsum(F.col("o_totalprice"))).alias("revenue"),
+    )
+
+
+Q_ORDERS_SALTED_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_qsum_sql("o_totalprice")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 _ROLL_WIN_S = 7 * 86400  # rolling 7 days, in seconds
 
 
@@ -2459,6 +2537,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_pivot": (q_events_pivot, Q_EVENTS_PIVOT_SQL),
     "events_cube": (q_events_cube, Q_EVENTS_CUBE_SQL),
     "events_rolling_7d": (q_events_rolling_7d, Q_EVENTS_ROLLING_SQL),
+    "events_salted_agg": (q_events_salted_agg, Q_EVENTS_SALTED_AGG_SQL),
+    "orders_salted_join": (q_orders_salted_join, Q_ORDERS_SALTED_JOIN_SQL),
 }
 
 
