@@ -436,3 +436,59 @@ def test_retry_with_jitter_classification():
             classify=lambda e: isinstance(e, OSError),
             sleep=lambda s: None,
         )
+
+
+def test_streaming_quarantine_constraints_do_not_stall_stream(spark, tmp_path):
+    """A poison record in a micro-batch must not stall ingestion: with
+    TableSpec(constraints=..., constraint_mode='quarantine') on the
+    routed table, the streaming append diverts violating rows to
+    <table>__quarantine and commits the batch — the engine-side DLQ
+    posture (the reference routes unconvertible records to the error
+    reporter rather than failing the task)."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    rows = [
+        ("k1", {"row": 1, "name": "ok"}, "topic_a", 0, 0),
+        ("k2", {"row": -5, "name": "poison"}, "topic_a", 0, 1),  # row < 0
+        ("k3", {"row": 2, "name": "ok2"}, "topic_a", 0, 2),
+    ]
+    src = _write_source(spark, tmp_path, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(topics=["topic_a"], time_partitioning_type="NONE")
+    spec = TableSpec(
+        partition_grain="NONE",
+        constraints=(("row_nonneg", "row >= 0"),),
+        constraint_mode="quarantine",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        table_specs={"topic_a": spec},
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+
+    assert {r["row"] for r in wh.read("topic_a").collect()} == {1, 2}
+    q = wh.read("topic_a__quarantine").collect()
+    assert [(r["row"], r["_violated"]) for r in q] == [(-5, ["row_nonneg"])]
+
+    # fail mode on the streaming path surfaces loudly instead
+    rows2 = [("k9", {"row": -1, "name": "bad"}, "topic_a", 0, 3)]
+    src2 = _write_source(spark, tmp_path, rows2, subdir="src2")
+    pipe2 = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+        table_specs={
+            "topic_a": TableSpec(
+                partition_grain="NONE", constraints=(("row_nonneg", "row >= 0"),)
+            )
+        },
+    )
+    from pyspark.errors import StreamingQueryException
+
+    stream = file_stream_source(spark, src2)
+    q2 = pipe2.start(stream, str(tmp_path / "ckpt2"))
+    with pytest.raises(StreamingQueryException, match="row_nonneg"):
+        q2.processAllAvailable()
+    q2.stop()
