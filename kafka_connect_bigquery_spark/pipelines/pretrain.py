@@ -3,6 +3,7 @@ of this engine actually runs over raw documents, assembled from the
 repo's public operators in the canonical order —
 
     quality gate → exact dedup → MinHash-LSH near-dedup →
+    [semantic dedup over embeddings, when provided] →
     train/val/test split → eval decontamination → sequence packing
 
 Every stage is one of the individually-oracled operators
@@ -29,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions.text import quality_score
-from kafka_connect_bigquery_spark.operators import dedup, packing, sampling
+from kafka_connect_bigquery_spark.operators import ann, dedup, packing, sampling
 
 
 @dataclass(frozen=True)
@@ -45,6 +46,8 @@ class CorpusConfig:
     decon_max_df: int = 50
     pack_budget: int = 2048
     pack_shards: int = 64
+    sem_clusters: int = 8
+    sem_min_cosine: float = 0.95
 
 
 def build_corpus(
@@ -52,6 +55,9 @@ def build_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     cfg: CorpusConfig = CorpusConfig(),
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> dict[str, DataFrame]:
     """Run the full corpus pipeline; returns every stage's artifact:
 
@@ -62,6 +68,9 @@ def build_corpus(
       the larger id of an LSH candidate pair is dropped (the standard
       greedy policy; swap in connected_components + min-per-cluster
       when cluster-exact survivorship matters)
+    - ``sem_survivors``: minus SemDeDup semantic duplicates, when an
+      aligned ``embeddings`` frame is passed (ids shared with docs);
+      identical to ``near_survivors`` otherwise
     - ``split``: survivors with a stable ``split`` column
     - ``contaminated``: train docs sharing rare n-grams with test docs
     - ``train``: the decontaminated training split
@@ -88,7 +97,24 @@ def build_corpus(
         pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
     )
 
-    split = sampling.split_dataset(near_survivors, id_col, cfg.split_fractions)
+    sem_survivors = near_survivors
+    if embeddings is not None:
+        cents = ann.seed_centroids(
+            embeddings, id_col=emb_id_col, vec_col=emb_vec_col, k=cfg.sem_clusters
+        )
+        verdict = dedup.semantic_dedup(
+            embeddings,
+            cents,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+            min_cosine=cfg.sem_min_cosine,
+        )
+        sem_losers = verdict.filter(~F.col("keep")).select(
+            F.col(emb_id_col).alias(id_col)
+        )
+        sem_survivors = near_survivors.join(sem_losers, id_col, "left_anti")
+
+    split = sampling.split_dataset(sem_survivors, id_col, cfg.split_fractions)
 
     contaminated = packing.decontaminate(
         split,
@@ -112,6 +138,7 @@ def build_corpus(
         "gated": gated,
         "exact_survivors": exact_survivors,
         "near_survivors": near_survivors,
+        "sem_survivors": sem_survivors,
         "split": split,
         "contaminated": contaminated,
         "train": train,

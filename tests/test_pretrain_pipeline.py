@@ -75,3 +75,29 @@ def test_rerun_is_deterministic(spark, artifacts):
     pa = {(r["doc_id"], r["seq_index"]) for r in a["packed"].collect()}
     pb = {(r["doc_id"], r["seq_index"]) for r in b["packed"].collect()}
     assert pa == pb
+
+
+def test_semantic_stage_drops_embedding_dups(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    cfg = CorpusConfig(min_quality=0.2, pack_budget=256, pack_shards=8,
+                       sem_min_cosine=0.4)
+    a = build_corpus(docs, cfg=cfg, embeddings=emb)
+    near, sem = _ids(a["near_survivors"]), _ids(a["sem_survivors"])
+    assert sem <= near
+    # stage equivalence: sem_survivors == near_survivors minus the
+    # operator's own losers (how many overlap is data-dependent — the
+    # MinHash stage may already have dropped the semantic dups)
+    from kafka_connect_bigquery_spark.operators import ann, dedup as ddp
+
+    cents = ann.seed_centroids(emb, k=cfg.sem_clusters)
+    verdict = ddp.semantic_dedup(emb, cents, min_cosine=cfg.sem_min_cosine)
+    losers = {r["vec_id"] for r in verdict.filter("NOT keep").collect()}
+    assert sem == near - losers
+    # downstream stages consume the semantic survivors
+    assert _ids(a["split"]) == sem
+
+
+def test_without_embeddings_sem_stage_is_identity(spark, artifacts):
+    _, a = artifacts
+    assert _ids(a["sem_survivors"]) == _ids(a["near_survivors"])
