@@ -286,9 +286,13 @@ class Warehouse:
         for v in self.snapshots(table):
             meta = self._snapshot_meta(table, v)
             gens = dict(meta.get("generations") or {})
+            cat = meta.get("committed_at")
+            if cat is None:  # pre-committed_at snapshots: FS observation
+                cat = os.path.getmtime(self._snapshot_path(table, v))
             rows.append(
                 (
                     v,
+                    float(cat),
                     int(meta.get("key_bucket_count") or 0),
                     len(gens),
                     sorted(int(b) for b, g in gens.items() if _gen_version(g) == v),
@@ -296,8 +300,8 @@ class Warehouse:
             )
         return self.spark.createDataFrame(
             rows,
-            "version: int, key_bucket_count: int, live_buckets: int, "
-            "rewrote_buckets: array<int>",
+            "version: int, committed_at: double, key_bucket_count: int, "
+            "live_buckets: int, rewrote_buckets: array<int>",
         )
 
     def vacuum_snapshots(self, table: str, *, keep_last: int | None = None) -> None:

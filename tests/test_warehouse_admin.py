@@ -38,3 +38,37 @@ def test_describe_vacuum_snapshots_cli(spark, tmp_path, capsys):
 
     h = _run(capsys, "history", root, "t")
     assert len(h["commits"]) >= 1
+
+
+def test_bloom_cli_record_and_report(spark, tmp_path, capsys):
+    root = str(tmp_path / "whb")
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [(k, f"u{k}") for k in range(30)], "id: bigint, user: string"
+    )
+    wh.append(df, "t", TableSpec(partition_grain="NONE"))
+
+    empty = _run(capsys, "bloom", root, "t")
+    assert empty["meta"] is None and empty["n_files"] == 0
+
+    rec = _run(capsys, "bloom", root, "t", "--bloom-cols", "id,user")
+    assert rec["meta"]["cols"] == ["id", "user"]
+    assert rec["n_files"] >= 1
+
+    # the recorded filter is live: point lookup via read_pruned_where
+    assert wh.read_pruned_where("t", {"id": 7}).count() == 1
+
+
+def test_history_reports_commit_time(spark, tmp_path, capsys):
+    import time
+
+    root = str(tmp_path / "whh")
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [(1, "a", 0, False)], "k: bigint, v: string, i: bigint, __tombstone: boolean"
+    )
+    t0 = time.time()
+    wh.merge(df, "t", ["k"], mode="upsert", spec=SPEC)
+    h = _run(capsys, "history", root, "t")
+    assert len(h["commits"]) == 1
+    assert abs(float(h["commits"][0]["committed_at"]) - t0) < 120

@@ -7,10 +7,12 @@ Spark code:
     python tools/warehouse_admin.py compact  <root> <table> [--target-file-rows N]
     python tools/warehouse_admin.py history  <root> <table>
     python tools/warehouse_admin.py snapshots <root> <table>
+    python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
-session.
+session. `bloom` with --bloom-cols records per-file Bloom filters (one
+Spark pass); without it, it reports the recorded bloom state.
 """
 
 from __future__ import annotations
@@ -26,11 +28,15 @@ sys.path.insert(0, REPO)
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="warehouse_admin")
-    p.add_argument("command", choices=["describe", "vacuum", "compact", "history", "snapshots"])
+    p.add_argument(
+        "command",
+        choices=["describe", "vacuum", "compact", "history", "snapshots", "bloom"],
+    )
     p.add_argument("root")
     p.add_argument("table")
     p.add_argument("--keep-snapshots", type=int, default=None)
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
+    p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
     args = p.parse_args(argv)
 
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
@@ -59,6 +65,22 @@ def main(argv: list[str] | None = None) -> int:
             target_file_rows=args.target_file_rows,
         )
         out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    elif args.command == "bloom":
+        if args.bloom_cols:
+            w = wh()
+            w.record_bloom(args.table, args.bloom_cols.split(","))
+        bw = Warehouse(None, args.root)
+        bpath = bw._bloom_path(args.table)
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                doc = json.load(f)
+            out = {
+                "table": args.table,
+                "meta": doc.get("meta", {}),
+                "n_files": len(doc.get("files", {})),
+            }
+        else:
+            out = {"table": args.table, "meta": None, "n_files": 0}
     else:  # history
         w = wh()
         out = {
