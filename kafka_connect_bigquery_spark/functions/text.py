@@ -220,17 +220,56 @@ def bm25_scores(
     """
     from pyspark.sql import functions as F
 
-    toked = df.select(
+    toked = bm25_doc_lengths(df, id_col, text_col)
+    tf = bm25_postings(df, id_col, text_col, query_terms)
+    return bm25_from_tables(tf, toked.select("doc", "dl"), k1=k1, b=b, q=q)
+
+
+def bm25_doc_lengths(df, id_col: str, text_col: str):
+    """(doc, toks, dl) — the document-length half of the BM25 index."""
+    from pyspark.sql import functions as F
+
+    return df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
     ).withColumn("dl", F.size("toks"))
-    stats = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    tf = (
+
+
+def bm25_postings(df, id_col: str, text_col: str, query_terms: list[str]):
+    """(doc, dl, term, tf) postings restricted to ``query_terms`` — the
+    term-frequency half of the BM25 index. Both halves are plain
+    DataFrames, so they can be PERSISTED as warehouse tables and
+    maintained incrementally over a CDC feed (see the
+    ``bm25_incremental`` registry query) instead of recomputed per
+    query."""
+    from pyspark.sql import functions as F
+
+    toked = bm25_doc_lengths(df, id_col, text_col)
+    return (
         toked.select("doc", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin([t.lower() for t in query_terms]))
         .groupBy("doc", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_from_tables(
+    tf,
+    doc_lengths,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q: int = BM25_Q,
+):
+    """Score from materialized index tables: ``tf`` = (doc, dl, term,
+    tf), ``doc_lengths`` = (doc, dl) over the WHOLE corpus (df/N/avgdl
+    derive from these, never from re-tokenizing documents). Identical
+    arithmetic to ``bm25_scores`` — the two entry points must agree
+    bit-for-bit, which is what makes incremental index maintenance
+    oracle-checkable against full recompute."""
+    from pyspark.sql import functions as F
+
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")

@@ -2170,6 +2170,70 @@ FROM scored GROUP BY 1
 """
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 search-index maintenance over the warehouse CDC
+    feed: the (doc,dl) and (doc,term,tf) index tables built at snapshot
+    v0 absorb a delta MERGE — inserts AND re-upserts of existing docs —
+    by removing pre-image rows and adding post-image rows from
+    ``read_changes(images="both")``, then scoring from the maintained
+    tables (functions/text.py:bm25_from_tables). The oracle is the
+    full-corpus BM25 SQL, so maintained == recomputed bit-for-bit.
+    This is how a 100 TB search index actually lives: per-ingest cost
+    follows the delta; documents are never re-tokenized."""
+    import os as _os
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _os.path.join(tempfile.gettempdir(), "kcbq_spark_incbm25")
+    _os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in _os.listdir(base):
+        p = _os.path.join(base, stale)
+        try:
+            if now - _os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, _os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    is_touch = (F.pmod(F.col("doc_id"), F.lit(7)) == 0) & ~is_new
+    # v0: the base corpus; v1: new docs + same-content re-upserts of
+    # every 7th doc (the re-upserts exercise the pre-image removal path)
+    wh.merge(
+        docs.filter(~is_new).withColumn("i", F.col("doc_id")),
+        "docs", ["doc_id"], mode="upsert", order_col="i", spec=spec,
+    )
+    wh.merge(
+        docs.filter(is_new | is_touch).withColumn("i", F.col("doc_id")),
+        "docs", ["doc_id"], mode="upsert", order_col="i", spec=spec,
+    )
+    base_docs = wh.read("docs", version=0).select("doc_id", "text")
+    dl_v0 = text_fns.bm25_doc_lengths(base_docs, "doc_id", "text").select("doc", "dl")
+    tf_v0 = text_fns.bm25_postings(base_docs, "doc_id", "text", _BM25_TERMS)
+
+    ch = wh.read_changes("docs", from_version=0, images="both")
+    removed = ch.filter(
+        F.col("_change_type").isin("update_preimage", "delete")
+    ).select(F.col("doc_id").alias("doc")).distinct()
+    added = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text")
+
+    dl = dl_v0.join(removed, "doc", "left_anti").unionByName(
+        text_fns.bm25_doc_lengths(added, "doc_id", "text").select("doc", "dl")
+    )
+    tf = tf_v0.join(removed, "doc", "left_anti").unionByName(
+        text_fns.bm25_postings(added, "doc_id", "text", _BM25_TERMS)
+    )
+    return text_fns.bm25_from_tables(tf, dl)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing + decontamination (training-data layout operators)
 # ---------------------------------------------------------------------------
@@ -2457,6 +2521,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
     "text_bigram_fluency": (q_text_bigram_fluency, Q_TEXT_BIGRAM_FLUENCY_SQL),
     "text_bm25": (q_text_bm25, Q_TEXT_BM25_SQL),
+    "bm25_incremental": (q_bm25_incremental, Q_TEXT_BM25_SQL),
     "multimodal_image_meta": (q_multimodal_meta, Q_MULTIMODAL_SQL),
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),
