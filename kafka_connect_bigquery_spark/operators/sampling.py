@@ -174,3 +174,63 @@ def stratified_hash_sample(
     for k, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(r)).otherwise(rate)
     return df.filter(hash_uniform(F.col(id_col), salt=salt) < rate)
+
+
+def contrastive_pairs(
+    positives: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    *,
+    n_negatives: int = 4,
+    pool_rate: float = 0.1,
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive training-pair mining: label the given ``positives``
+    (anchor, item) pairs 1 and attach ``n_negatives`` deterministic
+    negatives per anchor, drawn from a SHARED hash-sampled candidate
+    pool — the distributed analogue of in-batch negatives (every
+    contrastive recipe's default), where negatives come from a small
+    common pool rather than per-anchor scans of the corpus.
+
+    Negative selection is a pure function of (anchor, candidate) ids:
+    pool membership by ``hash_uniform(id) < pool_rate``, per-anchor
+    ranking by ``hash_uniform(anchor || ':' || candidate)`` — so the
+    pair set is reproducible across runs, engines, and partitionings,
+    and a retried task emits identical pairs.
+
+    Scale shape: the pool (≈pool_rate·n ids) broadcasts; candidate
+    generation is |anchors| × |pool| (bounded, never corpus²); known
+    positives and self-pairs are anti-joined out before ranking.
+    Returns (anchor, item, label) with label ∈ {1, 0}.
+    """
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("anchor"),
+        F.col(positives.columns[1]).alias("item"),
+    )
+    anchors = pos.select("anchor").distinct()
+    pool = ids.select(F.col(id_col).alias("item")).filter(
+        hash_uniform(F.col(id_col), salt=salt + "_pool") < pool_rate
+    )
+    # exclude known positives in EITHER orientation: canonical pairs
+    # carry (min, max), but a pool candidate may be the smaller id
+    pos_sym = pos.unionByName(
+        pos.select(F.col("item").alias("anchor"), F.col("anchor").alias("item"))
+    )
+    cand = (
+        anchors.join(F.broadcast(pool))
+        .filter(F.col("anchor") != F.col("item"))
+        .join(pos_sym, ["anchor", "item"], "left_anti")
+    )
+    key = hash_uniform(
+        F.concat(F.col("anchor").cast("string"), F.lit(":"), F.col("item").cast("string")),
+        salt=salt,
+    )
+    w = Window.partitionBy("anchor").orderBy(key.asc(), F.col("item").asc())
+    negs = (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_negatives)
+        .select("anchor", "item")
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        negs.withColumn("label", F.lit(0))
+    )

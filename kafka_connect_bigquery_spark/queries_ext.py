@@ -576,6 +576,90 @@ JOIN norms nb ON nb.vec_id = id_b
 WHERE (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0)) >= {_EMB_MIN_COS}
 """
 
+_CP_NEG = 4
+_CP_POOL = 0.1
+
+
+def q_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (operators/sampling.py:contrastive_pairs)
+    for embedding-model training: positives are the quantized-cosine
+    near-dup pairs (label 1); each anchor gets 4 deterministic
+    negatives from a shared hash-sampled pool (label 0) — the
+    distributed in-batch-negatives construction, reproducible across
+    runs/engines/partitionings so replayed jobs emit identical pairs."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = dedup.embedding_near_dup_pairs(emb, min_cosine=_EMB_MIN_COS).select(
+        "id_a", "id_b"
+    )
+    return sampling.contrastive_pairs(
+        pos, emb, "vec_id", n_negatives=_CP_NEG, pool_rate=_CP_POOL
+    )
+
+
+def _hash_u_sql(salt: str, expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', {expr})), 1, 8))"
+        " AS BIGINT) / 4294967296.0"
+    )
+
+
+Q_PAIRS_CONTRASTIVE_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(FLOOR(a.v * b.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT id_a AS anchor, id_b AS item FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE (dq / {_QE}.0) / (sqrt(na.nq / {_QE}.0) * sqrt(nb.nq / {_QE}.0))
+        >= {_EMB_MIN_COS}
+),
+pos_sym AS (
+  SELECT anchor, item FROM pos
+  UNION ALL SELECT item, anchor FROM pos
+),
+anchors AS (SELECT DISTINCT anchor FROM pos),
+pool AS (
+  SELECT vec_id AS item FROM embeddings
+  WHERE {_hash_u_sql("neg_pool", "CAST(vec_id AS VARCHAR)")} < {_CP_POOL}
+),
+cand AS (
+  SELECT a.anchor, p.item FROM anchors a CROSS JOIN pool p
+  WHERE a.anchor <> p.item
+    AND NOT EXISTS (SELECT 1 FROM pos_sym s
+                    WHERE s.anchor = a.anchor AND s.item = p.item)
+),
+negs AS (
+  SELECT anchor, item FROM (
+    SELECT anchor, item,
+           row_number() OVER (
+             PARTITION BY anchor
+             ORDER BY {_hash_u_sql("neg",
+                 "concat(CAST(anchor AS VARCHAR), ':', CAST(item AS VARCHAR))")},
+               item) AS rk
+    FROM cand
+  ) WHERE rk <= {_CP_NEG}
+)
+SELECT anchor, item, 1 AS label FROM pos
+UNION ALL
+SELECT anchor, item, 0 AS label FROM negs
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: semantic (SemDeDup)
 # ---------------------------------------------------------------------------
@@ -2493,6 +2577,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, Q_DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
+    "pairs_contrastive": (q_pairs_contrastive, Q_PAIRS_CONTRASTIVE_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),

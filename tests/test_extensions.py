@@ -1145,3 +1145,27 @@ def test_jaccard_rank_orders_by_overlap(spark):
     ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [1, 2]  # 3 shares no trigram; self excluded
     assert all(r["query_id"] == 0 for r in out)
+
+
+def test_contrastive_pairs_labels_and_determinism(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    pos = spark.createDataFrame([(1, 2), (3, 4)], "a: bigint, b: bigint")
+    ids = spark.createDataFrame([(i,) for i in range(50)], "vec_id: bigint")
+    out = sampling.contrastive_pairs(
+        pos, ids, "vec_id", n_negatives=3, pool_rate=0.5
+    )
+    rows = {(r["anchor"], r["item"], r["label"]) for r in out.collect()}
+    rows2 = {
+        (r["anchor"], r["item"], r["label"])
+        for r in sampling.contrastive_pairs(
+            pos, ids.repartition(7), "vec_id", n_negatives=3, pool_rate=0.5
+        ).collect()
+    }
+    assert rows == rows2  # partitioning-independent
+    assert (1, 2, 1) in rows and (3, 4, 1) in rows
+    negs = {(a, i) for a, i, l in rows if l == 0}
+    assert {a for a, _ in negs} == {1, 3}
+    assert all(len([i for a2, i in negs if a2 == a]) == 3 for a in (1, 3))
+    # a negative is never a known positive (either orientation) or self
+    assert all(i != a and (a, i) not in {(1, 2), (2, 1), (3, 4), (4, 3)} for a, i in negs)
