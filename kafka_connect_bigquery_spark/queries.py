@@ -1647,16 +1647,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes hubs close wedges instead of centering them."""
     from kafka_connect_bigquery_spark.operators import graph as G
 
-    # distinct (order, supplier) FIRST: per-order pairs are then unique,
-    # so the edge weight is a plain count — one shuffle, map-side
-    # combinable — instead of a two-shuffle count_distinct expansion
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    r = l.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2")
+    # per-order supplier sets via ONE groupBy, pairs expanded locally by
+    # a HOF over the (≤7-element) set — no self-join, so the whole pair
+    # generation costs two shuffles total (set build + pair count)
+    # instead of four (distinct + 2×join repartition + count)
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = l.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    # positional i<j over the set yields each unordered pair once;
+    # least/greatest canonicalizes regardless of collect_set order
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
     )
     pairs = (
-        l.join(r, l.l_orderkey == r.o)
-        .filter(F.col("l_suppkey") < F.col("s2"))
+        sets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("l_suppkey"), F.col("p.b").alias("s2"))
         .groupBy("l_suppkey", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )

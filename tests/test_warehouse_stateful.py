@@ -43,6 +43,9 @@ class WarehouseMachine(RuleBasedStateMachine):
         # version -> model snapshot at that commit (time-travel oracle);
         # compaction also commits a version, with the same logical state
         self.history: dict[int, dict[int, int]] = {}
+        # version -> wall clock observed just after that commit
+        # (AS OF timestamp oracle)
+        self.commit_ts: dict[int, float] = {}
         self.created = False
 
     def _committed(self):
@@ -53,6 +56,9 @@ class WarehouseMachine(RuleBasedStateMachine):
         self.history[gen] = {
             k: (v, self.extra.get(k)) for k, v in self.model.items()
         }
+        import time as _time
+
+        self.commit_ts[gen] = _time.time()
         self.created = True
 
     def _apply_merge(self, batch, with_extra):
@@ -156,6 +162,23 @@ class WarehouseMachine(RuleBasedStateMachine):
             }
             want = {k: vw[0] for k, vw in self.history[v].items()}
             assert got == want, f"time travel to v{v} diverged"
+
+    @invariant()
+    def timestamp_travel_resolves_each_commit(self):
+        if not self.created:
+            return
+        for v in self.wh.snapshots("t"):
+            ts = self.commit_ts.get(v)
+            if ts is None or v not in self.history:
+                continue
+            assert self.wh.version_at("t", ts) == v
+            got = {
+                r["k"]: r["v"]
+                for r in self.wh.read("t", as_of_ts=ts).select("k", "v").collect()
+            }
+            assert got == {k: vw[0] for k, vw in self.history[v].items()}, (
+                f"AS OF ts of v{v} diverged"
+            )
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)
