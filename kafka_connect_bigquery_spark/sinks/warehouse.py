@@ -901,12 +901,19 @@ class Warehouse:
                 bdoc = json.load(f)
             bloom_meta = bdoc.get("meta", {})
             bloom_files = bdoc.get("files", {})
-        # equality predicates get their probe positions computed ONCE
-        probes = {
-            col: self._bloom_probe_positions(lo, bloom_meta["m"], bloom_meta["k"])
-            for col, (lo, hi) in ranges.items()
-            if lo == hi and col in bloom_meta.get("cols", [])
-        }
+        # equality predicates get their probe positions computed ONCE;
+        # a malformed meta (missing m/k) disables bloom probing rather
+        # than failing the read — skipping is an optimization, never a
+        # correctness dependency
+        probes = {}
+        if {"m", "k"} <= bloom_meta.keys():
+            probes = {
+                col: self._bloom_probe_positions(
+                    lo, bloom_meta["m"], bloom_meta["k"]
+                )
+                for col, (lo, hi) in ranges.items()
+                if lo == hi and col in bloom_meta.get("cols", [])
+            }
         tdir = self.path(table)
         keep = []
         # files on disk but not in the map (e.g. appended by a writer
