@@ -20,12 +20,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _rank_expr(col: Column, cuts: list[float]) -> Column:
+def _rank_expr(col: Column, cuts: list) -> Column:
     """Map a value to its quantile bucket in [0, len(cuts)] via the
-    precomputed cut points (len(cuts) == 2^bits - 1)."""
+    precomputed cut points (len(cuts) == 2^bits - 1; raw values or
+    pre-built literal Columns)."""
     expr = F.lit(0)
     for c in cuts:
-        expr = expr + (col > F.lit(c)).cast("int")
+        lit = c if isinstance(c, Column) else F.lit(c)
+        expr = expr + (col > lit).cast("int")
     return expr
 
 
@@ -48,21 +50,36 @@ def zorder_key(
     bits: int = 4,
     sample_rows: int = 100_000,
 ) -> Column:
-    """Build a Z-order sort key over ``cols`` (numeric), using
-    per-column quantile cut points estimated from a bounded sample.
+    """Build a Z-order sort key over ``cols`` (numeric OR string),
+    using per-column quantile cut points estimated from a bounded
+    sample. String columns rank by lexicographic comparison against
+    sample-sorted cut strings — the dictionary-rank trick that keeps
+    range locality (a hash would destroy it, defeating min/max
+    skipping on that dimension).
 
     ``bits`` bits per column → 2^(bits·len(cols)) curve cells. The cut
-    points are collected once to the driver (2^bits-1 doubles per
-    column); the returned Column is pure arithmetic.
+    points are collected once to the driver (2^bits-1 values per
+    column); the returned Column is pure arithmetic/comparisons.
     """
     n_cuts = 2**bits - 1
     probs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
     sample = df.select(*cols).limit(sample_rows)
-    cuts = {
-        c: sample.approxQuantile(c, probs, 0.001)
-        for c in cols
-    }
-    ranks = [_rank_expr(F.col(c).cast("double"), cuts[c]) for c in cols]
+    dtypes = dict(sample.dtypes)
+    ranks: list[Column] = []
+    for c in cols:
+        if dtypes[c] == "string":
+            vals = sorted(
+                r[0]
+                for r in sample.select(c).filter(F.col(c).isNotNull()).collect()
+            )
+            if vals:
+                cuts = [vals[min(int(p * len(vals)), len(vals) - 1)] for p in probs]
+            else:
+                cuts = []
+            ranks.append(_rank_expr(F.col(c), [F.lit(x) for x in cuts]))
+        else:
+            cuts = sample.approxQuantile(c, probs, 0.001)
+            ranks.append(_rank_expr(F.col(c).cast("double"), cuts))
     return _interleave(ranks, bits)
 
 

@@ -294,3 +294,26 @@ def test_bloom_rejects_bucketed_tables(spark, tmp_path):
     )
     with _pytest.raises(WarehouseError):
         wh.record_bloom("t", ["id"])
+
+
+def test_zorder_string_column_pruning(spark, tmp_path):
+    """Z-order over (string, numeric): string dims rank by sample-sorted
+    cut strings, so files stay narrow — and therefore prunable — in the
+    string dimension too (a hash-based rank would destroy this)."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    cats = [f"cat_{chr(97 + i)}" for i in range(16)]
+    rows = [(i, cats[i % 16], float(i % 97)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k: bigint, cat: string, v: double")
+    wh = Warehouse(spark, str(tmp_path / "whz"))
+    spec = TableSpec(partition_grain="NONE", clustering=("cat", "v"), zorder=True)
+    wh.overwrite(df, "t", spec)
+    wh.compact("t", spec, target_file_rows=500, min_files=1)
+
+    all_files = set(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    assert len(all_files) > 2
+    pruned = wh.read_pruned_where("t", {"cat": "cat_a"})
+    opened = {f.replace("file://", "") for f in pruned.inputFiles()}
+    assert opened < all_files, "string z-order dimension did not prune"
+    got = {r["k"] for r in pruned.collect()}
+    assert got == {i for i in range(4000) if i % 16 == 0}
