@@ -1072,6 +1072,7 @@ class Warehouse:
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
+        df = self._enforce_constraints(df, table, spec)
         out = self._clustered(self._with_partition(df, spec), spec)
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")

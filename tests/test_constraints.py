@@ -99,3 +99,22 @@ def test_spec_validation(spark):
         TableSpec(constraints=(("c", "1=1"), ("c", "2=2")))
     with pytest.raises(WarehouseError, match="constraint_mode"):
         TableSpec(constraint_mode="explode")
+
+
+def test_overwrite_enforces_constraints(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE", constraints=(("v_nonneg", "v >= 0"),))
+    wh.overwrite(_df(spark, [(1, "a", 1.0)]), "t", spec)
+    with pytest.raises(WarehouseError, match="v_nonneg"):
+        wh.overwrite(_df(spark, [(2, "a", -1.0)]), "t", spec)
+    # the failed overwrite left the previous state intact
+    assert {r["k"] for r in wh.read("t").collect()} == {1}
+
+    qspec = TableSpec(
+        partition_grain="NONE",
+        constraints=(("v_nonneg", "v >= 0"),),
+        constraint_mode="quarantine",
+    )
+    wh.overwrite(_df(spark, [(3, "a", 1.0), (4, "a", -2.0)]), "t", qspec)
+    assert {r["k"] for r in wh.read("t").collect()} == {3}
+    assert {r["k"] for r in wh.read("t__quarantine").collect()} == {4}
