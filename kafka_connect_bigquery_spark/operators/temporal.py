@@ -31,13 +31,17 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     suffix: str = "_r",
     strict: bool = False,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right.ts <= left.ts (or < when ``strict``) within the same key.
 
     Left rows with no prior right row keep NULL payload columns
     (left-outer as-of semantics). Right's timestamp is exposed as
-    ``{ts_col}{suffix}``.
+    ``{ts_col}{suffix}``. ``tolerance_s`` bounds staleness (the
+    kdb/pandas ``tolerance`` knob): a match older than that many
+    seconds is treated as no match — a feature store must not serve a
+    week-old feature as "current".
 
     Scale: one shuffle on key_cols, one window sort — no range
     explosion; works unchanged on billions of rows per key group
@@ -72,7 +76,18 @@ def asof_join(
         filled = filled.withColumn(
             c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
         )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_s is not None:
+        fresh = (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col(f"{ts_col}{suffix}"))
+        ) <= tolerance_s * 1_000_000
+        for c in rv_out:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+        out = out.withColumn(
+            f"{ts_col}{suffix}", F.when(fresh, F.col(f"{ts_col}{suffix}"))
+        )
+    return out
 
 
 def interval_join(

@@ -235,6 +235,61 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+_ASOF_TOL_S = 3600  # matches older than an hour are stale
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (the kdb/pandas ``tolerance``
+    knob): a prior view older than an hour is treated as no match — the
+    point-in-time-correctness rule of feature serving. Same one-shuffle
+    union+window plan; staleness is a post-projection."""
+    from kafka_connect_bigquery_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, views, ["user_id"], "ts",
+        right_value_cols=["value"], tolerance_s=_ASOF_TOL_S,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("ts_r").isNotNull().alias("matched"),
+        F.coalesce(F.col("ts_r"), F.lit("1970-01-01").cast("timestamp")).alias("ts_r"),
+        F.coalesce(F.col("value_r"), F.lit(0.0)).alias("value_r"),
+    )
+
+
+Q_ASOF_TOLERANCE_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, {_TS_US} AS ts, value FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT c.user_id, c.event_id, c.ts, c.value, v.ts AS vts, v.value AS vvalue
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+)
+SELECT user_id, event_id, ts, value,
+       (vts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(vts) <= {_ASOF_TOL_S * 1_000_000}) AS matched,
+       CASE WHEN vts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(vts) <= {_ASOF_TOL_S * 1_000_000}
+            THEN vts ELSE TIMESTAMP '1970-01-01 00:00:00' END AS ts_r,
+       CASE WHEN vts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(vts) <= {_ASOF_TOL_S * 1_000_000}
+            THEN vvalue ELSE 0.0 END AS value_r
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # interval (range) join
 # ---------------------------------------------------------------------------
@@ -617,5 +672,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "events_session_window": (q_session_window, Q_SESSION_WINDOW_SQL),
     "events_asof_join": (q_asof_join, Q_ASOF_SQL),
+    "events_asof_tolerance": (q_asof_tolerance, Q_ASOF_TOLERANCE_SQL),
     "events_interval_join": (q_interval_join, Q_INTERVAL_SQL),
 }

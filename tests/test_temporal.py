@@ -114,3 +114,24 @@ def test_gap_fill_deterministic_tie_on_same_ts(spark):
             df.repartition(5), "user_id", "ts", "value"
         ).collect()
         assert [(r["value"], r["is_observed"]) for r in out] == [(7.0, True)]
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    import datetime as dt
+
+    from kafka_connect_bigquery_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0))], "k: bigint, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 11, 59), 10.0),  # 60 s old: fresh
+            (2, dt.datetime(2024, 1, 1, 10, 0), 99.0),
+        ],
+        "k: bigint, ts: timestamp, v: double",
+    )
+    fresh = temporal.asof_join(left, right, ["k"], "ts", tolerance_s=120).collect()
+    assert fresh[0]["v_r"] == 10.0 and fresh[0]["ts_r"] is not None
+    tight = temporal.asof_join(left, right, ["k"], "ts", tolerance_s=30).collect()
+    assert tight[0]["v_r"] is None and tight[0]["ts_r"] is None
