@@ -290,6 +290,77 @@ FROM j
 """
 
 
+_EWMA_ALPHA = 0.25
+_EWMA_DEPTH = 8
+_EWMA_Q = 1_000_000
+# integer weight ladder floor(alpha*(1-alpha)^d * Q + 0.5), computed ONCE
+# in Python so both engines consume identical literals
+_EWMA_WQ = [
+    int(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** d * _EWMA_Q + 0.5)
+    for d in range(_EWMA_DEPTH)
+]
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value
+    stream, truncated to the last 8 observations — the bounded-depth
+    EWMA every feature store materializes (a full-history recursive
+    EWMA is not expressible as a window function in EITHER engine;
+    truncation also caps staleness, which is usually what's wanted).
+
+    Weights are a precomputed integer ladder and values are 1e-4
+    quantized, so numerator and denominator are exact BIGINTs; the
+    final ratio is one double division. Plan: ONE shuffle + sort per
+    user — the 8 lags share a single window frame."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    base = e.select("user_id", "event_id", "ts", vq.alias("vq"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for d, wq in enumerate(_EWMA_WQ):
+        lagged = F.lag("vq", d).over(w)
+        num = num + F.coalesce(lagged * wq, F.lit(0).cast("long"))
+        den = den + F.when(lagged.isNotNull(), F.lit(wq)).otherwise(F.lit(0)).cast("long")
+    return base.select(
+        "user_id",
+        "event_id",
+        F.col("vq"),
+        num.alias("ewma_num_q"),
+        den.alias("ewma_den_q"),
+        (num.cast("double") / den.cast("double") / 10000.0).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(vq, {d}) OVER w * {wq}, 0)"
+        for d, wq in enumerate(_EWMA_WQ)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(vq, {d}) OVER w IS NOT NULL THEN {wq} ELSE 0 END"
+        for d, wq in enumerate(_EWMA_WQ)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, {_TS_US} AS ts,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events
+)
+SELECT user_id, event_id, vq,
+       CAST({num} AS BIGINT) AS ewma_num_q,
+       CAST({den} AS BIGINT) AS ewma_den_q,
+       CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / 10000.0 AS ewma
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+Q_EVENTS_EWMA_SQL = _ewma_sql()
+
+
 # ---------------------------------------------------------------------------
 # interval (range) join
 # ---------------------------------------------------------------------------
@@ -673,5 +744,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_session_window": (q_session_window, Q_SESSION_WINDOW_SQL),
     "events_asof_join": (q_asof_join, Q_ASOF_SQL),
     "events_asof_tolerance": (q_asof_tolerance, Q_ASOF_TOLERANCE_SQL),
+    "events_ewma": (q_events_ewma, Q_EVENTS_EWMA_SQL),
     "events_interval_join": (q_interval_join, Q_INTERVAL_SQL),
 }
