@@ -1821,6 +1821,88 @@ GROUP BY 1
 """
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: one row per
+    FK edge with total rows, distinct keys, and orphan count (left rows
+    whose key misses the dimension) — the data-quality report a
+    warehouse runs after every load. Each edge is a broadcast anti-join
+    against the (small or aggregated-distinct) parent key set; edges
+    union into one frame so the report is a single job."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+
+    def edge(name, child, fk, parent, pk):
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        return child.select(fk).agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col(fk)).cast("bigint").alias("n_keys"),
+        ).crossJoin(
+            F.broadcast(
+                child.select(fk)
+                .join(F.broadcast(keys), fk, "left_anti")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            )
+        )
+
+    l, o, c, s, p, n, r = (
+        t("lineitem"), t("orders"), t("customer"), t("supplier"),
+        t("part"), t("nation"), t("region"),
+    )
+    edges = [
+        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+        edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+Q_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+         AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->part', COUNT(*), COUNT(DISTINCT l_partkey),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*), COUNT(DISTINCT l_suppkey),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+FROM lineitem
+UNION ALL
+SELECT 'orders->customer', COUNT(*), COUNT(DISTINCT o_custkey),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM orders
+UNION ALL
+SELECT 'customer->nation', COUNT(*), COUNT(DISTINCT c_nationkey),
+       (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+FROM customer
+UNION ALL
+SELECT 'supplier->nation', COUNT(*), COUNT(DISTINCT s_nationkey),
+       (SELECT COUNT(*) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+FROM supplier
+UNION ALL
+SELECT 'nation->region', COUNT(*), COUNT(DISTINCT n_regionkey),
+       (SELECT COUNT(*) FROM nation
+        WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+FROM nation
+"""
+
+
 def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact⨝dimension join (operators/skew.py:salted_join): the
     orders fact salts into 8 sub-keys, the customer dimension replicates
@@ -2553,6 +2635,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_rolling_7d": (q_events_rolling_7d, Q_EVENTS_ROLLING_SQL),
     "events_salted_agg": (q_events_salted_agg, Q_EVENTS_SALTED_AGG_SQL),
     "orders_salted_join": (q_orders_salted_join, Q_ORDERS_SALTED_JOIN_SQL),
+    "integrity_audit": (q_integrity_audit, Q_INTEGRITY_AUDIT_SQL),
 }
 
 
