@@ -80,6 +80,11 @@ HEADLINE = [
     "weighted_sample",
     "search_hybrid_rrf",
     "events_rolling_7d",
+    "events_asof_tolerance",
+    "events_ewma",
+    "events_salted_agg",
+    "orders_salted_join",
+    "integrity_audit",
 ]
 
 
