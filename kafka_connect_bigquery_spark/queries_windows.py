@@ -290,6 +290,94 @@ FROM j
 """
 
 
+_PATH_TOP = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths: each user session (30-min gap rule)
+    becomes an ordered ``a>b>c`` path string, counted corpus-wide and
+    ranked — the navigation-pattern report behind funnel design.
+    Ordering inside a session is pinned by (ts, event_id), and the path
+    string is built by sort_array over collected structs (collect_list
+    alone has no order guarantee under parallel aggregation — the
+    classic distributed-collect trap). Two shuffles: sessionize +
+    path count."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _GAP_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    paths = (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+            ),
+        )
+        .filter(F.col("rank") <= _PATH_TOP)
+    )
+    return ranked
+
+
+Q_SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, {_TS_US} AS ts,
+         CASE WHEN lag({_TS_US}) OVER w IS NULL
+                OR epoch_us({_TS_US}) - epoch_us(lag({_TS_US}) OVER w)
+                   > {_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US})
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, n_sessions, rank FROM (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, path) AS INT) AS rank
+  FROM paths GROUP BY 1
+) WHERE rank <= {_PATH_TOP}
+"""
+
+
 _EWMA_ALPHA = 0.25
 _EWMA_DEPTH = 8
 _EWMA_Q = 1_000_000
@@ -745,5 +833,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof_join": (q_asof_join, Q_ASOF_SQL),
     "events_asof_tolerance": (q_asof_tolerance, Q_ASOF_TOLERANCE_SQL),
     "events_ewma": (q_events_ewma, Q_EVENTS_EWMA_SQL),
+    "session_paths": (q_session_paths, Q_SESSION_PATHS_SQL),
     "events_interval_join": (q_interval_join, Q_INTERVAL_SQL),
 }
