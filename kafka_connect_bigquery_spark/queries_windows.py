@@ -290,6 +290,66 @@ FROM j
 """
 
 
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest strictly-increasing run
+    of values (ordered by ts, event_id) and how many maximal runs the
+    stream breaks into — the MATCH_RECOGNIZE-lite pattern every
+    sequence dashboard needs, as two windows + one groupBy (lag
+    comparison → break flag → running sum island id → aggregate)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") <= F.lag("value").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_streaks_3plus"),
+    )
+
+
+Q_EVENTS_STREAKS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN lag(value) OVER w IS NULL
+                OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk,
+         {_TS_US} AS ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US} ASC, event_id ASC)
+),
+islands AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_streaks_3plus
+FROM runs GROUP BY 1
+"""
+
+
 _PATH_TOP = 20
 
 
@@ -834,5 +894,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof_tolerance": (q_asof_tolerance, Q_ASOF_TOLERANCE_SQL),
     "events_ewma": (q_events_ewma, Q_EVENTS_EWMA_SQL),
     "session_paths": (q_session_paths, Q_SESSION_PATHS_SQL),
+    "events_streaks": (q_events_streaks, Q_EVENTS_STREAKS_SQL),
     "events_interval_join": (q_interval_join, Q_INTERVAL_SQL),
 }
