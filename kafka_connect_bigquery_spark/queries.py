@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_connect_bigquery_spark.operators.merge import (
     dedup_latest_per_key,
@@ -1821,6 +1822,75 @@ GROUP BY 1
 """
 
 
+def q_staged_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GCS-staged batch-load path (S5 stage + S6 loader tick),
+    witnessed end-to-end: events become Kafka-shaped records, flow
+    through the pipeline's convert → NDJSON staging dir → loader tick →
+    warehouse append, and the loaded table must equal the source rows
+    (the oracle reads them straight from parquet). Timestamps stay out
+    of the payload: the JSON wire format is the reference's
+    (GCSToBQWriter), and cross-engine timestamp-string round-trips are
+    a separate, already-oracled concern (logical_types_wire)."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.config import SinkConfig
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+    from kafka_connect_bigquery_spark.streaming.pipeline import SinkPipeline
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_staged")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = os.path.join(base, _uuid.uuid4().hex[:12])
+    wh = Warehouse(spark, os.path.join(root, "wh"))
+    staging = os.path.join(root, "staging")
+    kafka_shaped = e.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("user_id", "event_id", "event_type", "value")
+        ).cast("binary").alias("value"),
+        F.lit("events_t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=SinkConfig(topics=["events_t"], time_partitioning_type="NONE"),
+        value_parser=lambda c: F.from_json(c.cast("string"), value_schema),
+        table_specs={"events_t": TableSpec(partition_grain="NONE")},
+    )
+    pipe.stage_batch(kafka_shaped, 0, staging)
+    loaded = pipe.load_staged(staging)
+    assert loaded == ["events_t"], loaded
+    return wh.read("events_t").select("user_id", "event_id", "event_type", "value")
+
+
+Q_STAGED_LOAD_SQL = """
+SELECT user_id, event_id, event_type, value FROM events
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: one row per
     FK edge with total rows, distinct keys, and orphan count (left rows
@@ -2636,6 +2706,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_salted_agg": (q_events_salted_agg, Q_EVENTS_SALTED_AGG_SQL),
     "orders_salted_join": (q_orders_salted_join, Q_ORDERS_SALTED_JOIN_SQL),
     "integrity_audit": (q_integrity_audit, Q_INTEGRITY_AUDIT_SQL),
+    "staged_load_roundtrip": (q_staged_load_roundtrip, Q_STAGED_LOAD_SQL),
 }
 
 
