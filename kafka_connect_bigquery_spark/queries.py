@@ -1891,6 +1891,85 @@ SELECT user_id, event_id, event_type, value FROM events
 """
 
 
+def q_routed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic→table routing + RegexRouter SMT (S7/X4), witnessed
+    end-to-end: events fan out over five per-type topics, the SMT
+    rewrites ``src_<type>`` → ``tbl_<type>``, the streaming-insert
+    handler writes each routed table, and the union-back (with the
+    table name as a column) must equal the source partitioned by
+    event_type — proving both the routing split and that no row ever
+    lands in the wrong table."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.config import SinkConfig
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+    from kafka_connect_bigquery_spark.streaming.pipeline import SinkPipeline
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    types = [r["event_type"] for r in e.select("event_type").distinct().collect()]
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_routed")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    kafka_shaped = e.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("user_id", "event_id", "event_type", "value")
+        ).cast("binary").alias("value"),
+        F.concat(F.lit("src_"), F.col("event_type")).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=SinkConfig(
+            topics=[f"src_{t}" for t in types],
+            time_partitioning_type="NONE",
+            smt_regex_routers=[(r"src_(.*)", r"tbl_$1")],
+        ),
+        value_parser=lambda c: F.from_json(c.cast("string"), value_schema),
+    )
+    pipe.write_batch(kafka_shaped, 0)
+    parts = [
+        wh.read(f"tbl_{t}")
+        .select("user_id", "event_id", "event_type", "value")
+        .withColumn("table_name", F.lit(f"tbl_{t}"))
+        for t in sorted(types)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+Q_ROUTED_WRITE_SQL = """
+SELECT user_id, event_id, event_type, value,
+       concat('tbl_', event_type) AS table_name
+FROM events
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: one row per
     FK edge with total rows, distinct keys, and orphan count (left rows
@@ -2707,6 +2786,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orders_salted_join": (q_orders_salted_join, Q_ORDERS_SALTED_JOIN_SQL),
     "integrity_audit": (q_integrity_audit, Q_INTEGRITY_AUDIT_SQL),
     "staged_load_roundtrip": (q_staged_load_roundtrip, Q_STAGED_LOAD_SQL),
+    "routed_write_roundtrip": (q_routed_write_roundtrip, Q_ROUTED_WRITE_SQL),
 }
 
 
