@@ -85,6 +85,8 @@ HEADLINE = [
     "events_salted_agg",
     "orders_salted_join",
     "integrity_audit",
+    "session_paths",
+    "events_streaks",
 ]
 
 
