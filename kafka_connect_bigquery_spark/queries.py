@@ -2799,6 +2799,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # they go first, followed by the 18 queries new or re-oracled this round
 # (53 total; a 50-query window witnesses all but the last few, which have
 # verify_local EXACT evidence at both scales and lead the r05 rotation).
+# r05 rotation plan (alternating-window discipline): lead the next
+# round's 50-slot window with the entries that have NO driver row yet —
+# the 23 added late in r04 (graph_triangles, dedup_semantic, text_bm25,
+# bm25_incremental, search_hybrid_rrf, ann_incremental,
+# warehouse_bloom_read, weighted_sample, events_gap_fill,
+# mixture_entropy, events_mad_outliers, events_rolling_7d,
+# events_salted_agg, orders_salted_join, integrity_audit,
+# events_asof_tolerance, events_ewma, session_paths, events_streaks,
+# pairs_contrastive, dedup_simhash_pairs*, customer_ltv_deciles*,
+# staged_load_roundtrip, routed_write_roundtrip; * = fell off the r04
+# window tail) — then backfill with the oldest-witnessed entries.
 _PRIORITY_ORDER: list[str] = [
     # TPC-H family (last driver row: r02)
     "tpch_q1_pricing_summary",
