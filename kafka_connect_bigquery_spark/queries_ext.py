@@ -1865,6 +1865,81 @@ FROM terms GROUP BY 1
 """
 
 
+def q_docs_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the (lang, source)
+    contingency table — the statistical gate a mixture dashboard runs
+    before claiming two corpus facets are independent. Emits the
+    quantized statistic, degrees of freedom, and per-cell contributions
+    summed exactly: each (observed-expected)²/expected term is an IEEE
+    double chain on exact integer counts, floored to the 1/Q lattice
+    before the integer sum. One count aggregation + broadcast marginals;
+    the corpus is scanned once."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row = obs.groupBy("lang").agg(F.sum("o").alias("n_lang"))
+    colm = obs.groupBy("source").agg(F.sum("o").alias("n_source"))
+    tot = obs.agg(F.sum("o").alias("n_total"))
+    expected = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    dev = F.col("o").cast("double") - expected
+    term_q = F.floor(dev * dev / expected * _ENT_Q + F.lit(0.5)).cast("long")
+    cells = (
+        obs.join(F.broadcast(row), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(term_q.alias("tq"))
+    )
+    dims = (
+        row.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(colm.agg(F.count(F.lit(1)).alias("n_cols"))))
+    )
+    return (
+        cells.agg(F.sum("tq").cast("bigint").alias("chi2_q"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2_q",
+            (F.col("chi2_q").cast("double") / _ENT_Q).alias("chi2"),
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )
+
+
+Q_DOCS_CHI_SQUARE_SQL = f"""
+WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+row_m AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_lang FROM obs GROUP BY 1),
+col_m AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_source FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM obs),
+cells AS (
+  SELECT CAST(FLOOR(
+    (CAST(o.o AS DOUBLE)
+     - CAST(r.n_lang AS DOUBLE) * CAST(c.n_source AS DOUBLE)
+       / CAST(t.n_total AS DOUBLE))
+    * (CAST(o.o AS DOUBLE)
+       - CAST(r.n_lang AS DOUBLE) * CAST(c.n_source AS DOUBLE)
+         / CAST(t.n_total AS DOUBLE))
+    / (CAST(r.n_lang AS DOUBLE) * CAST(c.n_source AS DOUBLE)
+       / CAST(t.n_total AS DOUBLE))
+    * {_ENT_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tq
+  FROM obs o
+  JOIN row_m r USING (lang) JOIN col_m c USING (source) CROSS JOIN tot t
+),
+dims AS (
+  SELECT (SELECT COUNT(*) FROM row_m) AS n_rows,
+         (SELECT COUNT(*) FROM col_m) AS n_cols
+)
+SELECT CAST(SUM(tq) AS BIGINT) AS chi2_q,
+       CAST(SUM(tq) AS DOUBLE) / {_ENT_Q} AS chi2,
+       CAST((d.n_rows - 1) * (d.n_cols - 1) AS BIGINT) AS dof
+FROM cells CROSS JOIN dims d
+GROUP BY d.n_rows, d.n_cols
+"""
+
+
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
 
@@ -2588,6 +2663,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
     "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
+    "docs_chi_square": (q_docs_chi_square, Q_DOCS_CHI_SQUARE_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
