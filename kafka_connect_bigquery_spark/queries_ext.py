@@ -1940,6 +1940,115 @@ GROUP BY d.n_rows, d.n_cols
 """
 
 
+_WELCH_A, _WELCH_B = "click", "view"
+
+
+def q_events_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing 'click' vs 'view'
+    event values — the A/B-test read-out, computed entirely from exact
+    additive sufficient statistics (n, Σvq, Σvq²) so the distributed
+    aggregation is summation-order-free; the final mean/variance/t
+    chain is a fixed sequence of IEEE double ops, quantized once at the
+    end. Includes the Welch–Satterthwaite degrees of freedom."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    stats = (
+        e.select("event_type", vq.alias("vq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vq").alias("s1"),
+            F.sum(F.col("vq") * F.col("vq")).alias("s2"),
+        )
+    )
+    a = stats.filter(F.col("event_type") == _WELCH_A).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = stats.filter(F.col("event_type") == _WELCH_B).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    # all doubles from here: identical op sequence on both engines
+    ma = F.col("sa").cast("double") / F.col("na").cast("double") / 10000.0
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double") / 10000.0
+    # sample variance of v = (Σv² - n·m²)/(n-1), v in 1e-4 units
+    va = (
+        F.col("qa").cast("double") / 100000000.0
+        - F.col("na").cast("double") * ma * ma
+    ) / (F.col("na").cast("double") - F.lit(1.0))
+    vb = (
+        F.col("qb").cast("double") / 100000000.0
+        - F.col("nb").cast("double") * mb * mb
+    ) / (F.col("nb").cast("double") - F.lit(1.0))
+    sea = va / F.col("na").cast("double")
+    seb = vb / F.col("nb").cast("double")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("na").cast("double") - F.lit(1.0))
+        + seb * seb / (F.col("nb").cast("double") - F.lit(1.0))
+    )
+    q = F.lit(float(_ENT_Q))
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.floor(t * q + F.lit(0.5)).cast("bigint").alias("t_q"),
+        (F.floor(t * q + F.lit(0.5)).cast("double") / q).alias("t_stat"),
+        F.floor(dof * q + F.lit(0.5)).cast("bigint").alias("dof_q"),
+    )
+
+
+Q_EVENTS_WELCH_SQL = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(vq) AS BIGINT) AS s1,
+         CAST(SUM(vq * vq) AS BIGINT) AS s2
+  FROM (SELECT event_type, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}'))
+  GROUP BY 1
+),
+j AS (
+  SELECT a.n AS na, a.s1 AS sa, a.s2 AS qa,
+         b.n AS nb, b.s1 AS sb, b.s2 AS qb
+  FROM (SELECT * FROM stats WHERE event_type = '{_WELCH_A}') a
+  CROSS JOIN (SELECT * FROM stats WHERE event_type = '{_WELCH_B}') b
+),
+calc AS (
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0 AS ma,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0 AS mb,
+    (CAST(qa AS DOUBLE) / 100000000.0
+      - CAST(na AS DOUBLE)
+        * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0)
+        * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0))
+      / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS va,
+    (CAST(qb AS DOUBLE) / 100000000.0
+      - CAST(nb AS DOUBLE)
+        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0)
+        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0))
+      / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vb
+  FROM j
+),
+ses AS (
+  SELECT na, nb, ma, mb,
+         va / CAST(na AS DOUBLE) AS sea,
+         vb / CAST(nb AS DOUBLE) AS seb
+  FROM calc
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(FLOOR((ma - mb) / sqrt(sea + seb) * {_ENT_Q}.0
+             + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_q,
+  CAST(FLOOR((ma - mb) / sqrt(sea + seb) * {_ENT_Q}.0
+             + CAST(0.5 AS DOUBLE)) AS DOUBLE) / {_ENT_Q}.0 AS t_stat,
+  CAST(FLOOR((sea + seb) * (sea + seb)
+       / (sea * sea / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE))
+          + seb * seb / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+       * {_ENT_Q}.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dof_q
+FROM ses
+"""
+
+
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
 
@@ -2664,6 +2773,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
     "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
     "docs_chi_square": (q_docs_chi_square, Q_DOCS_CHI_SQUARE_SQL),
+    "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
