@@ -1940,6 +1940,109 @@ GROUP BY d.n_rows, d.n_cols
 """
 
 
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of event values — the fraud/synthetic-
+    data smell test. The leading digit comes from the INTEGER string of
+    the 1e-4-quantized value (both engines print integers identically;
+    extracting digits from a double's formatting would diverge), so the
+    whole query is counting + integer-lattice shares."""
+    e = _t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    digits = (
+        e.select(vq.alias("vq"))
+        .filter(F.col("vq") > 0)
+        .select(F.substring(F.col("vq").cast("string"), 1, 1).alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000L div n_total").alias("share_q"),
+        )
+    )
+
+
+Q_EVENTS_BENFORD_SQL = """
+WITH digits AS (
+  SELECT substr(CAST(vq AS VARCHAR), 1, 1) AS digit
+  FROM (SELECT CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq FROM events)
+  WHERE vq > 0
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // n_total AS BIGINT) AS share_q
+FROM counts CROSS JOIN tot
+"""
+
+
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) comparing 'click' vs 'view' values —
+    the non-parametric twin of ``events_welch_t``, computed ENTIRELY in
+    integers: with min-rank r(v) and tie-group size c(v) from two
+    window functions, each observation's doubled midrank is
+    2·r(v) + c(v) − 1, so 2·R₁ and U₁·2 are exact BIGINTs (float
+    midranks would be summation-order-dependent). The global order-by
+    window is the definition of ranking; at 100 TB the same statistic
+    assembles from per-partition sorted runs + merge, which this
+    formulation permits because everything is additive."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    base = e.select("event_type", vq.alias("vq"))
+    w = Window.orderBy("vq")
+    ranked = base.select(
+        "event_type",
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(
+            Window.partitionBy("vq")
+        ) - 1).alias("mid2"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mid2").alias("r2")
+    )
+    a = g.filter(F.col("event_type") == _WELCH_A).select(
+        F.col("n").alias("na"), F.col("r2").alias("ra2")
+    )
+    b = g.filter(F.col("event_type") == _WELCH_B).select(F.col("n").alias("nb"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("ra2").cast("bigint").alias("rank_sum_x2"),
+        (F.col("ra2") - F.col("na") * (F.col("na") + 1))
+        .cast("bigint")
+        .alias("u_x2"),
+    )
+
+
+Q_EVENTS_MANNWHITNEY_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE event_type IN ('click', 'view')
+),
+ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (ORDER BY vq)
+           + COUNT(*) OVER (PARTITION BY vq) - 1 AS mid2
+  FROM base
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(mid2) AS BIGINT) AS r2
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       a.r2 AS rank_sum_x2,
+       CAST(a.r2 - a.n * (a.n + 1) AS BIGINT) AS u_x2
+FROM (SELECT * FROM g WHERE event_type = 'click') a
+CROSS JOIN (SELECT * FROM g WHERE event_type = 'view') b
+"""
+
+
 _WELCH_A, _WELCH_B = "click", "view"
 
 
@@ -2774,6 +2877,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
     "docs_chi_square": (q_docs_chi_square, Q_DOCS_CHI_SQUARE_SQL),
     "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
+    "events_benford": (q_events_benford, Q_EVENTS_BENFORD_SQL),
+    "events_mannwhitney": (q_events_mannwhitney, Q_EVENTS_MANNWHITNEY_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
