@@ -87,6 +87,11 @@ HEADLINE = [
     "integrity_audit",
     "session_paths",
     "events_streaks",
+    # statistical testing & diagnostics family (pure queries)
+    "docs_chi_square",
+    "events_welch_t",
+    "events_benford",
+    "events_mannwhitney",
 ]
 
 
