@@ -92,6 +92,7 @@ HEADLINE = [
     "events_welch_t",
     "events_benford",
     "events_mannwhitney",
+    "events_ks_test",
 ]
 
 

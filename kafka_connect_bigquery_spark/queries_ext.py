@@ -2043,6 +2043,76 @@ CROSS JOIN (SELECT * FROM g WHERE event_type = 'view') b
 """
 
 
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for 'click' vs 'view'
+    value distributions, kept INTEGER throughout: with cumulative
+    counts c₁(x), c₂(x) at each observed value, the sup-distance
+    D = max|c₁/n₁ − c₂/n₂| is reported as the exact integer numerator
+    max|c₁·n₂ − c₂·n₁| over the common denominator n₁·n₂ — float ECDFs
+    would tie-break differently across engines. Cumulative counts come
+    from one ordered window over the distinct-value grid."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    per_val = (
+        e.select("event_type", vq.alias("vq"))
+        .groupBy("vq")
+        .agg(
+            F.sum(F.when(F.col("event_type") == _WELCH_A, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("event_type") == _WELCH_B, 1).otherwise(0)).alias("b"),
+        )
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = per_val.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("d"),
+            "na",
+            "nb",
+        )
+        .agg(
+            F.max("d").cast("bigint").alias("d_num"),
+            F.first("na").cast("bigint").alias("n_a"),
+            F.first("nb").cast("bigint").alias("n_b"),
+            (F.max("d").cast("double") / (F.first("na") * F.first("nb")).cast("double"))
+            .alias("d_stat"),
+        )
+    )
+
+
+Q_EVENTS_KS_SQL = """
+WITH per_val AS (
+  SELECT vq,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+  FROM (SELECT event_type, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type IN ('click', 'view'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT SUM(a) OVER w AS ca, SUM(b) OVER w AS cb FROM per_val
+  WINDOW w AS (ORDER BY vq ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM per_val
+)
+SELECT CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+       ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+       CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+         / CAST(ANY_VALUE(na) * ANY_VALUE(nb) AS DOUBLE) AS d_stat
+FROM cum CROSS JOIN tot
+"""
+
+
 _WELCH_A, _WELCH_B = "click", "view"
 
 
@@ -2879,6 +2949,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
     "events_benford": (q_events_benford, Q_EVENTS_BENFORD_SQL),
     "events_mannwhitney": (q_events_mannwhitney, Q_EVENTS_MANNWHITNEY_SQL),
+    "events_ks_test": (q_events_ks_test, Q_EVENTS_KS_SQL),
     "sample_k_per_group": (q_sample_k_per_group, Q_SAMPLE_K_PER_GROUP_SQL),
     "bq_shape_projection": (q_bq_shape_events, Q_BQ_SHAPE_SQL),
     "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
