@@ -352,6 +352,50 @@ class Warehouse:
         # stay readable until the manifest commit).
         return os.path.join(self.path(table), "_buckets", str(bucket), f"gen={gen}")
 
+    def restore(self, table: str, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION: roll a bucketed table back to a
+        retained snapshot AS A NEW COMMIT (Delta semantics — history is
+        append-only; the rollback itself is auditable and CDC-visible,
+        never a rewrite of history). Implemented entirely on the public
+        MERGE path: the restore batch is the target snapshot's rows
+        upserted plus tombstones for every key added since, so it
+        inherits bucket pruning, optimistic concurrency, and the
+        crash-safe manifest commit. Returns the new version."""
+        meta = self.layout_meta(table)
+        key_cols = list(meta.get("key_cols") or [])
+        if not key_cols or meta.get("generations") is None:
+            raise WarehouseError(
+                f"restore requires a bucketed table with snapshots: {table}"
+            )
+        target = self.read(table, version=version)
+        current = self.read(table)
+        gone = current.select(*key_cols).join(
+            target.select(*key_cols), key_cols, "left_anti"
+        )
+        # typed NULLs for non-key columns of the tombstone rows
+        non_key = [f for f in target.schema.fields if f.name not in key_cols]
+        tombs = gone.select(
+            *key_cols,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in non_key],
+        )
+        batch = (
+            target.withColumn("__tombstone", F.lit(False))
+            .unionByName(tombs.withColumn("__tombstone", F.lit(True)))
+            .withColumn("__restore_i", F.lit(0))
+        )
+        self.merge(
+            batch,
+            table,
+            key_cols,
+            mode="upsert_delete",
+            order_col="__restore_i",
+            spec=TableSpec(
+                partition_grain="NONE",
+                key_bucket_count=int(meta["key_bucket_count"]),
+            ),
+        )
+        return int(self.layout_meta(table)["generation"])
+
     def version_at(self, table: str, ts: float) -> int:
         """Latest committed version at wall-clock ``ts`` — the AS OF
         <timestamp> resolution rule (Delta/Iceberg semantics: the

@@ -816,3 +816,41 @@ def test_timestamp_time_travel(spark, tmp_path):
         wh.version_at("t", 0.0)  # before any commit
     with _pytest.raises(WarehouseError):
         wh.read("t", version=0, as_of_ts=t_mid)
+
+
+def test_restore_to_version_is_a_new_commit(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_mk(spark, [(k, f"v{k}", k, False) for k in range(10)]), "t", ["k"], spec=SPEC)
+    # v1: update 3, delete 7, insert 100
+    wh.merge(
+        _mk(spark, [(3, "changed", 50, False), (7, "x", 51, True), (100, "new", 52, False)]),
+        "t", ["k"], mode="upsert_delete", spec=SPEC,
+    )
+    assert _state(wh, "t") == (
+        {(k, f"v{k}") for k in range(10) if k not in (3, 7)}
+        | {(3, "changed"), (100, "new")}
+    )
+
+    new_v = wh.restore("t", 0)
+    # state equals snapshot v0 exactly (update reverted, delete undone,
+    # insert tombstoned away)
+    assert _state(wh, "t") == {(k, f"v{k}") for k in range(10)}
+    # history is append-only: the restore is a NEW version, and both
+    # prior snapshots remain readable
+    assert new_v == max(wh.snapshots("t"))
+    assert {(r["k"], r["v"]) for r in wh.read("t", version=1).select("k", "v").collect()} != \
+        {(k, f"v{k}") for k in range(10)}
+    # the rollback is CDC-visible: changes v1 -> new_v undo the delta
+    ch = {
+        (r["_change_type"], r["k"])
+        for r in wh.read_changes("t", from_version=1, to_version=new_v).collect()
+    }
+    assert ("update", 3) in ch and ("insert", 7) in ch and ("delete", 100) in ch
+
+
+def test_restore_rejects_flat_tables(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "whf"))
+    wh.append(spark.createDataFrame([(1, "a")], "k: bigint, v: string"), "t",
+              TableSpec(partition_grain="NONE"))
+    with pytest.raises(WarehouseError, match="bucketed"):
+        wh.restore("t", 0)
