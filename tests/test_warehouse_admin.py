@@ -72,3 +72,19 @@ def test_history_reports_commit_time(spark, tmp_path, capsys):
     h = _run(capsys, "history", root, "t")
     assert len(h["commits"]) == 1
     assert abs(float(h["commits"][0]["committed_at"]) - t0) < 120
+
+
+def test_restore_cli(spark, tmp_path, capsys):
+    root = str(tmp_path / "whr")
+    wh = Warehouse(spark, root)
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, False)], "k: bigint, v: string, i: bigint, __tombstone: boolean"
+    )
+    df1 = spark.createDataFrame(
+        [(1, "b", 1, False)], "k: bigint, v: string, i: bigint, __tombstone: boolean"
+    )
+    wh.merge(df0, "t", ["k"], spec=SPEC)
+    wh.merge(df1, "t", ["k"], spec=SPEC)
+    out = _run(capsys, "restore", root, "t", "--version", "0")
+    assert out["restored_to"] == 0 and out["new_version"] == 2
+    assert [r["v"] for r in wh.read("t").collect()] == ["a"]

@@ -8,6 +8,7 @@ Spark code:
     python tools/warehouse_admin.py history  <root> <table>
     python tools/warehouse_admin.py snapshots <root> <table>
     python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
+    python tools/warehouse_admin.py restore  <root> <table> --version N
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
@@ -30,13 +31,17 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="warehouse_admin")
     p.add_argument(
         "command",
-        choices=["describe", "vacuum", "compact", "history", "snapshots", "bloom"],
+        choices=[
+            "describe", "vacuum", "compact", "history", "snapshots",
+            "bloom", "restore",
+        ],
     )
     p.add_argument("root")
     p.add_argument("table")
     p.add_argument("--keep-snapshots", type=int, default=None)
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
     p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
+    p.add_argument("--version", type=int, default=None)
     args = p.parse_args(argv)
 
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
@@ -65,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
             target_file_rows=args.target_file_rows,
         )
         out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    elif args.command == "restore":
+        if args.version is None:
+            print("restore requires --version", file=sys.stderr)
+            return 2
+        new_v = wh().restore(args.table, args.version)
+        out = {"table": args.table, "restored_to": args.version, "new_version": new_v}
     elif args.command == "bloom":
         if args.bloom_cols:
             w = wh()
