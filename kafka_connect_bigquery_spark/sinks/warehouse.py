@@ -95,6 +95,11 @@ class TableSpec:
     # _violated column naming the failed checks and lands the rest.
     constraints: tuple[tuple[str, str], ...] = ()
     constraint_mode: Literal["fail", "quarantine"] = "fail"
+    # parquet codec for this table's data files (None = engine default,
+    # snappy). "zstd" trades ~2x better ratio for slightly slower
+    # writes — the cold/archival-tier choice; per-table because hot
+    # MERGE tables usually stay on the faster codec.
+    compression: str | None = None
 
     def __post_init__(self) -> None:
         if len(self.clustering) > 4:
@@ -105,6 +110,10 @@ class TableSpec:
             raise WarehouseError("key_bucket_count must be >= 1")
         if self.constraint_mode not in ("fail", "quarantine"):
             raise WarehouseError(f"bad constraint_mode {self.constraint_mode}")
+        if self.compression is not None and self.compression not in (
+            "snappy", "zstd", "gzip", "lz4", "uncompressed",
+        ):
+            raise WarehouseError(f"bad compression codec {self.compression}")
         names = [n for n, _ in self.constraints]
         if len(set(names)) != len(names):
             raise WarehouseError("duplicate constraint names")
@@ -1107,6 +1116,8 @@ class Warehouse:
             out = _align_to(out, proposal)
         out = self._clustered(out, spec)
         writer = out.write.mode("append")
+        if spec.compression:
+            writer = writer.option("compression", spec.compression)
         if spec.partition_col:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(self.path(table))
@@ -1120,6 +1131,8 @@ class Warehouse:
         out = self._clustered(self._with_partition(df, spec), spec)
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
+        if spec.compression:
+            writer = writer.option("compression", spec.compression)
         if spec.partition_col:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(tmp)
@@ -1669,6 +1682,8 @@ class Warehouse:
         else:
             out = df.repartition(n_out)
         writer = out.write.mode("overwrite")
+        if spec.compression:
+            writer = writer.option("compression", spec.compression)
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)

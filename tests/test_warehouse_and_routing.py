@@ -191,3 +191,29 @@ def test_append_policy_rejects_dropped_field_without_unionization(spark, tmp_pat
             spec,
             allow_unionization=False,
         )
+
+
+def test_table_compression_codec(spark, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    df = spark.createDataFrame([(i, "x" * 50) for i in range(500)], "k: bigint, s: string")
+    wh.append(df, "t", TableSpec(partition_grain="NONE", compression="zstd"))
+    files = _glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True)
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    codecs = {md.row_group(0).column(i).compression for i in range(md.row_group(0).num_columns)}
+    assert codecs == {"ZSTD"}
+    # round-trips like any other table
+    assert wh.read("t").count() == 500
+
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import WarehouseError
+
+    with _pytest.raises(WarehouseError, match="compression"):
+        TableSpec(compression="brotli9000")

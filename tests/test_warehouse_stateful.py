@@ -113,6 +113,23 @@ class WarehouseMachine(RuleBasedStateMachine):
     def vacuum(self):
         self.wh.vacuum("t")
 
+    @precondition(lambda self: self.created)
+    @rule(data=st.data())
+    def restore(self, data):
+        """RESTORE to a retained snapshot: the table must land exactly
+        on the recorded model state for that version, as a NEW commit
+        (exercises the merge-path rollback against evolution, deletes,
+        and compaction interleavings)."""
+        versions = [v for v in self.wh.snapshots("t") if v in self.history]
+        if not versions:
+            return
+        v = data.draw(st.sampled_from(versions))
+        self.wh.restore("t", v)
+        snap = self.history[v]
+        self.model = {k: vw[0] for k, vw in snap.items()}
+        self.extra = {k: vw[1] for k, vw in snap.items()}
+        self._committed()
+
     @invariant()
     def state_matches_model(self):
         if not self.created:
