@@ -557,3 +557,50 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    q: int = QD,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    vector onto ``out_dim`` deterministic ±1 hyperplanes (the Achlioptas
+    sparse-sign construction, weights from the same integer hash as the
+    LSH planes) — pairwise distances survive to within the JL bound at
+    a fraction of the storage/compute, the standard pre-step before a
+    dense index gets built at 100 TB.
+
+    Components are quantized sums of ±vq (exact BIGINTs), emitted both
+    raw (``proj_q`` array) and as doubles scaled back; a narrow
+    projection with no UDF, no shuffle — the projection matrix never
+    materializes anywhere (it IS the hash)."""
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast("long"),
+    )
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vq,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                        lambda d: hyperplane_weight(F.lit(p), d),
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for p in range(out_dim)
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        comps.alias("proj_q"),
+        F.transform(comps, lambda c: c.cast("double") / q).alias("projection"),
+    )
