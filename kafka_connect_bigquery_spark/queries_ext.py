@@ -1266,6 +1266,48 @@ SELECT query_id, doc_id, score_q, n_lists, rank FROM (
 """
 
 
+_RP_DIM = 16
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings to 16
+    dimensions (operators/ann.py:random_projection): deterministic ±1
+    hyperplane weights from the shared integer hash, quantized-exact
+    components — the storage/compute reduction step before index builds
+    at corpus scale. The projection matrix never materializes; it IS
+    the hash."""
+    proj = ann.random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=_RP_DIM
+    )
+    # row-per-component for the hash comparator (array cells compare
+    # poorly across Arrow round-trips)
+    return proj.select(
+        "vec_id", F.posexplode("proj_q").alias("p", "comp_q")
+    ).withColumn("component", F.col("comp_q").cast("double") / ann.QD)
+
+
+Q_EMBEDDING_PROJECTION_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+comps AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(e.vq * (CASE WHEN (p.p * 1009 + e.d * 9176 + 2027) % 7 < 3
+                               THEN -1 ELSE 1 END)) AS BIGINT) AS cq
+  FROM elq e CROSS JOIN (SELECT unnest(range({_RP_DIM})) AS p) p
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(p AS INT) AS p, cq AS comp_q,
+       CAST(cq AS DOUBLE) / {_QD} AS component
+FROM comps
+"""
+
+
 _PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
 _PQ_KSUB = 16  # codebook entries per subspace (4-bit codes)
 _PQ_SHORTLIST = 20
@@ -2957,6 +2999,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "search_hybrid_rrf": (q_search_hybrid_rrf, Q_SEARCH_HYBRID_SQL),
+    "embedding_projection": (q_embedding_projection, Q_EMBEDDING_PROJECTION_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, Q_ANN_IVFPQ_SQL),
     "text_language_id": (q_text_language_id, Q_TEXT_LANG_SQL),
     "text_quality_scores": (q_text_quality, Q_TEXT_QUALITY_SQL),

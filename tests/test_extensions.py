@@ -1169,3 +1169,37 @@ def test_contrastive_pairs_labels_and_determinism(spark):
     assert all(len([i for a2, i in negs if a2 == a]) == 3 for a in (1, 3))
     # a negative is never a known positive (either orientation) or self
     assert all(i != a and (a, i) not in {(1, 2), (2, 1), (3, 4), (4, 3)} for a, i in negs)
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {
+        r["vec_id"]: r["projection"]
+        for r in ann.random_projection(df, out_dim=16).collect()
+    }
+    assert all(len(p) == 16 for p in proj.values())
+    # determinism across partitionings
+    proj2 = {
+        r["vec_id"]: r["projection"]
+        for r in ann.random_projection(df.repartition(5), out_dim=16).collect()
+    }
+    assert proj == proj2
+
+    # JL sanity: distance CORRELATION survives (rank the pairs both ways)
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    vecs = dict(rows)
+    pairs = [(i, j) for i in range(30) for j in range(i + 1, 30)]
+    orig = sorted(pairs, key=lambda p: d(vecs[p[0]], vecs[p[1]]))
+    prj = sorted(pairs, key=lambda p: d(proj[p[0]], proj[p[1]]))
+    # Spearman-ish check: the closest decile by original distance stays
+    # in the closest half under projection
+    close = set(orig[: len(orig) // 10])
+    first_half = set(prj[: len(prj) // 2])
+    assert len(close & first_half) / len(close) > 0.8
