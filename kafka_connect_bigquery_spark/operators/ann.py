@@ -577,7 +577,21 @@ def random_projection(
     Components are quantized sums of ±vq (exact BIGINTs), emitted both
     raw (``proj_q`` array) and as doubles scaled back; a narrow
     projection with no UDF, no shuffle — the projection matrix never
-    materializes anywhere (it IS the hash)."""
+    materializes anywhere (it IS the hash). Signs come from md5 of
+    (plane, dim) — unbiased and independent across planes, unlike the
+    small-modulus LSH bucket hash (whose planes repeat with period 7
+    and lean +1/7; fine for coarse bucketing, fatal for JL geometry)."""
+
+    def sign(p: int, d: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"rp{p}:"), d.cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        return F.when(h % 2 == 0, F.lit(-1)).otherwise(F.lit(1))
+
     vq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast("long"),
@@ -589,7 +603,7 @@ def random_projection(
                     vq,
                     F.transform(
                         F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                        lambda d: hyperplane_weight(F.lit(p), d),
+                        lambda d: sign(p, d),
                     ),
                     lambda x, w: x * w,
                 ),

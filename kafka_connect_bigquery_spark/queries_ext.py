@@ -1297,8 +1297,11 @@ elq AS (
 ),
 comps AS (
   SELECT e.vec_id, p.p,
-         CAST(SUM(e.vq * (CASE WHEN (p.p * 1009 + e.d * 9176 + 2027) % 7 < 3
-                               THEN -1 ELSE 1 END)) AS BIGINT) AS cq
+         CAST(SUM(e.vq * (CASE WHEN CAST(concat('0x',
+                  substr(md5(concat('rp', CAST(p.p AS VARCHAR), ':',
+                                    CAST(e.d AS VARCHAR))), 1, 2))
+                  AS INT) % 2 = 0
+               THEN -1 ELSE 1 END)) AS BIGINT) AS cq
   FROM elq e CROSS JOIN (SELECT unnest(range({_RP_DIM})) AS p) p
   GROUP BY 1, 2
 )
