@@ -1910,6 +1910,77 @@ FROM terms GROUP BY 1
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top bigrams by pointwise mutual
+    information, PMI = ln(P(w1,w2)/(P(w1)P(w2))) — the phrase-detection
+    pass (new_york, machine_learning) that runs before tokenizer/vocab
+    induction. Counts come from one bigram aggregation (reusing the
+    fluency model's corpus scan shape), PMI is the quantized-ln chain,
+    and a min-count guard drops the unstable tail before ranking."""
+    from kafka_connect_bigquery_spark.functions.text import doc_bigrams
+    from pyspark.sql import Window
+
+    grams = doc_bigrams(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    u1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u2 = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    pmi_arg = (
+        F.col("c_bi").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    pmi_q = F.floor(F.log(pmi_arg) * _ENT_Q + F.lit(0.5)).cast("long")
+    scored = (
+        bi.filter(F.col("c_bi") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_bi", pmi_q.alias("pmi_q"))
+    )
+    w = Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOP)
+        .select(
+            "w1", "w2",
+            F.col("c_bi").cast("bigint").alias("c_bi"),
+            "pmi_q",
+            (F.col("pmi_q").cast("double") / _ENT_Q).alias("pmi"),
+            "rank",
+        )
+    )
+
+
+Q_TEXT_COLLOCATIONS_SQL = f"""
+WITH toked AS (SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toked, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM grams GROUP BY 1, 2),
+u1 AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY 1),
+u2 AS (SELECT w2, COUNT(*) AS c2 FROM grams GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM grams),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.c_bi,
+    CAST(FLOOR(ln((CAST(bi.c_bi AS DOUBLE) * CAST(n.n_total AS DOUBLE))
+                  / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c2 AS DOUBLE)))
+         * {_ENT_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_q
+  FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+  WHERE bi.c_bi >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(c_bi AS BIGINT) AS c_bi, pmi_q,
+       CAST(pmi_q AS DOUBLE) / {_ENT_Q} AS pmi, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi_q DESC, w1, w2) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_PMI_TOP}
+"""
+
+
 def q_docs_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for the (lang, source)
     contingency table — the statistical gate a mixture dashboard runs
@@ -2991,6 +3062,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_rebalance": (q_mixture_rebalance, Q_MIXTURE_REBALANCE_SQL),
     "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
     "docs_chi_square": (q_docs_chi_square, Q_DOCS_CHI_SQUARE_SQL),
+    "text_collocations": (q_text_collocations, Q_TEXT_COLLOCATIONS_SQL),
     "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
     "events_benford": (q_events_benford, Q_EVENTS_BENFORD_SQL),
     "events_mannwhitney": (q_events_mannwhitney, Q_EVENTS_MANNWHITNEY_SQL),
