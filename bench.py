@@ -93,6 +93,7 @@ HEADLINE = [
     "events_benford",
     "events_mannwhitney",
     "events_ks_test",
+    "text_collocations",
 ]
 
 
