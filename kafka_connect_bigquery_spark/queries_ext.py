@@ -1924,7 +1924,12 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_spark.functions.text import doc_bigrams
     from pyspark.sql import Window
 
-    grams = doc_bigrams(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    # the bigram explosion feeds FOUR aggregations (bi/u1/u2/n); without
+    # a barrier each one re-tokenizes the corpus (the q15 double-scan
+    # class of defect) — checkpoint the gram frame once
+    grams = doc_bigrams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).localCheckpoint(eager=False)
     bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
     u1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     u2 = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
