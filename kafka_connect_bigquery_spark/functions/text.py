@@ -268,6 +268,9 @@ def bm25_from_tables(
     oracle-checkable against full recompute."""
     from pyspark.sql import functions as F
 
+    # tf feeds both the df aggregation and the scoring join — without
+    # a barrier its (corpus-scan) lineage runs twice
+    tf = tf.localCheckpoint(eager=False)
     stats = doc_lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )

@@ -166,6 +166,7 @@ def gap_fill_daily(
         .groupBy("k", "day")
         .agg(F.max(F.struct("ts", "v")).alias("last"))
         .select("k", "day", F.col("last.v").alias("v"))
+        .localCheckpoint(eager=False)  # feeds the span agg AND the grid join
     )
     spans = daily.groupBy("k").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

@@ -1994,7 +1994,12 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     l, o, c, s, p, n, r = (
-        t("lineitem"), t("orders"), t("customer"), t("supplier"),
+        # lineitem feeds three edges x (agg + anti-join) = six scans;
+        # materialize the two projected columns once
+        t("lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        ).localCheckpoint(eager=False),
+        t("orders"), t("customer"), t("supplier"),
         t("part"), t("nation"), t("region"),
     )
     edges = [

@@ -1857,7 +1857,9 @@ def q_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and source), the ≤|sources|-row global table broadcast; the corpus
     is scanned once."""
     d = _t(spark, sf_dir, "documents")
-    ls = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ls"))
+    ls = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_ls")
+    ).localCheckpoint(eager=False)  # feeds 4 consumers: scan the corpus once
     l = ls.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
     s = ls.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
     n = ls.agg(F.sum("n_ls").alias("n_total"))
@@ -1996,7 +1998,9 @@ def q_docs_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the integer sum. One count aggregation + broadcast marginals;
     the corpus is scanned once."""
     d = _t(spark, sf_dir, "documents")
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    ).localCheckpoint(eager=False)  # feeds 4 consumers
     row = obs.groupBy("lang").agg(F.sum("o").alias("n_lang"))
     colm = obs.groupBy("source").agg(F.sum("o").alias("n_source"))
     tot = obs.agg(F.sum("o").alias("n_total"))
@@ -2074,7 +2078,9 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vq") > 0)
         .select(F.substring(F.col("vq").cast("string"), 1, 1).alias("digit"))
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)  # feeds totals AND the share projection
     total = counts.agg(F.sum("n").alias("n_total"))
     return (
         counts.crossJoin(F.broadcast(total))
@@ -2126,7 +2132,7 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("mid2").alias("r2")
-    )
+    ).localCheckpoint(eager=False)  # filtered twice (A side, B side)
     a = g.filter(F.col("event_type") == _WELCH_A).select(
         F.col("n").alias("na"), F.col("r2").alias("ra2")
     )
@@ -2185,6 +2191,7 @@ def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == _WELCH_A, 1).otherwise(0)).alias("a"),
             F.sum(F.when(F.col("event_type") == _WELCH_B, 1).otherwise(0)).alias("b"),
         )
+        .localCheckpoint(eager=False)  # feeds the cumulative window AND totals
     )
     w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_val.select(
@@ -2256,6 +2263,7 @@ def q_events_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vq").alias("s1"),
             F.sum(F.col("vq") * F.col("vq")).alias("s2"),
         )
+        .localCheckpoint(eager=False)  # filtered twice (A side, B side)
     )
     a = stats.filter(F.col("event_type") == _WELCH_A).select(
         F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
