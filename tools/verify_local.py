@@ -210,7 +210,8 @@ def main():
         print(f"[{tag:9s}] {name:40s} {dt:6.1f}s {r}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failed)}/{n_run} passed")
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
