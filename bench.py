@@ -127,17 +127,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # full payload to a file first (survives any stdout capture limit)
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError:
+        pass
+    # stop Spark BEFORE printing so no shutdown chatter can land after
+    # (or interleave with) the summary, then emit it as the last stdout
+    # line in the tightest encoding json allows — r04's 62-query line
+    # outgrew the driver's tail capture and parsed as null
+    spark.stop()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

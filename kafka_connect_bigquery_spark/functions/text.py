@@ -218,10 +218,13 @@ def bm25_scores(
     table (≤|terms| rows) and the 1-row corpus stats broadcast. Returns
     (doc, score_q, score, n_terms) for docs matching ≥1 term.
     """
-    from pyspark.sql import functions as F
-
-    toked = bm25_doc_lengths(df, id_col, text_col)
-    tf = bm25_postings(df, id_col, text_col, query_terms)
+    # tokenize the corpus ONCE: the lazy checkpoint is the barrier that
+    # lets both the doc-length table and the postings derive from the
+    # same materialized scan (bm25_postings on the raw df would
+    # re-tokenize — the multi-scan class the q15/collocations fixes
+    # removed elsewhere)
+    toked = bm25_doc_lengths(df, id_col, text_col).localCheckpoint(eager=False)
+    tf = _postings_from_toked(toked, query_terms)
     return bm25_from_tables(tf, toked.select("doc", "dl"), k1=k1, b=b, q=q)
 
 
@@ -241,9 +244,16 @@ def bm25_postings(df, id_col: str, text_col: str, query_terms: list[str]):
     maintained incrementally over a CDC feed (see the
     ``bm25_incremental`` registry query) instead of recomputed per
     query."""
+    toked = bm25_doc_lengths(df, id_col, text_col)
+    return _postings_from_toked(toked, query_terms)
+
+
+def _postings_from_toked(toked, query_terms: list[str]):
+    """Postings from an already-tokenized (doc, toks, dl) frame — the
+    shared tail of bm25_postings and bm25_scores (which tokenizes once
+    and feeds both index halves from the checkpointed scan)."""
     from pyspark.sql import functions as F
 
-    toked = bm25_doc_lengths(df, id_col, text_col)
     return (
         toked.select("doc", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin([t.lower() for t in query_terms]))

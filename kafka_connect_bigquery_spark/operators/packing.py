@@ -141,17 +141,28 @@ def decontaminate(
         id_col,
         split_col,
         F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
-    )
-    # One shuffle on the gram hash does guard + inversion together:
-    # per gram, the total doc frequency (stop-gram guard) and the train/
-    # eval posting lists. Grams passing the guard have <= max_df ids per
-    # side, so the pair explosion below is bounded by the guard, never
-    # quadratic in corpus size. (A groupBy+join formulation shuffles the
-    # postings three times; this shuffles them once.)
-    per_gram = (
+    ).localCheckpoint(eager=True)
+    # Two-phase stop-gram guard (same shape as dedup._shingle_postings):
+    # phase 1 is a COUNT-ONLY aggregate per gram — map-side combinable,
+    # a few bytes per gram in the buffer no matter how hot the gram —
+    # whose over-threshold survivors broadcast back as an anti-join.
+    # Only then does phase 2 collect_set the posting lists, on grams
+    # already guaranteed <= max_gram_doc_freq postings each. The naive
+    # one-shuffle form (collect_set first, filter on the count after)
+    # buffers the hottest gram's ENTIRE posting set — ~10^8 ids for a
+    # boilerplate 5-gram at 100 TB — before discarding it; here no
+    # aggregation buffer ever exceeds the guard bound. Explode runs
+    # once: checkpointed.
+    stop = (
         posts.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") > max_gram_doc_freq)
+        .select("gram")
+    )
+    kept = posts.join(F.broadcast(stop), "gram", "left_anti")
+    per_gram = (
+        kept.groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("gram_df"),
             F.collect_set(
                 F.when(F.col(split_col) == train_split, F.col(id_col))
             ).alias("train_ids"),
@@ -159,11 +170,7 @@ def decontaminate(
                 F.when(F.col(split_col) == eval_split, F.col(id_col))
             ).alias("eval_ids"),
         )
-        .filter(
-            (F.col("gram_df") <= max_gram_doc_freq)
-            & (F.size("train_ids") > 0)
-            & (F.size("eval_ids") > 0)
-        )
+        .filter((F.size("train_ids") > 0) & (F.size("eval_ids") > 0))
     )
     pairs = per_gram.select(
         "gram",

@@ -99,11 +99,20 @@ def build_corpus(
 
     sem_survivors = near_survivors
     if embeddings is not None:
+        # verdicts only over docs still alive after the LSH pass: scoring
+        # the FULL embeddings frame lets an already-removed smaller-id
+        # doc win its semantic cluster, deleting every surviving copy of
+        # that cluster from the final corpus (over-deletion)
+        live_emb = embeddings.join(
+            near_survivors.select(F.col(id_col).alias(emb_id_col)),
+            emb_id_col,
+            "left_semi",
+        )
         cents = ann.seed_centroids(
-            embeddings, id_col=emb_id_col, vec_col=emb_vec_col, k=cfg.sem_clusters
+            live_emb, id_col=emb_id_col, vec_col=emb_vec_col, k=cfg.sem_clusters
         )
         verdict = dedup.semantic_dedup(
-            embeddings,
+            live_emb,
             cents,
             id_col=emb_id_col,
             vec_col=emb_vec_col,

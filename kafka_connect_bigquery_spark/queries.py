@@ -2799,78 +2799,74 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # that budget a fixed number of correctness checks walk the registry in
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
-# greens at the tail. Round 4: the 22 TPC-H shapes + 13 dedup/ANN/sampling
-# entries were last witnessed in r02, before the LTZ read-boundary change —
-# they go first, followed by the 18 queries new or re-oracled this round
-# (53 total; a 50-query window witnesses all but the last few, which have
-# verify_local EXACT evidence at both scales and lead the r05 rotation).
-# r05 rotation plan (alternating-window discipline): lead the next
-# round's 50-slot window with the entries that have NO driver row yet —
-# the 23 added late in r04 (graph_triangles, dedup_semantic, text_bm25,
-# bm25_incremental, search_hybrid_rrf, ann_incremental,
-# warehouse_bloom_read, weighted_sample, events_gap_fill,
-# mixture_entropy, events_mad_outliers, events_rolling_7d,
-# events_salted_agg, orders_salted_join, integrity_audit,
-# events_asof_tolerance, events_ewma, session_paths, events_streaks,
-# pairs_contrastive, dedup_simhash_pairs*, customer_ltv_deciles*,
-# staged_load_roundtrip, routed_write_roundtrip; * = fell off the r04
-# window tail) — then backfill with the oldest-witnessed entries.
+# greens at the tail.
+# Round 5 window (50 slots): the 31 entries added late in r04 that have
+# NO driver row yet (judge-verified 31/31 EXACT via verify_local, now
+# getting their first driver witness), plus events_approx_stats — its
+# oracle is a tolerance contract rather than value equality, so it stays
+# in-window EVERY round (sketch drift can never hide) — plus an 18-entry
+# backfill of the oldest-witnessed (r03) entries, led by the MERGE
+# family because this round changed the warehouse manifest-schema commit
+# and read paths they exercise.
+# r06 rotation plan: lead with the remaining 31 r03-witnessed entries
+# (events_tumbling_window .. docs_length_histogram — the streaming
+# windows, multimodal, text-quality, and corpus-ops families), keep
+# events_approx_stats in-window, backfill with the oldest r04 rows
+# (TPC-H family, last witnessed r04).
 _PRIORITY_ORDER: list[str] = [
-    # TPC-H family (last driver row: r02)
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    # dedup / ANN / sampling entries last witnessed in r02
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "bq_shape_projection",
-    "dataset_split",
-    "stratified_sample",
-    "embedding_dim_stats",
-    # re-oracled / new this round
-    "events_approx_stats",
-    "dedup_incremental",
-    "warehouse_zonemap_read",
-    "rollup_incremental",
-    "table_profile",
-    "sketch_count_min",
-    "cobucketed_join",
-    "graph_pagerank",
-    "user_value_distribution",
-    "text_hashed_tf",
-    "text_sparse_cosine",
-    "events_moment_stats",
-    "embedding_gram",
-    "bpe_top_pairs",
-    "events_rollup_pyramid",
-    "customer_ltv_deciles",
+    # -- r05 head: first driver witness for the late-r04 entries ----
+    "warehouse_bloom_read",
+    "graph_triangles",
+    "dedup_semantic",
     "dedup_simhash_pairs",
+    "text_bm25",
+    "bm25_incremental",
+    "search_hybrid_rrf",
+    "ann_incremental",
+    "embedding_projection",
+    "text_collocations",
+    "weighted_sample",
+    "pairs_contrastive",
+    "mixture_entropy",
+    "docs_chi_square",
+    "events_welch_t",
+    "events_benford",
+    "events_mannwhitney",
+    "events_ks_test",
+    "events_gap_fill",
+    "events_asof_tolerance",
+    "events_ewma",
+    "session_paths",
+    "events_streaks",
+    "events_mad_outliers",
+    "events_rolling_7d",
+    "events_salted_agg",
+    "orders_salted_join",
+    "integrity_audit",
+    "customer_ltv_deciles",
+    "staged_load_roundtrip",
+    "routed_write_roundtrip",
+    # -- tolerance-contract entry: pinned in-window every round ------
+    "events_approx_stats",
+    # -- backfill: oldest driver rows (r03), MERGE family first ------
+    "merge_upsert",
+    "merge_upsert_delete",
+    "merge_delete_only",
+    "merge_upsert_bucketed",
+    "hourly_partition_rollup",
+    "last_event_per_user",
+    "logical_types_wire",
+    "sanitized_projection",
+    "user_value_ranks",
+    "events_set_ops",
+    "events_json_agg",
+    "top_orders_per_segment",
+    "events_pivot",
+    "events_cube",
+    "ann_ivf_topk",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
 ]
 
 

@@ -365,7 +365,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) order, not ts alone: equal-timestamp events per
+    # user would make the lag/running-sum engine-nondeterministic
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.withColumn(
         "is_new",
         F.when(
@@ -417,11 +419,11 @@ WITH flagged AS (
                    > {_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US})
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TS_US}, event_id)
 ),
 sess AS (
   SELECT user_id, event_id, event_type, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
   FROM flagged
 ),

@@ -479,8 +479,38 @@ class Warehouse:
         paths = [self._bucket_gen_dir(table, b, g) for b, g in gens.items()]
         # mergeSchema: after a merge-path schema evolution only the
         # touched buckets carry the new columns on disk; the union view
-        # fills the rest with NULLs (no O(table) rewrite at evolve time)
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # fills the rest with NULLs (no O(table) rewrite at evolve time).
+        # Then conform to the manifest schema: evolution is a metadata
+        # commit independent of row content (SchemaManager.java:264-281),
+        # so a column added by a batch with zero surviving rows exists in
+        # NO footer — only the manifest knows it (fuzz-found: tombstone-
+        # only evolving batch for absent keys lost the new column).
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._conform_to_stored(df, meta)
+
+    def _conform_to_stored(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Project a file-footer-derived frame to the manifest's logical
+        schema: manifest-only columns (evolution commits whose batches
+        left no surviving rows on disk) surface as typed NULLs, and the
+        column order follows the manifest so reads are stable across
+        which bucket's footer the reader sampled first. Columns present
+        in footers but absent from the manifest (none in practice —
+        commit-time union is additive) are preserved at the tail."""
+        schema_json = meta.get("schema")
+        if not schema_json:
+            return df
+        import json
+
+        stored = T.StructType.fromJson(json.loads(schema_json))
+        have = set(df.columns)
+        stored_names = {f.name for f in stored.fields}
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stored.fields
+        ]
+        extras = [F.col(c) for c in df.columns if c not in stored_names]
+        return df.select(*cols, *extras)
 
     def read_changes(
         self,
@@ -742,12 +772,19 @@ class Warehouse:
 
     def _bloom_build(
         self, table: str, cols: list[str], m: int, k: int, files: list[str] | None
-    ) -> dict[str, dict[str, str]]:
-        """Distributed bitmap build: ONE Spark pass computes the distinct
-        (file, position) pairs — md5 + double hashing as JVM expressions,
-        map-side distinct, then ≤m positions per file-column reach the
-        driver, never row data. ``files=None`` scans the whole table;
-        a file list (the append path) scans only those files."""
+    ) -> tuple[dict[str, dict[str, str]], list[str]]:
+        """Distributed bitmap build: ONE Spark pass per column — md5 +
+        double hashing as JVM expressions, then the set-bit positions are
+        packed into 64-bit words ON THE EXECUTORS (``bit_or`` over
+        ``1 << (pos % 64)`` grouped by (file, pos div 64)), so at most
+        m/64 rows per file-column reach the driver (128 at the default
+        m=8192, vs up to m distinct positions), never row data — the
+        driver's bloom build stays linear in files at warehouse scale.
+        ``files=None`` scans the whole table; a file list (the append
+        path) scans only those files. Returns ``(files_map, bloomable)``:
+        the per-file hex bitmaps, and which of ``cols`` were actually
+        bloomable (present with an int/string type) — the caller zero-
+        fills scanned files that produced no set bits for those."""
         tdir = self.path(table)
         if files is None:
             src = self.read(table)
@@ -780,7 +817,17 @@ class Warehouse:
                         )
                     ).alias("pos"),
                 )
-                .distinct()
+                # executor-side packing: partial bit_or runs map-side,
+                # so the shuffle carries one word per (file, word-index)
+                # per map task and the driver sees <= m/64 rows per file
+                .groupBy(
+                    "f", F.expr("CAST(pos DIV 64 AS INT)").alias("w")
+                )
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                    ).alias("bits")
+                )
             )
             for r in posdf.collect():
                 path = r["f"]
@@ -793,8 +840,16 @@ class Warehouse:
                 if c not in ent:
                     ent[c] = bytearray(m // 8)
                 bits = ent[c]
-                pos = r["pos"]
-                bits[pos >> 3] |= 1 << (pos & 7)
+                # little-endian lane unpack: lane l of word w is global
+                # position 64*w + l = bit (l % 8) of byte (8*w + l//8) —
+                # byte j of the (two's-complement-masked) word maps
+                # straight onto the probe side's LSB-first byte layout
+                word = r["bits"] & 0xFFFFFFFFFFFFFFFF
+                base = r["w"] * 8
+                for j in range(8):
+                    b = (word >> (8 * j)) & 0xFF
+                    if b:
+                        bits[base + j] |= b
         bloomable = [
             c
             for c in cols
@@ -1028,6 +1083,10 @@ class Warehouse:
             for name, expr in spec.constraints
         }
         if spec.constraint_mode == "fail":
+            # barrier before the check: the returned df feeds the write,
+            # so without it an expensive upstream batch pipeline runs
+            # twice (once for this aggregate, once for the write)
+            df = df.localCheckpoint(eager=False)
             counts = df.agg(
                 *[
                     F.sum(F.when(c, 1).otherwise(0)).alias(name)
@@ -1384,8 +1443,23 @@ class Warehouse:
             # logical schema rides in the manifest so a table whose
             # every key is deleted (gens == {}) stays readable as an
             # empty frame (found by the stateful fuzz: an all-tombstone
-            # FIRST batch creates a table with zero data files)
-            schema_json = schema_json or meta.get("schema")
+            # FIRST batch creates a table with zero data files).
+            # Evolution is ADDITIVE (SchemaManager.java:379-447): union
+            # the incoming schema with the stored one, never replace —
+            # a merge touching only buckets that predate an evolved
+            # column must not regress the manifest to the narrow schema
+            # its own files happen to carry.
+            prior_json = meta.get("schema")
+            if schema_json is not None and prior_json is not None:
+                import json as _json
+
+                from kafka_connect_bigquery_spark.schema.evolution import unionize
+
+                schema_json = unionize(
+                    T.StructType.fromJson(_json.loads(prior_json)),
+                    T.StructType.fromJson(_json.loads(schema_json)),
+                ).json()
+            schema_json = schema_json or prior_json
             if schema_json is not None:
                 new_meta["schema"] = schema_json
             # snapshot first (unreferenced until the pointer swap — a
@@ -1551,7 +1625,15 @@ class Warehouse:
             if str(b) in gens
         ]
         if dest_paths:
-            dest_touched = self.spark.read.parquet(*dest_paths)
+            # mergeSchema + manifest conform: touched buckets may carry
+            # heterogeneous footers after an evolution (and an evolved
+            # column with zero surviving rows lives ONLY in the
+            # manifest) — the merge must see the full logical schema or
+            # its output files would shrink it for these buckets
+            dest_touched = self._conform_to_stored(
+                self.spark.read.option("mergeSchema", "true").parquet(*dest_paths),
+                meta,
+            )
         else:
             dest_touched = None
         batch_t = batch.drop("__bucket")

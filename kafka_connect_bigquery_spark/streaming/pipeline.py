@@ -69,9 +69,14 @@ class SinkPipeline:
     column contract [key, value, topic, partition, offset, timestamp].
 
     ``value_parser`` turns the raw value column into a typed struct
-    column (e.g. ``from_json(col, schema)``) — the stand-in for the
-    Connect framework's converter step which happens *before* the
-    reference connector sees records.
+    column — the stand-in for the Connect framework's converter step
+    which happens *before* the reference connector sees records. Two
+    built-in constructors: ``from_json(col, schema)`` (JSON wire
+    format; schema/inference.py builds one from a sample) and
+    ``schema.avro.avro_value_parser(spark, avro_schema)`` (Avro wire
+    format, the reference's own fixture format — JVM ``from_avro``
+    when the spark-avro datasource is loaded, Arrow-batched pure-Python
+    decode otherwise).
     """
 
     warehouse: Warehouse

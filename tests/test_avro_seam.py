@@ -1,0 +1,337 @@
+"""Avro decode seam: golden-fixture tests against the reference's own
+integration test cases (kcbq-connector/src/test/resources/
+integration_test_cases/{primitives,logical-types,matryoshka-dolls,
+nulls}/ — the Avro payloads BigQuerySinkConnectorIT.java:75-159 pushes
+through Schema Registry).
+
+The fixtures are encoded to Avro BINARY here with a small test-side
+encoder written straight from the public spec (zigzag varints,
+little-endian floats, length-prefixed bytes, union-by-index) — an
+independent inverse of the production decoder, so a sign/offset bug in
+either side fails the round-trip. The production path under test is
+``avro_value_parser`` in python (Arrow-batched pandas_udf) mode; jvm
+(``from_avro``) mode runs too when the spark-avro datasource is on the
+session (skip otherwise — the pip wheel doesn't bundle it)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_spark.schema.avro import (
+    AvroSchemaError,
+    avro_to_spark,
+    avro_value_parser,
+    jvm_avro_available,
+    make_decoder,
+    strip_confluent_frame,
+)
+
+FIXTURES = os.path.join(
+    os.sep, "root", "reference", "kcbq-connector", "src", "test",
+    "resources", "integration_test_cases",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures not present"
+)
+
+
+# -- minimal spec-faithful encoder (test-side inverse of the decoder) --
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(schema, value, buf: io.BytesIO, ns=None, named=None) -> None:
+    named = named if named is not None else {}
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        named[schema["name"]] = schema
+        rec_ns = schema.get("namespace", ns)
+        for f in schema["fields"]:
+            _encode(f["type"], value[f["name"]], buf, rec_ns, named)
+        return
+    if isinstance(schema, str):
+        bare = schema.rsplit(".", 1)[-1]
+        if bare in named:
+            _encode(named[bare], value, buf, ns, named)
+            return
+        t = schema
+    elif isinstance(schema, list):  # union: index then branch
+        # Avro JSON-encoding wraps non-null union values as
+        # {"branch_type": v} (the nulls fixture's {"int": 42})
+        if isinstance(value, dict) and len(value) == 1 and next(iter(value)) in schema:
+            value = next(iter(value.values()))
+        idx = 0 if value is None and "null" in schema else (
+            1 if schema[0] == "null" else 0
+        )
+        buf.write(_zigzag(idx))
+        if schema[idx] != "null":
+            _encode(schema[idx], value, buf, ns, named)
+        return
+    else:
+        t = schema["type"]
+        if t == "array":
+            if value:
+                buf.write(_zigzag(len(value)))
+                for v in value:
+                    _encode(schema["items"], v, buf, ns, named)
+            buf.write(_zigzag(0))
+            return
+        if t == "map":
+            if value:
+                buf.write(_zigzag(len(value)))
+                for k, v in value.items():
+                    kb = k.encode()
+                    buf.write(_zigzag(len(kb)) + kb)
+                    _encode(schema["values"], v, buf, ns, named)
+            buf.write(_zigzag(0))
+            return
+        if t == "enum":
+            buf.write(_zigzag(schema["symbols"].index(value)))
+            return
+    if t in ("int", "long"):
+        buf.write(_zigzag(int(value)))
+    elif t == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif t == "float":
+        buf.write(struct.pack("<f", value))
+    elif t == "double":
+        buf.write(struct.pack("<d", value))
+    elif t == "string":
+        vb = value.encode("utf-8")
+        buf.write(_zigzag(len(vb)) + vb)
+    elif t == "bytes":
+        vb = value if isinstance(value, bytes) else value.encode("latin-1")
+        buf.write(_zigzag(len(vb)) + vb)
+    elif isinstance(schema, dict):  # logical wrapper like {"type":"long",...}
+        _encode(t, value, buf, ns, named)
+    else:
+        raise AssertionError(f"test encoder: unhandled {schema!r}")
+
+
+def _fixture(case: str):
+    with open(os.path.join(FIXTURES, case, "schema.json")) as f:
+        schema = json.load(f)
+    rows = []
+    with open(os.path.join(FIXTURES, case, "data.json")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return schema, rows
+
+
+def _plain(schema, row):
+    """Strip Avro JSON-encoding union wrappers ({"int": 42} -> 42) so
+    fixture rows compare against decoded/typed output."""
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        return {
+            f["name"]: _plain(f["type"], row[f["name"]]) for f in schema["fields"]
+        }
+    if isinstance(schema, list):
+        if isinstance(row, dict) and len(row) == 1 and next(iter(row)) in schema:
+            row = next(iter(row.values()))
+        return row
+    if isinstance(schema, dict) and schema.get("type") == "array":
+        return [_plain(schema["items"], v) for v in row]
+    return row
+
+
+def _encoded(schema, rows):
+    out = []
+    for r in rows:
+        buf = io.BytesIO()
+        _encode(schema, r, buf)
+        out.append(buf.getvalue())
+    return out
+
+
+def _assert_tree_equal(got, want):
+    """Recursive equality with float32 tolerance and bytes-vs-latin1
+    string handling (the fixtures carry bytes as codepoint strings)."""
+    if isinstance(want, dict):
+        assert isinstance(got, dict) and set(got) == set(want)
+        for k in want:
+            _assert_tree_equal(got[k], want[k])
+    elif isinstance(want, list):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            _assert_tree_equal(g, w)
+    elif isinstance(want, float):
+        assert got == pytest.approx(want, rel=1e-6)
+    elif isinstance(got, (bytes, bytearray)):
+        assert bytes(got) == want.encode("latin-1")
+    else:
+        assert got == want
+
+
+def test_schema_translation_all_fixtures():
+    prim = avro_to_spark(_fixture("primitives")[0])
+    by = {f.name: f for f in prim.fields}
+    assert isinstance(by["long_prim"].dataType, T.LongType)
+    assert isinstance(by["float_prim"].dataType, T.FloatType)
+    assert isinstance(by["bytes_prim"].dataType, T.BinaryType)
+    assert by["null_prim"].nullable and not by["row"].nullable
+
+    logi = avro_to_spark(_fixture("logical-types")[0])
+    by = {f.name: f for f in logi.fields}
+    assert isinstance(by["timestamp_test"].dataType, T.TimestampType)
+    assert isinstance(by["date_test"].dataType, T.DateType)
+
+    dolls = avro_to_spark(_fixture("matryoshka-dolls")[0])
+    by = {f.name: f for f in dolls.fields}
+    assert isinstance(by["middle"].dataType, T.StructType)
+    inner_ref = by["inner"].dataType  # resolved named-type REFERENCE
+    assert isinstance(inner_ref, T.StructType)
+    assert [f.name for f in inner_ref.fields] == ["inner_int", "inner_string"]
+
+
+def test_multi_branch_union_rejected():
+    with pytest.raises(AvroSchemaError, match="null-unions"):
+        avro_to_spark(
+            {"type": "record", "name": "r", "fields": [
+                {"name": "u", "type": ["int", "string"]}]}
+        )
+
+
+def test_pure_decoder_primitives_roundtrip():
+    schema, rows = _fixture("primitives")
+    decode = make_decoder(schema)
+    for raw, want in zip(_encoded(schema, rows), rows):
+        got = decode(raw)
+        for k, v in want.items():
+            if k == "bytes_prim":
+                assert got[k] == v.encode("latin-1")
+            elif k == "float_prim":
+                assert got[k] == pytest.approx(v, rel=1e-6)
+            else:
+                assert got[k] == v
+
+
+@pytest.mark.parametrize("case", ["primitives", "nulls", "matryoshka-dolls"])
+def test_python_path_decodes_fixture(spark, case):
+    schema, rows = _fixture(case)
+    payloads = _encoded(schema, rows)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i: int, value: binary"
+    )
+    parser = avro_value_parser(spark, json.dumps(schema), mode="python")
+    out = (
+        df.select("i", parser(F.col("value")).alias("v"))
+        .orderBy("i")
+        .select("v.*")
+        .collect()
+    )
+    assert len(out) == len(rows)
+    for got, want in zip(out, rows):
+        _assert_tree_equal(got.asDict(recursive=True), _plain(schema, want))
+
+
+def test_python_path_logical_types_match_reference_expectation(spark):
+    """logical-types/data.json rows land as real TIMESTAMP/DATE values —
+    the same instants the reference's BigQuery rows show
+    (BigQuerySinkConnectorIT: 1468275102000 ms = 2016-07-11T22:11:42Z,
+    16993 d = 2016-07-11)."""
+    schema, rows = _fixture("logical-types")
+    payloads = _encoded(schema, rows)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i: int, value: binary"
+    )
+    parser = avro_value_parser(spark, json.dumps(schema), mode="python")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = (
+            df.select("i", parser(F.col("value")).alias("v"))
+            .orderBy("i").select("v.*").collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+    last = out[-1]
+    assert last["timestamp_test"].replace(tzinfo=dt.timezone.utc) == dt.datetime(
+        2016, 7, 11, 22, 11, 42, tzinfo=dt.timezone.utc
+    )
+    assert last["date_test"] == dt.date(2016, 7, 11)
+    assert out[0]["date_test"] == dt.date(1970, 1, 1)
+
+
+def test_tombstone_and_confluent_frame(spark):
+    schema, rows = _fixture("nulls")
+    payloads = _encoded(schema, rows)
+    framed = [b"\x00\x00\x00\x00\x2a" + p for p in payloads]
+    df = spark.createDataFrame(
+        [(0, None)] + [(i + 1, bytearray(p)) for i, p in enumerate(framed)],
+        "i: int, value: binary",
+    )
+    parser = avro_value_parser(
+        spark, json.dumps(schema), mode="python", confluent_framed=True
+    )
+    out = df.select("i", parser(F.col("value")).alias("v")).orderBy("i").collect()
+    assert out[0]["v"] is None  # tombstone -> NULL struct, like from_json
+    assert out[1]["v"]["f1"] == rows[0]["f1"]
+    # frame stripper is a plain Column fn too
+    stripped = df.filter("value is not null").select(
+        strip_confluent_frame(F.col("value")).alias("b")
+    ).first()
+    assert bytes(stripped["b"]) == payloads[0]
+
+
+def test_python_path_agrees_with_from_json_path(spark):
+    """The Avro seam and the from_json seam produce identical typed rows
+    for the same logical records (P9 parity: Connect deserializes either
+    wire format into the same SinkRecord)."""
+    schema, rows = _fixture("nulls")
+    payloads = _encoded(schema, rows)
+    avro_df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i: int, value: binary"
+    )
+    parser = avro_value_parser(spark, json.dumps(schema), mode="python")
+    via_avro = (
+        avro_df.select("i", parser(F.col("value")).alias("v"))
+        .orderBy("i").select("v.*")
+    )
+    json_df = spark.createDataFrame(
+        [(i, json.dumps(_plain(schema, r))) for i, r in enumerate(rows)],
+        "i: int, value: string",
+    )
+    via_json = (
+        json_df.select(
+            "i", F.from_json(F.col("value"), avro_to_spark(schema)).alias("v")
+        )
+        .orderBy("i").select("v.*")
+    )
+    # same field names/types; nullability differs (the python seam's
+    # Arrow path needs nullable top-level fields)
+    assert via_avro.schema.simpleString() == via_json.schema.simpleString()
+    assert [r.asDict() for r in via_avro.collect()] == [
+        r.asDict() for r in via_json.collect()
+    ]
+
+
+def test_jvm_path_if_available(spark):
+    if not jvm_avro_available(spark):
+        pytest.skip("spark-avro datasource not loaded in this environment")
+    schema, rows = _fixture("primitives")
+    payloads = _encoded(schema, rows)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i: int, value: binary"
+    )
+    parser = avro_value_parser(spark, json.dumps(schema), mode="jvm")
+    out = df.select(parser(F.col("value")).alias("v")).select("v.*").collect()
+    assert [r["row"] for r in out] == [r["row"] for r in rows]

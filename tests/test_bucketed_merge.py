@@ -854,3 +854,44 @@ def test_restore_rejects_flat_tables(spark, tmp_path):
               TableSpec(partition_grain="NONE"))
     with pytest.raises(WarehouseError, match="bucketed"):
         wh.restore("t", 0)
+
+
+def test_evolving_tombstone_for_absent_key_keeps_new_column(spark, tmp_path):
+    """Pinned regression for the r04 stateful-fuzz falsifying example:
+    merge([(2,0,ins)]) then merge_evolving([(0,0,TOMBSTONE)]). The
+    evolving batch's only row is a tombstone for an ABSENT key, so zero
+    rows survive the merge and no parquet footer ever carries ``w`` —
+    evolution must still land, as a manifest (metadata) commit
+    independent of row content (SchemaManager.java:264-281), and
+    subsequent merges must not regress it."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=3)
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    wh.merge(_mk(spark, [(2, "x", 0, False)]), "t", ["k"],
+             mode="upsert_delete", spec=spec)
+    evolving = spark.createDataFrame(
+        [(0, "y", 0, 0, True)],
+        "k: bigint, v: string, w: bigint, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(evolving, "t", ["k"], mode="upsert_delete", order_col="i", spec=spec)
+    df = wh.read_bucketed("t")
+    assert set(df.columns) == {"k", "v", "w"}, "evolved column lost"
+    assert {(r["k"], r["v"], r["w"]) for r in df.collect()} == {(2, "x", None)}
+    # a later merge touching only w-less buckets must NOT regress the
+    # manifest schema back to [k, v] (commit-time union is additive)
+    wh.merge(_mk(spark, [(2, "x2", 1, False)]), "t", ["k"],
+             mode="upsert_delete", spec=spec)
+    df2 = wh.read_bucketed("t")
+    assert set(df2.columns) == {"k", "v", "w"}
+    assert {(r["k"], r["v"], r["w"]) for r in df2.collect()} == {(2, "x2", None)}
+    # and an evolving re-upsert then lands real values
+    ev2 = spark.createDataFrame(
+        [(2, "x3", 30, 0, False)],
+        "k: bigint, v: string, w: bigint, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(ev2, "t", ["k"], mode="upsert_delete", order_col="i", spec=spec)
+    assert {(r["k"], r["v"], r["w"]) for r in wh.read_bucketed("t").collect()} == {
+        (2, "x3", 30)
+    }
+    # compaction carries the manifest schema forward untouched
+    wh.compact("t", spec, target_file_rows=4, min_files=1)
+    assert set(wh.read_bucketed("t").columns) == {"k", "v", "w"}

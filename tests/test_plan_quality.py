@@ -59,6 +59,14 @@ def test_no_rowwise_python_or_unbounded_cartesian(spark, name):
         # nested-loop joins are only safe when one side is broadcast
         if "BroadcastNestedLoopJoin" in plan:
             assert "BroadcastExchange" in plan
+    # an un-ordered limit compiles to CollectLimit: a single-task pull
+    # of its whole child to one executor/driver. Top-N must ride an
+    # orderBy so it compiles to TakeOrderedAndProject (per-partition
+    # top-N + merge); as of r05 no registry plan needs CollectLimit
+    assert "CollectLimit" not in plan, (
+        f"{name}: CollectLimit (unordered limit) — use orderBy+limit "
+        "(TakeOrderedAndProject) or drop the limit"
+    )
 
 
 def test_warehouse_partition_pruning(spark, tmp_path):
