@@ -335,3 +335,45 @@ def test_jvm_path_if_available(spark):
     parser = avro_value_parser(spark, json.dumps(schema), mode="jvm")
     out = df.select(parser(F.col("value")).alias("v")).select("v.*").collect()
     assert [r["row"] for r in out] == [r["row"] for r in rows]
+
+
+def test_avro_values_through_sink_pipeline(spark, tmp_path):
+    """End-to-end S2+P9: Kafka-shaped batches whose values are raw Avro
+    binary flow through SinkPipeline.convert -> write_batch with
+    ``avro_value_parser`` as the converter seam, landing the same
+    warehouse rows the JSON wire format produces — including the F1
+    tombstone filter on NULL values."""
+    from kafka_connect_bigquery_spark.config import SinkConfig
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+    from kafka_connect_bigquery_spark.streaming.pipeline import SinkPipeline
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "row", "type": "int"},
+            {"name": "name", "type": ["null", "string"]},
+        ],
+    }
+    payloads = _encoded(schema, [
+        {"row": 1, "name": {"string": "a"}},
+        {"row": 2, "name": None},
+    ])
+    batch = spark.createDataFrame(
+        [
+            (bytearray(b"k1"), bytearray(payloads[0]), "topic_a", 0, 0, None),
+            (bytearray(b"k2"), bytearray(payloads[1]), "topic_a", 0, 1, None),
+            (bytearray(b"k3"), None, "topic_a", 0, 2, None),  # tombstone
+        ],
+        "key: binary, value: binary, topic: string, partition: int, "
+        "offset: long, timestamp: timestamp",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=SinkConfig(topics=["topic_a"], time_partitioning_type="NONE"),
+        value_parser=avro_value_parser(spark, json.dumps(schema), mode="python"),
+    )
+    pipe.write_batch(batch, 0)
+    got = wh.read("topic_a").orderBy("row").collect()
+    assert [(r["row"], r["name"]) for r in got] == [(1, "a"), (2, None)]
