@@ -287,12 +287,34 @@ class SinkPipeline:
         for table, sub in split_by_table(flat).items():
             sub.write.mode("append").json(os.path.join(staging_dir, table, f"batch_{batch_id}"))
 
-    def load_staged(self, staging_dir: str) -> list[str]:
-        """S6 loader tick: list staging, load every table's pending
-        batches into the warehouse, then delete the staged files
-        (GCSToBQLoadRunnable.java:101-139,190-211,266-307). File-count/
-        size grouping limits are unnecessary for parquet appends but the
-        per-table grouping shape is preserved."""
+    def load_staged(
+        self,
+        staging_dir: str,
+        *,
+        max_files_per_job: int = 10_000,
+        max_bytes_per_job: int = 15 * 10**12,
+    ) -> list[str]:
+        """S6 loader tick: list staging, load each table's pending
+        batches into the warehouse, then delete the loaded files
+        (GCSToBQLoadRunnable.java:101-139,190-211,266-307).
+
+        Operational parity with the reference's job grouping
+        (:71-73,101-139): ONE load job per table per tick, claiming
+        staged batches in order only while the job stays under
+        ``max_files_per_job`` data files and ``max_bytes_per_job``
+        total bytes (BigQuery's hard load-job quotas; parquet appends
+        have no such quota, but honoring the caps keeps per-tick work
+        bounded and crash-replayable the same way). Over-cap batches
+        stay staged and load on subsequent ticks — exactly the
+        reference's leftover-blob behavior. The claim unit here is a
+        whole batch directory (the reference claims individual blobs);
+        a single batch larger than both caps still loads alone, since
+        a job must always make progress. Files delete only AFTER the
+        table's append succeeds, so a crash mid-tick leaves unloaded
+        batches staged for replay (T10 semantics on the batch path).
+
+        Returns the tables that had a job fire this tick.
+        """
         import shutil
 
         loaded = []
@@ -301,15 +323,40 @@ class SinkPipeline:
         for table in sorted(os.listdir(staging_dir)):
             tdir = os.path.join(staging_dir, table)
             batches = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
-            if not batches:
+            claimed: list[str] = []
+            n_files = 0
+            n_bytes = 0
+            for b in batches:
+                bdir = os.path.join(tdir, b)
+                files = [
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(bdir)
+                    for f in fs
+                    if not f.startswith((".", "_"))
+                ]
+                size = sum(os.path.getsize(p) for p in files)
+                over = (
+                    n_files + len(files) > max_files_per_job
+                    or n_bytes + size > max_bytes_per_job
+                )
+                if over and claimed:
+                    break  # leftovers wait for the next tick
+                claimed.append(b)
+                n_files += len(files)
+                n_bytes += size
+                if over:
+                    break  # single oversized batch: load alone
+            if not claimed:
                 continue
-            df = self.warehouse.spark.read.json([os.path.join(tdir, b) for b in batches])
+            df = self.warehouse.spark.read.json(
+                [os.path.join(tdir, b) for b in claimed]
+            )
             self._retried(
                 lambda df=df, table=table: self.warehouse.append(
                     df, table, self._spec_for(table)
                 )
             )
-            for b in batches:
+            for b in claimed:
                 shutil.rmtree(os.path.join(tdir, b))
             loaded.append(table)
         return loaded

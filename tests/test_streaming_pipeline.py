@@ -492,3 +492,60 @@ def test_streaming_quarantine_constraints_do_not_stall_stream(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="row_nonneg"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_load_staged_groups_jobs_under_caps(spark, tmp_path):
+    """GCSToBQLoadRunnable parity (:71-73,101-139): one load job per
+    table per tick, claiming staged batches in order only while under
+    the file/byte caps; leftovers stay staged for the next tick, and a
+    single over-cap batch still loads alone (progress guarantee)."""
+    staging = str(tmp_path / "staging")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t"],
+        enable_batch_load_topics=["t"],
+        gcs_staging_dir=staging,
+        time_partitioning_type="NONE",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    for bid in range(3):
+        batch = spark.createDataFrame(
+            [
+                (
+                    bytearray(b"k"),
+                    bytearray(
+                        ('{"row": %d, "name": "b%d"}' % (bid, bid)).encode()
+                    ),
+                    "t", 0, bid, None,
+                )
+            ],
+            "key: binary, value: binary, topic: string, partition: int, "
+            "offset: long, timestamp: timestamp",
+        )
+        pipe.stage_batch(batch, bid, staging)
+    # cap of 1 file per job: three ticks drain one batch each, in order
+    assert pipe.load_staged(staging, max_files_per_job=1) == ["t"]
+    assert sorted(r.row for r in wh.read("t").collect()) == [0]
+    assert pipe.load_staged(staging, max_files_per_job=1) == ["t"]
+    assert pipe.load_staged(staging, max_files_per_job=1) == ["t"]
+    assert sorted(r.row for r in wh.read("t").collect()) == [0, 1, 2]
+    assert pipe.load_staged(staging, max_files_per_job=1) == []
+    # byte cap below a single batch: the oversized batch loads ALONE
+    pipe.stage_batch(
+        spark.createDataFrame(
+            [
+                (bytearray(b"k"), bytearray(b'{"row": 9, "name": "big"}'),
+                 "t", 0, 9, None)
+            ],
+            "key: binary, value: binary, topic: string, partition: int, "
+            "offset: long, timestamp: timestamp",
+        ),
+        9,
+        staging,
+    )
+    assert pipe.load_staged(staging, max_bytes_per_job=1) == ["t"]
+    assert sorted(r.row for r in wh.read("t").collect()) == [0, 1, 2, 9]
