@@ -37,9 +37,14 @@ class WarehouseMachine(RuleBasedStateMachine):
         self.tmp = tempfile.mkdtemp(prefix="wh_fuzz_")
         self.wh = Warehouse(self.spark, self.tmp, snapshot_retention=3)
         self.model: dict[int, int] = {}
-        # evolved-column model: k -> w (None = row written without w)
+        # evolved-column models: k -> w / x (None = row written without
+        # that column). TWO independently-evolving columns exercise the
+        # additive manifest union + read conform across commits that
+        # each carry only a subset of the evolved schema.
         self.extra: dict[int, int | None] = {}
+        self.extra2: dict[int, int | None] = {}
         self.evolved = False
+        self.evolved2 = False
         # version -> model snapshot at that commit (time-travel oracle);
         # compaction also commits a version, with the same logical state
         self.history: dict[int, dict[int, int]] = {}
@@ -50,29 +55,35 @@ class WarehouseMachine(RuleBasedStateMachine):
 
     def _committed(self):
         gen = int(self.wh.layout_meta("t")["generation"])
-        # history keys map to (v, w): the CDC diff must see a row as
-        # changed when ONLY the evolved column moved (e.g. same v
+        # history keys map to (v, w, x): the CDC diff must see a row as
+        # changed when ONLY an evolved column moved (e.g. same v
         # re-upserted by an evolving batch flips w NULL -> v*10)
         self.history[gen] = {
-            k: (v, self.extra.get(k)) for k, v in self.model.items()
+            k: (v, self.extra.get(k), self.extra2.get(k))
+            for k, v in self.model.items()
         }
         import time as _time
 
         self.commit_ts[gen] = _time.time()
         self.created = True
 
-    def _apply_merge(self, batch, with_extra):
+    def _apply_merge(self, batch, with_extra, with_extra2=False):
+        cols = ["k: bigint", "v: bigint"]
         if with_extra:
-            rows = [
-                (k, v, v * 10, i, t) for i, (k, v, t) in enumerate(batch)
-            ]
-            schema = (
-                "k: bigint, v: bigint, w: bigint, i: bigint, __tombstone: boolean"
-            )
-        else:
-            rows = [(k, v, i, t) for i, (k, v, t) in enumerate(batch)]
-            schema = "k: bigint, v: bigint, i: bigint, __tombstone: boolean"
-        df = self.spark.createDataFrame(rows, schema)
+            cols.append("w: bigint")
+        if with_extra2:
+            cols.append("x: bigint")
+        cols += ["i: bigint", "__tombstone: boolean"]
+        rows = []
+        for i, (k, v, t) in enumerate(batch):
+            r = [k, v]
+            if with_extra:
+                r.append(v * 10)
+            if with_extra2:
+                r.append(v * 100)
+            r += [i, t]
+            rows.append(tuple(r))
+        df = self.spark.createDataFrame(rows, ", ".join(cols))
         self.wh.merge(df, "t", ["k"], mode="upsert_delete", order_col="i", spec=SPEC)
         newest = {}
         for k, v, t in batch:
@@ -82,14 +93,18 @@ class WarehouseMachine(RuleBasedStateMachine):
                 self.model.pop(k, None)
             else:
                 self.model[k] = v
-                # model tracks the evolved column too: NULL for rows
-                # written before evolution, v*10 after
+                # models track the evolved columns too: NULL for rows
+                # written by batches not carrying that column
                 self.extra[k] = v * 10 if with_extra else None
-        for k in list(self.extra):
-            if k not in self.model:
-                self.extra.pop(k)
+                self.extra2[k] = v * 100 if with_extra2 else None
+        for d in (self.extra, self.extra2):
+            for k in list(d):
+                if k not in self.model:
+                    d.pop(k)
         if with_extra:
             self.evolved = True
+        if with_extra2:
+            self.evolved2 = True
         self._committed()
 
     @rule(batch=_batch)
@@ -101,6 +116,14 @@ class WarehouseMachine(RuleBasedStateMachine):
         """A batch carrying a new column w — merge-path schema
         evolution interleaved with everything else."""
         self._apply_merge(batch, with_extra=True)
+
+    @rule(batch=_batch)
+    def merge_evolving_second(self, batch):
+        """A batch carrying a DIFFERENT new column x (and not w):
+        interleaved multi-column evolution — each commit carries only a
+        subset of the evolved schema, so the manifest union + read
+        conform must reassemble [k, v, w?, x?] across commits."""
+        self._apply_merge(batch, with_extra=False, with_extra2=True)
 
     @precondition(lambda self: self.created)
     @rule()
@@ -128,6 +151,7 @@ class WarehouseMachine(RuleBasedStateMachine):
         snap = self.history[v]
         self.model = {k: vw[0] for k, vw in snap.items()}
         self.extra = {k: vw[1] for k, vw in snap.items()}
+        self.extra2 = {k: vw[2] for k, vw in snap.items()}
         self._committed()
 
     @invariant()
@@ -137,10 +161,14 @@ class WarehouseMachine(RuleBasedStateMachine):
         df = self.wh.read_bucketed("t")
         got = {r["k"]: r["v"] for r in df.select("k", "v").collect()}
         assert got == self.model
-        if self.evolved:
-            assert "w" in df.columns, "evolved column lost"
-            got_w = {r["k"]: r["w"] for r in df.select("k", "w").collect()}
-            assert got_w == self.extra, "evolved column values diverged"
+        for flag, col, want in (
+            (self.evolved, "w", self.extra),
+            (self.evolved2, "x", self.extra2),
+        ):
+            if flag:
+                assert col in df.columns, f"evolved column {col} lost"
+                got_c = {r["k"]: r[col] for r in df.select("k", col).collect()}
+                assert got_c == want, f"evolved column {col} values diverged"
 
     @precondition(lambda self: self.created)
     @rule()
