@@ -1729,7 +1729,13 @@ class Warehouse:
             ]
             if not paths:  # every key deleted — nothing to compact
                 return 0
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # conform so the compacted files CARRY manifest-only evolved
+            # columns (self-healing: after compaction the footers and
+            # the logical schema agree again)
+            df = self._conform_to_stored(
+                self.spark.read.option("mergeSchema", "true").parquet(*paths),
+                meta,
+            )
         else:
             df = self.read(table)
         n_rows = df.count()
