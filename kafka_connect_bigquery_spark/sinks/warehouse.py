@@ -795,66 +795,81 @@ class Warehouse:
                 .parquet(*files)
             )
         fields = {f.name: f.dataType for f in src.schema.fields}
-        out: dict[str, dict[str, str]] = {}
-        for c in cols:
-            if c not in fields or not isinstance(fields[c], self._BLOOMABLE):
-                continue
-            posdf = (
-                src.select(F.input_file_name().alias("f"), F.col(c).alias("v"))
-                .filter(F.col("v").isNotNull())
-                .withColumn("h", F.md5(F.col("v").cast("string")))
-                .select(
-                    "f",
-                    F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
-                    F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
-                )
-                .select(
-                    "f",
-                    F.explode(
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(k - 1)),
-                            lambda i: (F.col("h1") + i * F.col("h2")) % m,
-                        )
-                    ).alias("pos"),
-                )
-                # executor-side packing: partial bit_or runs map-side,
-                # so the shuffle carries one word per (file, word-index)
-                # per map task and the driver sees <= m/64 rows per file
-                .groupBy(
-                    "f", F.expr("CAST(pos DIV 64 AS INT)").alias("w")
-                )
-                .agg(
-                    F.bit_or(
-                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-                    ).alias("bits")
-                )
-            )
-            for r in posdf.collect():
-                path = r["f"]
-                for pre in ("file://", "file:"):
-                    if path.startswith(pre):
-                        path = path[len(pre):]
-                        break
-                rel = os.path.relpath(path, tdir)
-                ent = out.setdefault(rel, {})
-                if c not in ent:
-                    ent[c] = bytearray(m // 8)
-                bits = ent[c]
-                # little-endian lane unpack: lane l of word w is global
-                # position 64*w + l = bit (l % 8) of byte (8*w + l//8) —
-                # byte j of the (two's-complement-masked) word maps
-                # straight onto the probe side's LSB-first byte layout
-                word = r["bits"] & 0xFFFFFFFFFFFFFFFF
-                base = r["w"] * 8
-                for j in range(8):
-                    b = (word >> (8 * j)) & 0xFF
-                    if b:
-                        bits[base + j] |= b
         bloomable = [
             c
             for c in cols
             if c in fields and isinstance(fields[c], self._BLOOMABLE)
         ]
+        out: dict[str, dict[str, str]] = {}
+        if not bloomable:
+            return out, bloomable
+        # one job for ALL columns: each row contributes one (column,
+        # stringified value) entry per bloomable column via an exploded
+        # struct array, so the data files are scanned once however many
+        # columns are bloomed (a per-column loop re-reads the table
+        # N times). The md5-of-CAST(value AS STRING) expression must
+        # mirror _bloom_probe_positions exactly.
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"), F.col(c).cast("string").alias("s")
+                )
+                for c in bloomable
+            ]
+        )
+        posdf = (
+            src.select(F.input_file_name().alias("f"), F.explode(entries).alias("e"))
+            .filter(F.col("e.s").isNotNull())
+            .select("f", F.col("e.c").alias("c"), F.md5(F.col("e.s")).alias("h"))
+            .select(
+                "f",
+                "c",
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
+            )
+            .select(
+                "f",
+                "c",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda i: (F.col("h1") + i * F.col("h2")) % m,
+                    )
+                ).alias("pos"),
+            )
+            # executor-side packing: partial bit_or runs map-side, so
+            # the shuffle carries one word per (file, column,
+            # word-index) per map task and the driver sees <= m/64 rows
+            # per file-column
+            .groupBy("f", "c", F.expr("CAST(pos DIV 64 AS INT)").alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                ).alias("bits")
+            )
+        )
+        for r in posdf.collect():
+            path = r["f"]
+            for pre in ("file://", "file:"):
+                if path.startswith(pre):
+                    path = path[len(pre):]
+                    break
+            rel = os.path.relpath(path, tdir)
+            ent = out.setdefault(rel, {})
+            c = r["c"]
+            if c not in ent:
+                ent[c] = bytearray(m // 8)
+            bits = ent[c]
+            # little-endian lane unpack: lane l of word w is global
+            # position 64*w + l = bit (l % 8) of byte (8*w + l//8) —
+            # byte j of the (two's-complement-masked) word maps
+            # straight onto the probe side's LSB-first byte layout
+            word = r["bits"] & 0xFFFFFFFFFFFFFFFF
+            base = r["w"] * 8
+            for j in range(8):
+                b = (word >> (8 * j)) & 0xFF
+                if b:
+                    bits[base + j] |= b
         return (
             {
                 rel: {c: bytes(b).hex() for c, b in ent.items()}
