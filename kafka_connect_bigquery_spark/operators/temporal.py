@@ -46,6 +46,14 @@ def asof_join(
     Scale: one shuffle on key_cols, one window sort — no range
     explosion; works unchanged on billions of rows per key group
     distributed across executors.
+
+    Determinism contract: the right side must be UNIQUE per
+    (key_cols, ts_col). With duplicate right timestamps the forward
+    fill picks an engine-dependent row among the ties — the same
+    ambiguity every as-of implementation has (DuckDB ASOF JOIN, pandas
+    merge_asof) — so pre-aggregate the right side (e.g. last-by a
+    unique sequence column) before calling when duplicates are
+    possible.
     """
     rv = right_value_cols or [c for c in right.columns if c not in key_cols + [ts_col]]
 
