@@ -460,6 +460,20 @@ class Warehouse:
                     f"table {table} is not bucketed; snapshots exist only "
                     "for bucketed-MERGE tables"
                 )
+            # flat tables: read with the PERSISTED schema when one is
+            # recorded (append-path evolution) — a plain read samples
+            # one footer, so files appended before an evolution would
+            # make the reader silently DROP the new column and its
+            # values (probe-found: append [k,v] then append [k,v,w] read
+            # back w=NULL everywhere). An explicit read schema makes
+            # Spark fill footer-missing columns with NULLs per file and
+            # read present ones properly — no footer merging needed.
+            schema_json = meta.get("schema")
+            if schema_json:
+                import json
+
+                stored = T.StructType.fromJson(json.loads(schema_json))
+                return self.spark.read.schema(stored).parquet(self.path(table))
             return self.spark.read.parquet(self.path(table))
         if not gens:
             # every key deleted: the table still exists with a schema
@@ -1068,13 +1082,15 @@ class Warehouse:
         if not keep:
             return self.read(table).limit(0).filter(pred)
         # basePath keeps Hive-style partition columns visible when
-        # individual files inside partition dirs are listed explicitly
-        return (
+        # individual files inside partition dirs are listed explicitly;
+        # conform so the result's schema equals read(table)'s even when
+        # every surviving file predates an appended column
+        return self._conform_to_stored(
             self.spark.read.option("basePath", tdir)
             .option("mergeSchema", "true")
-            .parquet(*keep)
-            .filter(pred)
-        )
+            .parquet(*keep),
+            self.layout_meta(table),
+        ).filter(pred)
 
     # -- CHECK constraints (write-path data-quality gate) -----------------
     def _enforce_constraints(self, df: DataFrame, table: str, spec: TableSpec) -> DataFrame:
@@ -1195,6 +1211,27 @@ class Warehouse:
         if spec.partition_col:
             writer = writer.partitionBy(spec.partition_col)
         writer.parquet(self.path(table))
+        # persist the (evolved) logical schema: evolution on the append
+        # path is a metadata fact the footers alone cannot carry — older
+        # files predate the new columns, and a plain parquet read
+        # samples ONE footer (see read()); the union here is additive,
+        # mirroring the bucketed manifest commit
+        with self._commit_lock(table):
+            meta = self.layout_meta(table)
+            prior_json = meta.get("schema")
+            new_schema = out.schema
+            if prior_json:
+                import json as _json
+
+                from kafka_connect_bigquery_spark.schema.evolution import (
+                    unionize,
+                )
+
+                new_schema = unionize(
+                    T.StructType.fromJson(_json.loads(prior_json)), new_schema
+                )
+            meta["schema"] = new_schema.json()
+            self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table, incremental=True)
         self._refresh_bloom_if_recorded(table, incremental=True)
@@ -1212,17 +1249,20 @@ class Warehouse:
         writer.parquet(tmp)
         final = self.path(table)
         # layout facts survive an overwrite, but generation pointers
-        # don't — the bucketed data they referenced is gone
+        # don't — the bucketed data they referenced is gone. The stored
+        # schema is REPLACED (not unioned): an overwrite is a full
+        # re-statement of the table, so a stale wider schema must not
+        # resurrect dropped columns as phantom NULLs on read
         meta = {
             k: v
             for k, v in self.layout_meta(table).items()
             if k not in ("generations", "generation")
         }
+        meta["schema"] = out.schema.json()
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
-        if meta:
-            self._write_layout_meta(table, meta)
+        self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
         self._refresh_bloom_if_recorded(table, incremental=False)

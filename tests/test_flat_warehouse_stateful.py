@@ -40,11 +40,19 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
         self.tmp = tempfile.mkdtemp(prefix="whf_fuzz_")
         self.wh = Warehouse(self.spark, self.tmp)
+        # model rows are (k, cat, v, w) — w None for rows appended
+        # without the evolved column
         self.model: Counter = Counter()
         self.created = False
         self.bloomed = False
+        self.evolved = False
 
-    def _df(self, batch):
+    def _df(self, batch, with_extra=False):
+        if with_extra:
+            rows = [(k, c, v, v * 10) for k, c, v in batch]
+            return self.spark.createDataFrame(
+                rows, "k: bigint, cat: string, v: bigint, w: bigint"
+            )
         return self.spark.createDataFrame(
             batch, "k: bigint, cat: string, v: bigint"
         )
@@ -52,14 +60,31 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     @rule(batch=_batch, clustered=st.booleans())
     def append(self, batch, clustered):
         self.wh.append(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
-        self.model.update(batch)
+        self.model.update((k, c, v, None) for k, c, v in batch)
         self.created = True
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def append_evolving(self, batch, clustered):
+        """Append carrying a new column w — append-path schema evolution
+        (probe-found round 5: the evolved column and its VALUES were
+        silently dropped by footer-sampled reads) interleaved with
+        overwrites (which re-narrow the schema), compaction, and the
+        zone-map/bloom sidecars."""
+        self.wh.append(
+            self._df(batch, with_extra=True),
+            "t",
+            CLUSTERED if clustered else PLAIN,
+        )
+        self.model.update((k, c, v, v * 10) for k, c, v in batch)
+        self.created = True
+        self.evolved = True
 
     @rule(batch=_batch, clustered=st.booleans())
     def overwrite(self, batch, clustered):
         self.wh.overwrite(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
-        self.model = Counter(batch)
+        self.model = Counter((k, c, v, None) for k, c, v in batch)
         self.created = True
+        self.evolved = False  # full re-statement narrows the schema back
 
     @precondition(lambda self: self.created)
     @rule()
@@ -76,11 +101,21 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def full_read_matches_model(self):
         if not self.created:
             return
-        got = Counter(
-            (r["k"], r["cat"], r["v"])
-            for r in self.wh.read("t").select("k", "cat", "v").collect()
-        )
-        assert got == self.model
+        df = self.wh.read("t")
+        if self.evolved:
+            assert "w" in df.columns, "evolved column lost"
+            got = Counter(
+                (r["k"], r["cat"], r["v"], r["w"])
+                for r in df.select("k", "cat", "v", "w").collect()
+            )
+            assert got == self.model
+        else:
+            assert "w" not in df.columns, "overwrite failed to narrow schema"
+            got = Counter(
+                (r["k"], r["cat"], r["v"], None)
+                for r in df.select("k", "cat", "v").collect()
+            )
+            assert got == self.model
 
     @invariant()
     def pruned_read_equals_plain_filter(self):
@@ -94,7 +129,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
                 .collect()
             )
             want = Counter(
-                (k, v) for k, c, v in self.model.elements() if c == cat
+                (k, v) for k, c, v, _w in self.model.elements() if c == cat
             )
             assert got == want, f"zone-map pruning diverged for cat={cat}"
 
@@ -110,7 +145,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
                 .collect()
             )
             want = Counter(
-                (c, v) for k, c, v in self.model.elements() if k == key
+                (c, v) for k, c, v, _w in self.model.elements() if k == key
             )
             assert got == want, f"bloom point lookup diverged for k={key}"
 

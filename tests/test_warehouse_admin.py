@@ -88,3 +88,46 @@ def test_restore_cli(spark, tmp_path, capsys):
     out = _run(capsys, "restore", root, "t", "--version", "0")
     assert out["restored_to"] == 0 and out["new_version"] == 2
     assert [r["v"] for r in wh.read("t").collect()] == ["a"]
+
+
+def test_flat_append_evolution_keeps_column_and_values(spark, tmp_path):
+    """Probe-found (round 5): on the FLAT append path, a batch carrying
+    a new column evolved the write but a plain parquet read sampled one
+    old footer and silently dropped the column AND its values. The
+    evolved schema now persists in the layout metadata (additive union,
+    like the bucketed manifest commit) and read() passes it explicitly,
+    so footer-missing columns surface as NULLs and present values are
+    read properly."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(spark.createDataFrame([(1, "a")], "k: bigint, v: string"), "t", spec)
+    wh.append(
+        spark.createDataFrame([(2, "b", 9)], "k: bigint, v: string, w: bigint"),
+        "t",
+        spec,
+    )
+    df = wh.read("t")
+    assert df.columns == ["k", "v", "w"]
+    assert sorted((r["k"], r["v"], r["w"]) for r in df.collect()) == [
+        (1, "a", None),
+        (2, "b", 9),
+    ]
+    # a later narrow append must not regress the stored schema
+    wh.append(spark.createDataFrame([(3, "c")], "k: bigint, v: string"), "t", spec)
+    assert wh.read("t").columns == ["k", "v", "w"]
+    # overwrite is a full re-statement: schema REPLACED, not unioned
+    wh.overwrite(spark.createDataFrame([(4, "d")], "k: bigint, v: string"), "t", spec)
+    assert wh.read("t").columns == ["k", "v"]
+    # compaction carries the stored schema through (flat branch)
+    wh.append(
+        spark.createDataFrame([(5, "e", 50)], "k: bigint, v: string, w: bigint"),
+        "t",
+        spec,
+    )
+    wh.compact("t", spec, target_file_rows=4, min_files=1)
+    assert sorted((r["k"], r["w"]) for r in wh.read("t").collect()) == [
+        (4, None),
+        (5, 50),
+    ]
