@@ -2846,6 +2846,7 @@ _PRIORITY_ORDER: list[str] = [
     "customer_ltv_deciles",
     "staged_load_roundtrip",
     "routed_write_roundtrip",
+    "avro_wire_roundtrip",
     # -- tolerance-contract entry: pinned in-window every round ------
     "events_approx_stats",
     # -- backfill: oldest driver rows (r03), MERGE family first ------
@@ -2866,7 +2867,6 @@ _PRIORITY_ORDER: list[str] = [
     "ann_ivf_topk",
     "text_language_id",
     "text_quality_scores",
-    "text_token_stats",
 ]
 
 

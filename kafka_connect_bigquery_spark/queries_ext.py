@@ -3051,7 +3051,54 @@ SELECT a, b, cnt, rnk FROM r WHERE rnk <= {_BPE_K}
 # registry
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Avro wire-format round-trip (P9's Avro seam, witnessed as a batch query)
+# ---------------------------------------------------------------------------
+
+_AVRO_WIRE_SCHEMA = """{
+  "type": "record", "name": "ev", "fields": [
+    {"name": "event_id", "type": "long"},
+    {"name": "user_id", "type": "long"},
+    {"name": "event_type", "type": ["null", "string"]},
+    {"name": "value", "type": "double"}
+  ]
+}"""
+
+
+def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Avro wire format witnessed end-to-end: events rows encode to
+    RAW Avro binary (spec encoder, Arrow-batched) and decode back
+    through the SAME value-parser seam the streaming pipeline plugs in
+    (schema/avro.py::avro_value_parser — the reference's fixture wire
+    format, BigQuerySinkConnectorIT.java:75-159). Decode(encode(row))
+    must be the identity, which is exactly what the oracle selects from
+    the source table: longs round-trip through zigzag varints, doubles
+    bit-exactly through IEEE little-endian, strings through UTF-8, and
+    the null-union through its branch index. This is the one sanctioned
+    Python pair outside multimodal — Arrow-batched in both directions,
+    existing precisely because the sandbox lacks the spark-avro JVM
+    datasource (the cluster fast path)."""
+    from kafka_connect_bigquery_spark.schema import avro as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    enc = A.avro_encode_udf(spark, _AVRO_WIRE_SCHEMA)
+    parser = A.avro_value_parser(spark, _AVRO_WIRE_SCHEMA, mode="python")
+    wire = e.select(
+        enc(F.struct("event_id", "user_id", "event_type", "value")).alias("value")
+    )
+    return wire.select(parser(F.col("value")).alias("v")).select("v.*")
+
+
+Q_AVRO_WIRE_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "avro_wire_roundtrip": (q_avro_wire_roundtrip, Q_AVRO_WIRE_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),

@@ -355,6 +355,161 @@ def make_decoder(schema: str | dict) -> Callable[[bytes | None], dict | None]:
     return decode
 
 
+def _write_long(n: int) -> bytes:
+    """Zigzag varint encoding (inverse of :func:`_read_long`)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _make_writer(s: Any, named: dict[str, Callable], ns: str | None) -> Callable:
+    """Compile one Avro schema node into a ``(value, bytearray) -> None``
+    writer — the encode mirror of :func:`_make_reader`, for producing
+    wire bytes (e.g. staging a corpus as Kafka-shaped Avro test traffic,
+    or the round-trip oracle query). Same supported surface; logical
+    types are NOT re-encoded here (callers hand in raw int/long/bytes),
+    keeping the writer a pure spec encoder."""
+    if isinstance(s, str):
+        if s in ("int", "long"):
+            return lambda v, out: out.extend(_write_long(int(v)))
+        if s == "null":
+            return lambda v, out: None
+        if s == "boolean":
+            return lambda v, out: out.append(1 if v else 0)
+        if s == "float":
+            return lambda v, out: out.extend(_struct.pack("<f", v))
+        if s == "double":
+            return lambda v, out: out.extend(_struct.pack("<d", v))
+        if s == "bytes":
+            return lambda v, out: (out.extend(_write_long(len(v))), out.extend(v))
+        if s == "string":
+            def write_str(v, out):
+                b = v.encode("utf-8")
+                out.extend(_write_long(len(b)))
+                out.extend(b)
+            return write_str
+        for key in (s, f"{ns}.{s}" if ns and "." not in s else s):
+            if key in named:
+                writer = named[key]
+                return lambda v, out: writer(v, out)
+        raise AvroSchemaError(f"unresolved named type reference: {s!r}")
+    if isinstance(s, list):
+        null_idx = s.index("null") if "null" in s else None
+        branches = [(i, b) for i, b in enumerate(s) if b != "null"]
+        if len(branches) != 1:
+            raise AvroSchemaError("only null-unions are supported")
+        bi, bschema = branches[0]
+        bwriter = _make_writer(bschema, named, ns)
+
+        def write_union(v, out, bi=bi, null_idx=null_idx, bwriter=bwriter):
+            if v is None:
+                if null_idx is None:
+                    raise AvroSchemaError("NULL for a non-nullable union")
+                out.extend(_write_long(null_idx))
+            else:
+                out.extend(_write_long(bi))
+                bwriter(v, out)
+
+        return write_union
+    t = s["type"]
+    if t == "record":
+        rec_ns = s.get("namespace", ns)
+        field_writers = [
+            (f["name"], _make_writer(f["type"], named, rec_ns))
+            for f in s["fields"]
+        ]
+
+        def write_record(v, out, field_writers=field_writers):
+            for name, w in field_writers:
+                w(v[name], out)
+
+        named[_fullname(s, ns)] = write_record
+        return write_record
+    if t == "enum":
+        symbols = list(s["symbols"])
+        writer = lambda v, out: out.extend(_write_long(symbols.index(v)))  # noqa: E731
+        named[_fullname(s, ns)] = writer
+        return writer
+    if t == "fixed":
+        writer = lambda v, out: out.extend(v)  # noqa: E731
+        named[_fullname(s, ns)] = writer
+        return writer
+    if t == "array":
+        item = _make_writer(s["items"], named, ns)
+
+        def write_array(v, out, item=item):
+            if v:
+                out.extend(_write_long(len(v)))
+                for x in v:
+                    item(x, out)
+            out.extend(_write_long(0))
+
+        return write_array
+    if t == "map":
+        val = _make_writer(s["values"], named, ns)
+
+        def write_map(v, out, val=val):
+            if v:
+                out.extend(_write_long(len(v)))
+                for k2, x in v.items():
+                    kb = k2.encode("utf-8")
+                    out.extend(_write_long(len(kb)))
+                    out.extend(kb)
+                    val(x, out)
+            out.extend(_write_long(0))
+
+        return write_map
+    if isinstance(t, (dict, list, str)) and t != s:
+        return _make_writer(t, named, ns)
+    raise AvroSchemaError(f"unsupported Avro type: {t!r}")
+
+
+def make_encoder(schema: str | dict) -> Callable[[dict | None], bytes | None]:
+    """Compile an Avro record schema into a ``dict -> bytes`` encoder of
+    the raw binary encoding — the inverse of :func:`make_decoder`."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    named: dict[str, Callable] = {}
+    writer = _make_writer(schema, named, None)
+
+    def encode(value: dict | None):
+        if value is None:
+            return None
+        out = bytearray()
+        writer(value, out)
+        return bytes(out)
+
+    return encode
+
+
+def avro_encode_udf(spark, schema_json: str):
+    """Arrow-batched ``struct column -> binary column`` Avro encoder —
+    the producer-side mirror of the python decode path, used by the
+    wire round-trip oracle query and available for staging corpora as
+    Kafka-shaped Avro traffic in tests."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql import types as _T
+
+    @pandas_udf(returnType=_T.BinaryType(), functionType=PandasUDFType.SCALAR)
+    def encode_udf(rows):
+        encode = make_encoder(schema_json)
+        # a struct input column arrives as a pandas DataFrame (one
+        # column per field); a pre-dict'd column arrives as a Series
+        if isinstance(rows, pd.DataFrame):
+            return pd.Series([encode(r) for r in rows.to_dict("records")])
+        return rows.map(lambda r: None if r is None else encode(r))
+
+    return encode_udf
+
+
 def jvm_avro_available(spark) -> bool:
     """Probe once whether the spark-avro datasource is loaded on this
     session (it ships with Spark distros but not with the pip wheel)."""

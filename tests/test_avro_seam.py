@@ -377,3 +377,24 @@ def test_avro_values_through_sink_pipeline(spark, tmp_path):
     pipe.write_batch(batch, 0)
     got = wh.read("topic_a").orderBy("row").collect()
     assert [(r["row"], r["name"]) for r in got] == [(1, "a"), (2, None)]
+
+
+def test_production_encoder_matches_independent_test_encoder():
+    """make_encoder (production) and this file's _encode (written
+    independently from the spec) must emit byte-identical wire data for
+    the fixture corpora — and make_decoder must invert both."""
+    from kafka_connect_bigquery_spark.schema.avro import make_encoder
+
+    for case in ("primitives", "nulls", "matryoshka-dolls"):
+        schema, rows = _fixture(case)
+        encode = make_encoder(schema)
+        decode = make_decoder(schema)
+        for raw_test, row in zip(_encoded(schema, rows), rows):
+            plain = _plain(schema, row)
+            if case == "primitives":
+                plain = dict(plain, bytes_prim=plain["bytes_prim"].encode("latin-1"))
+            raw_prod = encode(plain)
+            assert raw_prod == raw_test, f"{case}: wire bytes diverge"
+            round_tripped = decode(raw_prod)
+            got = decode(raw_test)
+            assert round_tripped == got

@@ -19,6 +19,9 @@ PYTHON_OK = {
     "multimodal_image_meta",
     "multimodal_frame_features",
     "multimodal_audio_chunks",
+    # Avro encode/decode round-trip: Arrow-batched pandas UDFs standing
+    # in for the spark-avro JVM datasource the sandbox can't load
+    "avro_wire_roundtrip",
 }
 # the ANN brute-force baseline broadcasts a tiny query side through an
 # explicit crossJoin — bounded by design (queries << corpus)
