@@ -2800,73 +2800,74 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 5 window (50 slots): the 31 entries added late in r04 that have
-# NO driver row yet (judge-verified 31/31 EXACT via verify_local, now
-# getting their first driver witness), plus events_approx_stats — its
-# oracle is a tolerance contract rather than value equality, so it stays
-# in-window EVERY round (sketch drift can never hide) — plus an 18-entry
-# backfill of the oldest-witnessed (r03) entries, led by the MERGE
-# family because this round changed the warehouse manifest-schema commit
-# and read paths they exercise.
-# r06 rotation plan: lead with the remaining 31 r03-witnessed entries
-# (events_tumbling_window .. docs_length_histogram — the streaming
-# windows, multimodal, text-quality, and corpus-ops families), keep
-# events_approx_stats in-window, backfill with the oldest r04 rows
-# (TPC-H family, last witnessed r04).
+# Round 6 window (50 slots): the 32 entries whose most recent driver row
+# is r03 (the streaming-window, multimodal, text-quality and corpus-ops
+# families — stalest evidence in the fleet), plus events_approx_stats —
+# its oracle is a tolerance contract rather than value equality, so it
+# stays in-window EVERY round (sketch drift can never hide) — plus a
+# 17-entry backfill of the oldest r04 rows (TPC-H family, q1..q19).
+# r07 rotation plan: lead with the 32 entries whose latest driver row
+# will then be r04 (tpch_q9/q11/q20/q21/q22, the dedup_* family, ann/
+# bpe/sketch/graph_pagerank/cobucketed/zonemap/rollup_incremental...),
+# keep events_approx_stats pinned, backfill with the oldest r05 rows
+# (merge family first — they exercise the warehouse read path).
 _PRIORITY_ORDER: list[str] = [
-    # -- r05 head: first driver witness for the late-r04 entries ----
-    "warehouse_bloom_read",
-    "graph_triangles",
-    "dedup_semantic",
-    "dedup_simhash_pairs",
-    "text_bm25",
-    "bm25_incremental",
-    "search_hybrid_rrf",
-    "ann_incremental",
-    "embedding_projection",
-    "text_collocations",
-    "weighted_sample",
-    "pairs_contrastive",
-    "mixture_entropy",
-    "docs_chi_square",
-    "events_welch_t",
-    "events_benford",
-    "events_mannwhitney",
-    "events_ks_test",
-    "events_gap_fill",
-    "events_asof_tolerance",
-    "events_ewma",
-    "session_paths",
-    "events_streaks",
-    "events_mad_outliers",
-    "events_rolling_7d",
-    "events_salted_agg",
-    "orders_salted_join",
-    "integrity_audit",
-    "customer_ltv_deciles",
-    "staged_load_roundtrip",
-    "routed_write_roundtrip",
-    "avro_wire_roundtrip",
+    # -- r06 head: refresh the 32 entries whose latest driver row is r03
+    # (streaming windows, multimodal, text-quality, corpus-ops) --------
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window",
+    "events_asof_join",
+    "events_interval_join",
+    "events_attribution",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_transitions",
+    "events_value_quantiles",
+    "text_token_stats",
+    "text_subword_stats",
+    "text_top_terms",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_bigram_fluency",
+    "docs_quality_filter",
+    "docs_length_histogram",
+    "docs_sequence_pack",
+    "docs_decontaminate",
+    "multimodal_image_meta",
+    "multimodal_frame_features",
+    "multimodal_audio_chunks",
+    "dedup_winnow",
+    "dedup_passages",
+    "dedup_minhash_recall",
+    "ann_ivfpq_topk",
+    "mixture_rebalance",
+    "sample_k_per_group",
+    "embedding_label_centroids",
     # -- tolerance-contract entry: pinned in-window every round ------
     "events_approx_stats",
-    # -- backfill: oldest driver rows (r03), MERGE family first ------
-    "merge_upsert",
-    "merge_upsert_delete",
-    "merge_delete_only",
-    "merge_upsert_bucketed",
-    "hourly_partition_rollup",
-    "last_event_per_user",
-    "logical_types_wire",
-    "sanitized_projection",
-    "user_value_ranks",
-    "events_set_ops",
-    "events_json_agg",
-    "top_orders_per_segment",
-    "events_pivot",
-    "events_cube",
-    "ann_ivf_topk",
-    "text_language_id",
-    "text_quality_scores",
+    # -- backfill: oldest r04 rows, TPC-H family (17 slots) ----------
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    # == 50-slot window boundary: everything below was witnessed ==
+    # == green in r05 (or late-r04 for the tpch/ops remainder) ====
 ]
 
 
