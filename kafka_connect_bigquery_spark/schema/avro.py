@@ -273,7 +273,17 @@ def _make_reader(s: Any, named: dict[str, Callable], ns: str | None) -> Callable
     t = s["type"]
     if logical is not None:
         base = t if isinstance(t, str) else t.get("type")
-        raw = _make_reader(base if isinstance(base, str) else t, named, ns)
+        if base == "fixed":
+            # fixed-backed logicals (e.g. {"type":"fixed","size":8,
+            # "logicalType":"decimal"}): the raw value is exactly
+            # `size` bytes, not a length-prefixed `bytes` — routing
+            # through the string branch would mis-resolve 'fixed' as a
+            # named-type reference and fail at executor runtime
+            size = int(s["size"])
+            raw = lambda buf, size=size: buf.read(size)  # noqa: E731
+            named[_fullname(s, ns)] = raw
+        else:
+            raw = _make_reader(base if isinstance(base, str) else t, named, ns)
         return _wrap_logical(s, raw, logical)
     if t == "record":
         rec_ns = s.get("namespace", ns)
@@ -510,9 +520,35 @@ def avro_encode_udf(spark, schema_json: str):
     return encode_udf
 
 
+_JVM_AVRO_PROBE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def jvm_avro_available(spark) -> bool:
-    """Probe once whether the spark-avro datasource is loaded on this
-    session (it ships with Spark distros but not with the pip wheel)."""
+    """Probe once PER SESSION whether the spark-avro datasource is
+    loaded (it ships with Spark distros but not with the pip wheel).
+    The probe runs a tiny Spark job, so the result is memoized on the
+    session — repeated ``avro_value_parser(mode="auto")`` construction
+    must not pay a job (plus jar-missing exception overhead) each time."""
+    global _JVM_AVRO_PROBE
+    if _JVM_AVRO_PROBE is None:
+        import weakref
+
+        _JVM_AVRO_PROBE = weakref.WeakKeyDictionary()
+    try:
+        cached = _JVM_AVRO_PROBE.get(spark)
+    except TypeError:  # non-weakref-able session stub in tests
+        cached = None
+    if cached is not None:
+        return cached
+    result = _probe_jvm_avro(spark)
+    try:
+        _JVM_AVRO_PROBE[spark] = result
+    except TypeError:
+        pass
+    return result
+
+
+def _probe_jvm_avro(spark) -> bool:
     try:
         spark.range(1).select(
             __import__(
@@ -532,8 +568,23 @@ def strip_confluent_frame(c: Column) -> Column:
     schema id) that Confluent serializers prepend — the reference's
     fixtures go through Schema Registry (BigQuerySinkConnectorIT
     .java:75-159), so raw Kafka values carry it. NULL (tombstone)
-    passes through untouched."""
-    return F.substring(c, F.lit(6), F.length(c))
+    passes through untouched. A non-NULL payload whose first byte is
+    not the 0x00 magic is NOT silently beheaded: the Confluent
+    deserializer errors on an unknown magic byte, and decoding a
+    5-bytes-shifted stream produces garbage, so we fail the job with a
+    clear message instead."""
+    return (
+        F.when(c.isNull(), F.lit(None).cast("binary"))
+        .when(F.substring(c, 1, 1) == F.lit(b"\x00"), F.substring(c, F.lit(6), F.length(c)))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("not a Confluent-framed Avro payload (magic byte != 0x00): 0x"),
+                    F.hex(F.substring(c, 1, 1)),
+                )
+            ).cast("binary")
+        )
+    )
 
 
 def avro_value_parser(
@@ -569,6 +620,11 @@ def avro_value_parser(
         return parse_jvm
 
     spark_schema = avro_to_spark(schema_json)
+    # compile the decoder once EAGERLY: a schema the pure-python reader
+    # can't compile (unknown named type, malformed node) must fail here
+    # at parser construction, not at executor runtime mid-job inside the
+    # pandas UDF where the traceback is three layers removed
+    make_decoder(schema_json)
     # Arrow serialization needs top-level fields nullable: a tombstone
     # batch row decodes to an all-NULL field vector even though the
     # outer when() below replaces it with a true NULL struct
@@ -589,10 +645,23 @@ def avro_value_parser(
         # explicitly-marked slow path (SURVEY: UDFs are the slow path),
         # for jar-less environments and tests only
         decode = make_decoder(schema_json)
-        off = 5 if confluent_framed else 0
-        rows = [
-            None if v is None else decode(bytes(v)[off:]) for v in vals
-        ]
+
+        def _decode_one(v):
+            if v is None:
+                return None
+            b = bytes(v)
+            if confluent_framed:
+                # mirror strip_confluent_frame's guard: an unframed or
+                # non-Confluent payload must error, not decode shifted
+                if not b or b[0] != 0:
+                    raise ValueError(
+                        "not a Confluent-framed Avro payload "
+                        f"(magic byte != 0x00): 0x{b[:1].hex() or '<empty>'}"
+                    )
+                b = b[5:]
+            return decode(b)
+
+        rows = [_decode_one(v) for v in vals]
         cols = [f.name for f in spark_schema.fields]
         return pd.DataFrame(
             [[None] * len(cols) if r is None else [r.get(c) for c in cols] for r in rows],

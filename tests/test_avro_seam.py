@@ -78,9 +78,18 @@ def _encode(schema, value, buf: io.BytesIO, ns=None, named=None) -> None:
         # {"branch_type": v} (the nulls fixture's {"int": 42})
         if isinstance(value, dict) and len(value) == 1 and next(iter(value)) in schema:
             value = next(iter(value.values()))
-        idx = 0 if value is None and "null" in schema else (
-            1 if schema[0] == "null" else 0
-        )
+        # pick the ACTUAL branch index, not "assume null-first": a
+        # ["string","null"] union must encode None as branch 1, and a
+        # non-null value as the index of its non-null branch — mirrors
+        # production _make_writer so fixture expansion can't mask bugs
+        if value is None:
+            if "null" not in schema:
+                raise ValueError("None for a union without a null branch")
+            idx = schema.index("null")
+        else:
+            non_null = [i for i, b in enumerate(schema) if b != "null"]
+            assert len(non_null) == 1, "test encoder supports null-unions only"
+            idx = non_null[0]
         buf.write(_zigzag(idx))
         if schema[idx] != "null":
             _encode(schema[idx], value, buf, ns, named)
@@ -398,3 +407,78 @@ def test_production_encoder_matches_independent_test_encoder():
             round_tripped = decode(raw_prod)
             got = decode(raw_test)
             assert round_tripped == got
+
+
+def test_fixed_backed_decimal_logical_decodes():
+    """A {"type":"fixed","logicalType":"decimal"} node must decode the
+    raw `size` bytes as the unscaled big-endian value — previously the
+    pure-python reader mis-resolved 'fixed' as a named-type reference
+    and failed at executor runtime with a misleading error."""
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {
+                "type": "fixed", "name": "dec8", "size": 8,
+                "logicalType": "decimal", "precision": 18, "scale": 2,
+            }},
+        ],
+    }
+    st = avro_to_spark(schema)
+    assert st["d"].dataType == T.DecimalType(18, 2)
+    decode = make_decoder(schema)
+    unscaled = 314159  # -> 3141.59 at scale 2
+    raw = unscaled.to_bytes(8, "big", signed=True)
+    out = decode(raw)
+    from decimal import Decimal
+
+    assert out["d"] == Decimal("3141.59")
+
+
+def test_python_path_rejects_bad_magic_byte(spark):
+    """confluent_framed=True must error on a payload whose first byte
+    is not the 0x00 magic — silently beheading 5 bytes decodes garbage."""
+    schema, rows = _fixture("nulls")
+    payloads = _encoded(schema, rows)
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x01\x00\x00\x00\x2a" + payloads[0]))],
+        "i: int, value: binary",
+    )
+    parser = avro_value_parser(
+        spark, json.dumps(schema), mode="python", confluent_framed=True
+    )
+    with pytest.raises(Exception, match="magic byte"):
+        df.select(parser(F.col("value")).alias("v")).collect()
+    # the Column-level stripper enforces the same contract JVM-side
+    with pytest.raises(Exception, match="magic byte"):
+        df.select(strip_confluent_frame(F.col("value")).alias("b")).collect()
+
+
+def test_construction_time_schema_error(spark):
+    """Uncompilable schemas fail at avro_value_parser() construction,
+    not at executor runtime inside the pandas UDF."""
+    bad = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "x", "type": "NoSuchNamedType"},
+        ],
+    }
+    with pytest.raises(AvroSchemaError):
+        avro_value_parser(spark, json.dumps(bad), mode="python")
+
+
+def test_jvm_probe_memoized_per_session(spark, monkeypatch):
+    """jvm_avro_available must probe the session at most once — parser
+    construction in a loop must not pay a Spark job per call."""
+    from kafka_connect_bigquery_spark.schema import avro as avro_mod
+
+    calls = {"n": 0}
+    real = avro_mod._probe_jvm_avro
+
+    def counting(s):
+        calls["n"] += 1
+        return real(s)
+
+    monkeypatch.setattr(avro_mod, "_probe_jvm_avro", counting)
+    monkeypatch.setattr(avro_mod, "_JVM_AVRO_PROBE", None)  # fresh cache
+    first = jvm_avro_available(spark)
+    for _ in range(3):
+        assert jvm_avro_available(spark) == first
+    assert calls["n"] == 1
