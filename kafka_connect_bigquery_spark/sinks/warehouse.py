@@ -45,7 +45,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Literal
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -199,7 +199,7 @@ class Warehouse:
         tdir = self.path(table)
         if not os.path.isdir(tdir):
             raise WarehouseError(f"no such table: {table}")
-        files = glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+        files = self._data_files(tdir)
         meta = self.layout_meta(table)
         gens = meta.get("generations")
         detail = {
@@ -326,12 +326,7 @@ class Warehouse:
         """Total stored parquet bytes (drives the bucketed-merge cutover)."""
         import glob
 
-        return sum(
-            os.path.getsize(p)
-            for p in glob.glob(
-                os.path.join(self.path(table), "**", "*.parquet"), recursive=True
-            )
-        )
+        return sum(os.path.getsize(p) for p in self._data_files(self.path(table)))
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
@@ -502,24 +497,73 @@ class Warehouse:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return self._conform_to_stored(df, meta)
 
+    @classmethod
+    def _conform_col(cls, col: Column, have: T.DataType, want: T.DataType) -> Column:
+        """Recursively project a column of footer type ``have`` onto the
+        manifest type ``want``: subfields the file predates surface as
+        typed NULLs, mirroring the reference's recursive RECORD
+        unionization (kcbq/SchemaManager.java:449-461) on the READ side.
+        Needed because a plain cast cannot widen struct<a> to
+        struct<a,b>, so a pruned read whose every surviving file
+        predates a NESTED evolution would otherwise return a narrower
+        schema than read() (probe-found round 6 — the third strike of
+        the footer-vs-manifest bug class, after the r04 merge manifest
+        and the r05 flat append)."""
+        if have == want:
+            return col
+        if isinstance(want, T.StructType) and isinstance(have, T.StructType):
+            have_fields = {f.name: f for f in have.fields}
+            parts = []
+            for wf in want.fields:
+                hf = have_fields.get(wf.name)
+                if hf is None:
+                    parts.append(F.lit(None).cast(wf.dataType).alias(wf.name))
+                else:
+                    parts.append(
+                        cls._conform_col(col[wf.name], hf.dataType, wf.dataType)
+                        .alias(wf.name)
+                    )
+            # struct() of NULL parts is a non-null struct: preserve
+            # genuinely-NULL parents explicitly
+            return F.when(col.isNull(), F.lit(None).cast(want)).otherwise(
+                F.struct(*parts)
+            )
+        if isinstance(want, T.ArrayType) and isinstance(have, T.ArrayType):
+            return F.transform(
+                col,
+                lambda x: cls._conform_col(x, have.elementType, want.elementType),
+            )
+        if isinstance(want, T.MapType) and isinstance(have, T.MapType):
+            return F.map_from_arrays(
+                F.map_keys(col),
+                F.transform(
+                    F.map_values(col),
+                    lambda v: cls._conform_col(v, have.valueType, want.valueType),
+                ),
+            )
+        return col.cast(want)
+
     def _conform_to_stored(self, df: DataFrame, meta: dict) -> DataFrame:
         """Project a file-footer-derived frame to the manifest's logical
         schema: manifest-only columns (evolution commits whose batches
-        left no surviving rows on disk) surface as typed NULLs, and the
-        column order follows the manifest so reads are stable across
-        which bucket's footer the reader sampled first. Columns present
-        in footers but absent from the manifest (none in practice —
-        commit-time union is additive) are preserved at the tail."""
+        left no surviving rows on disk) surface as typed NULLs —
+        recursively, so nested subfields the surviving files predate are
+        null-filled too — and the column order follows the manifest so
+        reads are stable across which bucket's footer the reader sampled
+        first. Columns present in footers but absent from the manifest
+        (none in practice — commit-time union is additive) are preserved
+        at the tail."""
         schema_json = meta.get("schema")
         if not schema_json:
             return df
         import json
 
         stored = T.StructType.fromJson(json.loads(schema_json))
-        have = set(df.columns)
+        have = {f.name: f.dataType for f in df.schema.fields}
         stored_names = {f.name for f in stored.fields}
         cols = [
-            F.col(f.name) if f.name in have
+            self._conform_col(F.col(f.name), have[f.name], f.dataType).alias(f.name)
+            if f.name in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in stored.fields
         ]
@@ -727,7 +771,7 @@ class Warehouse:
             with open(self._zonemap_path(table)) as f:
                 prior = json.load(f)
         zm: dict[str, dict[str, list]] = {}
-        for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+        for p in self._data_files(tdir):
             rel = os.path.relpath(p, tdir)
             if rel in prior:
                 zm[rel] = prior[rel]
@@ -770,8 +814,63 @@ class Warehouse:
 
     _BLOOMABLE = (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
-    def _bloom_path(self, table: str) -> str:
-        return os.path.join(self.path(table), "_bloom.json")
+    def _bloom_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_bloom")
+
+    def _bloom_meta_path(self, table: str) -> str:
+        return os.path.join(self._bloom_dir(table), "meta.json")
+
+    def _bloom_index_dir(self, table: str) -> str:
+        return os.path.join(self._bloom_dir(table), "index")
+
+    @staticmethod
+    def _data_files(tdir: str) -> list[str]:
+        """All DATA parquet files under a table dir. The ``_bloom/``
+        subtree is parquet-backed *metadata* (the file-skipping index),
+        not table data — every file-listing path must skip it, exactly
+        as Spark's own listing skips underscore-prefixed dirs."""
+        import glob
+
+        return [
+            p
+            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+            if os.path.relpath(p, tdir).split(os.sep, 1)[0] != "_bloom"
+        ]
+
+    def bloom_meta(self, table: str) -> dict | None:
+        """The recorded bloom parameters ({m, k, cols}) or None."""
+        import json
+
+        p = self._bloom_meta_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_bloom_meta(self, table: str, meta: dict) -> None:
+        import json
+
+        os.makedirs(self._bloom_dir(table), exist_ok=True)
+        dst = self._bloom_meta_path(table)
+        tmp = dst + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, dst)
+
+    def bloom_indexed_files(self, table: str) -> set[str]:
+        """Relative paths of data files the bloom index covers. Reads
+        ONLY the ``f`` column of the index table (column pruning), one
+        batch at a time — file names, never bitmaps, reach the driver."""
+        d = self._bloom_index_dir(table)
+        if not os.path.isdir(d):
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        names: set[str] = set()
+        for batch in pads.dataset(d, format="parquet").to_batches(columns=["f"]):
+            names.update(pc.unique(batch.column("f")).to_pylist())
+        return names
 
     @staticmethod
     def _bloom_probe_positions(value, m: int, k: int) -> list[int]:
@@ -786,19 +885,19 @@ class Warehouse:
 
     def _bloom_build(
         self, table: str, cols: list[str], m: int, k: int, files: list[str] | None
-    ) -> tuple[dict[str, dict[str, str]], list[str]]:
-        """Distributed bitmap build: ONE Spark pass per column — md5 +
-        double hashing as JVM expressions, then the set-bit positions are
-        packed into 64-bit words ON THE EXECUTORS (``bit_or`` over
-        ``1 << (pos % 64)`` grouped by (file, pos div 64)), so at most
-        m/64 rows per file-column reach the driver (128 at the default
-        m=8192, vs up to m distinct positions), never row data — the
-        driver's bloom build stays linear in files at warehouse scale.
+    ) -> tuple[DataFrame | None, list[str]]:
+        """Distributed bitmap build: ONE Spark pass for all columns —
+        md5 + double hashing as JVM expressions, then the set-bit
+        positions are packed into 64-bit words ON THE EXECUTORS
+        (``bit_or`` over ``1 << (pos % 64)`` grouped by (file, column,
+        pos div 64)). Returns ``(rows, bloomable)`` where ``rows`` is a
+        DataFrame of ``(f: rel path, c: column, w: word index, bits:
+        packed 64-bit word)`` ready to land in the parquet index table —
+        NO bitmap ever reaches the driver; the build is a pure
+        executor-side write however many files the table has.
         ``files=None`` scans the whole table; a file list (the append
-        path) scans only those files. Returns ``(files_map, bloomable)``:
-        the per-file hex bitmaps, and which of ``cols`` were actually
-        bloomable (present with an int/string type) — the caller zero-
-        fills scanned files that produced no set bits for those."""
+        path) scans only those files. ``bloomable`` is which of ``cols``
+        were present with an int/string type in the scanned schema."""
         tdir = self.path(table)
         if files is None:
             src = self.read(table)
@@ -814,9 +913,8 @@ class Warehouse:
             for c in cols
             if c in fields and isinstance(fields[c], self._BLOOMABLE)
         ]
-        out: dict[str, dict[str, str]] = {}
         if not bloomable:
-            return out, bloomable
+            return None, bloomable
         # one job for ALL columns: each row contributes one (column,
         # stringified value) entry per bloomable column via an exploded
         # struct array, so the data files are scanned once however many
@@ -853,44 +951,25 @@ class Warehouse:
             )
             # executor-side packing: partial bit_or runs map-side, so
             # the shuffle carries one word per (file, column,
-            # word-index) per map task and the driver sees <= m/64 rows
-            # per file-column
+            # word-index) per map task; zero-words are simply absent
+            # (the probe treats a missing word as all-zero)
             .groupBy("f", "c", F.expr("CAST(pos DIV 64 AS INT)").alias("w"))
             .agg(
                 F.bit_or(
                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
                 ).alias("bits")
             )
+            # absolute file URI -> path relative to the table dir, on
+            # the executors (mirrors os.path.relpath on the probe side)
+            .withColumn(
+                "f",
+                F.expr(
+                    "substring(regexp_replace(f, '^file:(//)?', ''), "
+                    f"{len(tdir) + 2})"
+                ),
+            )
         )
-        for r in posdf.collect():
-            path = r["f"]
-            for pre in ("file://", "file:"):
-                if path.startswith(pre):
-                    path = path[len(pre):]
-                    break
-            rel = os.path.relpath(path, tdir)
-            ent = out.setdefault(rel, {})
-            c = r["c"]
-            if c not in ent:
-                ent[c] = bytearray(m // 8)
-            bits = ent[c]
-            # little-endian lane unpack: lane l of word w is global
-            # position 64*w + l = bit (l % 8) of byte (8*w + l//8) —
-            # byte j of the (two's-complement-masked) word maps
-            # straight onto the probe side's LSB-first byte layout
-            word = r["bits"] & 0xFFFFFFFFFFFFFFFF
-            base = r["w"] * 8
-            for j in range(8):
-                b = (word >> (8 * j)) & 0xFF
-                if b:
-                    bits[base + j] |= b
-        return (
-            {
-                rel: {c: bytes(b).hex() for c, b in ent.items()}
-                for rel, ent in out.items()
-            },
-            bloomable,
-        )
+        return posdf, bloomable
 
     def record_bloom(
         self,
@@ -902,62 +981,58 @@ class Warehouse:
         incremental: bool = False,
     ) -> None:
         """Record per-file Bloom filters for ``cols`` (int/string columns
-        only — float equality probes are a bug, not a query). Written
-        atomically next to the data like the zone map; consulted by
-        ``read_pruned_where`` for equality predicates. Once recorded,
-        ``append`` keeps it fresh incrementally (new files only) and
-        ``overwrite``/``compact`` rebuild it. Not applicable to bucketed
-        tables (their bucket key IS the file-routing predicate)."""
-        import glob
-        import json
-
+        only — float equality probes are a bug, not a query). The index
+        is a PARQUET TABLE at ``<table>/_bloom/index/`` — one row per
+        (file, column, 64-bit word): ``(f, c, w, bits)``, plus a
+        ``w = -1`` marker row per scanned (file, column) so the probe
+        can tell "scanned, value provably absent" (prunable) from
+        "never indexed" (conservatively kept). Zero words are simply
+        absent. The build writes executor-side — no bitmap, at any file
+        count, is ever materialized on the driver, and the probe reads
+        only the <= k words each lookup needs via parquet predicate
+        pushdown. Consulted by ``read_pruned_where`` for equality
+        predicates. Once recorded, ``append`` keeps it fresh
+        incrementally (new files only, appended to the index table) and
+        ``overwrite``/``compact`` rebuild it (dropping rows for dead
+        files). Not applicable to bucketed tables (their bucket key IS
+        the file-routing predicate)."""
         if self.layout_meta(table).get("generations") is not None:
             raise WarehouseError(
                 f"table {table} is bucketed: bucket routing already prunes "
                 "by key; bloom filters apply to flat tables"
             )
         meta = {"m": m_bits, "k": k_hashes, "cols": sorted(cols)}
-        prior: dict[str, dict[str, str]] = {}
-        if incremental and os.path.exists(self._bloom_path(table)):
-            with open(self._bloom_path(table)) as f:
-                doc = json.load(f)
-            if doc.get("meta") == meta:
-                prior = doc.get("files", {})
         tdir = self.path(table)
-        live = {
-            os.path.relpath(p, tdir): p
-            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
-        }
-        keep = {rel: prior[rel] for rel in live if rel in prior}
-        new_files = [p for rel, p in live.items() if rel not in keep]
-        if new_files:
-            built, bloomable = self._bloom_build(
-                table, meta["cols"], m_bits, k_hashes,
-                None if not incremental else new_files,
-            )
-            keep.update(built)
-            # scanned files with no surviving value (all-NULL, or the
-            # column absent pre-evolution) get explicit all-zero bitmaps:
-            # an equality probe can PROVE absence there, where a missing
-            # entry must conservatively keep the file
-            zero = bytes(m_bits // 8).hex()
-            for p in new_files:
-                rel = os.path.relpath(p, tdir)
-                ent = keep.setdefault(rel, {})
-                for c in bloomable:
-                    ent.setdefault(c, zero)
-        tmp = self._bloom_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"meta": meta, "files": keep}, f)
-        os.replace(tmp, self._bloom_path(table))
+        live = {os.path.relpath(p, tdir): p for p in self._data_files(tdir)}
+        mode = "overwrite"
+        scan: list[str] | None = None  # None = whole-table scan
+        new_rel = set(live)
+        if incremental and self.bloom_meta(table) == meta:
+            indexed = self.bloom_indexed_files(table)
+            new_rel = {rel for rel in live if rel not in indexed}
+            if not new_rel:
+                return
+            scan = [live[r] for r in sorted(new_rel)]
+            mode = "append"
+        rows, bloomable = (
+            self._bloom_build(table, meta["cols"], m_bits, k_hashes, scan)
+            if new_rel
+            else (None, [])
+        )
+        schema = "f string, c string, w int, bits long"
+        markers = [(rel, c, -1, 0) for rel in sorted(new_rel) for c in bloomable]
+        out = self.spark.createDataFrame(markers, schema)
+        if rows is not None:
+            out = rows.unionByName(out)
+        # one index file per build: a marker row and its word rows land
+        # in the SAME parquet file, so a torn write can never leave a
+        # marker without its words (which would prune wrongly). At fleet
+        # scale, scale this with the batch instead of pinning to 1.
+        out.coalesce(1).write.mode(mode).parquet(self._bloom_index_dir(table))
+        self._write_bloom_meta(table, meta)
 
     def _refresh_bloom_if_recorded(self, table: str, *, incremental: bool) -> None:
-        import json
-
-        if not os.path.exists(self._bloom_path(table)):
-            return
-        with open(self._bloom_path(table)) as f:
-            meta = json.load(f).get("meta", {})
+        meta = self.bloom_meta(table)
         if not meta:
             return
         self.record_bloom(
@@ -1015,29 +1090,21 @@ class Warehouse:
         pred = F.lit(True)
         for col, (lo, hi) in ranges.items():
             pred = pred & F.col(col).between(lo, hi)
+        bloom_meta = self.bloom_meta(table) or {}
         have_zm = os.path.exists(self._zonemap_path(table))
-        have_bloom = os.path.exists(self._bloom_path(table))
         if (
             not ranges
-            or (not have_zm and not have_bloom)
+            or (not have_zm and not bloom_meta)
             # bucketed tables resolve files through the generation
             # manifest, not the flat zone map — full read there
             or self.layout_meta(table).get("generations") is not None
         ):
             return self.read(table).filter(pred)
-        import glob
 
         zm = {}
         if have_zm:
             with open(self._zonemap_path(table)) as f:
                 zm = json.load(f)
-        bloom_files: dict = {}
-        bloom_meta: dict = {}
-        if have_bloom:
-            with open(self._bloom_path(table)) as f:
-                bdoc = json.load(f)
-            bloom_meta = bdoc.get("meta", {})
-            bloom_files = bdoc.get("files", {})
         # equality predicates get their probe positions computed ONCE;
         # a malformed meta (missing m/k) disables bloom probing rather
         # than failing the read — skipping is an optimization, never a
@@ -1051,12 +1118,36 @@ class Warehouse:
                 for col, (lo, hi) in ranges.items()
                 if lo == hi and col in bloom_meta.get("cols", [])
             }
+        # load ONLY the probe's rows from the parquet index: per probed
+        # column, the <= k needed word indexes plus the w = -1 scanned
+        # marker — parquet predicate pushdown + column pruning mean the
+        # full bitmaps are never read, let alone driver-materialized
+        words: dict[tuple, int] = {}
+        scanned: set[tuple] = set()
+        if probes and os.path.isdir(self._bloom_index_dir(table)):
+            import pyarrow.dataset as pads
+
+            expr = None
+            for col, positions in probes.items():
+                ws = sorted({p // 64 for p in positions}) + [-1]
+                e = (pads.field("c") == col) & pads.field("w").isin(ws)
+                expr = e if expr is None else (expr | e)
+            ds = pads.dataset(self._bloom_index_dir(table), format="parquet")
+            for batch in ds.to_batches(
+                columns=["f", "c", "w", "bits"], filter=expr
+            ):
+                cols_ = [batch.column(n).to_pylist() for n in ("f", "c", "w", "bits")]
+                for f_, c_, w_, b_ in zip(*cols_):
+                    if w_ == -1:
+                        scanned.add((f_, c_))
+                    else:
+                        words[(f_, c_, w_)] = b_
         tdir = self.path(table)
         keep = []
         # files on disk but not in the map (e.g. appended by a writer
         # that didn't refresh it) can never be skipped — only a recorded
         # non-overlapping zone / zero bloom bit is evidence of absence
-        for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+        for p in self._data_files(tdir):
             rel = os.path.relpath(p, tdir)
             zones = zm.get(rel, {})
             survives = True
@@ -1066,14 +1157,14 @@ class Warehouse:
                     survives = False
                     break
             if survives and probes:
-                blooms = bloom_files.get(rel, {})
                 for col, positions in probes.items():
-                    hexmap = blooms.get(col)
-                    if hexmap is None:
-                        continue
-                    bits = bytes.fromhex(hexmap)
+                    if (rel, col) not in scanned:
+                        continue  # not indexed for this file: keep it
+                    # a missing (f, c, w) row is an all-zero word; the
+                    # & works on two's-complement longs directly
                     if not all(
-                        bits[pos >> 3] & (1 << (pos & 7)) for pos in positions
+                        words.get((rel, col, pos // 64), 0) & (1 << (pos % 64))
+                        for pos in positions
                     ):
                         survives = False
                         break
@@ -1770,7 +1861,7 @@ class Warehouse:
         import glob
 
         spec = spec or TableSpec(partition_grain="NONE")
-        files = glob.glob(os.path.join(self.path(table), "**", "*.parquet"), recursive=True)
+        files = self._data_files(self.path(table))
         if len(files) < min_files:
             return 0
         # one manifest read resolves BOTH the input paths and the base

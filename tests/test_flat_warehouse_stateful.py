@@ -5,7 +5,22 @@ read matches the model multiset, a zone-map-pruned read NEVER loses a
 row relative to the plain filter (absence from the map must never be
 treated as absence of matches), and once Bloom filters are recorded,
 point-lookup reads through them stay exact across every subsequent
-append (incremental refresh) / overwrite / compact (rebuild)."""
+append (incremental refresh) / overwrite / compact (rebuild).
+
+Schema-evolution surface (this bug class bit three times: the r04
+merge-path manifest, the r05 flat-append footer sampling, and the r06
+pruned-read nested narrowing): batches randomly carry
+
+- the base columns (k, cat, v),
+- an evolved flat column w,
+- a nested STRUCT column s whose OWN fields evolve independently
+  (struct<a> -> struct<a, b>), mirroring the reference's recursive
+  RECORD unionization (kcbq/SchemaManager.java:443-460),
+
+and overwrites come in both NARROW (re-statement drops the evolved
+columns) and WIDE (the overwrite itself carries w) forms, interleaved
+with compaction — so the stored-schema commit, the explicit-read-schema
+path, and the pruned-read conform path all see every ordering."""
 
 from __future__ import annotations
 
@@ -40,51 +55,100 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
         self.tmp = tempfile.mkdtemp(prefix="whf_fuzz_")
         self.wh = Warehouse(self.spark, self.tmp)
-        # model rows are (k, cat, v, w) — w None for rows appended
-        # without the evolved column
+        # model rows are (k, cat, v, w, sa, sb) — None for dimensions a
+        # row's batch did not carry
         self.model: Counter = Counter()
         self.created = False
         self.bloomed = False
-        self.evolved = False
+        # which evolved columns the CURRENT table schema carries (reset
+        # by overwrite, which is a full re-statement)
+        self.has_w = False
+        self.has_s = False
+        self.s_has_b = False
 
-    def _df(self, batch, with_extra=False):
-        if with_extra:
-            rows = [(k, c, v, v * 10) for k, c, v in batch]
-            return self.spark.createDataFrame(
-                rows, "k: bigint, cat: string, v: bigint, w: bigint"
-            )
+    # -- batch builders -------------------------------------------------
+    def _df_base(self, batch):
+        return self.spark.createDataFrame(batch, "k: bigint, cat: string, v: bigint")
+
+    def _df_w(self, batch):
+        rows = [(k, c, v, v * 10) for k, c, v in batch]
         return self.spark.createDataFrame(
-            batch, "k: bigint, cat: string, v: bigint"
+            rows, "k: bigint, cat: string, v: bigint, w: bigint"
         )
 
+    def _df_nested(self, batch, with_b):
+        if with_b:
+            rows = [(k, c, v, (v + 1, f"s{k}")) for k, c, v in batch]
+            return self.spark.createDataFrame(
+                rows, "k: bigint, cat: string, v: bigint, s: struct<a: bigint, b: string>"
+            )
+        rows = [(k, c, v, (v + 1,)) for k, c, v in batch]
+        return self.spark.createDataFrame(
+            rows, "k: bigint, cat: string, v: bigint, s: struct<a: bigint>"
+        )
+
+    # -- write rules ----------------------------------------------------
     @rule(batch=_batch, clustered=st.booleans())
     def append(self, batch, clustered):
-        self.wh.append(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
-        self.model.update((k, c, v, None) for k, c, v in batch)
+        self.wh.append(self._df_base(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model.update((k, c, v, None, None, None) for k, c, v in batch)
         self.created = True
 
     @rule(batch=_batch, clustered=st.booleans())
     def append_evolving(self, batch, clustered):
-        """Append carrying a new column w — append-path schema evolution
-        (probe-found round 5: the evolved column and its VALUES were
-        silently dropped by footer-sampled reads) interleaved with
-        overwrites (which re-narrow the schema), compaction, and the
-        zone-map/bloom sidecars."""
+        """Append carrying a new flat column w — append-path schema
+        evolution (probe-found round 5: the evolved column and its
+        VALUES were silently dropped by footer-sampled reads)."""
+        self.wh.append(self._df_w(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model.update((k, c, v, v * 10, None, None) for k, c, v in batch)
+        self.created = True
+        self.has_w = True
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def append_nested(self, batch, clustered):
+        """Append carrying a nested struct s: struct<a> — files written
+        by this rule predate the b subfield if append_nested_evolved
+        runs later (or postdate its removal-by-overwrite)."""
         self.wh.append(
-            self._df(batch, with_extra=True),
-            "t",
+            self._df_nested(batch, with_b=False), "t",
             CLUSTERED if clustered else PLAIN,
         )
-        self.model.update((k, c, v, v * 10) for k, c, v in batch)
+        self.model.update((k, c, v, None, v + 1, None) for k, c, v in batch)
         self.created = True
-        self.evolved = True
+        self.has_s = True
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def append_nested_evolved(self, batch, clustered):
+        """Append where the nested struct itself evolved: s gains a b
+        subfield — the recursive-unionization surface."""
+        self.wh.append(
+            self._df_nested(batch, with_b=True), "t",
+            CLUSTERED if clustered else PLAIN,
+        )
+        self.model.update((k, c, v, None, v + 1, f"s{k}") for k, c, v in batch)
+        self.created = True
+        self.has_s = True
+        self.s_has_b = True
 
     @rule(batch=_batch, clustered=st.booleans())
     def overwrite(self, batch, clustered):
-        self.wh.overwrite(self._df(batch), "t", CLUSTERED if clustered else PLAIN)
-        self.model = Counter((k, c, v, None) for k, c, v in batch)
+        self.wh.overwrite(self._df_base(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model = Counter((k, c, v, None, None, None) for k, c, v in batch)
         self.created = True
-        self.evolved = False  # full re-statement narrows the schema back
+        # full re-statement narrows the schema back
+        self.has_w = self.has_s = self.s_has_b = False
+
+    @rule(batch=_batch, clustered=st.booleans())
+    def overwrite_evolving(self, batch, clustered):
+        """Overwrite that itself carries the evolved column — the wide
+        re-statement: stored schema must be REPLACED with the batch's
+        (w kept because the batch has it, s dropped because it
+        doesn't), never unioned with the stale prior."""
+        self.wh.overwrite(self._df_w(batch), "t", CLUSTERED if clustered else PLAIN)
+        self.model = Counter((k, c, v, v * 10, None, None) for k, c, v in batch)
+        self.created = True
+        self.has_w = True
+        self.has_s = self.s_has_b = False
 
     @precondition(lambda self: self.created)
     @rule()
@@ -97,40 +161,48 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.wh.record_bloom("t", ["k", "cat"])
         self.bloomed = True
 
+    # -- invariants -----------------------------------------------------
+    def _project(self, df):
+        """Model-shaped (k, cat, v, w, sa, sb) tuples from a read."""
+        from pyspark.sql import functions as F
+
+        cols = [F.col("k"), F.col("cat"), F.col("v")]
+        cols.append(F.col("w") if self.has_w else F.lit(None).cast("bigint"))
+        cols.append(F.col("s.a") if self.has_s else F.lit(None).cast("bigint"))
+        cols.append(
+            F.col("s.b") if self.s_has_b else F.lit(None).cast("string")
+        )
+        return Counter(tuple(r) for r in df.select(*cols).collect())
+
     @invariant()
     def full_read_matches_model(self):
         if not self.created:
             return
         df = self.wh.read("t")
-        if self.evolved:
-            assert "w" in df.columns, "evolved column lost"
-            got = Counter(
-                (r["k"], r["cat"], r["v"], r["w"])
-                for r in df.select("k", "cat", "v", "w").collect()
-            )
-            assert got == self.model
-        else:
-            assert "w" not in df.columns, "overwrite failed to narrow schema"
-            got = Counter(
-                (r["k"], r["cat"], r["v"], None)
-                for r in df.select("k", "cat", "v").collect()
-            )
-            assert got == self.model
+        expect = {"k", "cat", "v"} | ({"w"} if self.has_w else set()) | (
+            {"s"} if self.has_s else set()
+        )
+        assert set(df.columns) == expect, (
+            f"schema drift: have {sorted(df.columns)}, want {sorted(expect)}"
+        )
+        if self.has_s:
+            s_fields = {f.name for f in df.schema["s"].dataType.fields}
+            want_s = {"a", "b"} if self.s_has_b else {"a"}
+            assert s_fields == want_s, f"nested drift: {s_fields} != {want_s}"
+        assert self._project(df) == self.model
 
     @invariant()
     def pruned_read_equals_plain_filter(self):
         if not self.created:
             return
         for cat in CATS:
-            got = Counter(
-                (r["k"], r["v"])
-                for r in self.wh.read_pruned("t", "cat", eq=cat)
-                .select("k", "v")
-                .collect()
-            )
-            want = Counter(
-                (k, v) for k, c, v, _w in self.model.elements() if c == cat
-            )
+            pruned = self.wh.read_pruned("t", "cat", eq=cat)
+            # the pruned read's schema must equal the full read's even
+            # when every surviving file predates an evolution (the r06
+            # nested-narrowing fix in _conform_to_stored)
+            assert set(pruned.columns) == set(self.wh.read("t").columns)
+            got = self._project(pruned)
+            want = Counter(t for t in self.model.elements() if t[1] == cat)
             assert got == want, f"zone-map pruning diverged for cat={cat}"
 
     @invariant()
@@ -138,15 +210,8 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         if not self.bloomed:
             return
         for key in (0, 7, 99, 1234):  # 1234 never inserted
-            got = Counter(
-                (r["cat"], r["v"])
-                for r in self.wh.read_pruned_where("t", {"k": key})
-                .select("cat", "v")
-                .collect()
-            )
-            want = Counter(
-                (c, v) for k, c, v, _w in self.model.elements() if k == key
-            )
+            got = self._project(self.wh.read_pruned_where("t", {"k": key}))
+            want = Counter(t for t in self.model.elements() if t[0] == key)
             assert got == want, f"bloom point lookup diverged for k={key}"
 
     def teardown(self):

@@ -235,14 +235,17 @@ def test_bloom_matches_full_filter_on_many_probes(spark, tmp_path):
 
 
 def test_bloom_incremental_refresh_on_append(spark, tmp_path):
-    import json
+    import glob as _glob
 
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
 
     wh = _bloom_table(spark, tmp_path, "wh3")
     wh.record_bloom("t", ["id"])
-    with open(wh._bloom_path("t")) as f:
-        before = json.load(f)["files"]
+    before = wh.bloom_indexed_files("t")
+    index_files_before = set(
+        _glob.glob(f"{wh._bloom_index_dir('t')}/*.parquet")
+    )
+    assert before and index_files_before
 
     # append WITHOUT an explicit record_bloom: the writer keeps it fresh
     new = spark.createDataFrame(
@@ -250,16 +253,42 @@ def test_bloom_incremental_refresh_on_append(spark, tmp_path):
         "id: bigint, user: string, v: double",
     )
     wh.append(new, "t", TableSpec(partition_grain="NONE"))
-    with open(wh._bloom_path("t")) as f:
-        doc = json.load(f)
-    assert len(doc["files"]) > len(before)
-    # old entries were NOT rebuilt (incremental: bitmaps carried over)
-    for rel, ent in before.items():
-        assert doc["files"][rel] == ent
+    after = wh.bloom_indexed_files("t")
+    assert after > before  # strictly more files indexed, old ones kept
+    # incremental refresh APPENDED to the parquet index: the original
+    # index part files are untouched (no rebuild of old bitmaps)
+    index_files_after = set(_glob.glob(f"{wh._bloom_index_dir('t')}/*.parquet"))
+    assert index_files_after > index_files_before
 
     found = wh.read_pruned_where("t", {"id": 10_007})
     assert found.count() == 1
-    assert len(found.inputFiles()) < len(doc["files"])
+    assert len(found.inputFiles()) < len(after)
+
+
+def test_bloom_index_is_parquet_and_invisible_to_data_paths(spark, tmp_path):
+    """The bloom index is a parquet TABLE under <table>/_bloom/ — it
+    must never leak into data reads, zone maps, compaction inputs, or
+    table stats."""
+    wh = _bloom_table(spark, tmp_path, "wh6")
+    n_rows = wh.read("t").count()
+    bytes_before = wh.table_bytes("t")
+    files_before = wh.describe_detail("t")["num_files"]
+    wh.record_bloom("t", ["id"])
+    # index parquet exists on disk...
+    import glob as _glob
+
+    assert _glob.glob(f"{wh._bloom_index_dir('t')}/*.parquet")
+    # ...but row counts, byte totals, and file counts are unchanged
+    assert wh.read("t").count() == n_rows
+    assert wh.table_bytes("t") == bytes_before
+    assert wh.describe_detail("t")["num_files"] == files_before
+    # zonemap refresh does not index the bloom files either
+    wh._record_zonemap("t")
+    import json
+
+    with open(wh._zonemap_path("t")) as f:
+        zm = json.load(f)
+    assert all(not rel.startswith("_bloom") for rel in zm)
 
 
 def test_bloom_compact_rebuilds(spark, tmp_path):

@@ -81,17 +81,12 @@ def main(argv: list[str] | None = None) -> int:
             w = wh()
             w.record_bloom(args.table, args.bloom_cols.split(","))
         bw = Warehouse(None, args.root)
-        bpath = bw._bloom_path(args.table)
-        if os.path.exists(bpath):
-            with open(bpath) as f:
-                doc = json.load(f)
-            out = {
-                "table": args.table,
-                "meta": doc.get("meta", {}),
-                "n_files": len(doc.get("files", {})),
-            }
-        else:
-            out = {"table": args.table, "meta": None, "n_files": 0}
+        meta = bw.bloom_meta(args.table)
+        out = {
+            "table": args.table,
+            "meta": meta,
+            "n_files": len(bw.bloom_indexed_files(args.table)) if meta else 0,
+        }
     else:  # history
         w = wh()
         out = {
