@@ -482,3 +482,33 @@ def test_jvm_probe_memoized_per_session(spark, monkeypatch):
     for _ in range(3):
         assert jvm_avro_available(spark) == first
     assert calls["n"] == 1
+
+
+def test_jvm_and_python_paths_agree_when_jvm_available(spark):
+    """Parity gate for the JVM fast path: when the spark-avro
+    datasource IS loadable, from_avro (jvm mode) and the Arrow-batched
+    python seam must produce identical typed rows for every fixture
+    corpus. Skips (rather than silently not existing) on hosts without
+    the datasource — it self-activates on capable hosts, keeping
+    `jvm_avro_available`'s true branch honest."""
+    if not jvm_avro_available(spark):
+        pytest.skip("spark-avro datasource not loaded in this environment")
+    for case in ("primitives", "nulls", "matryoshka-dolls"):
+        schema, rows = _fixture(case)
+        payloads = _encoded(schema, rows)
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i: int, value: binary",
+        )
+        out = {}
+        for mode in ("jvm", "python"):
+            parser = avro_value_parser(spark, json.dumps(schema), mode=mode)
+            out[mode] = (
+                df.select("i", parser(F.col("value")).alias("v"))
+                .orderBy("i")
+                .select("v.*")
+                .collect()
+            )
+        assert [r.asDict(True) for r in out["jvm"]] == [
+            r.asDict(True) for r in out["python"]
+        ], f"{case}: jvm/python decode divergence"

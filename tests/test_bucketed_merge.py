@@ -895,3 +895,44 @@ def test_evolving_tombstone_for_absent_key_keeps_new_column(spark, tmp_path):
     # compaction carries the manifest schema forward untouched
     wh.compact("t", spec, target_file_rows=4, min_files=1)
     assert set(wh.read_bucketed("t").columns) == {"k", "v", "w"}
+
+
+@pytest.mark.parametrize("bucketed", [True, False], ids=["bucketed", "rewrite"])
+def test_tombstone_predating_evolution_same_batch_as_evolved_upsert(
+    spark, tmp_path, bucketed
+):
+    """The adversarial MERGE shape: a tombstone whose column set
+    predates an evolution (NULL evolved column — a Kafka tombstone has
+    no value at all) arrives in the SAME batch as a post-evolution
+    upsert for the SAME key, in both orders. Exercises
+    _align_for_merge (dest lacks new_col), _conform_to_stored, and the
+    pre-tombstone drop ordering (F4: d_i IS NULL OR i >= d_i,
+    kcbq/MergeQueries.java delete-ordering semantics) in one batch.
+
+    Key 1: tombstone(i=0) then evolved upsert(i=1) -> row survives
+           with the evolved value (the upsert postdates the delete).
+    Key 2: evolved upsert(i=0) then tombstone(i=1) -> row deleted
+           (the delete postdates the upsert; its NULL new_col must
+           not poison the alignment).
+    Key 3: untouched pre-evolution row -> survives with NULL new_col.
+    """
+    spec = SPEC if bucketed else TableSpec(partition_grain="NONE")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(
+        _mk(spark, [(k, f"v{k}", k, False) for k in (1, 2, 3)]),
+        "t", ["k"], mode="upsert_delete", spec=spec,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, None, None, 0, True),
+            (1, "resurrected", "extra1", 1, False),
+            (2, "doomed", "extra2", 0, False),
+            (2, None, None, 1, True),
+        ],
+        "k: bigint, v: string, new_col: string, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(batch, "t", ["k"], mode="upsert_delete", spec=spec)
+    df = wh.read("t")
+    assert "new_col" in df.columns
+    out = {r["k"]: (r["v"], r["new_col"]) for r in df.collect()}
+    assert out == {1: ("resurrected", "extra1"), 3: ("v3", None)}

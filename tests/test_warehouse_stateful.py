@@ -67,7 +67,7 @@ class WarehouseMachine(RuleBasedStateMachine):
         self.commit_ts[gen] = _time.time()
         self.created = True
 
-    def _apply_merge(self, batch, with_extra, with_extra2=False):
+    def _apply_merge(self, batch, with_extra, with_extra2=False, null_tomb=False):
         cols = ["k: bigint", "v: bigint"]
         if with_extra:
             cols.append("w: bigint")
@@ -78,9 +78,9 @@ class WarehouseMachine(RuleBasedStateMachine):
         for i, (k, v, t) in enumerate(batch):
             r = [k, v]
             if with_extra:
-                r.append(v * 10)
+                r.append(None if (t and null_tomb) else v * 10)
             if with_extra2:
-                r.append(v * 100)
+                r.append(None if (t and null_tomb) else v * 100)
             r += [i, t]
             rows.append(tuple(r))
         df = self.spark.createDataFrame(rows, ", ".join(cols))
@@ -124,6 +124,17 @@ class WarehouseMachine(RuleBasedStateMachine):
         subset of the evolved schema, so the manifest union + read
         conform must reassemble [k, v, w?, x?] across commits."""
         self._apply_merge(batch, with_extra=False, with_extra2=True)
+
+    @rule(batch=_batch)
+    def merge_mixed_era_tombstones(self, batch):
+        """Tombstone rows carry NULL evolved columns (a Kafka tombstone
+        has no value, so its column set predates any evolution) in the
+        same batch as post-evolution upserts — possibly for the SAME
+        key in either order, exercising _align_for_merge +
+        _conform_to_stored + the pre-tombstone drop (F4) ordering
+        simultaneously (the adversarial MERGE shape from the r05
+        verdict)."""
+        self._apply_merge(batch, with_extra=True, with_extra2=True, null_tomb=True)
 
     @precondition(lambda self: self.created)
     @rule()
