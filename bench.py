@@ -112,15 +112,17 @@ def main() -> None:
     # listings/codegen, and the minimum suppresses machine-load spikes
     # (this host shows ±30% noise with repeated-run decay) so
     # round-over-round comparisons track the engine, not the host
+    N_RUNS = 3
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
-        best = None
-        for _ in range(3):
+        samples = []
+        for _ in range(N_RUNS):
             t0 = time.time()
             registry[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.time() - t0)
+        runs[name] = sorted(round(s, 4) for s in samples)
+        timings[name] = runs[name][0]
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -134,10 +136,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    # full payload to a file first (survives any stdout capture limit)
+    # full payload (with the per-query run distribution, so a reviewer
+    # can separate host noise from real regression without re-deriving
+    # it) goes to a file; the stdout line stays compact — min-of-N only
+    # (r04's long line outgrew the driver's tail capture)
+    full = dict(
+        payload,
+        runs_per_query=N_RUNS,
+        aggregation="min",
+        # sorted samples per query: [0]=min (the headline number),
+        # [N//2]=median; spread = host noise for that query
+        query_runs={n: rs for n, rs in runs.items()},
+        query_median={n: rs[len(rs) // 2] for n, rs in runs.items()},
+    )
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
-            json.dump(payload, f, indent=2)
+            json.dump(full, f, indent=2)
     except OSError:
         pass
     # stop Spark BEFORE printing so no shutdown chatter can land after
