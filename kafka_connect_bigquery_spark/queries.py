@@ -1345,6 +1345,81 @@ FROM events WHERE user_id = 7
 """
 
 
+def q_warehouse_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-path schema evolution read-back, flat + NESTED, through a
+    PRUNED read whose every surviving file PREDATES the evolution — the
+    exact surface of the bug class that bit three times (r04 merge
+    manifest, r05 flat-append footer sampling, r06 pruned-read nested
+    narrowing; kcbq/SchemaManager.java:379-469 unionization semantics,
+    recursive per :443-460). Events land in two clustered appends: the
+    lower id half with a nested struct<a>, the upper half carrying an
+    evolved flat column vx AND an evolved nested subfield meta.b. The
+    zone map prunes the range read down to pre-evolution files only, so
+    the result's vx / meta.b MUST surface as typed NULLs with the full
+    post-evolution schema (sinks/warehouse.py::_conform_to_stored) —
+    the oracle re-derives the same rows from the source table."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    stats = e.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    split = lo + (hi - lo) // 2
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_evol")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", clustering=("event_id",))
+    old = e.filter(F.col("event_id") <= split).withColumn(
+        "meta", F.struct(F.col("user_id").alias("a"))
+    )
+    new = (
+        e.filter(F.col("event_id") > split)
+        .withColumn("vx", (F.col("user_id") * 2).cast("bigint"))
+        .withColumn(
+            "meta",
+            F.struct(F.col("user_id").alias("a"), F.col("event_type").alias("b")),
+        )
+    )
+    wh.append(old, "t", spec)
+    wh.append(new, "t", spec)  # evolves: + vx, + meta.b (recursive union)
+    pruned = wh.read_pruned("t", "event_id", lo=lo, hi=split)
+    return pruned.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "vx",
+        F.col("meta.a").alias("meta_a"),
+        F.col("meta.b").alias("meta_b"),
+    )
+
+
+Q_WAREHOUSE_EVOLUTION_SQL = """
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 2 AS split
+  FROM events
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       CAST(NULL AS BIGINT) AS vx,
+       e.user_id AS meta_a,
+       CAST(NULL AS VARCHAR) AS meta_b
+FROM events e, b
+WHERE e.event_id <= b.split
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -2767,6 +2842,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_partition_rollup": (q_hourly_rollup, Q_HOURLY_ROLLUP_SQL),
     "warehouse_zonemap_read": (q_warehouse_zonemap_read, Q_WAREHOUSE_ZONEMAP_SQL),
     "warehouse_bloom_read": (q_warehouse_bloom_read, Q_WAREHOUSE_BLOOM_SQL),
+    "warehouse_evolution_read": (q_warehouse_evolution_read, Q_WAREHOUSE_EVOLUTION_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -2863,9 +2939,14 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_diversity",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
+    # -- changed-path slots (r05 precedent: entries whose code moved
+    # this round go in-window): the bloom index became a parquet table,
+    # pruned reads now conform nested schemas, and the evolution-read
+    # entry is NEW this round (first witness). tpch_q17/q18/q19 yield their
+    # backfill slots and lead the r07 backfill instead. ---------------
+    "warehouse_bloom_read",
+    "warehouse_zonemap_read",
+    "warehouse_evolution_read",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05 (or late-r04 for the tpch/ops remainder) ====
 ]
