@@ -185,3 +185,69 @@ def decontaminate(
         )
         .filter(F.col("n_shared_grams") >= min_shared)
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    tokens_per_shard: int,
+    n_order_buckets: int = 64,
+    salt: str = "shardplan",
+) -> DataFrame:
+    """Token-balanced training-shard assignment: rows take a seeded-hash
+    global order, then a running weight (token) sum bins them so every
+    shard carries ~``tokens_per_shard`` tokens. ``hash % n`` balances
+    COUNTS; under the document-length skew of a real corpus that makes
+    shards token-lopsided, and at 100 TB token-lopsided shards are
+    straggler epochs. The hash order doubles as the corpus shuffle every
+    pre-training run wants (no epoch-correlated ordering).
+
+    Scale shape — the global running sum is a TWO-LEVEL distributed
+    prefix sum, never a single-partition global window:
+
+    1. each row hashes to a 60-bit order key h; its top bits pick one of
+       ``n_order_buckets`` hash-RANGE buckets (bucket order == h order);
+    2. one tiny aggregation computes per-bucket totals; a window over
+       those ``n_order_buckets`` rows (driver-scale) turns them into
+       bucket offsets, broadcast back;
+    3. a window PARTITIONED BY bucket (parallel) computes the
+       within-bucket running sum; offset + within = exact global cumsum.
+
+    Every step is integer arithmetic on md5-derived keys, so the plan is
+    engine-exact and restart-stable: same corpus + salt => same shards,
+    on any cluster size. Returns the input plus ``h`` (order key),
+    ``cum_tokens`` (inclusive running sum in hash order) and
+    ``shard_id`` (= floor((cum_tokens - weight) / tokens_per_shard); a
+    row larger than the budget still lands in exactly one shard).
+    """
+    if n_order_buckets < 1 or n_order_buckets & (n_order_buckets - 1):
+        raise ValueError("n_order_buckets must be a power of two")
+    shift = 60 - n_order_buckets.bit_length() + 1  # h has 60 bits
+    hid = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.withColumn(
+        "h", F.conv(F.substring(hid, 1, 15), 16, 10).cast("long")
+    ).withColumn("__w", F.col(weight_col).cast("long"))
+    base = base.withColumn("__b", F.expr(f"shiftrightunsigned(h, {shift})"))
+    totals = base.groupBy("__b").agg(F.sum("__w").alias("__bt"))
+    # n_order_buckets rows: the only global window runs over THEM, not
+    # over the corpus
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+    )
+    within = Window.partitionBy("__b").orderBy("h", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        base.join(F.broadcast(offsets), "__b")
+        .withColumn("cum_tokens", F.col("__off") + F.sum("__w").over(within))
+        .withColumn(
+            "shard_id",
+            # integer DIV: double division would lose exactness past
+            # 2^53 cumulative tokens (a few PB of corpus — reachable)
+            F.expr(f"CAST((cum_tokens - __w) DIV {int(tokens_per_shard)} AS BIGINT)"),
+        )
+    )
+    return out.drop("__b", "__w", "__off")

@@ -2938,7 +2938,9 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
+    # -- new-entry slot: corpus_shard_plan (added r06, first witness;
+    # tpch_q16 yields its slot to the r07 backfill) -------------------
+    "corpus_shard_plan",
     # -- changed-path slots (r05 precedent: entries whose code moved
     # this round go in-window): the bloom index became a parquet table,
     # pruned reads now conform nested schemas, and the evolution-read

@@ -2810,6 +2810,40 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_BUDGET = 2048
 _PACK_SHARDS = 8  # sf-test value; production uses O(cluster cores)
+_SHARD_TPS = 50_000  # tokens (chars) per training shard
+
+
+def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard planning (operators/packing.py::
+    shard_plan): documents take a seeded-hash global order (the corpus
+    shuffle), then an exact global running character sum — computed as
+    a TWO-LEVEL distributed prefix sum (within-hash-bucket window +
+    broadcast bucket offsets), never a single-partition window — bins
+    them into ~50k-char shards. The oracle recomputes the cumsum with
+    one global window (fine at test scale) and must match bit-for-bit:
+    the decomposition is exact, not approximate."""
+    from kafka_connect_bigquery_spark.operators.packing import shard_plan
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = shard_plan(d, "doc_id", "n_chars", tokens_per_shard=_SHARD_TPS)
+    return out.select("doc_id", "h", "cum_tokens", "shard_id")
+
+
+Q_CORPUS_SHARD_PLAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(concat('shardplan', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, h,
+         SUM(n_chars) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, h, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum - n_chars) // {_SHARD_TPS} AS BIGINT) AS shard_id
+FROM c
+"""
 
 
 def q_docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,6 +3185,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_frame_features": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "multimodal_audio_chunks": (q_multimodal_audio_chunks, Q_MULTIMODAL_AUDIO_SQL),
     "docs_sequence_pack": (q_docs_sequence_pack, Q_DOCS_SEQUENCE_PACK_SQL),
+    "corpus_shard_plan": (q_corpus_shard_plan, Q_CORPUS_SHARD_PLAN_SQL),
     "docs_decontaminate": (q_docs_decontaminate, Q_DOCS_DECONTAMINATE_SQL),
     "text_hashed_tf": (q_text_hashed_tf, Q_TEXT_HASHED_TF_SQL),
     "text_sparse_cosine": (q_text_sparse_cosine, Q_TEXT_SPARSE_COSINE_SQL),

@@ -140,3 +140,55 @@ def test_decontaminate_short_docs_no_grams(spark):
     assert (
         packing.decontaminate(df, "doc_id", "text", "split", n=5).collect() == []
     )
+
+
+def test_shard_plan_exact_and_balanced(spark):
+    """shard_plan's two-level distributed prefix sum must equal the
+    naive single-window global cumsum bit-for-bit, shards must be
+    contiguous in hash order, and every shard's token mass must be
+    bounded by budget + its largest straddling document."""
+    from pyspark.sql import Window
+
+    from kafka_connect_bigquery_spark.operators.packing import shard_plan
+
+    rows = [(i, 37 + (i * 811) % 4000) for i in range(800)]  # skewed sizes
+    df = spark.createDataFrame(rows, "doc_id: bigint, n_chars: bigint")
+    tps = 20_000
+    out = shard_plan(df, "doc_id", "n_chars", tokens_per_shard=tps).collect()
+
+    # oracle: one global window in hash order
+    got = {r["doc_id"]: (r["h"], r["cum_tokens"], r["shard_id"]) for r in out}
+    ordered = sorted(out, key=lambda r: (r["h"], r["doc_id"]))
+    cum = 0
+    for r in ordered:
+        cum += r["n_chars"]
+        assert r["cum_tokens"] == cum, "two-level cumsum diverged from naive"
+        assert r["shard_id"] == (cum - r["n_chars"]) // tps
+    # contiguity: shard ids are non-decreasing in hash order
+    ids = [r["shard_id"] for r in ordered]
+    assert ids == sorted(ids)
+    # balance: each shard holds <= tps + (its largest doc - 1) tokens
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    largest = defaultdict(int)
+    for r in ordered:
+        mass[r["shard_id"]] += r["n_chars"]
+        largest[r["shard_id"]] = max(largest[r["shard_id"]], r["n_chars"])
+    for s, m in mass.items():
+        assert m <= tps + largest[s], f"shard {s} overfilled: {m}"
+    # determinism across invocations
+    again = shard_plan(df, "doc_id", "n_chars", tokens_per_shard=tps).collect()
+    assert {r["doc_id"]: r["shard_id"] for r in again} == {
+        k: v[2] for k, v in got.items()
+    }
+
+
+def test_shard_plan_rejects_non_power_of_two_buckets(spark):
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_spark.operators.packing import shard_plan
+
+    df = spark.createDataFrame([(1, 10)], "doc_id: bigint, n_chars: bigint")
+    with _pytest.raises(ValueError):
+        shard_plan(df, "doc_id", "n_chars", tokens_per_shard=100, n_order_buckets=48)
