@@ -1350,13 +1350,22 @@ class Warehouse:
             if k not in ("generations", "generation")
         }
         meta["schema"] = out.schema.json()
+        # the bloom recording lives INSIDE the table dir the swap
+        # replaces — capture it first, rebuild after, or an overwrite
+        # silently drops the user's point-lookup index (the docstring
+        # promise is rebuild, not vanish)
+        bloom = self.bloom_meta(table)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
         self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
-        self._refresh_bloom_if_recorded(table, incremental=False)
+        if bloom:
+            self.record_bloom(
+                table, bloom["cols"], m_bits=bloom["m"],
+                k_hashes=bloom["k"], incremental=False,
+            )
 
     # -- MERGE ----------------------------------------------------------
     def _align_for_merge(
@@ -1922,13 +1931,20 @@ class Warehouse:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
         final = self.path(table)
+        # same swap-survival contract as overwrite(): the bloom
+        # recording is inside the dir being replaced
+        bloom = self.bloom_meta(table)
         shutil.rmtree(final)
         os.replace(tmp, final)
         if meta:
             self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
-        self._refresh_bloom_if_recorded(table, incremental=False)
+        if bloom:
+            self.record_bloom(
+                table, bloom["cols"], m_bits=bloom["m"],
+                k_hashes=bloom["k"], incremental=False,
+            )
         return len(files)
 
     # -- retention (L3) --------------------------------------------------

@@ -297,10 +297,47 @@ def test_bloom_compact_rebuilds(spark, tmp_path):
     wh = _bloom_table(spark, tmp_path, "wh4")
     wh.record_bloom("t", ["id"])
     wh.compact("t", TableSpec(partition_grain="NONE"), target_file_rows=500, min_files=1)
+    # the recording SURVIVES the compaction dir swap (capture-and-
+    # rebuild, not silent loss) and indexes the NEW files
+    assert wh.bloom_meta("t") is not None
+    indexed = wh.bloom_indexed_files("t")
+    assert indexed and all("tmp" not in rel for rel in indexed)
     # post-compact bitmaps reflect the NEW files; results stay exact
     for probe in (42, 43, 44, 123_456):
         got = {r["id"] for r in wh.read_pruned_where("t", {"id": probe}).collect()}
         assert got == ({probe} if probe < 3000 else set())
+
+
+def test_bloom_survives_overwrite(spark, tmp_path):
+    """An overwrite is a full re-statement of the DATA, but the user's
+    point-lookup index recording must survive it — rebuilt over the new
+    files, still pruning."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = _bloom_table(spark, tmp_path, "wh7")
+    wh.record_bloom("t", ["id"])
+    # overwrite with fresh interleaved batches (multiple files so
+    # pruning has something to skip), then append more
+    rows = [(i, f"w{i}", 1.0) for i in range(500)]
+    wh.overwrite(
+        spark.createDataFrame(rows, "id: bigint, user: string, v: double"),
+        "t", TableSpec(partition_grain="NONE"),
+    )
+    assert wh.bloom_meta("t") is not None, "bloom recording lost on overwrite"
+    for res in (1, 2):
+        more = [(1000 * res + i, f"x{i}", 2.0) for i in range(100)]
+        wh.append(
+            spark.createDataFrame(more, "id: bigint, user: string, v: double"),
+            "t", TableSpec(partition_grain="NONE"),
+        )
+    pruned = wh.read_pruned_where("t", {"id": 1007})
+    assert [r["user"] for r in pruned.collect()] == ["x7"]
+    all_files = set(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    all_files = {f for f in all_files if "/_bloom/" not in f}
+    opened = {f.replace("file://", "") for f in pruned.inputFiles()}
+    assert opened < all_files, "rebuilt bloom did not prune"
+    # absent value still provably absent post-overwrite
+    assert wh.read_pruned_where("t", {"id": 424_242}).inputFiles() == []
 
 
 def test_bloom_rejects_bucketed_tables(spark, tmp_path):
