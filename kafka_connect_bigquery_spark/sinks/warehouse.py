@@ -785,6 +785,11 @@ class Warehouse:
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         continue
+                    # very long strings: parquet-mr DROPS min/max rather
+                    # than truncating (probed: 5 KB values -> has_min_max
+                    # False), so a recorded zone is always an exact
+                    # bound — no truncated-max false-prune risk; the
+                    # file just stays unprunable on that column
                     lo, hi = st.min, st.max
                     if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
                         continue  # bytes/logical types: not zone-mapped

@@ -383,3 +383,46 @@ def test_zorder_string_column_pruning(spark, tmp_path):
     assert opened < all_files, "string z-order dimension did not prune"
     got = {r["k"] for r in pruned.collect()}
     assert got == {i for i in range(4000) if i % 16 == 0}
+
+
+def test_bloom_on_partitioned_table(spark, tmp_path):
+    """Bloom filters over a column-partitioned table: index rel paths
+    include the Hive partition dirs, pruned reads keep partition
+    columns visible (basePath), and incremental refresh tracks files
+    inside partition subdirs."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whp"))
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    for res in range(2):
+        rows = [
+            (i * 2 + res, f"u{i * 2 + res}",
+             "2024-01-0" + str(1 + (i % 3)) + " 12:00:00")
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, user: string, ts_s: string").select(
+            "id", "user", F.to_timestamp("ts_s").alias("ts")
+        )
+        wh.append(df, "t", spec)
+    wh.record_bloom("t", ["id"])
+    indexed = wh.bloom_indexed_files("t")
+    assert indexed and any("p_date=" in rel for rel in indexed)
+    pruned = wh.read_pruned_where("t", {"id": 42})  # 42 even -> res 0 files
+    got = pruned.collect()
+    assert [r["id"] for r in got] == [42]
+    assert "p_date" in pruned.columns and got[0]["p_date"] is not None
+    all_files = {
+        f for f in glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True)
+        if "/_bloom/" not in f
+    }
+    opened = {f.replace("file://", "") for f in pruned.inputFiles()}
+    assert opened < all_files
+    # incremental refresh on append into a partition subdir
+    extra = spark.createDataFrame(
+        [(9999, "new", "2024-01-02 08:00:00")], "id: bigint, user: string, ts_s: string"
+    ).select("id", "user", F.to_timestamp("ts_s").alias("ts"))
+    wh.append(extra, "t", spec)
+    assert wh.bloom_indexed_files("t") > indexed
+    assert wh.read_pruned_where("t", {"id": 9999}).count() == 1
