@@ -1000,7 +1000,21 @@ class Warehouse:
         incrementally (new files only, appended to the index table) and
         ``overwrite``/``compact`` rebuild it (dropping rows for dead
         files). Not applicable to bucketed tables (their bucket key IS
-        the file-routing predicate)."""
+        the file-routing predicate).
+
+        Concurrency contract (no lock held across the Spark build —
+        holding the commit lock through a long job would trip the
+        stale-lock sweep): safe WITHOUT serialization because (a) index
+        rows are idempotent — duplicate (f, c, w) rows from racing
+        recorders carry identical bits; (b) each build lands as ONE
+        parquet file (see the coalesce below), so a (f, c) marker and
+        its word rows commit atomically together — a marker without its
+        words, which would prune wrongly, cannot exist; (c) a build
+        torn away entirely by a racing full rebuild just leaves files
+        unindexed, and the probe treats unindexed as
+        conservatively-kept. Worst case is fewer prunes, never wrong
+        rows: skipping is an optimization, not a correctness
+        dependency."""
         if self.layout_meta(table).get("generations") is not None:
             raise WarehouseError(
                 f"table {table} is bucketed: bucket routing already prunes "
@@ -1030,9 +1044,12 @@ class Warehouse:
         if rows is not None:
             out = rows.unionByName(out)
         # one index file per build: a marker row and its word rows land
-        # in the SAME parquet file, so a torn write can never leave a
-        # marker without its words (which would prune wrongly). At fleet
-        # scale, scale this with the batch instead of pinning to 1.
+        # in the SAME parquet file, so a torn or racing write can never
+        # leave a marker without its words (which would prune wrongly)
+        # — this single-file commit IS the concurrency contract above.
+        # At fleet scale, scale file count with the batch instead of
+        # pinning to 1, keeping each (file, column) group within one
+        # output file (repartition by f before the write).
         out.coalesce(1).write.mode(mode).parquet(self._bloom_index_dir(table))
         self._write_bloom_meta(table, meta)
 
