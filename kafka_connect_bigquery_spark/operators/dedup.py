@@ -268,6 +268,78 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter_size", "size_a", "size_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_containment_pct: int = 80,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) of
+    the shingle sets — the Broder (1997) *containment* measure. Catches
+    the pair Jaccard structurally cannot: a short document embedded
+    verbatim in a much longer one (quote farms, boilerplate wrappers,
+    concatenated dumps), where the union term dilutes Jaccard below any
+    usable threshold but the smaller side is ~100% contained.
+
+    Same inverted-index join + stop-shingle guard as
+    ``ngram_jaccard_pairs`` (identical scale shape — candidates, never
+    the cross product); the ratio is decided in integer arithmetic
+    (``inter*100 >= pct*min(size)``), so the emitted
+    ``containment_pct`` is engine-exact. Returns (id_a, id_b,
+    inter_size, size_a, size_b, containment_pct, jaccard_pct) with
+    id_a < id_b."""
+    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("blk"))
+        posts = posts.join(blocks, "doc")
+    posts = posts.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "sh"
+    ).localCheckpoint(eager=True)
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = posts.select(
+        F.col("doc").alias("id_a"), "sh", *(["blk"] if block_col else [])
+    )
+    b = posts.select(
+        F.col("doc").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+    )
+    cond = (a.sh == b.sh_b) & (a.id_a < b.id_b)
+    if block_col:
+        cond = cond & (a.blk == b.blk_b)
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "size_b"}), "id_b")
+        .filter(
+            F.col("inter_size") * 100
+            >= F.least("size_a", "size_b") * min_containment_pct
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            "size_a",
+            "size_b",
+            F.expr("inter_size * 100 DIV least(size_a, size_b)").alias(
+                "containment_pct"
+            ),
+            F.expr("inter_size * 100 DIV (size_a + size_b - inter_size)").alias(
+                "jaccard_pct"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # winnowing fingerprints (MOSS-style local fingerprinting)
 # --------------------------------------------------------------------------
@@ -804,6 +876,116 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def substring_run_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile (the
+    suffix-array dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed as joins + windows):
+    a token position is *duplicated* when the length-``n`` token gram
+    starting there appears in >= ``min_doc_freq`` distinct documents;
+    overlapping/adjacent duplicated grams merge into maximal runs via
+    an interval-union sweep. Emits one row per document:
+
+    - ``n_tokens``            total tokens
+    - ``n_dup_starts``        duplicated gram start positions
+    - ``n_dup_runs``          maximal duplicated runs (interval islands)
+    - ``dup_covered_tokens``  tokens inside any duplicated run
+    - ``longest_dup_run``     longest run, in tokens
+    - ``dup_pct``             100 * covered DIV n_tokens (integer)
+
+    This is the signal ExactSubstr dedup cuts on (drop/trim documents
+    whose coverage exceeds a threshold), kept as a profile so callers
+    pick the policy.
+
+    Scale shape: gram construction is a per-row array transform (no
+    shuffle, no HOF re-eval — tokens materialize once); the document-
+    frequency count is one (gram) groupBy; marking is a semi-join on
+    the gram hash; the island sweep shuffles each doc's duplicated
+    positions once. Nothing is pairwise — cost is O(total tokens), the
+    property that lets ExactSubstr run where MinHash already runs.
+    Unlike a true suffix array it can't find duplicates *shorter* than
+    ``n`` tokens or cheaply report the matching partner — the standard
+    gram-granularity trade (same as the reference implementation's
+    50-token threshold)."""
+    from kafka_connect_bigquery_spark.functions.text import tokens
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    docs = d.select("doc_id", "n_tokens")
+    pos = d.select(
+        "doc_id", F.posexplode("_grams").alias("pos", "gram")
+    )
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("gram")
+    )
+    marked = pos.join(dup_grams, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + n - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = marked.withColumn(
+        "_new",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = swept.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("run_len"),
+        F.count(F.lit(1)).alias("n_starts"),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("n_starts").alias("n_dup_starts"),
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        F.sum("run_len").alias("dup_covered_tokens"),
+        F.max("run_len").alias("longest_dup_run"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_starts", zero).alias("n_dup_starts"),
+            F.coalesce("n_dup_runs", zero).alias("n_dup_runs"),
+            F.coalesce("dup_covered_tokens", zero).alias("dup_covered_tokens"),
+            F.coalesce("longest_dup_run", zero).alias("longest_dup_run"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(dup_covered_tokens, CAST(0 AS BIGINT)) * 100 "
+                "DIV n_tokens END"
+            ).alias("dup_pct"),
+        )
+    )
 
 
 def _hamming(a: Column, b: Column, bits: int) -> Column:

@@ -234,3 +234,114 @@ def contrastive_pairs(
     return pos.withColumn("label", F.lit(1)).unionByName(
         negs.withColumn("label", F.lit(0))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    buckets: int = 1024,
+    q: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed unigram+bigram features are
+    under the *target* distribution (rows where ``is_target``) than
+    under the raw corpus — the signal DSIR resamples on to tilt a raw
+    crawl toward a quality domain.
+
+    log w(doc) = Σ_b tf_doc[b] · ln( p_target[b] / p_raw[b] ), with
+    add-one smoothing over ``buckets`` hashed features. The per-bucket
+    log-likelihood ratio is floored to the 1/q lattice BEFORE the
+    per-document integer sum (the quantized-ln discipline shared with
+    BM25/entropy), so the emitted ``dsir_logw_q`` is engine-exact.
+
+    Scale shape: one (doc, bucket) tf groupBy over exploded features —
+    the only corpus-sized shuffle; bucket marginals are ≤``buckets``
+    rows; the LLR table broadcasts back. Returns one row per document:
+    (doc_id, is_target, n_features, dsir_logw_q, target_like)."""
+    from kafka_connect_bigquery_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("is_target"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    # materialize the token array BEFORE the bigram HOF (re-eval trap)
+    feats = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("_toks"),
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_toks"), i),
+                            F.element_at(F.col("_toks"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("feat"))), 1, 8), 16, 10)
+            .cast("long")
+            % buckets
+        ).alias("bucket"),
+    )
+    tf = (
+        feats.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds marginals, totals, and scoring
+    )
+    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cnt_r"))
+    tgt = tf.filter(F.col("is_target")).groupBy("bucket").agg(
+        F.sum("tf").alias("cnt_t")
+    )
+    tot = tf.agg(
+        F.sum("tf").alias("tot_r"),
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("tot_t"),
+    )
+    pt = (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double") / (
+        F.col("tot_t") + buckets
+    ).cast("double")
+    pr = (F.coalesce(F.col("cnt_r"), F.lit(0)) + 1).cast("double") / (
+        F.col("tot_r") + buckets
+    ).cast("double")
+    llr = (
+        raw.join(tgt, "bucket", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(F.log(pt / pr) * q + F.lit(0.5)).cast("long").alias("llr_q"),
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_features"),
+            F.sum(F.col("tf") * F.col("llr_q")).cast("long").alias("dsir_logw_q"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select("doc_id", "is_target")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_features", zero).alias("n_features"),
+            F.coalesce("dsir_logw_q", zero).alias("dsir_logw_q"),
+            (F.coalesce("dsir_logw_q", zero) > 0).alias("target_like"),
+        )
+    )

@@ -98,3 +98,186 @@ def count_min_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count registers, integer-exact
+# ---------------------------------------------------------------------------
+#
+# The register layer of Flajolet et al. 2007 with every float removed:
+# hash is the 32-bit md5 prefix (same convention as the CMS slots), the
+# top HLL_P bits pick the register, rho is the leading-zero rank of the
+# remaining 32-HLL_P bits, and the harmonic sum is kept as the INTEGER
+# sum of 2^(RMAX - rho) — order-independent, so a distributed groupBy
+# and a single-threaded SQL engine produce bit-identical sketches and
+# estimates (raw estimate only; the small-range linear-counting branch
+# needs ln() and is deliberately left to the caller, documented below).
+# Registers MERGE by per-register max — the property that makes HLL the
+# 100 TB distinct-count tool: per-day / per-partition sketches combine
+# without rescanning data.
+
+HLL_P = 8  # 2^8 = 256 registers, standard error ~1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 32 - HLL_P  # bits hashed into the rank
+_HLL_W = 1 << _HLL_WBITS
+_HLL_RMAX = _HLL_WBITS + 1  # max possible rho (all rank bits zero)
+# alpha_256 = 0.7213/(1+1.079/256), scaled to parts-per-million so the
+# estimate is a pure bigint expression both here and in the SQL twin
+HLL_ALPHA_PPM = 718273
+
+
+def _hash32(key: Column, salt: str) -> Column:
+    """Salted 32-bit md5 prefix — the shared engine/oracle hash."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hll_build(df: DataFrame, col: str, *, p: int = HLL_P) -> DataFrame:
+    """Build HLL registers for ``df[col]``: ``(register, rho)`` rows,
+    at most 2^p of them, NULLs skipped. One map-side-combinable groupBy
+    regardless of input size. Registers with no hits are absent (their
+    implicit rho is 0); ``hll_estimate`` accounts for them."""
+    wbits = 32 - p
+    w = F.col("_h") % (1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_hash32(F.col(col), "hll:").alias("_h"))
+        .select(
+            F.shiftright(F.col("_h"), wbits).alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_build_grouped(
+    df: DataFrame, col: str, group_cols: list[str], *, p: int = HLL_P
+) -> DataFrame:
+    """Per-group register frames in ONE pass: ``(*group_cols, register,
+    rho)``. The shape a 100 TB rollup stores — one tiny sketch per
+    day/source — which ``hll_merge`` later collapses to any coarser
+    grain without touching the data again."""
+    wbits = 32 - p
+    w = F.col("_h") % (1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, _hash32(F.col(col), "hll:").alias("_h"))
+        .select(
+            *group_cols,
+            F.shiftright(F.col("_h"), wbits).alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register frames built over arbitrary (even overlapping)
+    row sets: per-register max. max(max(..)) == max(..), so merging
+    per-group sketches is bit-identical to one global build."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, *, p: int = HLL_P) -> DataFrame:
+    """Raw HLL estimate as one integer row: ``m``, ``n_nonzero``
+    (occupied registers), ``s_scaled`` = sum over ALL m registers of
+    2^(RMAX - rho) (empty registers contribute 2^RMAX), and
+    ``hll_estimate`` = alpha_ppm * m^2 * 2^RMAX DIV (s_scaled * 10^6).
+    Pure bigint arithmetic end-to-end (max numerator ~1.6e18 < 2^63).
+    Callers needing the small-range branch apply linear counting
+    m*ln(m/(m-n_nonzero)) on these same integers — kept out of the
+    operator so its output stays engine-exact."""
+    m = 1 << p
+    rmax = 32 - p + 1
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")
+        ).alias("_s_present"),
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_nonzero"),
+        (
+            F.coalesce(F.col("_s_present"), F.lit(0))
+            + (F.lit(m) - F.col("n_nonzero")) * F.lit(1 << rmax)
+        ).alias("s_scaled"),
+    ).select(
+        "m",
+        "n_nonzero",
+        "s_scaled",
+        F.expr(
+            f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {1 << rmax}"
+            " DIV (s_scaled * 1000000)"
+        ).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values): distinct-count sketch with exact set algebra
+# ---------------------------------------------------------------------------
+#
+# Keep the k smallest DISTINCT 32-bit hashes; the kth smallest U_(k)
+# estimates n ~ (k-1) * 2^32 / U_(k) (Bar-Yossef et al. 2002 / the
+# theta-sketch core). Two properties make it the engineer's sketch:
+# (1) merge = k smallest of the union of the kept sets, EXACTLY equal
+# to the sketch of the concatenated data (no approximation in the merge
+# itself), and (2) with fewer than k distinct values the sketch IS the
+# exact distinct set. Both are integer facts a SQL oracle re-derives.
+
+KMV_K = 64
+
+
+def kmv_build(df: DataFrame, col: str, *, k: int = KMV_K) -> DataFrame:
+    """k smallest distinct hashes of ``df[col]`` as ``(hv,)`` rows
+    (≤ k of them). Distinct (the one shuffle) then orderBy+limit, which
+    Spark compiles to TakeOrderedAndProject — per-partition top-k then
+    a k-bounded merge, never a global sort."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_hash32(F.col(col), "kmv:").alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union the kept hash sets, dedup, keep the k smallest — exactly
+    the sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """One integer row: ``n_kept`` (= min(k, true distinct)), ``kth_hash``
+    (max kept hash), and ``kmv_estimate`` — (k-1)*2^32 DIV kth when the
+    sketch is full, else n_kept itself (the sketch saw every distinct
+    value, so the count is exact)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_hash")
+    )
+    return agg.select(
+        "n_kept",
+        "kth_hash",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("long")
+        )
+        .otherwise(
+            F.expr(f"CAST({k - 1} AS BIGINT) * 4294967296 DIV kth_hash")
+        )
+        .alias("kmv_estimate"),
+    )

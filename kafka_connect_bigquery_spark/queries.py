@@ -1606,6 +1606,197 @@ FROM est JOIN exact USING (user_id)
 """
 
 
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_W = 1 << (32 - _HLL_P)
+_HLL_RMAX = 32 - _HLL_P + 1
+_HLL_ALPHA_PPM = 718273
+_KMV_K = 64
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count registers (operators/sketch.py):
+    per-event_type sketches built in one pass, merged by per-register
+    max, and audited three ways in a single integer row — the merged
+    registers must be bit-identical to a direct global build
+    (``n_register_mismatch = 0``), the integer raw estimate must land
+    within 40% of the exact distinct count, and the harmonic sum
+    itself (``s_scaled``) is value-hashed so any drift in the hash or
+    rank arithmetic is caught, not just the headline estimate. The
+    per-group-then-merge shape is the 100 TB deployment: per-day
+    sketches of 2^p integers each, mergeable to any grain without
+    rescanning."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    grouped = SK.hll_build_grouped(e, "event_id", ["event_type"], p=_HLL_P)
+    merged = SK.hll_merge(grouped.select("register", "rho"))
+    direct = SK.hll_build(e, "event_id", p=_HLL_P)
+    mism = (
+        merged.withColumnRenamed("rho", "rho_m")
+        .join(direct.withColumnRenamed("rho", "rho_d"), "register", "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rho_m").isNull()
+                    | F.col("rho_d").isNull()
+                    | (F.col("rho_m") != F.col("rho_d")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_register_mismatch")
+        )
+    )
+    est = SK.hll_estimate(merged, p=_HLL_P)
+    exact = e.filter(F.col("event_id").isNotNull()).agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    # three 1-row frames: the nested-loop joins broadcast single rows
+    return (
+        est.crossJoin(exact)
+        .crossJoin(mism)
+        .select(
+            "m",
+            "n_nonzero",
+            "s_scaled",
+            "hll_estimate",
+            "n_exact",
+            "n_register_mismatch",
+            (F.col("n_register_mismatch") == 0).alias("merge_ok"),
+            (
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) * 100
+                <= F.col("n_exact") * 40
+            ).alias("within_40pct"),
+        )
+    )
+
+
+Q_SKETCH_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(concat('hll:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM events WHERE event_id IS NOT NULL
+),
+rr AS (
+  SELECT event_type, hv // {_HLL_W} AS register,
+         CASE WHEN hv % {_HLL_W} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_W})) END AS rho
+  FROM h
+),
+grouped AS (SELECT event_type, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+merged AS (SELECT register, MAX(rho) AS rho FROM grouped GROUP BY 1),
+direct AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY 1),
+mism AS (
+  SELECT CAST(SUM(CASE WHEN m.rho IS NULL OR d.rho IS NULL OR m.rho <> d.rho
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_register_mismatch
+  FROM merged m FULL JOIN direct d USING (register)
+),
+agg AS (
+  SELECT COUNT(*) AS n_nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho)) AS BIGINT) AS s_present
+  FROM merged
+),
+est AS (
+  SELECT {_HLL_M} AS m, n_nonzero,
+         s_present + ({_HLL_M} - n_nonzero) * {1 << _HLL_RMAX} AS s_scaled
+  FROM agg
+),
+exact AS (SELECT COUNT(DISTINCT event_id) AS n_exact FROM events
+          WHERE event_id IS NOT NULL)
+SELECT m, n_nonzero, s_scaled,
+       (CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) AS hll_estimate,
+       n_exact, n_register_mismatch,
+       n_register_mismatch = 0 AS merge_ok,
+       abs((CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) - n_exact) * 100 <= n_exact * 40 AS within_40pct
+FROM est, exact, mism
+"""
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values) distinct sketch (operators/sketch.py):
+    two half-corpus sketches (even/odd event_id) merged and checked
+    EXACTLY equal to the direct global sketch — KMV's merge is lossless
+    set algebra, an integer fact the oracle re-derives — plus the
+    (k-1)*2^32/U_(k) estimate audited against the exact count. At
+    100 TB each partition keeps k=64 hashes; the merge is a k-bounded
+    TakeOrderedAndProject, never a global sort."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    a = SK.kmv_build(e.filter(F.col("event_id") % 2 == 0), "event_id", k=_KMV_K)
+    b = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=_KMV_K)
+    merged = SK.kmv_merge(a, b, k=_KMV_K)
+    direct = SK.kmv_build(e, "event_id", k=_KMV_K)
+    mism = (
+        merged.withColumn("_m", F.lit(1))
+        .join(direct.withColumn("_d", F.lit(1)), "hv", "full")
+        .agg(
+            F.sum(
+                F.when(F.col("_m").isNull() | F.col("_d").isNull(), 1).otherwise(0)
+            ).alias("n_hash_mismatch")
+        )
+    )
+    est = SK.kmv_estimate(merged, k=_KMV_K)
+    exact = e.filter(F.col("event_id").isNotNull()).agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    return (
+        est.crossJoin(exact)
+        .crossJoin(mism)
+        .select(
+            "n_kept",
+            "kth_hash",
+            "kmv_estimate",
+            "n_exact",
+            "n_hash_mismatch",
+            (F.col("n_hash_mismatch") == 0).alias("merge_ok"),
+            (
+                F.abs(F.col("kmv_estimate") - F.col("n_exact")) * 100
+                <= F.col("n_exact") * 40
+            ).alias("within_40pct"),
+        )
+    )
+
+
+Q_SKETCH_KMV_SQL = f"""
+WITH h AS (
+  SELECT event_id,
+         CAST(concat('0x', substr(md5(concat('kmv:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM events WHERE event_id IS NOT NULL
+),
+ka AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE event_id % 2 = 0)
+       ORDER BY hv LIMIT {_KMV_K}),
+kb AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE event_id % 2 = 1)
+       ORDER BY hv LIMIT {_KMV_K}),
+merged AS (SELECT hv FROM (SELECT DISTINCT hv FROM (SELECT * FROM ka UNION ALL SELECT * FROM kb))
+           ORDER BY hv LIMIT {_KMV_K}),
+direct AS (SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT {_KMV_K}),
+mism AS (
+  SELECT CAST(SUM(CASE WHEN m._m IS NULL OR d._d IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hash_mismatch
+  FROM (SELECT hv, 1 AS _m FROM merged) m
+  FULL JOIN (SELECT hv, 1 AS _d FROM direct) d USING (hv)
+),
+agg AS (SELECT COUNT(*) AS n_kept, MAX(hv) AS kth_hash FROM merged),
+est AS (
+  SELECT n_kept, kth_hash,
+         CASE WHEN n_kept < {_KMV_K} THEN n_kept
+              ELSE CAST({_KMV_K - 1} AS BIGINT) * 4294967296 // kth_hash END
+           AS kmv_estimate
+  FROM agg
+),
+exact AS (SELECT COUNT(DISTINCT event_id) AS n_exact FROM events
+          WHERE event_id IS NOT NULL)
+SELECT n_kept, kth_hash, kmv_estimate, n_exact, n_hash_mismatch,
+       n_hash_mismatch = 0 AS merge_ok,
+       abs(kmv_estimate - n_exact) * 100 <= n_exact * 40 AS within_40pct
+FROM est, exact, mism
+"""
+
+
 def q_cobucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join through catalog-native bucketing
     (sinks/bucketed_catalog.py): customer and orders land bucketed by
@@ -2846,6 +3037,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
+    "sketch_hll_distinct": (q_sketch_hll_distinct, Q_SKETCH_HLL_SQL),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
@@ -2933,11 +3126,15 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q15_top_supplier",
+    # -- new-entry slots: the HLL and KMV distinct sketches, the
+    # ExactSubstr duplication profile, containment pairs, and DSIR
+    # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
+    # yield their backfill slots and join the r07 backfill) -----------
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "dedup_substring_runs",
+    "dedup_containment",
+    "docs_dsir_weights",
     # -- new-entry slot: corpus_shard_plan (added r06, first witness;
     # tpch_q16 yields its slot to the r07 backfill) -------------------
     "corpus_shard_plan",

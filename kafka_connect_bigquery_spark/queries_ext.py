@@ -114,6 +114,51 @@ WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {min_jaccard}
 
 Q_DEDUP_NGRAM_SQL = _ngram_sql(_JACCARD_MIN)
 
+_CONTAIN_PCT = 60
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py
+    containment_pairs): |A∩B| / min(|A|,|B|) over the same guarded
+    shingle index as the Jaccard pass — the measure that catches a
+    short document embedded verbatim in a long one, where Jaccard's
+    union term hides the duplication. Integer-exact ratio columns."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        min_containment_pct=_CONTAIN_PCT,
+        block_col="lang",
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
+
+
+Q_DEDUP_CONTAINMENT_SQL = f"""
+WITH canon AS (SELECT doc_id, lang, {_CANON} AS c FROM documents),
+sh_all AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 3)
+                 for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
+  FROM canon
+),
+freq AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= {_JACCARD_MAX_DF}),
+sh AS (SELECT sh_all.* FROM sh_all JOIN freq USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+       inter_size * 100 // least(sa.sz, sb.sz) AS containment_pct,
+       inter_size * 100 // (sa.sz + sb.sz - inter_size) AS jaccard_pct
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter_size * 100 >= least(sa.sz, sb.sz) * {_CONTAIN_PCT}
+"""
+
 _RECALL_TRUTH_J = 0.5
 
 
@@ -2942,6 +2987,154 @@ HAVING COUNT(DISTINCT t.gram) >= 1
 
 
 # ---------------------------------------------------------------------------
+# dedup: exact-substring duplicated runs (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 5
+
+
+def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplication profile (operators/dedup.py
+    substring_run_stats): every token position whose 5-gram recurs in
+    another document is marked, overlapping marks merge into maximal
+    runs by an interval-union sweep, and each document reports its
+    duplicated-token coverage — the cut signal of suffix-array dedup
+    (Lee et al. 2021) at gram granularity. O(total tokens), no pairwise
+    join anywhere: one gram groupBy, one semi-join, one per-doc window."""
+    return dedup.substring_run_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=_SUBSTR_N
+    )
+
+
+Q_DEDUP_SUBSTRING_RUNS_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, u.pos, u.gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(tk) - {_SUBSTR_N - 1}, 0) + 1),
+             i -> struct_pack(
+                    pos := CAST(i - 1 AS BIGINT),
+                    gram := md5(array_to_string(
+                      tk[CAST(i AS INT):CAST(i + {_SUBSTR_N - 1} AS INT)], ' '))))
+           ) AS u
+    FROM base
+  )
+),
+dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT pos.doc_id, pos.pos AS s, pos.pos + {_SUBSTR_N - 1} AS e
+  FROM pos JOIN dup USING (gram)
+),
+sweep AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM sweep
+),
+runs AS (
+  SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS run_len, COUNT(*) AS n_starts
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_starts) AS BIGINT) AS n_dup_starts,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+         CAST(SUM(run_len) AS BIGINT) AS dup_covered_tokens,
+         CAST(MAX(run_len) AS BIGINT) AS longest_dup_run
+  FROM runs GROUP BY 1
+)
+SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+       COALESCE(n_dup_starts, 0) AS n_dup_starts,
+       COALESCE(n_dup_runs, 0) AS n_dup_runs,
+       COALESCE(dup_covered_tokens, 0) AS dup_covered_tokens,
+       COALESCE(longest_dup_run, 0) AS longest_dup_run,
+       CASE WHEN len(b.tk) = 0 THEN CAST(0 AS BIGINT)
+            ELSE COALESCE(dup_covered_tokens, 0) * 100 // len(b.tk) END AS dup_pct
+FROM base b LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_Q = 1_000_000
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py dsir_weights):
+    hashed unigram+bigram bucket counts give every document a
+    log-likelihood-ratio score of target-domain (here: lang='en')
+    versus raw-corpus feature distributions — the Xie et al. 2023
+    selection signal. Per-bucket ln is lattice-quantized before the
+    integer per-doc sum, so scores are engine-exact; the LLR table is
+    1024 rows and broadcasts."""
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    return sampling.dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("lang") == "en",
+        buckets=_DSIR_B,
+        q=_DSIR_Q,
+    )
+
+
+Q_DOCS_DSIR_SQL = f"""
+WITH base AS (SELECT doc_id, lang = 'en' AS is_target, {_TOKS} AS tk FROM documents),
+feats AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(concat('dsir:', feat)), 1, 8)) AS BIGINT)
+           % {_DSIR_B} AS bucket
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_concat(tk,
+             list_transform(range(1, len(tk)),
+               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])
+           )) AS feat
+    FROM base
+  )
+),
+tf AS (SELECT doc_id, is_target, bucket, COUNT(*) AS tf FROM feats GROUP BY 1, 2, 3),
+raw AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
+tgt AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_t FROM tf
+        WHERE is_target GROUP BY 1),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot_r,
+               CAST(SUM(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS tot_t
+        FROM tf),
+llr AS (
+  SELECT bucket,
+         CAST(FLOOR(ln((CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE)
+                        / CAST(tot_t + {_DSIR_B} AS DOUBLE))
+                     / (CAST(COALESCE(cnt_r, 0) + 1 AS DOUBLE)
+                        / CAST(tot_r + {_DSIR_B} AS DOUBLE)))
+                  * {_DSIR_Q} + 0.5) AS BIGINT) AS llr_q
+  FROM raw FULL JOIN tgt USING (bucket), tot
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_features,
+         CAST(SUM(tf * llr_q) AS BIGINT) AS dsir_logw_q
+  FROM tf JOIN llr USING (bucket) GROUP BY 1
+)
+SELECT b.doc_id, b.is_target,
+       COALESCE(n_features, 0) AS n_features,
+       COALESCE(dsir_logw_q, 0) AS dsir_logw_q,
+       COALESCE(dsir_logw_q, 0) > 0 AS target_like
+FROM base b LEFT JOIN scores USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # sparse text features: hashing trick + integer-exact cosine join
 # ---------------------------------------------------------------------------
 
@@ -3135,6 +3328,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "avro_wire_roundtrip": (q_avro_wire_roundtrip, Q_AVRO_WIRE_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
+    "dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
     "dedup_passages": (q_dedup_passages, Q_DEDUP_PASSAGES_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
@@ -3147,6 +3341,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pairs_contrastive": (q_pairs_contrastive, Q_PAIRS_CONTRASTIVE_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
+    "dedup_substring_runs": (q_dedup_substring_runs, Q_DEDUP_SUBSTRING_RUNS_SQL),
+    "docs_dsir_weights": (q_docs_dsir_weights, Q_DOCS_DSIR_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
     "embedding_label_centroids": (q_embedding_label_centroids, Q_EMB_LABEL_CENTROIDS_SQL),
     "docs_length_histogram": (q_docs_length_histogram, Q_DOCS_LENGTH_HIST_SQL),

@@ -1203,3 +1203,167 @@ def test_random_projection_preserves_relative_distances(spark):
     close = set(orig[: len(orig) // 10])
     first_half = set(prj[: len(prj) // 2])
     assert len(close & first_half) / len(close) > 0.8
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact-substring duplicated runs
+# ---------------------------------------------------------------------------
+
+
+def _runs(spark, rows, n=5):
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in dedup.substring_run_stats(df, "doc_id", "text", n=n).collect()
+    }
+
+
+def test_substring_runs_shared_span_marked_on_both_docs(spark):
+    out = _runs(
+        spark,
+        [
+            (1, "a b c d e f g x y z"),      # shares a..g with doc 2
+            (2, "q w a b c d e f g r t"),
+            (3, "totally unique text here nothing shared at all"),
+        ],
+    )
+    # 7 shared tokens -> 3 duplicated 5-gram starts merging into 1 run of 7
+    for doc in (1, 2):
+        assert out[doc]["n_dup_starts"] == 3
+        assert out[doc]["n_dup_runs"] == 1
+        assert out[doc]["longest_dup_run"] == 7
+        assert out[doc]["dup_covered_tokens"] == 7
+    assert out[3]["n_dup_runs"] == 0 and out[3]["dup_pct"] == 0
+
+
+def test_substring_runs_interval_union_merges_overlaps(spark):
+    # doc 1 contains TWO copies of the shared span separated by one
+    # unique token: runs must not merge across the gap token ONLY if
+    # the gap exceeds adjacency; here "a b c d e" twice with 1 gap
+    # token => two distinct 5-gram start positions 0 and 6, intervals
+    # [0,4] and [6,10]: disjoint, 2 runs
+    out = _runs(
+        spark,
+        [
+            (1, "a b c d e zz a b c d e"),
+            (2, "a b c d e"),
+        ],
+    )
+    assert out[1]["n_dup_runs"] == 2
+    assert out[1]["dup_covered_tokens"] == 10
+    assert out[1]["longest_dup_run"] == 5
+    assert out[2]["n_dup_runs"] == 1 and out[2]["dup_covered_tokens"] == 5
+
+
+def test_substring_runs_intra_doc_repeat_alone_not_counted(spark):
+    # the repeated phrase lives only inside doc 1 (doc freq 1): by the
+    # inter-document definition nothing is marked
+    out = _runs(
+        spark,
+        [
+            (1, "a b c d e zz a b c d e"),
+            (2, "completely different words in this one right here"),
+        ],
+    )
+    assert out[1]["n_dup_runs"] == 0 and out[2]["n_dup_runs"] == 0
+
+
+def test_substring_runs_short_docs_and_coverage_pct(spark):
+    out = _runs(
+        spark,
+        [
+            (1, "a b c"),                # < n tokens: no grams, all zero
+            (2, "a b c d e f g h i j"),  # 10 tokens, 5 shared
+            (3, "x a b c d e y z w v"),
+        ],
+    )
+    assert out[1]["n_tokens"] == 3 and out[1]["n_dup_starts"] == 0
+    assert out[2]["dup_covered_tokens"] == 5
+    assert out[2]["dup_pct"] == 50
+    assert out[3]["dup_pct"] == 50
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}x y{i}z" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler), (3, "unrelated stuff entirely")],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, min_containment_pct=80
+        ).collect()
+    }
+    assert (1, 2) in out
+    pair = out[(1, 2)]
+    assert pair["containment_pct"] >= 90      # short doc ~fully contained
+    assert pair["jaccard_pct"] < 50           # union-diluted: jaccard misses it
+    assert not any(3 in k for k in out)
+
+
+def test_containment_integer_ratios_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(5, "aaa bbb ccc"), (2, "aaa bbb ccc ddd")],
+        "doc_id: bigint, text: string",
+    )
+    rows = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, min_containment_pct=50
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["id_a"] < r["id_b"]
+    assert isinstance(r["containment_pct"], int)
+    assert r["containment_pct"] == r["inter_size"] * 100 // min(
+        r["size_a"], r["size_b"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_scores_target_vocabulary_positive(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = (
+        # target domain: medical-ish vocabulary
+        [(i, "patient dosage clinical trial outcome measured", True) for i in range(4)]
+        # raw-only majority: totally disjoint vocabulary (the raw pool
+        # must dwarf the target for the LLR sign to be informative —
+        # DSIR's raw distribution contains the target docs too)
+        + [(10 + i, "pizza recipe cheese oven crispy crust", False) for i in range(12)]
+        # held-out doc written in the target's exact phrasing
+        + [(99, "patient dosage clinical trial outcome measured", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string, tgt: boolean")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in sampling.dsir_weights(
+            df, "doc_id", "text", F.col("tgt"), buckets=256
+        ).collect()
+    }
+    assert len(out) == 17
+    # the held-out target-vocab doc scores positive; raw-only docs negative
+    assert out[99]["dsir_logw_q"] > 0 and out[99]["target_like"]
+    for i in range(12):
+        assert out[10 + i]["dsir_logw_q"] < 0
+        assert not out[10 + i]["target_like"]
+
+
+def test_dsir_deterministic_across_partitionings(spark):
+    from kafka_connect_bigquery_spark.operators import sampling
+
+    rows = [
+        (i, f"tok{i % 7} shared words here tok{i % 5} more", i % 3 == 0)
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows, "doc_id: bigint, text: string, tgt: boolean")
+    df2 = df1.repartition(13)
+    get = lambda d: {
+        r["doc_id"]: r["dsir_logw_q"]
+        for r in sampling.dsir_weights(d, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert get(df1) == get(df2)

@@ -73,3 +73,73 @@ def test_cms_merge_equals_single_build(spark):
     whole = SK.count_min_build(a.unionByName(b), "u", depth=2, width=8)
     as_map = lambda df: {(r["d"], r["slot"]): r["cnt"] for r in df.collect()}
     assert as_map(merged) == as_map(whole)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_bounded_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)] + [(None,)], "v: bigint")
+    reg = SK.hll_build(df, "v")
+    rows = reg.collect()
+    assert len(rows) <= 1 << SK.HLL_P
+    for r in rows:
+        assert 0 <= r["register"] < (1 << SK.HLL_P)
+        assert 1 <= r["rho"] <= 32 - SK.HLL_P + 1
+    # build is deterministic: a second pass produces identical registers
+    again = {(r["register"], r["rho"]) for r in SK.hll_build(df, "v").collect()}
+    assert {(r["register"], r["rho"]) for r in rows} == again
+
+
+def test_hll_merge_equals_global_build(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(500)], "v: bigint, g: string"
+    )
+    grouped = SK.hll_build_grouped(df, "v", ["g"])
+    merged = SK.hll_merge(grouped.select("register", "rho"))
+    direct = SK.hll_build(df, "v")
+    as_map = lambda d: {r["register"]: r["rho"] for r in d.collect()}
+    assert as_map(merged) == as_map(direct)
+
+
+def test_hll_estimate_reasonable_and_integer(spark):
+    n = 2000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v: bigint")
+    est = SK.hll_estimate(SK.hll_build(df, "v")).collect()[0]
+    assert est["m"] == 1 << SK.HLL_P
+    assert isinstance(est["hll_estimate"], int)
+    # raw estimate within the ~3-sigma band for m=256 (sigma ~6.5%)
+    assert abs(est["hll_estimate"] - n) <= 0.25 * n
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v: bigint")
+    est = SK.kmv_estimate(SK.kmv_build(df, "v", k=64), k=64).collect()[0]
+    assert est["n_kept"] == 10
+    assert est["kmv_estimate"] == 10  # sketch saw every distinct value
+
+
+def test_kmv_merge_is_lossless(spark):
+    a = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "v: bigint")
+    b = spark.createDataFrame([(i,) for i in range(1, 400, 2)], "v: bigint")
+    merged = SK.kmv_merge(SK.kmv_build(a, "v"), SK.kmv_build(b, "v"))
+    direct = SK.kmv_build(a.unionByName(b), "v")
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in direct.collect()
+    )
+
+
+def test_kmv_estimate_reasonable(spark):
+    n = 3000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v: bigint")
+    est = SK.kmv_estimate(SK.kmv_build(df, "v")).collect()[0]
+    assert est["n_kept"] == SK.KMV_K
+    # k=64 -> sigma ~12.5%; allow 3 sigma
+    assert abs(est["kmv_estimate"] - n) <= 0.4 * n
