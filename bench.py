@@ -94,6 +94,14 @@ HEADLINE = [
     "events_mannwhitney",
     "events_ks_test",
     "text_collocations",
+    # r06 additions (pure queries): mergeable distinct sketches, the
+    # ExactSubstr duplication profile, containment pairs, DSIR weights
+    "sketch_hll_distinct",
+    "sketch_hll_daily",
+    "sketch_kmv_distinct",
+    "dedup_substring_runs",
+    "dedup_containment",
+    "docs_dsir_weights",
 ]
 
 

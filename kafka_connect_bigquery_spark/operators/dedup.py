@@ -917,22 +917,30 @@ def substring_run_stats(
     50-token threshold)."""
     from kafka_connect_bigquery_spark.functions.text import tokens
 
-    d = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "doc_id",
-        F.size("_toks").alias("n_tokens"),
-        F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - n),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
-                ),
-            ),
+    d = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_grams"),
+        .select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_grams"),
+        )
+        # three consumers (doc totals, gram doc-freq, position marking):
+        # without the barrier the canonicalization regexes + per-position
+        # md5 run once per consumer (reused subtrees are not deduplicated
+        # by ReuseExchange/AQE — see text_collocations)
+        .localCheckpoint(eager=False)
     )
     docs = d.select("doc_id", "n_tokens")
     pos = d.select(

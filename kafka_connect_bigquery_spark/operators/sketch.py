@@ -224,6 +224,43 @@ def hll_estimate(sketch: DataFrame, *, p: int = HLL_P) -> DataFrame:
     )
 
 
+def hll_estimate_grouped(
+    grouped: DataFrame, group_cols: list[str], *, p: int = HLL_P
+) -> DataFrame:
+    """Per-group raw estimates from a ``hll_build_grouped`` frame: one
+    integer row per group, same arithmetic as ``hll_estimate``."""
+    m = 1 << p
+    rmax = 32 - p + 1
+    return (
+        grouped.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_nonzero"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")
+            ).alias("_s_present"),
+        )
+        .select(
+            *group_cols,
+            F.lit(m).alias("m"),
+            F.col("n_nonzero"),
+            (
+                F.coalesce(F.col("_s_present"), F.lit(0))
+                + (F.lit(m) - F.col("n_nonzero")) * F.lit(1 << rmax)
+            ).alias("s_scaled"),
+        )
+        .select(
+            *group_cols,
+            "m",
+            "n_nonzero",
+            "s_scaled",
+            F.expr(
+                f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {1 << rmax}"
+                " DIV (s_scaled * 1000000)"
+            ).alias("hll_estimate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV (k minimum values): distinct-count sketch with exact set algebra
 # ---------------------------------------------------------------------------

@@ -1420,6 +1420,61 @@ WHERE e.event_id <= b.split
 """
 
 
+def q_warehouse_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred (merge-on-read) predicate deletes
+    (sinks/warehouse.py::delete_where): DELETE WHERE as an O(1)
+    metadata commit scoped to the files present at delete time — no
+    data rewrite. The staged lifecycle exercises every semantic edge:
+    a first delete (user_id % 7 = 3), then a LATE append re-adding a
+    matching subset (those rows must SURVIVE — the delete is a snapshot
+    fact, not a forever-filter), then a second delete (event_id % 10 =
+    1) whose scope covers both eras, then the read. The oracle
+    re-derives the surviving multiset from the source table with the
+    same two-era set algebra."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_deldef")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(e, "t", spec)
+    wh.delete_where("t", "user_id % 7 = 3")
+    late = e.filter((F.col("user_id") % 7 == 3) & (F.col("event_id") % 5 == 0))
+    wh.append(late, "t", spec)
+    wh.delete_where("t", "event_id % 10 = 1")
+    return wh.read("t").select("event_id", "user_id", "event_type", "value")
+
+
+Q_WAREHOUSE_DELETE_SQL = """
+WITH s1 AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE NOT coalesce(user_id % 7 = 3, FALSE)
+),
+late AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE user_id % 7 = 3 AND event_id % 5 = 0
+),
+state AS (SELECT * FROM s1 UNION ALL SELECT * FROM late)
+SELECT * FROM state WHERE NOT coalesce(event_id % 10 = 1, FALSE)
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -1711,6 +1766,88 @@ SELECT m, n_nonzero, s_scaled,
        abs((CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
          // (s_scaled * 1000000) - n_exact) * 100 <= n_exact * 40 AS within_40pct
 FROM est, exact, mism
+"""
+
+
+def q_sketch_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-count dashboard via HLL registers
+    (operators/sketch.py): one register frame per day built in a single
+    pass, per-day integer estimates, and an ALL row whose registers are
+    the per-day MERGE — never a rescan. This is the sketch's production
+    shape at 100 TB: store 2^p integers per day, answer any date-range
+    distinct query by merging register frames. Per-day rows also audit
+    the estimate against the exact per-day distinct count; the
+    ``within_40pct`` flag is computed identically by the oracle (it is
+    *expected* to be False on small days — raw HLL without the
+    linear-counting branch overestimates when n << m; the ALL row
+    shows the sketch in its accurate regime)."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "event_id"
+    )
+    grouped = SK.hll_build_grouped(e, "event_id", ["day"], p=_HLL_P)
+    daily = SK.hll_estimate_grouped(grouped, ["day"], p=_HLL_P)
+    day_exact = e.groupBy("day").agg(F.countDistinct("event_id").alias("n_exact"))
+    merged = SK.hll_merge(grouped.select("register", "rho"))
+    all_est = SK.hll_estimate(merged, p=_HLL_P).withColumn("day", F.lit("ALL"))
+    all_exact = e.agg(F.countDistinct("event_id").alias("n_exact")).withColumn(
+        "day", F.lit("ALL")
+    )
+    cols = ["day", "m", "n_nonzero", "s_scaled", "hll_estimate", "n_exact"]
+    rows = daily.join(day_exact, "day").select(*cols).unionByName(
+        all_est.join(all_exact, "day").select(*cols)
+    )
+    return rows.select(
+        *cols,
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) * 100
+            <= F.col("n_exact") * 40
+        ).alias("within_40pct"),
+    )
+
+
+Q_SKETCH_HLL_DAILY_SQL = f"""
+WITH h AS (
+  SELECT strftime({_TS_US}, '%Y-%m-%d') AS day,
+         CAST(concat('0x', substr(md5(concat('hll:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM events WHERE event_id IS NOT NULL
+),
+rr AS (
+  SELECT day, hv // {_HLL_W} AS register,
+         CASE WHEN hv % {_HLL_W} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_W})) END AS rho
+  FROM h
+),
+grouped AS (SELECT day, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+merged AS (SELECT 'ALL' AS day, register, MAX(rho) AS rho FROM grouped GROUP BY 2),
+both_g AS (SELECT * FROM grouped UNION ALL SELECT * FROM merged),
+agg AS (
+  SELECT day, COUNT(*) AS n_nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho)) AS BIGINT) AS s_present
+  FROM both_g GROUP BY 1
+),
+est AS (
+  SELECT day, {_HLL_M} AS m, n_nonzero,
+         s_present + ({_HLL_M} - n_nonzero) * {1 << _HLL_RMAX} AS s_scaled
+  FROM agg
+),
+exact AS (
+  SELECT strftime({_TS_US}, '%Y-%m-%d') AS day,
+         COUNT(DISTINCT event_id) AS n_exact
+  FROM events WHERE event_id IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT 'ALL' AS day, COUNT(DISTINCT event_id) AS n_exact
+  FROM events WHERE event_id IS NOT NULL
+)
+SELECT day, m, n_nonzero, s_scaled,
+       (CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) AS hll_estimate,
+       n_exact,
+       abs((CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) - n_exact) * 100 <= n_exact * 40 AS within_40pct
+FROM est JOIN exact USING (day)
 """
 
 
@@ -3034,10 +3171,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_zonemap_read": (q_warehouse_zonemap_read, Q_WAREHOUSE_ZONEMAP_SQL),
     "warehouse_bloom_read": (q_warehouse_bloom_read, Q_WAREHOUSE_BLOOM_SQL),
     "warehouse_evolution_read": (q_warehouse_evolution_read, Q_WAREHOUSE_EVOLUTION_SQL),
+    "warehouse_delete_read": (q_warehouse_delete_read, Q_WAREHOUSE_DELETE_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "sketch_hll_distinct": (q_sketch_hll_distinct, Q_SKETCH_HLL_SQL),
+    "sketch_hll_daily": (q_sketch_hll_daily, Q_SKETCH_HLL_DAILY_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
@@ -3124,13 +3263,12 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
     # -- new-entry slots: the HLL and KMV distinct sketches, the
     # ExactSubstr duplication profile, containment pairs, and DSIR
     # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
     # yield their backfill slots and join the r07 backfill) -----------
     "sketch_hll_distinct",
+    "sketch_hll_daily",
     "sketch_kmv_distinct",
     "dedup_substring_runs",
     "dedup_containment",
@@ -3146,6 +3284,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_bloom_read",
     "warehouse_zonemap_read",
     "warehouse_evolution_read",
+    "warehouse_delete_read",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05 (or late-r04 for the tpch/ops remainder) ====
 ]

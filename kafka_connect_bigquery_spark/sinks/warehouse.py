@@ -217,11 +217,17 @@ class Warehouse:
                 key_bucket_count=int(meta.get("key_bucket_count", 0)),
                 live_buckets=len(gens),
             )
+        dels = meta.get("deferred_deletes") or []
+        if dels:
+            detail["pending_deletes"] = len(dels)
         extras = {
             k: v
             for k, v in meta.items()
             if k
-            not in ("generations", "generation", "key_cols", "key_bucket_count", "schema")
+            not in (
+                "generations", "generation", "key_cols", "key_bucket_count",
+                "schema", "deferred_deletes",
+            )
         }
         if extras:
             detail["properties"] = extras
@@ -455,6 +461,10 @@ class Warehouse:
                     f"table {table} is not bucketed; snapshots exist only "
                     "for bucketed-MERGE tables"
                 )
+            if meta.get("deferred_deletes"):
+                files = self._data_files(self.path(table))
+                if files:
+                    return self._read_files_with_deletes(table, files, meta)
             # flat tables: read with the PERSISTED schema when one is
             # recorded (append-path evolution) — a plain read samples
             # one footer, so files appended before an evolution would
@@ -496,6 +506,133 @@ class Warehouse:
         # only evolving batch for absent keys lost the new column).
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return self._conform_to_stored(df, meta)
+
+    # -- deferred deletes (merge-on-read, flat tables) --------------------
+    def delete_where(
+        self,
+        table: str,
+        predicate: str,
+        *,
+        mode: str = "deferred",
+        spec: TableSpec | None = None,
+    ) -> int:
+        """Row-level DELETE WHERE for flat tables without rewriting a
+        single data file (the Iceberg/Delta merge-on-read idea, in its
+        predicate-delete form): ``mode="deferred"`` records the SQL
+        predicate in the manifest together with the set of data files
+        present at delete time, and every read path applies
+        ``NOT coalesce(predicate, false)`` to exactly those files — rows
+        where the predicate is NULL survive, per SQL DELETE semantics,
+        and rows APPENDED AFTER the delete are untouched even when they
+        match (the delete is scoped to the snapshot it was issued
+        against, not a forever-filter). At 100 TB this is the difference
+        between an O(1) metadata commit and rewriting terabytes to drop
+        a purge list; ``compact()`` (or ``mode="rewrite"``, which is
+        record-then-compact) later materializes pending deletes and
+        clears them.
+
+        Contract: flat tables only — bucketed-MERGE tables delete
+        through tombstones (D3), which already target keys without full
+        rewrites. Pending predicates are expected to be FEW (purge/GDPR
+        lists, bad-batch excisions); each carries its file scope in the
+        manifest, so hygiene is "materialize via compact()" not
+        "accumulate hundreds". Single-writer discipline on flat tables
+        applies (as for append): a delete recorded between a concurrent
+        compact's read and its commit would be materialized-without-
+        effect, the same window any flat-table metadata has.
+
+        Returns the delete id. The predicate is validated against the
+        stored schema eagerly, so a typo fails here, not at first read.
+        """
+        import json as _json
+        import time as _time
+
+        if mode not in ("deferred", "rewrite"):
+            raise WarehouseError(f"unknown delete mode: {mode!r}")
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            raise WarehouseError(f"no such table: {table}")
+        meta = self.layout_meta(table)
+        if meta.get("generations") is not None:
+            raise WarehouseError(
+                "delete_where targets flat tables; bucketed-MERGE tables "
+                "delete via tombstones (merge with null values)"
+            )
+        schema_json = meta.get("schema")
+        if schema_json:
+            probe = self.spark.createDataFrame(
+                [], T.StructType.fromJson(_json.loads(schema_json))
+            )
+            probe.filter(F.expr(predicate))  # analysis-time validation
+        files = [
+            os.path.relpath(p, tdir) for p in self._data_files(tdir)
+        ]
+        if not files:
+            return 0  # nothing on disk can match; later appends are out of scope
+        with self._commit_lock(table):
+            meta = self.layout_meta(table)
+            dels = list(meta.get("deferred_deletes") or [])
+            did = 1 + max((int(d["id"]) for d in dels), default=0)
+            dels.append(
+                {
+                    "id": did,
+                    "predicate": predicate,
+                    "files": files,
+                    "ts": _time.time(),
+                }
+            )
+            meta["deferred_deletes"] = dels
+            self._write_layout_meta(table, meta)
+        if mode == "rewrite":
+            self.compact(
+                table,
+                spec or TableSpec(partition_grain="NONE"),
+                min_files=1,
+            )
+        return did
+
+    def pending_deletes(self, table: str) -> list[dict]:
+        """The not-yet-materialized delete predicates, oldest first."""
+        return list(self.layout_meta(table).get("deferred_deletes") or [])
+
+    def _read_files_with_deletes(
+        self, table: str, files: list[str], meta: dict
+    ) -> DataFrame:
+        """Read an explicit file set, applying each pending delete
+        predicate to exactly the files in its recorded scope. Files are
+        grouped by their applicable-delete set (typically 2 groups:
+        pre-delete files and later appends), one scan per group, results
+        unioned — never a per-file plan, and with no pending deletes the
+        single group is byte-identical to the plain conform read."""
+        tdir = self.path(table)
+        dels = list(meta.get("deferred_deletes") or [])
+        scopes = [(d["predicate"], set(d["files"])) for d in dels]
+        groups: dict[tuple, list[str]] = {}
+        for p in files:
+            rel = os.path.relpath(p, tdir)
+            key = tuple(
+                i for i, (_, fs) in enumerate(scopes) if rel in fs
+            )
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key in sorted(groups):
+            part = self._conform_to_stored(
+                self.spark.read.option("basePath", tdir)
+                .option("mergeSchema", "true")
+                .parquet(*groups[key]),
+                meta,
+            )
+            for i in key:
+                part = part.filter(
+                    ~F.coalesce(
+                        F.expr(scopes[i][0]).cast("boolean"), F.lit(False)
+                    )
+                )
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
 
     @classmethod
     def _conform_col(cls, col: Column, have: T.DataType, want: T.DataType) -> Column:
@@ -1197,12 +1334,12 @@ class Warehouse:
         # basePath keeps Hive-style partition columns visible when
         # individual files inside partition dirs are listed explicitly;
         # conform so the result's schema equals read(table)'s even when
-        # every surviving file predates an appended column
-        return self._conform_to_stored(
-            self.spark.read.option("basePath", tdir)
-            .option("mergeSchema", "true")
-            .parquet(*keep),
-            self.layout_meta(table),
+        # every surviving file predates an appended column. Pending
+        # deferred deletes apply to their scoped files here exactly as
+        # in read() — file skipping must never resurrect deleted rows
+        # (with none pending this is the same single conform read).
+        return self._read_files_with_deletes(
+            table, keep, self.layout_meta(table)
         ).filter(pred)
 
     # -- CHECK constraints (write-path data-quality gate) -----------------
@@ -1365,11 +1502,13 @@ class Warehouse:
         # don't — the bucketed data they referenced is gone. The stored
         # schema is REPLACED (not unioned): an overwrite is a full
         # re-statement of the table, so a stale wider schema must not
-        # resurrect dropped columns as phantom NULLs on read
+        # resurrect dropped columns as phantom NULLs on read. Pending
+        # deferred deletes are dropped too: their scoped files no longer
+        # exist, and an overwrite re-states the rows by definition.
         meta = {
             k: v
             for k, v in self.layout_meta(table).items()
-            if k not in ("generations", "generation")
+            if k not in ("generations", "generation", "deferred_deletes")
         }
         meta["schema"] = out.schema.json()
         # the bloom recording lives INSIDE the table dir the swap
@@ -1958,6 +2097,10 @@ class Warehouse:
         bloom = self.bloom_meta(table)
         shutil.rmtree(final)
         os.replace(tmp, final)
+        # the compacted files were read through read(), which applied
+        # every pending deferred delete — they are now materialized, so
+        # the predicates must not be re-applied to the rewritten files
+        meta.pop("deferred_deletes", None)
         if meta:
             self._write_layout_meta(table, meta)
         if spec.clustering:

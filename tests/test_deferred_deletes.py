@@ -1,0 +1,189 @@
+"""Deferred (merge-on-read) predicate deletes on flat tables:
+`delete_where` records an O(1) metadata commit scoped to the files
+present at delete time; every read path applies the predicate to
+exactly those files; compact()/rewrite materializes and clears.
+
+The snapshot-scoping property (rows appended AFTER a delete survive
+even when they match) is the one that separates a real merge-on-read
+delete from a forever-filter — pinned here and fuzzed in
+test_flat_warehouse_stateful.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
+
+PLAIN = TableSpec(partition_grain="NONE")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _seed(spark, wh, n=10):
+    df = spark.createDataFrame(
+        [(i, float(i), "grp%d" % (i % 2)) for i in range(n)],
+        "id: bigint, v: double, g: string",
+    )
+    wh.append(df, "t", PLAIN)
+    return df
+
+
+def test_deferred_delete_filters_reads_without_touching_files(spark, wh):
+    _seed(spark, wh)
+    files_before = wh.describe_detail("t")["num_files"]
+    did = wh.delete_where("t", "id >= 7")
+    assert did == 1
+    assert wh.describe_detail("t")["num_files"] == files_before  # no rewrite
+    assert _ids(wh.read("t")) == [0, 1, 2, 3, 4, 5, 6]
+    assert wh.describe_detail("t")["pending_deletes"] == 1
+
+
+def test_delete_scoped_to_snapshot_not_future_appends(spark, wh):
+    _seed(spark, wh)
+    wh.delete_where("t", "id >= 7")
+    # re-append a matching row AFTER the delete: it must survive
+    wh.append(
+        spark.createDataFrame([(8, 88.0, "grp0")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )
+    assert _ids(wh.read("t")) == [0, 1, 2, 3, 4, 5, 6, 8]
+
+
+def test_stacked_deletes_compose(spark, wh):
+    _seed(spark, wh)
+    wh.delete_where("t", "id >= 8")
+    wh.delete_where("t", "g = 'grp1'")  # odd ids
+    assert _ids(wh.read("t")) == [0, 2, 4, 6]
+    assert len(wh.pending_deletes("t")) == 2
+
+
+def test_null_predicate_rows_survive(spark, wh):
+    """SQL DELETE semantics: WHERE NULL deletes nothing."""
+    _seed(spark, wh, n=4)
+    wh.delete_where("t", "v > 1.0 AND NULL")
+    assert _ids(wh.read("t")) == [0, 1, 2, 3]
+
+
+def test_compact_materializes_and_clears(spark, wh):
+    _seed(spark, wh)
+    wh.delete_where("t", "id >= 7")
+    n = wh.compact("t", PLAIN, min_files=1)
+    assert n > 0
+    assert wh.pending_deletes("t") == []
+    assert _ids(wh.read("t")) == [0, 1, 2, 3, 4, 5, 6]
+    # a fresh append after materialization is a clean slate
+    wh.append(
+        spark.createDataFrame([(9, 9.0, "grp1")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )
+    assert _ids(wh.read("t")) == [0, 1, 2, 3, 4, 5, 6, 9]
+
+
+def test_rewrite_mode_is_record_then_compact(spark, wh):
+    _seed(spark, wh)
+    wh.delete_where("t", "id = 0", mode="rewrite", spec=PLAIN)
+    assert wh.pending_deletes("t") == []
+    assert _ids(wh.read("t")) == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_overwrite_clears_pending_deletes(spark, wh):
+    _seed(spark, wh)
+    wh.delete_where("t", "id >= 5")
+    wh.overwrite(
+        spark.createDataFrame([(5, 5.0, "grp1")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )
+    # the overwrite re-states the table: the old predicate must not
+    # re-delete the re-stated row
+    assert _ids(wh.read("t")) == [5]
+    assert wh.pending_deletes("t") == []
+
+
+def test_delete_on_evolved_column_null_fills_old_files(spark, wh):
+    """Scoped files that physically predate an evolved column read it
+    as NULL — their rows survive a predicate over that column."""
+    wh.append(
+        spark.createDataFrame([(1, 1.0)], "id: bigint, v: double"), "t", PLAIN
+    )
+    wh.append(
+        spark.createDataFrame([(2, 2.0, 20)], "id: bigint, v: double, w: bigint"),
+        "t",
+        PLAIN,
+    )
+    wh.delete_where("t", "w >= 10")
+    assert _ids(wh.read("t")) == [1]
+
+
+def test_pruned_reads_respect_deletes(spark, wh):
+    df = spark.createDataFrame(
+        [(i, float(i), "grp%d" % (i % 2)) for i in range(20)],
+        "id: bigint, v: double, g: string",
+    )
+    spec = TableSpec(partition_grain="NONE", clustering=("id",))
+    wh.append(df, "t", spec)
+    wh.record_bloom("t", ["id"])
+    wh.delete_where("t", "id >= 10")
+    # zone-map / bloom pruned point lookups must not resurrect rows
+    assert _ids(wh.read_pruned("t", "id", eq=3)) == [3]
+    assert _ids(wh.read_pruned("t", "id", eq=15)) == []
+    assert _ids(wh.read_pruned_where("t", {"id": (8, 12)})) == [8, 9]
+
+
+def test_validation_and_errors(spark, wh):
+    _seed(spark, wh)
+    with pytest.raises(Exception):
+        wh.delete_where("t", "no_such_col = 1")
+    with pytest.raises(WarehouseError):
+        wh.delete_where("t", "id = 1", mode="bogus")
+    with pytest.raises(WarehouseError):
+        wh.delete_where("nope", "id = 1")
+    # recorded nothing for the failures
+    assert wh.pending_deletes("t") == []
+
+
+def test_bucketed_tables_reject_deferred_deletes(spark, wh):
+    df = spark.createDataFrame([(1, "x", 0)], "k: bigint, val: string, i: bigint")
+    wh.merge(
+        df,
+        "bt",
+        key_cols=["k"],
+        spec=TableSpec(partition_grain="NONE", key_bucket_count=4),
+    )
+    with pytest.raises(WarehouseError):
+        wh.delete_where("bt", "val = 'x'")
+
+
+def test_partitioned_table_delete_including_partition_predicate(spark, wh):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 3), 12, 0), float(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    wh.append(df, "t", spec)
+    # predicate over the Hive partition column itself: basePath reads
+    # must still surface it for the filter
+    wh.delete_where("t", "p_date = '2024-01-02'")
+    got = _ids(wh.read("t"))
+    assert got == [i for i in range(12) if i % 3 != 1]
+    # and a second, value-predicate delete stacks on the remainder
+    wh.delete_where("t", "v >= 9.0")
+    assert _ids(wh.read("t")) == [i for i in range(9) if i % 3 != 1]

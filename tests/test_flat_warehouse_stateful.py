@@ -155,6 +155,45 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def compact(self):
         self.wh.compact("t", CLUSTERED, target_file_rows=4, min_files=1)
 
+    # -- deferred (merge-on-read) deletes -------------------------------
+    # Semantics under fuzz: a delete applies to rows PRESENT at delete
+    # time (its file scope), so the model drops matching rows NOW and
+    # later appends re-adding matching values must survive — the exact
+    # property the scope set exists to protect. Interleaving with
+    # evolution/overwrite/compact exercises: predicates over columns
+    # some scoped files physically lack (NULL -> row survives),
+    # overwrite clearing pending deletes, compact materializing them.
+    @precondition(lambda self: self.created)
+    @rule(threshold=st.integers(min_value=0, max_value=999))
+    def delete_where_v(self, threshold):
+        self.wh.delete_where("t", f"v >= {threshold}")
+        self.model = Counter(
+            {t: n for t, n in self.model.items() if not t[2] >= threshold}
+        )
+
+    @precondition(lambda self: self.created)
+    @rule(cat=st.sampled_from(CATS))
+    def delete_where_cat(self, cat):
+        self.wh.delete_where("t", f"cat = '{cat}'")
+        self.model = Counter(
+            {t: n for t, n in self.model.items() if t[1] != cat}
+        )
+
+    @precondition(lambda self: self.created and self.has_w)
+    @rule(threshold=st.integers(min_value=0, max_value=9990))
+    def delete_where_w(self, threshold):
+        """Predicate over the EVOLVED column: scoped files that predate
+        w read it as NULL, so their rows survive (SQL DELETE semantics),
+        matching the model's None handling."""
+        self.wh.delete_where("t", f"w >= {threshold}")
+        self.model = Counter(
+            {
+                t: n
+                for t, n in self.model.items()
+                if not (t[3] is not None and t[3] >= threshold)
+            }
+        )
+
     @precondition(lambda self: self.created)
     @rule()
     def record_bloom(self):

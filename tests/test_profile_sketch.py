@@ -143,3 +143,21 @@ def test_kmv_estimate_reasonable(spark):
     assert est["n_kept"] == SK.KMV_K
     # k=64 -> sigma ~12.5%; allow 3 sigma
     assert abs(est["kmv_estimate"] - n) <= 0.4 * n
+
+
+def test_hll_estimate_grouped_matches_per_group_single(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(600)], "v: bigint, g: string"
+    )
+    grouped = SK.hll_build_grouped(df, "v", ["g"])
+    per = {
+        r["g"]: (r["n_nonzero"], r["s_scaled"], r["hll_estimate"])
+        for r in SK.hll_estimate_grouped(grouped, ["g"]).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        single = SK.hll_estimate(
+            SK.hll_build(df.filter(F.col("g") == g), "v")
+        ).collect()[0]
+        assert per[g] == (
+            single["n_nonzero"], single["s_scaled"], single["hll_estimate"]
+        )
