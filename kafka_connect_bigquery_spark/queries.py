@@ -1475,6 +1475,111 @@ SELECT * FROM state WHERE NOT coalesce(event_id % 10 = 1, FALSE)
 """
 
 
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_W = 1 << (32 - _HLL_P)
+_HLL_RMAX = 32 - _HLL_P + 1
+_HLL_ALPHA_PPM = 718273
+_KMV_K = 64
+
+
+def q_warehouse_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT DISTINCT through the per-file HLL index
+    (sinks/warehouse.py::record_sketch/approx_distinct): events land in
+    TWO appends — the second refreshes the recorded index incrementally
+    (new files only) — and the estimates for user_id and event_id are
+    answered purely from the merged per-file registers, never a data
+    scan. Per-register max is associative, so the file-sliced build
+    must be bit-identical to registers computed from the raw rows —
+    which is exactly what the oracle does in SQL."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_sketch")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(e.filter(F.col("event_id") % 2 == 0), "t", spec)
+    wh.record_sketch("t", ["event_id", "user_id"])
+    wh.append(e.filter(F.col("event_id") % 2 == 1), "t", spec)  # incremental
+    exact = e.agg(
+        F.countDistinct("event_id").alias("x_event_id"),
+        F.countDistinct("user_id").alias("x_user_id"),
+    )
+    parts = []
+    for col in ("event_id", "user_id"):
+        est = wh.approx_distinct("t", col).withColumn("col_name", F.lit(col))
+        parts.append(
+            est.crossJoin(exact).select(
+                "col_name",
+                "m",
+                "n_nonzero",
+                "s_scaled",
+                "hll_estimate",
+                F.col(f"x_{col}").alias("n_exact"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+Q_WAREHOUSE_SKETCH_SQL = f"""
+WITH vals AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS s FROM events
+  WHERE event_id IS NOT NULL
+  UNION ALL
+  SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS s FROM events
+  WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT col_name,
+         CAST(concat('0x', substr(md5(concat('hll:', s)), 1, 8)) AS BIGINT) AS hv
+  FROM vals
+),
+rr AS (
+  SELECT col_name, hv // {_HLL_W} AS register,
+         CASE WHEN hv % {_HLL_W} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_W})) END AS rho
+  FROM h
+),
+reg AS (SELECT col_name, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT col_name, COUNT(*) AS n_nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT col_name, {_HLL_M} AS m, n_nonzero,
+         s_present + ({_HLL_M} - n_nonzero) * {1 << _HLL_RMAX} AS s_scaled
+  FROM agg
+),
+exact AS (
+  SELECT 'event_id' AS col_name, COUNT(DISTINCT event_id) AS n_exact FROM events
+  WHERE event_id IS NOT NULL
+  UNION ALL
+  SELECT 'user_id' AS col_name, COUNT(DISTINCT user_id) AS n_exact FROM events
+  WHERE user_id IS NOT NULL
+)
+SELECT col_name, m, n_nonzero, s_scaled,
+       (CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) AS hll_estimate,
+       n_exact
+FROM est JOIN exact USING (col_name)
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -1659,14 +1764,6 @@ SELECT user_id, cm_estimate, n_exact,
        cm_estimate >= n_exact AS never_underestimates
 FROM est JOIN exact USING (user_id)
 """
-
-
-_HLL_P = 8
-_HLL_M = 1 << _HLL_P
-_HLL_W = 1 << (32 - _HLL_P)
-_HLL_RMAX = 32 - _HLL_P + 1
-_HLL_ALPHA_PPM = 718273
-_KMV_K = 64
 
 
 def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3172,6 +3269,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_bloom_read": (q_warehouse_bloom_read, Q_WAREHOUSE_BLOOM_SQL),
     "warehouse_evolution_read": (q_warehouse_evolution_read, Q_WAREHOUSE_EVOLUTION_SQL),
     "warehouse_delete_read": (q_warehouse_delete_read, Q_WAREHOUSE_DELETE_SQL),
+    "warehouse_sketch_distinct": (q_warehouse_sketch_distinct, Q_WAREHOUSE_SKETCH_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -3262,7 +3360,6 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     # -- new-entry slots: the HLL and KMV distinct sketches, the
     # ExactSubstr duplication profile, containment pairs, and DSIR
     # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
@@ -3285,6 +3382,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_zonemap_read",
     "warehouse_evolution_read",
     "warehouse_delete_read",
+    "warehouse_sketch_distinct",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05 (or late-r04 for the tpch/ops remainder) ====
 ]

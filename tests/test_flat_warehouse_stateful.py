@@ -60,6 +60,11 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.model: Counter = Counter()
         self.created = False
         self.bloomed = False
+        self.sketched = False
+        # physical (k, cat) rows on disk: deferred deletes do NOT
+        # shrink this until compact/overwrite materializes them — the
+        # file-physical view the HLL index sees
+        self.phys: Counter = Counter()
         # which evolved columns the CURRENT table schema carries (reset
         # by overwrite, which is a full re-statement)
         self.has_w = False
@@ -92,6 +97,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def append(self, batch, clustered):
         self.wh.append(self._df_base(batch), "t", CLUSTERED if clustered else PLAIN)
         self.model.update((k, c, v, None, None, None) for k, c, v in batch)
+        self.phys.update((k, c) for k, c, v in batch)
         self.created = True
 
     @rule(batch=_batch, clustered=st.booleans())
@@ -101,6 +107,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         VALUES were silently dropped by footer-sampled reads)."""
         self.wh.append(self._df_w(batch), "t", CLUSTERED if clustered else PLAIN)
         self.model.update((k, c, v, v * 10, None, None) for k, c, v in batch)
+        self.phys.update((k, c) for k, c, v in batch)
         self.created = True
         self.has_w = True
 
@@ -114,6 +121,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
             CLUSTERED if clustered else PLAIN,
         )
         self.model.update((k, c, v, None, v + 1, None) for k, c, v in batch)
+        self.phys.update((k, c) for k, c, v in batch)
         self.created = True
         self.has_s = True
 
@@ -126,6 +134,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
             CLUSTERED if clustered else PLAIN,
         )
         self.model.update((k, c, v, None, v + 1, f"s{k}") for k, c, v in batch)
+        self.phys.update((k, c) for k, c, v in batch)
         self.created = True
         self.has_s = True
         self.s_has_b = True
@@ -134,6 +143,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def overwrite(self, batch, clustered):
         self.wh.overwrite(self._df_base(batch), "t", CLUSTERED if clustered else PLAIN)
         self.model = Counter((k, c, v, None, None, None) for k, c, v in batch)
+        self.phys = Counter((k, c) for k, c, v in batch)
         self.created = True
         # full re-statement narrows the schema back
         self.has_w = self.has_s = self.s_has_b = False
@@ -146,6 +156,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         doesn't), never unioned with the stale prior."""
         self.wh.overwrite(self._df_w(batch), "t", CLUSTERED if clustered else PLAIN)
         self.model = Counter((k, c, v, v * 10, None, None) for k, c, v in batch)
+        self.phys = Counter((k, c) for k, c, v in batch)
         self.created = True
         self.has_w = True
         self.has_s = self.s_has_b = False
@@ -154,6 +165,8 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     @rule()
     def compact(self):
         self.wh.compact("t", CLUSTERED, target_file_rows=4, min_files=1)
+        # compaction materializes pending deletes: physical == logical
+        self.phys = Counter((t[0], t[1]) for t in self.model.elements())
 
     # -- deferred (merge-on-read) deletes -------------------------------
     # Semantics under fuzz: a delete applies to rows PRESENT at delete
@@ -199,6 +212,12 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def record_bloom(self):
         self.wh.record_bloom("t", ["k", "cat"])
         self.bloomed = True
+
+    @precondition(lambda self: self.created)
+    @rule()
+    def record_sketch(self):
+        self.wh.record_sketch("t", ["k", "cat"])
+        self.sketched = True
 
     # -- invariants -----------------------------------------------------
     def _project(self, df):
@@ -252,6 +271,22 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
             got = self._project(self.wh.read_pruned_where("t", {"k": key}))
             want = Counter(t for t in self.model.elements() if t[0] == key)
             assert got == want, f"bloom point lookup diverged for k={key}"
+
+    @invariant()
+    def sketch_index_matches_python_registers(self):
+        """The per-file HLL index, merged, must equal a pure-Python
+        replica of the register math over the PHYSICAL rows (deferred
+        deletes are not subtracted until materialized — the documented
+        file-physical semantics), across append-refresh / overwrite
+        and compact rebuilds."""
+        if not self.sketched:
+            return
+        from tests.test_sketch_index import py_hll_estimate
+
+        for i, col in ((0, "k"), (1, "cat")):
+            got = self.wh.approx_distinct("t", col).collect()[0].asDict()
+            want = py_hll_estimate({t[i] for t in self.phys})
+            assert got == want, f"sketch index diverged on {col}"
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)

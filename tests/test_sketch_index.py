@@ -1,0 +1,143 @@
+"""Per-file HLL distinct-count index (`record_sketch` /
+`approx_distinct`): metadata-only COUNT DISTINCT estimates whose
+registers must match a direct operators/sketch.py build bit-for-bit,
+stay fresh across append (incremental) / overwrite / compact
+(rebuild), and refuse to answer stale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.operators import sketch as SK
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
+
+PLAIN = TableSpec(partition_grain="NONE")
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _est(wh, col):
+    return wh.approx_distinct("t", col).collect()[0].asDict()
+
+
+def _direct(wh, col):
+    return SK.hll_estimate(SK.hll_build(wh.read("t"), col)).collect()[0].asDict()
+
+
+def py_hll_estimate(values, p=8):
+    """Pure-Python replica of the register math — an engine-independent
+    oracle (same md5/'hll:' convention as operators/sketch.py)."""
+    wbits, rmax, m = 32 - p, 32 - p + 1, 1 << p
+    regs: dict[int, int] = {}
+    for v in values:
+        hv = int(hashlib.md5(f"hll:{v}".encode()).hexdigest()[:8], 16)
+        w = hv % (1 << wbits)
+        rho = rmax if w == 0 else rmax - w.bit_length()
+        reg = hv >> wbits
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (rmax - r) for r in regs.values()) + (m - len(regs)) * (1 << rmax)
+    return {
+        "m": m,
+        "n_nonzero": len(regs),
+        "s_scaled": s,
+        "hll_estimate": SK.HLL_ALPHA_PPM * m * m * (1 << rmax) // (s * 1_000_000),
+    }
+
+
+def test_index_estimate_equals_direct_build_and_python_oracle(spark, wh):
+    df = spark.createDataFrame(
+        [(i, "u%d" % (i % 137)) for i in range(900)], "id: bigint, u: string"
+    )
+    wh.append(df, "t", PLAIN)
+    wh.record_sketch("t", ["id", "u"])
+    for col, values in (("id", range(900)), ("u", {f"u{i % 137}" for i in range(900)})):
+        est = _est(wh, col)
+        assert est == _direct(wh, col)
+        assert est == py_hll_estimate(values)
+
+
+def test_incremental_refresh_on_append(spark, wh):
+    a = spark.createDataFrame([(i,) for i in range(400)], "id: bigint")
+    b = spark.createDataFrame([(i,) for i in range(300, 700)], "id: bigint")
+    wh.append(a, "t", PLAIN)
+    wh.record_sketch("t", ["id"])
+    files_indexed = wh.sketch_indexed_files("t")
+    wh.append(b, "t", PLAIN)  # hook refreshes incrementally
+    assert wh.sketch_indexed_files("t") > files_indexed
+    assert _est(wh, "id") == py_hll_estimate(range(700))
+
+
+def test_rebuild_on_overwrite_and_compact(spark, wh):
+    wh.append(
+        spark.createDataFrame([(i,) for i in range(500)], "id: bigint"), "t", PLAIN
+    )
+    wh.record_sketch("t", ["id"])
+    wh.overwrite(
+        spark.createDataFrame([(i,) for i in range(50)], "id: bigint"), "t", PLAIN
+    )
+    assert _est(wh, "id") == py_hll_estimate(range(50))
+    wh.append(
+        spark.createDataFrame([(i,) for i in range(50, 80)], "id: bigint"), "t", PLAIN
+    )
+    wh.compact("t", PLAIN, min_files=1)
+    assert _est(wh, "id") == py_hll_estimate(range(80))
+
+
+def test_deferred_deletes_not_subtracted_until_compact(spark, wh):
+    """Documented file-physical semantics: HLL cannot unsee — pending
+    predicate deletes surface in the estimate until materialized."""
+    wh.append(
+        spark.createDataFrame([(i,) for i in range(200)], "id: bigint"), "t", PLAIN
+    )
+    wh.record_sketch("t", ["id"])
+    wh.delete_where("t", "id >= 100")
+    assert _est(wh, "id") == py_hll_estimate(range(200))  # pre-delete view
+    wh.compact("t", PLAIN, min_files=1)  # materialize
+    assert _est(wh, "id") == py_hll_estimate(range(100))
+
+
+def test_stale_and_missing_index_refuse_loudly(spark, wh):
+    wh.append(spark.createDataFrame([(1,)], "id: bigint"), "t", PLAIN)
+    with pytest.raises(WarehouseError):
+        wh.approx_distinct("t", "id")
+    wh.record_sketch("t", ["id"])
+    with pytest.raises(WarehouseError):
+        wh.approx_distinct("t", "other")
+    # write files BEHIND the index (no hook): estimate must refuse
+    spark.createDataFrame([(2,)], "id: bigint").write.mode("append").parquet(
+        wh.path("t")
+    )
+    with pytest.raises(WarehouseError):
+        wh.approx_distinct("t", "id")
+    wh.record_sketch("t", ["id"], incremental=True)
+    assert _est(wh, "id") == py_hll_estimate([1, 2])
+
+
+def test_all_null_column_yields_marker_only_and_zero_estimate(spark, wh):
+    df = spark.createDataFrame([(None,), (None,)], "id: bigint")
+    wh.append(df, "t", PLAIN)
+    wh.record_sketch("t", ["id"])
+    est = _est(wh, "id")
+    assert est["n_nonzero"] == 0
+    assert est == py_hll_estimate([])
+
+
+def test_bucketed_tables_rejected(spark, wh):
+    df = spark.createDataFrame([(1, "x", 0)], "k: bigint, val: string, i: bigint")
+    wh.merge(
+        df, "bt", key_cols=["k"],
+        spec=TableSpec(partition_grain="NONE", key_bucket_count=4),
+    )
+    with pytest.raises(WarehouseError):
+        wh.record_sketch("bt", ["k"])
