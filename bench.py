@@ -99,6 +99,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sketch_hll_daily",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "dedup_substring_runs",
     "dedup_containment",
     "docs_dsir_weights",

@@ -2031,6 +2031,119 @@ FROM est, exact, mism
 """
 
 
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (operators/sketch.py): estimate the OVERLAP of
+    two event sets by inclusion-exclusion — est(A∩B) = est(A) + est(B)
+    - est(A∪B), where the union's sketch is the lossless k-min merge of
+    the two kept sets (exactly the union-built sketch, checked with
+    ``merge_ok``; the property holds for OVERLAPPING inputs, which this
+    query exercises — the distinct-sketch entry merges disjoint
+    halves). This is the theta-sketch workflow for audience-overlap
+    questions at 100 TB: keep k hashes per segment, answer any pairwise
+    overlap from 2k integers. Estimates are audited against exact
+    distinct counts; everything is bigint arithmetic."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    in_a = F.col("user_id") % 2 == 0
+    in_b = F.col("user_id") % 3 == 0
+    a = SK.kmv_build(e.filter(in_a), "event_id", k=_KMV_K)
+    b = SK.kmv_build(e.filter(in_b), "event_id", k=_KMV_K)
+    merged = SK.kmv_merge(a, b, k=_KMV_K)
+    direct_u = SK.kmv_build(e.filter(in_a | in_b), "event_id", k=_KMV_K)
+    mism = (
+        merged.withColumn("_m", F.lit(1))
+        .join(direct_u.withColumn("_d", F.lit(1)), "hv", "full")
+        .agg(
+            F.sum(
+                F.when(F.col("_m").isNull() | F.col("_d").isNull(), 1).otherwise(0)
+            ).alias("n_hash_mismatch")
+        )
+    )
+    ea = SK.kmv_estimate(a, k=_KMV_K).select(
+        F.col("kmv_estimate").alias("est_a")
+    )
+    eb = SK.kmv_estimate(b, k=_KMV_K).select(
+        F.col("kmv_estimate").alias("est_b")
+    )
+    eu = SK.kmv_estimate(merged, k=_KMV_K).select(
+        F.col("kmv_estimate").alias("est_union")
+    )
+    exact = e.agg(
+        F.countDistinct(F.when(in_a, F.col("event_id"))).alias("x_a"),
+        F.countDistinct(F.when(in_b, F.col("event_id"))).alias("x_b"),
+        F.countDistinct(F.when(in_a & in_b, F.col("event_id"))).alias("x_inter"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .crossJoin(mism)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "x_a",
+            "x_b",
+            "x_inter",
+            "n_hash_mismatch",
+            (F.col("n_hash_mismatch") == 0).alias("merge_ok"),
+        )
+    )
+
+
+Q_SKETCH_KMV_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT event_id, user_id,
+         CAST(concat('0x', substr(md5(concat('kmv:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM events WHERE event_id IS NOT NULL
+),
+ka AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE user_id % 2 = 0)
+       ORDER BY hv LIMIT {_KMV_K}),
+kb AS (SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE user_id % 3 = 0)
+       ORDER BY hv LIMIT {_KMV_K}),
+merged AS (SELECT hv FROM (SELECT DISTINCT hv FROM
+             (SELECT * FROM ka UNION ALL SELECT * FROM kb))
+           ORDER BY hv LIMIT {_KMV_K}),
+direct_u AS (SELECT hv FROM (SELECT DISTINCT hv FROM h
+               WHERE user_id % 2 = 0 OR user_id % 3 = 0)
+             ORDER BY hv LIMIT {_KMV_K}),
+mism AS (
+  SELECT CAST(SUM(CASE WHEN m._m IS NULL OR d._d IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hash_mismatch
+  FROM (SELECT hv, 1 AS _m FROM merged) m
+  FULL JOIN (SELECT hv, 1 AS _d FROM direct_u) d USING (hv)
+),
+est AS (
+  SELECT
+    (SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                 ELSE CAST({_KMV_K - 1} AS BIGINT) * 4294967296 // MAX(hv) END
+     FROM ka) AS est_a,
+    (SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                 ELSE CAST({_KMV_K - 1} AS BIGINT) * 4294967296 // MAX(hv) END
+     FROM kb) AS est_b,
+    (SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                 ELSE CAST({_KMV_K - 1} AS BIGINT) * 4294967296 // MAX(hv) END
+     FROM merged) AS est_union
+),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN event_id END) AS x_a,
+         COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN event_id END) AS x_b,
+         COUNT(DISTINCT CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0
+                             THEN event_id END) AS x_inter
+  FROM events WHERE event_id IS NOT NULL
+)
+SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersection,
+       x_a, x_b, x_inter, n_hash_mismatch,
+       n_hash_mismatch = 0 AS merge_ok
+FROM est, exact, mism
+"""
+
+
 def q_cobucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join through catalog-native bucketing
     (sinks/bucketed_catalog.py): customer and orders land bucketed by
@@ -3276,6 +3389,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_hll_distinct": (q_sketch_hll_distinct, Q_SKETCH_HLL_SQL),
     "sketch_hll_daily": (q_sketch_hll_daily, Q_SKETCH_HLL_DAILY_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
+    "sketch_kmv_overlap": (q_sketch_kmv_overlap, Q_SKETCH_KMV_OVERLAP_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
     "graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
@@ -3359,7 +3473,6 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
     # -- new-entry slots: the HLL and KMV distinct sketches, the
     # ExactSubstr duplication profile, containment pairs, and DSIR
     # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
@@ -3367,6 +3480,7 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_hll_distinct",
     "sketch_hll_daily",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "dedup_substring_runs",
     "dedup_containment",
     "docs_dsir_weights",

@@ -965,20 +965,26 @@ class Warehouse:
     def _bloom_index_dir(self, table: str) -> str:
         return os.path.join(self._bloom_dir(table), "index")
 
-    @staticmethod
-    def _data_files(tdir: str) -> list[str]:
-        """All DATA parquet files under a table dir. Underscore-prefixed
-        top-level subtrees (``_bloom/``, ``_sketch/``) are parquet-backed
-        *metadata* (file-skipping / distinct-count indexes), not table
-        data — every file-listing path must skip them, exactly as
-        Spark's own listing skips underscore-prefixed dirs. Partition
-        dirs (``p_date=...``) never start with an underscore."""
+    # parquet-backed METADATA subtrees under a table dir (file-skipping
+    # and distinct-count indexes) — never table data. An explicit
+    # denylist, NOT an underscore pattern: `_buckets/` is underscore-
+    # prefixed on purpose (hidden from plain Spark reads during the
+    # bucketed migration) yet IS data — a startswith('_') rule emptied
+    # every bucketed listing (regression-probed: describe_detail
+    # num_files=0, compact no-op).
+    _META_DIRS = frozenset({"_bloom", "_sketch"})
+
+    @classmethod
+    def _data_files(cls, tdir: str) -> list[str]:
+        """All DATA parquet files under a table dir, skipping the
+        parquet-backed metadata subtrees in ``_META_DIRS`` — every
+        file-listing path must go through this."""
         import glob
 
         return [
             p
             for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
-            if not os.path.relpath(p, tdir).split(os.sep, 1)[0].startswith("_")
+            if os.path.relpath(p, tdir).split(os.sep, 1)[0] not in cls._META_DIRS
         ]
 
     def bloom_meta(self, table: str) -> dict | None:
@@ -1041,7 +1047,14 @@ class Warehouse:
         executor-side write however many files the table has.
         ``files=None`` scans the whole table; a file list (the append
         path) scans only those files. ``bloomable`` is which of ``cols``
-        were present with an int/string type in the scanned schema."""
+        were present with an int/string type in the scanned schema.
+
+        Unlike the HLL sketch build, reading through read() (pending
+        deferred deletes applied) is fine here IN EITHER DIRECTION:
+        bits missing for deleted rows prune files whose matching rows
+        the read-side filter would drop anyway, and stale extra bits
+        only cost an extra file open — skipping is an optimization,
+        never a correctness dependency."""
         tdir = self.path(table)
         if files is None:
             src = self.read(table)
@@ -1261,16 +1274,23 @@ class Warehouse:
         per-(file, column, register) max rho aggregated map-side. The
         hash/register/rho expressions mirror operators/sketch.py
         hll_build exactly — the index IS an hll_build_grouped frame
-        grouped by (file, column)."""
+        grouped by (file, column).
+
+        Reads the raw data files, NEVER read(): read() applies pending
+        deferred-delete filters, and an index built from the filtered
+        view while the incremental path scans raw new files would mix
+        two semantics (fuzz-found: delete_where then record_sketch
+        under-counted). The index is file-physical by contract."""
         tdir = self.path(table)
         if files is None:
-            src = self.read(table)
-        else:
-            src = (
-                self.spark.read.option("basePath", tdir)
-                .option("mergeSchema", "true")
-                .parquet(*files)
-            )
+            files = self._data_files(tdir)
+        if not files:
+            return None, []
+        src = (
+            self.spark.read.option("basePath", tdir)
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
         fields = {f.name: f.dataType for f in src.schema.fields}
         sketchable = [
             c for c in cols if c in fields and isinstance(fields[c], self._SKETCHABLE)
@@ -1382,7 +1402,9 @@ class Warehouse:
             table, meta["cols"], p=meta["p"], incremental=incremental
         )
 
-    def approx_distinct(self, table: str, col: str) -> DataFrame:
+    def approx_distinct(
+        self, table: str, col: str, *, partition: tuple[str, str] | None = None
+    ) -> DataFrame:
         """Metadata-only distinct-count estimate: merge the per-file
         registers for ``col`` (per-register max over files — lossless,
         the HLL merge property) and return the one-row integer estimate
@@ -1390,7 +1412,15 @@ class Warehouse:
         data file. Raises when the index is missing, doesn't cover
         ``col``, or lags the live file set (call record_sketch /
         append-with-recorded-sketch keeps it fresh) — a silently stale
-        estimate is worse than no estimate."""
+        estimate is worse than no estimate.
+
+        ``partition=(name, value)`` scopes the estimate to one Hive
+        partition (file paths under ``name=value/``): "distinct users
+        on 2024-01-03" answered from the index alone. Partition dirs
+        are the one predicate whose file boundaries are exact — for
+        anything finer the per-file registers would over-count rows of
+        the same files outside the predicate, so nothing finer is
+        offered."""
         from kafka_connect_bigquery_spark.operators import sketch as SK
 
         meta = self.sketch_meta(table)
@@ -1407,12 +1437,16 @@ class Warehouse:
                 f"HLL sketch for {table} lags the data: {len(missing)} "
                 "unindexed file(s); run record_sketch(incremental=True)"
             )
-        regs = (
-            self.spark.read.parquet(self._sketch_index_dir(table))
-            .filter((F.col("c") == col) & (F.col("register") >= 0))
-            .groupBy("register")
-            .agg(F.max("rho").alias("rho"))
+        regs = self.spark.read.parquet(self._sketch_index_dir(table)).filter(
+            (F.col("c") == col) & (F.col("register") >= 0)
         )
+        if partition is not None:
+            name, value = partition
+            regs = regs.filter(
+                F.col("f").startswith(f"{name}={value}/")
+                | F.col("f").contains(f"/{name}={value}/")
+            )
+        regs = regs.groupBy("register").agg(F.max("rho").alias("rho"))
         return SK.hll_estimate(regs, p=meta["p"])
 
     def read_pruned(

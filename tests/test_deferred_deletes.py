@@ -187,3 +187,23 @@ def test_partitioned_table_delete_including_partition_predicate(spark, wh):
     # and a second, value-predicate delete stacks on the remainder
     wh.delete_where("t", "v >= 9.0")
     assert _ids(wh.read("t")) == [i for i in range(9) if i % 3 != 1]
+
+
+def test_flat_merge_respects_and_materializes_pending_deletes(spark, wh):
+    """The small-table MERGE path reads through read() (deletes
+    applied) and rewrites through overwrite() (pending list cleared) —
+    a MERGE after delete_where materializes the delete, and only keys
+    the batch itself re-upserts come back."""
+    base = spark.createDataFrame(
+        [(k, "old%d" % k, 0) for k in range(6)], "k: bigint, val: string, i: bigint"
+    )
+    wh.merge(base, "t", key_cols=["k"])
+    wh.delete_where("t", "k >= 4")
+    batch = spark.createDataFrame(
+        [(5, "resurrected", 1), (0, "updated", 1)],
+        "k: bigint, val: string, i: bigint",
+    )
+    wh.merge(batch, "t", key_cols=["k"])
+    got = {r["k"]: r["val"] for r in wh.read("t").collect()}
+    assert got == {0: "updated", 1: "old1", 2: "old2", 3: "old3", 5: "resurrected"}
+    assert wh.pending_deletes("t") == []

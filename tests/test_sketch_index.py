@@ -141,3 +141,28 @@ def test_bucketed_tables_rejected(spark, wh):
     )
     with pytest.raises(WarehouseError):
         wh.record_sketch("bt", ["k"])
+
+
+def test_partition_scoped_estimate(spark, wh):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 2), 12, 0)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    wh.append(df, "t", TableSpec(partition_grain="DAY", timestamp_field="ts"))
+    wh.record_sketch("t", ["id"])
+    full = _est(wh, "id")
+    assert full == py_hll_estimate(range(600))
+    day1 = (
+        wh.approx_distinct("t", "id", partition=("p_date", "2024-01-01"))
+        .collect()[0]
+        .asDict()
+    )
+    assert day1 == py_hll_estimate(range(0, 600, 2))
+    day2 = (
+        wh.approx_distinct("t", "id", partition=("p_date", "2024-01-02"))
+        .collect()[0]
+        .asDict()
+    )
+    assert day2 == py_hll_estimate(range(1, 600, 2))

@@ -549,3 +549,40 @@ def test_load_staged_groups_jobs_under_caps(spark, tmp_path):
     )
     assert pipe.load_staged(staging, max_bytes_per_job=1) == ["t"]
     assert sorted(r.row for r in wh.read("t").collect()) == [0, 1, 2, 9]
+
+
+def test_streaming_keeps_hll_sketch_index_fresh(spark, tmp_path):
+    """Once record_sketch has run, every streaming micro-batch append
+    refreshes the per-file HLL index through the warehouse hook — so a
+    dashboard's metadata-only approx_distinct never lags the stream.
+    Cross-checked against the pure-Python register oracle."""
+    from tests.test_sketch_index import py_hll_estimate
+
+    rows1 = [
+        ("k%d" % i, {"row": i, "name": "n%d" % (i % 5)}, "t", 0, i)
+        for i in range(8)
+    ]
+    src = _write_source(spark, tmp_path, rows1)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(topics=["t"], time_partitioning_type="NONE")
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    wh.record_sketch("t", ["name"])
+    est = wh.approx_distinct("t", "name").collect()[0].asDict()
+    assert est == py_hll_estimate({"n%d" % (i % 5) for i in range(8)})
+    # second micro-batch arrives: the append hook must index its files
+    rows2 = [
+        ("k%d" % i, {"row": i, "name": "n%d" % (i % 11)}, "t", 0, i)
+        for i in range(8, 30)
+    ]
+    _write_source(spark, tmp_path, rows2)
+    _run_stream(pipe, spark, src, tmp_path)  # same checkpoint: only new offsets
+    est2 = wh.approx_distinct("t", "name").collect()[0].asDict()
+    want = {"n%d" % (i % 5) for i in range(8)} | {
+        "n%d" % (i % 11) for i in range(8, 30)
+    }
+    assert est2 == py_hll_estimate(want)
