@@ -936,12 +936,15 @@ def substring_run_stats(
             .otherwise(F.array().cast("array<string>"))
             .alias("_grams"),
         )
-        # three consumers (doc totals, gram doc-freq, position marking):
-        # without the barrier the canonicalization regexes + per-position
-        # md5 run once per consumer (reused subtrees are not deduplicated
-        # by ReuseExchange/AQE — see text_collocations)
-        .localCheckpoint(eager=False)
     )
+    # Three consumers re-derive this projection (doc totals, gram
+    # doc-freq, position marking) — deliberately NOT checkpointed:
+    # measured at sf0.1 (interleaved A/B, warm), materializing the
+    # gram arrays costs 2x the three codegen'd recomputes (0.9s vs
+    # 0.4s) — serializing len(text)*32-char md5 arrays loses to
+    # re-running the regex+md5 pipeline inside whole-stage codegen.
+    # (The HOF re-eval trap doesn't apply: _toks materializes in its
+    # own projection before the gram lambda references it.)
     docs = d.select("doc_id", "n_tokens")
     pos = d.select(
         "doc_id", F.posexplode("_grams").alias("pos", "gram")

@@ -3420,17 +3420,25 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 6 window (50 slots): the 32 entries whose most recent driver row
-# is r03 (the streaming-window, multimodal, text-quality and corpus-ops
-# families — stalest evidence in the fleet), plus events_approx_stats —
-# its oracle is a tolerance contract rather than value equality, so it
-# stays in-window EVERY round (sketch drift can never hide) — plus a
-# 17-entry backfill of the oldest r04 rows (TPC-H family, q1..q19).
+# Round 6 window (50 slots), final shape: the 32 entries whose most
+# recent driver row is r03 (the streaming-window, multimodal,
+# text-quality and corpus-ops families — stalest evidence in the
+# fleet), plus events_approx_stats — its oracle is a tolerance contract
+# rather than value equality, so it stays in-window EVERY round (sketch
+# drift can never hide) — plus a 5-entry TPC-H backfill (q1..q5), plus
+# the r06 FIRST-WITNESS block: 9 new entries (sketch_hll_distinct/
+# _daily, sketch_kmv_distinct/_overlap, dedup_substring_runs,
+# dedup_containment, docs_dsir_weights, warehouse_delete_read,
+# warehouse_sketch_distinct) + corpus_shard_plan + the 3 changed-path
+# warehouse reads (bloom/zonemap/evolution). TPC-H q6..q19 yielded
+# their backfill slots to the new entries.
 # r07 rotation plan: lead with the 32 entries whose latest driver row
 # will then be r04 (tpch_q9/q11/q20/q21/q22, the dedup_* family, ann/
-# bpe/sketch/graph_pagerank/cobucketed/zonemap/rollup_incremental...),
-# keep events_approx_stats pinned, backfill with the oldest r05 rows
-# (merge family first — they exercise the warehouse read path).
+# bpe/sketch_count_min/graph_pagerank/cobucketed/rollup_incremental...),
+# keep events_approx_stats pinned, backfill FIRST with the r04-era
+# TPC-H q6/q7/q8/q10/q12/q13/q14/q15 that yielded r06 slots, then
+# q16..q19 and the oldest r05 rows (merge family first — they exercise
+# the warehouse read path).
 _PRIORITY_ORDER: list[str] = [
     # -- r06 head: refresh the 32 entries whose latest driver row is r03
     # (streaming windows, multimodal, text-quality, corpus-ops) --------
