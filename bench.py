@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_substring_runs",
     "dedup_containment",
     "docs_dsir_weights",
+    "docs_vocab_growth",
 ]
 
 

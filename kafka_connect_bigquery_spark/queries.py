@@ -3480,7 +3480,6 @@ _PRIORITY_ORDER: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
     # -- new-entry slots: the HLL and KMV distinct sketches, the
     # ExactSubstr duplication profile, containment pairs, and DSIR
     # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
@@ -3492,6 +3491,7 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_substring_runs",
     "dedup_containment",
     "docs_dsir_weights",
+    "docs_vocab_growth",
     # -- new-entry slot: corpus_shard_plan (added r06, first witness;
     # tpch_q16 yields its slot to the r07 backfill) -------------------
     "corpus_shard_plan",

@@ -3135,6 +3135,84 @@ FROM base b LEFT JOIN scores USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law corpus diagnostic)
+# ---------------------------------------------------------------------------
+
+_VOCAB_STEPS = 10
+
+
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative token count and
+    distinct-vocabulary size at 10 corpus prefixes (doc_id order) — the
+    diagnostic that tells a data curator whether a crawl is still
+    contributing new vocabulary or has gone stale/duplicative (V ~ K·N^β
+    with β≈0.5 for healthy natural-language corpora; β→0 means the new
+    data repeats the old). Scale shape: NO global window — each token's
+    first-occurrence doc and each doc's token count reduce in one
+    groupBy apiece; the 10 thresholds come from a 1-row min/max agg and
+    broadcast, so the curve costs two corpus-sized aggregations however
+    many steps are asked for."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    steps = spark.range(1, _VOCAB_STEPS + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    # threshold_k = lo + (hi - lo) * k DIV steps  (integer lattice)
+    th = steps.crossJoin(F.broadcast(bounds)).select(
+        "step",
+        (
+            F.col("lo")
+            + F.expr(f"(hi - lo) * step DIV {_VOCAB_STEPS}")
+        ).alias("threshold"),
+    )
+    vocab = (
+        th.join(first, first.first_doc <= th.threshold, "left")
+        .groupBy("step", "threshold")
+        .agg(F.count("tok").alias("vocab_size"))
+    )
+    toks_cum = (
+        th.join(per_doc, per_doc.doc_id <= th.threshold, "left")
+        .groupBy("step", "threshold")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("n_tokens_cum"))
+    )
+    return (
+        vocab.join(toks_cum, ["step", "threshold"])
+        .select("step", "threshold", "n_tokens_cum", "vocab_size")
+    )
+
+
+Q_DOCS_VOCAB_GROWTH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+steps AS (SELECT CAST(unnest(range(1, {_VOCAB_STEPS} + 1)) AS INT) AS step),
+th AS (
+  SELECT step, lo + (hi - lo) * step // {_VOCAB_STEPS} AS threshold
+  FROM steps, bounds
+),
+vocab AS (
+  SELECT step, threshold, CAST(COUNT(tok) AS BIGINT) AS vocab_size
+  FROM th LEFT JOIN first ON first_doc <= threshold GROUP BY 1, 2
+),
+toks_cum AS (
+  SELECT step, threshold,
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens_cum
+  FROM th LEFT JOIN per_doc ON doc_id <= threshold GROUP BY 1, 2
+)
+SELECT step, threshold, n_tokens_cum, vocab_size
+FROM vocab JOIN toks_cum USING (step, threshold)
+"""
+
+
+# ---------------------------------------------------------------------------
 # sparse text features: hashing trick + integer-exact cosine join
 # ---------------------------------------------------------------------------
 
@@ -3343,6 +3421,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "dedup_substring_runs": (q_dedup_substring_runs, Q_DEDUP_SUBSTRING_RUNS_SQL),
     "docs_dsir_weights": (q_docs_dsir_weights, Q_DOCS_DSIR_SQL),
+    "docs_vocab_growth": (q_docs_vocab_growth, Q_DOCS_VOCAB_GROWTH_SQL),
     "embedding_dim_stats": (q_embedding_dim_stats, Q_EMB_DIM_STATS_SQL),
     "embedding_label_centroids": (q_embedding_label_centroids, Q_EMB_LABEL_CENTROIDS_SQL),
     "docs_length_histogram": (q_docs_length_histogram, Q_DOCS_LENGTH_HIST_SQL),

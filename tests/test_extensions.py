@@ -1367,3 +1367,37 @@ def test_dsir_deterministic_across_partitionings(spark):
         for r in sampling.dsir_weights(d, "doc_id", "text", F.col("tgt")).collect()
     }
     assert get(df1) == get(df2)
+
+
+def test_vocab_growth_monotone_and_hand_checked(spark):
+    from kafka_connect_bigquery_spark.queries_ext import q_docs_vocab_growth
+    import tempfile, os, shutil
+
+    tmp = tempfile.mkdtemp()
+    try:
+        docs = spark.createDataFrame(
+            [
+                (10, "a b c", "en", "s", 5),
+                (20, "a b d", "en", "s", 5),   # adds 'd' only
+                (30, "a b c", "en", "s", 5),   # adds nothing
+                (40, "e f", "en", "s", 3),     # adds e, f
+            ],
+            "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {
+            r["step"]: r.asDict()
+            for r in q_docs_vocab_growth(spark, tmp).collect()
+        }
+        assert len(rows) == 10
+        # thresholds span doc_id 10..40; curve is monotone in both axes
+        seq = [rows[k] for k in sorted(rows)]
+        for a, b in zip(seq, seq[1:]):
+            assert b["n_tokens_cum"] >= a["n_tokens_cum"]
+            assert b["vocab_size"] >= a["vocab_size"]
+        assert seq[-1]["n_tokens_cum"] == 11
+        assert seq[-1]["vocab_size"] == 6  # a b c d e f
+        # first threshold covers only doc 10+... step1 = 10+(30*1 DIV 10)=13
+        assert seq[0]["vocab_size"] == 3 and seq[0]["n_tokens_cum"] == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
