@@ -290,13 +290,69 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
+    # -- flat-table op log (DESCRIBE HISTORY for the append-log layout) --
+    def _oplog_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_oplog.jsonl")
+
+    def _log_op(self, table: str, op: str, **detail) -> None:
+        """Append one commit record to the flat table's op log — a
+        JSONL file next to the data (captured and restored across the
+        overwrite/compact dir swaps, like the bloom recording). Metadata
+        only: no Spark action, one line per commit, so the log is the
+        cheapest possible audit trail. Flat tables only — bucketed
+        commits already have immutable snapshot manifests."""
+        import json as _json
+        import time as _time
+
+        rec = {"op": op, "committed_at": _time.time(), **detail}
+        os.makedirs(self.path(table), exist_ok=True)
+        with open(self._oplog_path(table), "a") as f:
+            f.write(_json.dumps(rec) + "\n")
+
+    def _read_oplog(self, table: str) -> list[dict]:
+        import json as _json
+
+        p = self._oplog_path(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [_json.loads(line) for line in f if line.strip()]
+
     def history(self, table: str) -> DataFrame:
-        """Commit history of a bucketed table as a DataFrame (the
-        DESCRIBE HISTORY surface): one row per retained snapshot with
-        its version, bucket count, live-bucket count, and which buckets
-        that commit rewrote (generation == version). Driver-side work is
-        one small JSON read per retained snapshot — no data files are
-        opened."""
+        """Commit history as a DataFrame (the DESCRIBE HISTORY surface).
+
+        Bucketed tables: one row per retained snapshot with its version,
+        bucket count, live-bucket count, and which buckets that commit
+        rewrote (generation == version). Flat tables: one row per op-log
+        record (version = log position) with the operation name and its
+        detail JSON — appends, overwrites, compactions and deferred
+        deletes all show up, including the predicate a delete committed.
+        Driver-side work is one small JSON read either way — no data
+        files are opened."""
+        meta = self.layout_meta(table)
+        if meta.get("generations") is None and not self.snapshots(table):
+            import json as _json
+
+            recs = self._read_oplog(table)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        i,
+                        float(r["committed_at"]),
+                        r["op"],
+                        _json.dumps(
+                            {
+                                k: v
+                                for k, v in r.items()
+                                if k not in ("op", "committed_at")
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                    for i, r in enumerate(recs)
+                ],
+                "version: int, committed_at: double, op: string, detail: string",
+            )
         rows = []
         for v in self.snapshots(table):
             meta = self._snapshot_meta(table, v)
@@ -583,6 +639,10 @@ class Warehouse:
             )
             meta["deferred_deletes"] = dels
             self._write_layout_meta(table, meta)
+        self._log_op(
+            table, "delete_where", delete_id=did, predicate=predicate,
+            mode=mode, n_scoped_files=len(files),
+        )
         if mode == "rewrite":
             self.compact(
                 table,
@@ -1733,6 +1793,7 @@ class Warehouse:
             self._record_zonemap(table, incremental=True)
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
+        self._log_op(table, "append", n_columns=len(out.columns))
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
@@ -1765,9 +1826,16 @@ class Warehouse:
         # promise is rebuild, not vanish)
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
+        oplog = None
+        if os.path.exists(self._oplog_path(table)):
+            with open(self._oplog_path(table)) as f:
+                oplog = f.read()
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        if oplog is not None:
+            with open(self._oplog_path(table), "w") as f:
+                f.write(oplog)
         self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
@@ -1778,6 +1846,7 @@ class Warehouse:
             )
         if sketch:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
+        self._log_op(table, "overwrite", n_columns=len(out.columns))
 
     # -- MERGE ----------------------------------------------------------
     def _align_for_merge(
@@ -2347,8 +2416,15 @@ class Warehouse:
         # recording is inside the dir being replaced
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
+        oplog = None
+        if os.path.exists(self._oplog_path(table)):
+            with open(self._oplog_path(table)) as f:
+                oplog = f.read()
         shutil.rmtree(final)
         os.replace(tmp, final)
+        if oplog is not None:
+            with open(self._oplog_path(table), "w") as f:
+                f.write(oplog)
         # the compacted files were read through read(), which applied
         # every pending deferred delete — they are now materialized, so
         # the predicates must not be re-applied to the rewritten files
@@ -2364,6 +2440,9 @@ class Warehouse:
             )
         if sketch:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
+        self._log_op(
+            table, "compact", files_before=len(files), files_after=n_out
+        )
         return len(files)
 
     # -- retention (L3) --------------------------------------------------

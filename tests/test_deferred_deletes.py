@@ -207,3 +207,33 @@ def test_flat_merge_respects_and_materializes_pending_deletes(spark, wh):
     got = {r["k"]: r["val"] for r in wh.read("t").collect()}
     assert got == {0: "updated", 1: "old1", 2: "old2", 3: "old3", 5: "resurrected"}
     assert wh.pending_deletes("t") == []
+
+
+def test_flat_history_records_all_ops_across_swaps(spark, wh):
+    """DESCRIBE HISTORY for the append-log layout: every commit —
+    append, delete_where (with its predicate), compact, overwrite —
+    lands one op-log row, and the log SURVIVES the overwrite/compact
+    dir swaps (same capture-restore contract as the bloom recording)."""
+    import json
+
+    _seed(spark, wh)
+    wh.delete_where("t", "id >= 7")
+    wh.compact("t", PLAIN, min_files=1)
+    wh.append(
+        spark.createDataFrame([(99, 9.0, "grp1")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )
+    wh.overwrite(
+        spark.createDataFrame([(1, 1.0, "grp0")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )
+    h = wh.history("t").orderBy("version").collect()
+    ops = [r["op"] for r in h]
+    assert ops == ["append", "delete_where", "compact", "append", "overwrite"]
+    assert [r["version"] for r in h] == list(range(5))
+    assert all(h[i]["committed_at"] <= h[i + 1]["committed_at"] for i in range(4))
+    dd = json.loads(h[1]["detail"])
+    assert dd["predicate"] == "id >= 7" and dd["mode"] == "deferred"
+    assert json.loads(h[2]["detail"])["files_before"] >= 1
