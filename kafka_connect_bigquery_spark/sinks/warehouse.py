@@ -384,6 +384,26 @@ class Warehouse:
             os.remove(self._snapshot_path(table, v))
         self._gc_stale(table, dict(self.layout_meta(table).get("generations") or {}))
 
+    def drop_table(self, table: str, *, if_exists: bool = False) -> bool:
+        """DROP TABLE: remove the table dir (data + every in-dir
+        artifact — manifests, op log, bloom/sketch indexes, zone map)
+        plus any abandoned ``.tmp_<table>_*`` staging dirs beside it.
+        Returns True when something was removed. NOT crash-ordering-
+        sensitive: the table dir IS the table, so a partial rmtree just
+        means a later drop (or vacuum of the tmp dirs) finishes the
+        job — there is no manifest elsewhere to go stale."""
+        tdir = self.path(table)
+        found = os.path.isdir(tdir)
+        if not found and not if_exists:
+            raise WarehouseError(f"no such table: {table}")
+        if found:
+            shutil.rmtree(tdir, ignore_errors=True)
+        prefix = f".tmp_{table}_"
+        for n in os.listdir(self.root) if os.path.isdir(self.root) else []:
+            if n.startswith(prefix):
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+        return found
+
     def table_bytes(self, table: str) -> int:
         """Total stored parquet bytes (drives the bucketed-merge cutover)."""
         import glob

@@ -237,3 +237,22 @@ def test_flat_history_records_all_ops_across_swaps(spark, wh):
     dd = json.loads(h[1]["detail"])
     assert dd["predicate"] == "id >= 7" and dd["mode"] == "deferred"
     assert json.loads(h[2]["detail"])["files_before"] >= 1
+
+
+def test_drop_table_removes_everything_and_tmp_leftovers(spark, wh):
+    import os
+
+    _seed(spark, wh)
+    wh.record_sketch("t", ["id"])
+    wh.delete_where("t", "id >= 7")
+    # simulate a crashed overwrite's abandoned staging dir
+    os.makedirs(os.path.join(wh.root, ".tmp_t_deadbeef"), exist_ok=True)
+    assert wh.drop_table("t") is True
+    assert not wh.exists("t")
+    assert not os.path.exists(os.path.join(wh.root, ".tmp_t_deadbeef"))
+    with pytest.raises(WarehouseError):
+        wh.drop_table("t")
+    assert wh.drop_table("t", if_exists=True) is False
+    # the name is immediately reusable
+    _seed(spark, wh, n=3)
+    assert _ids(wh.read("t")) == [0, 1, 2]
