@@ -1483,6 +1483,64 @@ _HLL_ALPHA_PPM = 718273
 _KMV_K = 64
 
 
+def q_warehouse_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-table time travel (sinks/warehouse.py::_read_flat_version):
+    each commit's op-log record carries a self-contained state snapshot
+    (files, schema, pending deletes), so ``read(version=)`` reconstructs
+    any version whose files survive — full history for append/delete
+    workloads, no file rewrite ever needed. The staged lifecycle:
+    append low event_ids (v0), append the rest (v1), delete_where
+    (v2) — then read versions 0 and 2 and union them with a version
+    tag. v0 must show ONLY the first append; v2 must show the delete
+    applied to both appends; the later delete must NOT leak into v0.
+    The oracle re-derives both versions from the source table."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_ttravel")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    stats = e.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    split = int(stats["lo"]) + (int(stats["hi"]) - int(stats["lo"])) // 2
+    wh.append(e.filter(F.col("event_id") <= split), "t", spec)  # v0
+    wh.append(e.filter(F.col("event_id") > split), "t", spec)  # v1
+    wh.delete_where("t", "user_id % 5 = 2")  # v2
+    v0 = wh.read("t", version=0).withColumn("at_version", F.lit(0))
+    v2 = wh.read("t", version=2).withColumn("at_version", F.lit(2))
+    return v0.unionByName(v2).select(
+        "at_version", "event_id", "user_id", "event_type", "value"
+    )
+
+
+Q_WAREHOUSE_TIME_TRAVEL_SQL = """
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 2 AS split
+  FROM events
+)
+SELECT 0 AS at_version, event_id, user_id, event_type, value
+FROM events, b WHERE event_id <= b.split
+UNION ALL
+SELECT 2 AS at_version, event_id, user_id, event_type, value
+FROM events WHERE NOT coalesce(user_id % 5 = 2, FALSE)
+"""
+
+
 def q_warehouse_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT DISTINCT through the per-file HLL index
     (sinks/warehouse.py::record_sketch/approx_distinct): events land in
@@ -3383,6 +3441,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_evolution_read": (q_warehouse_evolution_read, Q_WAREHOUSE_EVOLUTION_SQL),
     "warehouse_delete_read": (q_warehouse_delete_read, Q_WAREHOUSE_DELETE_SQL),
     "warehouse_sketch_distinct": (q_warehouse_sketch_distinct, Q_WAREHOUSE_SKETCH_SQL),
+    "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -3479,7 +3538,6 @@ _PRIORITY_ORDER: list[str] = [
     # -- backfill: oldest r04 rows, TPC-H family (17 slots) ----------
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
     # -- new-entry slots: the HLL and KMV distinct sketches, the
     # ExactSubstr duplication profile, containment pairs, and DSIR
     # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
@@ -3505,6 +3563,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_evolution_read",
     "warehouse_delete_read",
     "warehouse_sketch_distinct",
+    "warehouse_time_travel_read",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05 (or late-r04 for the tpch/ops remainder) ====
 ]

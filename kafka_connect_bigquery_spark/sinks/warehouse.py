@@ -300,12 +300,29 @@ class Warehouse:
         overwrite/compact dir swaps, like the bloom recording). Metadata
         only: no Spark action, one line per commit, so the log is the
         cheapest possible audit trail. Flat tables only — bucketed
-        commits already have immutable snapshot manifests."""
+        commits already have immutable snapshot manifests.
+
+        Each record also carries a SELF-CONTAINED state snapshot (live
+        file list, stored schema, pending deferred deletes) — the flat
+        layout's version manifest. Self-contained beats replay: a
+        version read needs exactly one log row, and a truncated log
+        can't silently shift later versions' meaning. Iceberg pays the
+        same O(files) metadata per snapshot; at fleet scale this file
+        becomes a manifest table like `_sketch/`."""
         import json as _json
         import time as _time
 
-        rec = {"op": op, "committed_at": _time.time(), **detail}
-        os.makedirs(self.path(table), exist_ok=True)
+        tdir = self.path(table)
+        meta = self.layout_meta(table)
+        state = {
+            "files": sorted(
+                os.path.relpath(p, tdir) for p in self._data_files(tdir)
+            ),
+            "schema": meta.get("schema"),
+            "deletes": list(meta.get("deferred_deletes") or []),
+        }
+        rec = {"op": op, "committed_at": _time.time(), **detail, "state": state}
+        os.makedirs(tdir, exist_ok=True)
         with open(self._oplog_path(table), "a") as f:
             f.write(_json.dumps(rec) + "\n")
 
@@ -344,7 +361,9 @@ class Warehouse:
                             {
                                 k: v
                                 for k, v in r.items()
-                                if k not in ("op", "committed_at")
+                                # the state snapshot is the version
+                                # manifest, not display detail
+                                if k not in ("op", "committed_at", "state")
                             },
                             sort_keys=True,
                         ),
@@ -497,6 +516,11 @@ class Warehouse:
                 cat = os.path.getmtime(self._snapshot_path(table, v))
             if cat <= ts and (best is None or v > best):
                 best = v
+        if best is None and not self.snapshots(table):
+            # flat tables: versions are op-log positions
+            for i, rec in enumerate(self._read_oplog(table)):
+                if rec["committed_at"] <= ts:
+                    best = i
         if best is None:
             raise WarehouseError(
                 f"no snapshot of {table} committed at or before ts={ts} "
@@ -527,16 +551,16 @@ class Warehouse:
                 raise WarehouseError("pass version OR as_of_ts, not both")
             version = self.version_at(table, as_of_ts)
         if version is not None:
+            # flat tables have no snapshot manifests — their versions
+            # are op-log positions (resolve BEFORE _snapshot_meta, which
+            # raises on the missing snapshot file)
+            if self.layout_meta(table).get("generations") is None and not self.snapshots(table):
+                return self._read_flat_version(table, version)
             meta = self._snapshot_meta(table, version)
         else:
             meta = self.layout_meta(table)
         gens = meta.get("generations")
         if gens is None:
-            if version is not None:
-                raise WarehouseError(
-                    f"table {table} is not bucketed; snapshots exist only "
-                    "for bucketed-MERGE tables"
-                )
             if meta.get("deferred_deletes"):
                 files = self._data_files(self.path(table))
                 if files:
@@ -674,6 +698,66 @@ class Warehouse:
     def pending_deletes(self, table: str) -> list[dict]:
         """The not-yet-materialized delete predicates, oldest first."""
         return list(self.layout_meta(table).get("deferred_deletes") or [])
+
+    def _read_flat_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel a FLAT table to op-log position ``version``: the
+        commit record's self-contained state snapshot names the live
+        files, the stored schema, and the deferred deletes pending at
+        that commit, so the read is exactly what read() returned then.
+
+        Readability contract (until version retention lands): appends
+        and delete_where commits never touch existing files, so any
+        version whose history since has only those ops reconstructs
+        exactly — the append-only common case (log/event tables) gets
+        full time travel for free. An overwrite or compact DESTROYS the
+        old files (rmtree + swap), so versions that reference them fail
+        loudly here with the missing-file count rather than silently
+        returning partial rows."""
+        import json as _json
+
+        recs = self._read_oplog(table)
+        if not recs:
+            raise WarehouseError(
+                f"table {table} has no op log; flat time travel needs "
+                "commits made by this engine version"
+            )
+        if not 0 <= version < len(recs):
+            raise WarehouseError(
+                f"version {version} out of range for {table} "
+                f"(op log has versions 0..{len(recs) - 1})"
+            )
+        state = recs[version].get("state")
+        if state is None:
+            raise WarehouseError(
+                f"version {version} of {table} predates state snapshots "
+                "in the op log"
+            )
+        tdir = self.path(table)
+        files = [os.path.join(tdir, rel) for rel in state["files"]]
+        missing = [p for p in files if not os.path.exists(p)]
+        if missing:
+            raise WarehouseError(
+                f"version {version} of {table} is no longer readable: "
+                f"{len(missing)} of its {len(files)} files were rewritten "
+                "by a later overwrite/compact (flat time travel spans "
+                "append/delete history; version retention across rewrites "
+                "is not implemented)"
+            )
+        meta_at = {
+            "schema": state.get("schema"),
+            "deferred_deletes": state.get("deletes") or [],
+        }
+        if not files:
+            schema_json = meta_at["schema"]
+            if schema_json is None:
+                raise WarehouseError(
+                    f"version {version} of {table} is empty and predates "
+                    "stored schemas — cannot derive a schema"
+                )
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(_json.loads(schema_json))
+            )
+        return self._read_files_with_deletes(table, files, meta_at)
 
     def _read_files_with_deletes(
         self, table: str, files: list[str], meta: dict

@@ -256,3 +256,69 @@ def test_drop_table_removes_everything_and_tmp_leftovers(spark, wh):
     # the name is immediately reusable
     _seed(spark, wh, n=3)
     assert _ids(wh.read("t")) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# flat time travel (op-log state snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_flat_time_travel_append_and_delete_history(spark, wh):
+    """Append-only + delete history: every version reconstructs exactly
+    — including the pre-delete view and the schema as of each commit."""
+    wh.append(
+        spark.createDataFrame([(1, 1.0)], "id: bigint, v: double"), "t", PLAIN
+    )  # v0
+    wh.append(
+        spark.createDataFrame([(2, 2.0)], "id: bigint, v: double"), "t", PLAIN
+    )  # v1
+    wh.delete_where("t", "id = 1")  # v2
+    wh.append(
+        spark.createDataFrame([(3, 3.0, 30)], "id: bigint, v: double, w: bigint"),
+        "t",
+        PLAIN,
+    )  # v3: schema evolves
+    assert _ids(wh.read("t", version=0)) == [1]
+    assert _ids(wh.read("t", version=1)) == [1, 2]
+    assert _ids(wh.read("t", version=2)) == [2]  # delete visible at v2
+    assert _ids(wh.read("t", version=3)) == [2, 3]
+    assert "w" not in wh.read("t", version=2).columns
+    assert "w" in wh.read("t", version=3).columns
+    # v1 still shows the row deleted later — the whole point
+    assert _ids(wh.read("t")) == [2, 3]
+
+
+def test_flat_time_travel_as_of_ts(spark, wh):
+    import time
+
+    wh.append(spark.createDataFrame([(1,)], "id: bigint"), "t", PLAIN)
+    t_between = time.time()
+    time.sleep(0.05)
+    wh.append(spark.createDataFrame([(2,)], "id: bigint"), "t", PLAIN)
+    assert _ids(wh.read("t", as_of_ts=t_between)) == [1]
+    assert _ids(wh.read("t", as_of_ts=time.time())) == [1, 2]
+
+
+def test_flat_time_travel_rewrites_invalidate_loudly(spark, wh):
+    _seed(spark, wh, n=4)  # v0
+    wh.append(
+        spark.createDataFrame([(9, 9.0, "grp1")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )  # v1
+    wh.compact("t", PLAIN, min_files=1)  # v2: rewrites all files
+    with pytest.raises(WarehouseError, match="no longer readable"):
+        wh.read("t", version=0)
+    with pytest.raises(WarehouseError, match="no longer readable"):
+        wh.read("t", version=1)
+    # the post-compact version and later appends stay readable
+    assert _ids(wh.read("t", version=2)) == [0, 1, 2, 3, 9]
+    wh.append(
+        spark.createDataFrame([(7, 7.0, "grp0")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )  # v3
+    assert _ids(wh.read("t", version=2)) == [0, 1, 2, 3, 9]
+    assert _ids(wh.read("t", version=3)) == [0, 1, 2, 3, 7, 9]
+    with pytest.raises(WarehouseError):
+        wh.read("t", version=99)

@@ -65,11 +65,24 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         # shrink this until compact/overwrite materializes them — the
         # file-physical view the HLL index sees
         self.phys: Counter = Counter()
+        # one (model snapshot, schema flags) per committed version, in
+        # op-log order; versions before the last rewrite (overwrite/
+        # compact) are invalidated — their files were destroyed
+        self.version_log: list = []
+        self.first_readable = 0
         # which evolved columns the CURRENT table schema carries (reset
         # by overwrite, which is a full re-statement)
         self.has_w = False
         self.has_s = False
         self.s_has_b = False
+
+    def _snap(self, rewrite=False):
+        if rewrite:
+            # the rewrite commit itself references post-rewrite files
+            self.first_readable = len(self.version_log)
+        self.version_log.append(
+            (Counter(self.model), (self.has_w, self.has_s, self.s_has_b))
+        )
 
     # -- batch builders -------------------------------------------------
     def _df_base(self, batch):
@@ -99,6 +112,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.model.update((k, c, v, None, None, None) for k, c, v in batch)
         self.phys.update((k, c) for k, c, v in batch)
         self.created = True
+        self._snap()
 
     @rule(batch=_batch, clustered=st.booleans())
     def append_evolving(self, batch, clustered):
@@ -110,6 +124,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.phys.update((k, c) for k, c, v in batch)
         self.created = True
         self.has_w = True
+        self._snap()
 
     @rule(batch=_batch, clustered=st.booleans())
     def append_nested(self, batch, clustered):
@@ -124,6 +139,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.phys.update((k, c) for k, c, v in batch)
         self.created = True
         self.has_s = True
+        self._snap()
 
     @rule(batch=_batch, clustered=st.booleans())
     def append_nested_evolved(self, batch, clustered):
@@ -138,6 +154,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.created = True
         self.has_s = True
         self.s_has_b = True
+        self._snap()
 
     @rule(batch=_batch, clustered=st.booleans())
     def overwrite(self, batch, clustered):
@@ -147,6 +164,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.created = True
         # full re-statement narrows the schema back
         self.has_w = self.has_s = self.s_has_b = False
+        self._snap(rewrite=True)
 
     @rule(batch=_batch, clustered=st.booleans())
     def overwrite_evolving(self, batch, clustered):
@@ -160,6 +178,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.created = True
         self.has_w = True
         self.has_s = self.s_has_b = False
+        self._snap(rewrite=True)
 
     @precondition(lambda self: self.created)
     @rule()
@@ -167,6 +186,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.wh.compact("t", CLUSTERED, target_file_rows=4, min_files=1)
         # compaction materializes pending deletes: physical == logical
         self.phys = Counter((t[0], t[1]) for t in self.model.elements())
+        self._snap(rewrite=True)
 
     # -- deferred (merge-on-read) deletes -------------------------------
     # Semantics under fuzz: a delete applies to rows PRESENT at delete
@@ -183,6 +203,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.model = Counter(
             {t: n for t, n in self.model.items() if not t[2] >= threshold}
         )
+        self._snap()
 
     @precondition(lambda self: self.created)
     @rule(cat=st.sampled_from(CATS))
@@ -191,6 +212,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.model = Counter(
             {t: n for t, n in self.model.items() if t[1] != cat}
         )
+        self._snap()
 
     @precondition(lambda self: self.created and self.has_w)
     @rule(threshold=st.integers(min_value=0, max_value=9990))
@@ -206,6 +228,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
                 if not (t[3] is not None and t[3] >= threshold)
             }
         )
+        self._snap()
 
     @precondition(lambda self: self.created)
     @rule()
@@ -220,15 +243,16 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.sketched = True
 
     # -- invariants -----------------------------------------------------
-    def _project(self, df):
+    def _project(self, df, flags=None):
         """Model-shaped (k, cat, v, w, sa, sb) tuples from a read."""
         from pyspark.sql import functions as F
 
+        has_w, has_s, s_has_b = flags or (self.has_w, self.has_s, self.s_has_b)
         cols = [F.col("k"), F.col("cat"), F.col("v")]
-        cols.append(F.col("w") if self.has_w else F.lit(None).cast("bigint"))
-        cols.append(F.col("s.a") if self.has_s else F.lit(None).cast("bigint"))
+        cols.append(F.col("w") if has_w else F.lit(None).cast("bigint"))
+        cols.append(F.col("s.a") if has_s else F.lit(None).cast("bigint"))
         cols.append(
-            F.col("s.b") if self.s_has_b else F.lit(None).cast("string")
+            F.col("s.b") if s_has_b else F.lit(None).cast("string")
         )
         return Counter(tuple(r) for r in df.select(*cols).collect())
 
@@ -271,6 +295,21 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
             got = self._project(self.wh.read_pruned_where("t", {"k": key}))
             want = Counter(t for t in self.model.elements() if t[0] == key)
             assert got == want, f"bloom point lookup diverged for k={key}"
+
+    @invariant()
+    def time_travel_reconstructs_readable_versions(self):
+        """Every version since the last rewrite (overwrite/compact
+        destroys prior files) must reconstruct its exact model snapshot
+        — schema-as-of-then included. Checks the OLDEST readable and
+        the LATEST version each step, so a long append/delete tail gets
+        both ends pinned."""
+        if not self.version_log:
+            return
+        last = len(self.version_log) - 1
+        for v in {self.first_readable, last}:
+            want_model, flags = self.version_log[v]
+            got = self._project(self.wh.read("t", version=v), flags=flags)
+            assert got == want_model, f"time travel diverged at version {v}"
 
     @invariant()
     def sketch_index_matches_python_registers(self):
