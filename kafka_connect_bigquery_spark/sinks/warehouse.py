@@ -705,14 +705,13 @@ class Warehouse:
         files, the stored schema, and the deferred deletes pending at
         that commit, so the read is exactly what read() returned then.
 
-        Readability contract (until version retention lands): appends
-        and delete_where commits never touch existing files, so any
-        version whose history since has only those ops reconstructs
-        exactly — the append-only common case (log/event tables) gets
-        full time travel for free. An overwrite or compact DESTROYS the
-        old files (rmtree + swap), so versions that reference them fail
-        loudly here with the missing-file count rather than silently
-        returning partial rows."""
+        Readability contract: appends and delete_where never touch
+        existing files; overwrite/compact PARK the replaced era's data
+        files under ``_retained/<layer>/`` (``_swap_dir_retaining``), so
+        every version reconstructs until ``vacuum_retained`` applies the
+        retention policy — after which versions whose files lived only
+        in dropped layers fail loudly here with the missing-file count
+        rather than silently returning partial rows."""
         import json as _json
 
         recs = self._read_oplog(table)
@@ -732,16 +731,21 @@ class Warehouse:
                 f"version {version} of {table} predates state snapshots "
                 "in the op log"
             )
-        tdir = self.path(table)
-        files = [os.path.join(tdir, rel) for rel in state["files"]]
-        missing = [p for p in files if not os.path.exists(p)]
+        files, rels, missing = [], {}, []
+        for rel in state["files"]:
+            p = self._resolve_version_file(table, rel)
+            if p is None:
+                missing.append(rel)
+            else:
+                files.append(p)
+                rels[p] = rel
         if missing:
             raise WarehouseError(
                 f"version {version} of {table} is no longer readable: "
-                f"{len(missing)} of its {len(files)} files were rewritten "
-                "by a later overwrite/compact (flat time travel spans "
-                "append/delete history; version retention across rewrites "
-                "is not implemented)"
+                f"{len(missing)} of its {len(missing) + len(files)} files "
+                "were dropped by the retention policy (vacuum_retained / "
+                "expire_partitions) — older versions age out like "
+                "bucketed snapshots"
             )
         meta_at = {
             "schema": state.get("schema"),
@@ -757,33 +761,48 @@ class Warehouse:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(_json.loads(schema_json))
             )
-        return self._read_files_with_deletes(table, files, meta_at)
+        return self._read_files_with_deletes(table, files, meta_at, rels=rels)
 
     def _read_files_with_deletes(
-        self, table: str, files: list[str], meta: dict
+        self, table: str, files: list[str], meta: dict, rels: dict | None = None
     ) -> DataFrame:
         """Read an explicit file set, applying each pending delete
         predicate to exactly the files in its recorded scope. Files are
         grouped by their applicable-delete set (typically 2 groups:
         pre-delete files and later appends), one scan per group, results
         unioned — never a per-file plan, and with no pending deletes the
-        single group is byte-identical to the plain conform read."""
+        single group is byte-identical to the plain conform read.
+
+        ``rels`` maps abs path -> the file's ORIGINAL rel path (for
+        files a rewrite moved under ``_retained/<layer>/``, whose scope
+        membership and partition dirs follow the original location);
+        default is relpath under the table dir. Groups additionally
+        split by each file's basePath — a retained file's partition
+        columns parse against its LAYER root, and mixing depths under
+        one basePath is a Spark CONFLICTING_DIRECTORY_STRUCTURES error
+        (probed)."""
         tdir = self.path(table)
         dels = list(meta.get("deferred_deletes") or [])
         scopes = [(d["predicate"], set(d["files"])) for d in dels]
         groups: dict[tuple, list[str]] = {}
         for p in files:
-            rel = os.path.relpath(p, tdir)
+            rel = (rels or {}).get(p) or os.path.relpath(p, tdir)
+            raw = os.path.relpath(p, tdir)
+            parts_ = raw.split(os.sep)
+            if parts_[0] == "_retained":
+                base = os.path.join(tdir, parts_[0], parts_[1])
+            else:
+                base = tdir
             key = tuple(
                 i for i, (_, fs) in enumerate(scopes) if rel in fs
             )
-            groups.setdefault(key, []).append(p)
+            groups.setdefault((key, base), []).append(p)
         parts = []
-        for key in sorted(groups):
+        for key, base in sorted(groups):
             part = self._conform_to_stored(
-                self.spark.read.option("basePath", tdir)
+                self.spark.read.option("basePath", base)
                 .option("mergeSchema", "true")
-                .parquet(*groups[key]),
+                .parquet(*groups[(key, base)]),
                 meta,
             )
             for i in key:
@@ -797,6 +816,75 @@ class Warehouse:
         for part in parts[1:]:
             out = out.unionByName(part)
         return out
+
+    def _resolve_version_file(self, table: str, rel: str) -> str | None:
+        """Locate a version's file: at its original path if still live,
+        else inside a ``_retained/<layer>/`` a later rewrite parked it
+        in (original rel path preserved below the layer root). Returns
+        None when no copy survives (vacuumed retention)."""
+        import glob as _glob
+
+        tdir = self.path(table)
+        p = os.path.join(tdir, rel)
+        if os.path.exists(p):
+            return p
+        hits = _glob.glob(os.path.join(tdir, "_retained", "*", rel))
+        return hits[0] if hits else None
+
+    def _swap_dir_retaining(self, table: str, tmp: str) -> None:
+        """Replace the table dir with ``tmp``, RETAINING the replaced
+        era's data files under ``<table>/_retained/<layer>/`` (original
+        rel paths preserved below the layer root) so op-log versions
+        that reference them stay readable — the file-retention half of
+        flat time travel. Existing retained layers carry over with one
+        rename each; only DATA files are parked (stale in-dir metadata
+        dies with the old dir; the op log is captured by the caller).
+        ``vacuum_retained`` applies the retention policy later."""
+        final = self.path(table)
+        if not os.path.exists(final):
+            os.replace(tmp, final)
+            return
+        new_ret = os.path.join(tmp, "_retained")
+        old_ret = os.path.join(final, "_retained")
+        if os.path.isdir(old_ret):
+            os.makedirs(new_ret, exist_ok=True)
+            for layer in os.listdir(old_ret):
+                os.replace(
+                    os.path.join(old_ret, layer), os.path.join(new_ret, layer)
+                )
+        layer_dir = os.path.join(
+            new_ret, f"v{len(self._read_oplog(table))}_{uuid.uuid4().hex[:6]}"
+        )
+        for p in self._data_files(final):
+            rel = os.path.relpath(p, final)
+            dst = os.path.join(layer_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(p, dst)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def retained_layers(self, table: str) -> list[str]:
+        """Retention layers, oldest first (layer names embed the op-log
+        position of the rewrite that created them)."""
+        d = os.path.join(self.path(table), "_retained")
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.listdir(d), key=lambda n: int(n[1:].split("_")[0]))
+
+    def vacuum_retained(self, table: str, *, keep_layers: int = 2) -> int:
+        """Apply the version-retention policy: drop the oldest retained
+        layers beyond ``keep_layers``. Versions whose files lived only
+        there become unreadable — loudly, via the missing-file check in
+        ``_read_flat_version`` — exactly like snapshot retention on the
+        bucketed side. Returns the number of layers removed."""
+        layers = self.retained_layers(table)
+        drop = layers[:-keep_layers] if keep_layers > 0 else layers
+        for layer in drop:
+            shutil.rmtree(
+                os.path.join(self.path(table), "_retained", layer),
+                ignore_errors=True,
+            )
+        return len(drop)
 
     @classmethod
     def _conform_col(cls, col: Column, have: T.DataType, want: T.DataType) -> Column:
@@ -1136,7 +1224,7 @@ class Warehouse:
     # bucketed migration) yet IS data — a startswith('_') rule emptied
     # every bucketed listing (regression-probed: describe_detail
     # num_files=0, compact no-op).
-    _META_DIRS = frozenset({"_bloom", "_sketch"})
+    _META_DIRS = frozenset({"_bloom", "_sketch", "_retained"})
 
     @classmethod
     def _data_files(cls, tdir: str) -> list[str]:
@@ -1934,9 +2022,7 @@ class Warehouse:
         if os.path.exists(self._oplog_path(table)):
             with open(self._oplog_path(table)) as f:
                 oplog = f.read()
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        self._swap_dir_retaining(table, tmp)
         if oplog is not None:
             with open(self._oplog_path(table), "w") as f:
                 f.write(oplog)
@@ -2524,8 +2610,7 @@ class Warehouse:
         if os.path.exists(self._oplog_path(table)):
             with open(self._oplog_path(table)) as f:
                 oplog = f.read()
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+        self._swap_dir_retaining(table, tmp)
         if oplog is not None:
             with open(self._oplog_path(table), "w") as f:
                 f.write(oplog)

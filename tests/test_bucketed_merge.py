@@ -92,13 +92,18 @@ def test_compact_reduces_files_preserves_data(spark, tmp_path):
     before = set(
         (r["k"], r["v"]) for r in wh.read("t").collect()
     )
-    files_before = len(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    # LIVE files only: compaction parks the replaced era's files under
+    # _retained/ for time travel, so a raw recursive glob would count
+    # both eras
+    files_before = len(wh._data_files(wh.path("t")))
     assert files_before >= 6
     compacted = wh.compact("t", plain, target_file_rows=1_000_000)
     assert compacted == files_before
-    files_after = len(glob.glob(f"{wh.path('t')}/**/*.parquet", recursive=True))
+    files_after = len(wh._data_files(wh.path("t")))
     assert files_after < files_before
     assert set((r["k"], r["v"]) for r in wh.read("t").collect()) == before
+    # the old era is retained (time travel), invisible to live reads
+    assert len(wh.retained_layers("t")) == 1
     # idempotent-ish: second call skips (already compact)
     assert wh.compact("t", plain, target_file_rows=1_000_000, min_files=2) in (0, files_after)
 

@@ -299,7 +299,11 @@ def test_flat_time_travel_as_of_ts(spark, wh):
     assert _ids(wh.read("t", as_of_ts=time.time())) == [1, 2]
 
 
-def test_flat_time_travel_rewrites_invalidate_loudly(spark, wh):
+def test_flat_time_travel_survives_rewrites_via_retention(spark, wh):
+    """Overwrite/compact park the replaced era's files under
+    _retained/<layer>/, so EVERY version reconstructs — including one
+    whose files now live in a layer — until vacuum_retained drops the
+    layer, which fails the version loudly."""
     _seed(spark, wh, n=4)  # v0
     wh.append(
         spark.createDataFrame([(9, 9.0, "grp1")], "id: bigint, v: double, g: string"),
@@ -307,18 +311,33 @@ def test_flat_time_travel_rewrites_invalidate_loudly(spark, wh):
         PLAIN,
     )  # v1
     wh.compact("t", PLAIN, min_files=1)  # v2: rewrites all files
-    with pytest.raises(WarehouseError, match="no longer readable"):
-        wh.read("t", version=0)
-    with pytest.raises(WarehouseError, match="no longer readable"):
-        wh.read("t", version=1)
-    # the post-compact version and later appends stay readable
+    # pre-rewrite versions reconstruct from the retained layer
+    assert _ids(wh.read("t", version=0)) == [0, 1, 2, 3]
+    assert _ids(wh.read("t", version=1)) == [0, 1, 2, 3, 9]
+    assert len(wh.retained_layers("t")) == 1
     assert _ids(wh.read("t", version=2)) == [0, 1, 2, 3, 9]
     wh.append(
         spark.createDataFrame([(7, 7.0, "grp0")], "id: bigint, v: double, g: string"),
         "t",
         PLAIN,
     )  # v3
-    assert _ids(wh.read("t", version=2)) == [0, 1, 2, 3, 9]
+    wh.overwrite(
+        spark.createDataFrame([(5, 5.0, "grp1")], "id: bigint, v: double, g: string"),
+        "t",
+        PLAIN,
+    )  # v4: second rewrite -> second layer; earlier layers carry over
+    assert len(wh.retained_layers("t")) == 2
+    assert _ids(wh.read("t", version=0)) == [0, 1, 2, 3]
     assert _ids(wh.read("t", version=3)) == [0, 1, 2, 3, 7, 9]
+    assert _ids(wh.read("t", version=4)) == [5]
+    assert _ids(wh.read("t")) == [5]
+    # the current read never sees retained files
+    # retention policy: dropping all layers ages the old versions out
+    assert wh.vacuum_retained("t", keep_layers=0) == 2
+    with pytest.raises(WarehouseError, match="vacuum_retained"):
+        wh.read("t", version=0)
+    with pytest.raises(WarehouseError, match="vacuum_retained"):
+        wh.read("t", version=3)
+    assert _ids(wh.read("t", version=4)) == [5]  # current era unaffected
     with pytest.raises(WarehouseError):
         wh.read("t", version=99)

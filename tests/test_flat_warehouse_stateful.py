@@ -77,9 +77,11 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.s_has_b = False
 
     def _snap(self, rewrite=False):
-        if rewrite:
-            # the rewrite commit itself references post-rewrite files
-            self.first_readable = len(self.version_log)
+        # rewrites no longer invalidate history: _swap_dir_retaining
+        # parks the replaced era's files under _retained/, so EVERY
+        # version stays readable (first_readable only moves when a
+        # vacuum_retained policy runs — pinned deterministically in
+        # test_deferred_deletes, not fuzzed, to keep the model simple)
         self.version_log.append(
             (Counter(self.model), (self.has_w, self.has_s, self.s_has_b))
         )
@@ -298,15 +300,14 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
 
     @invariant()
     def time_travel_reconstructs_readable_versions(self):
-        """Every version since the last rewrite (overwrite/compact
-        destroys prior files) must reconstruct its exact model snapshot
-        — schema-as-of-then included. Checks the OLDEST readable and
-        the LATEST version each step, so a long append/delete tail gets
-        both ends pinned."""
+        """Every version ever committed must reconstruct its exact
+        model snapshot — schema-as-of-then included, ACROSS rewrites
+        (overwrite/compact park prior files in retained layers). Checks
+        the first, middle and latest versions each step."""
         if not self.version_log:
             return
         last = len(self.version_log) - 1
-        for v in {self.first_readable, last}:
+        for v in {0, last // 2, last}:
             want_model, flags = self.version_log[v]
             got = self._project(self.wh.read("t", version=v), flags=flags)
             assert got == want_model, f"time travel diverged at version {v}"
