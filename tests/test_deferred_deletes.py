@@ -341,3 +341,29 @@ def test_flat_time_travel_survives_rewrites_via_retention(spark, wh):
     assert _ids(wh.read("t", version=4)) == [5]  # current era unaffected
     with pytest.raises(WarehouseError):
         wh.read("t", version=99)
+
+
+def test_overwrite_restates_bucketed_table_as_flat(spark, wh):
+    """Overwriting a bucketed-MERGE table is a full re-statement into
+    the flat layout: snapshots die with the old dir (they described the
+    bucketed era), the parked bucket files sit inertly in a retained
+    layer until vacuum_retained, and flat versioning starts at v0 =
+    the overwrite itself."""
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    df = spark.createDataFrame(
+        [(k, "v%d" % k, 0) for k in range(8)], "k: bigint, val: string, i: bigint"
+    )
+    wh.merge(df, "t", key_cols=["k"], spec=spec)
+    assert wh.snapshots("t") == [0]
+    wh.overwrite(
+        spark.createDataFrame([(1, "only", 0)], "k: bigint, val: string, i: bigint"),
+        "t",
+        PLAIN,
+    )
+    assert [tuple(r) for r in wh.read("t").collect()] == [(1, "only", 0)]
+    assert wh.snapshots("t") == []
+    assert len(wh.retained_layers("t")) == 1
+    h = wh.history("t").collect()
+    assert [(r["version"], r["op"]) for r in h] == [(0, "overwrite")]
+    assert wh.read("t", version=0).count() == 1
+    assert wh.vacuum_retained("t", keep_layers=0) == 1
