@@ -367,3 +367,27 @@ def test_overwrite_restates_bucketed_table_as_flat(spark, wh):
     assert [(r["version"], r["op"]) for r in h] == [(0, "overwrite")]
     assert wh.read("t", version=0).count() == 1
     assert wh.vacuum_retained("t", keep_layers=0) == 1
+
+
+def test_time_travel_preserves_partition_columns_from_retained_layer(spark, wh):
+    """A version whose files were parked under _retained/<layer>/ must
+    still surface its Hive partition column values — the per-layer
+    basePath grouping in _read_files_with_deletes (one basePath across
+    both depths is a probed Spark CONFLICTING_DIRECTORY_STRUCTURES
+    error)."""
+    import datetime
+
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 3), 12, 0), float(i))
+        for i in range(12)
+    ]
+    wh.append(spark.createDataFrame(rows, ["id", "ts", "v"]), "t", spec)  # v0
+    wh.overwrite(spark.createDataFrame(rows[:2], ["id", "ts", "v"]), "t", spec)  # v1
+    v0 = wh.read("t", version=0)
+    assert v0.count() == 12
+    assert sorted(r[0] for r in v0.select("p_date").distinct().collect()) == [
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    ]
+    assert v0.filter("p_date = '2024-01-02'").count() == 4
+    assert wh.read("t").count() == 2
