@@ -27,10 +27,11 @@ equality; the pair statistics have a SQL oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions.text import subword_tokens
+from kafka_connect_bigquery_spark.functions.winutil import bounded_global
 
 
 def _tokenized(df: DataFrame, text_col: str) -> DataFrame:
@@ -64,13 +65,16 @@ def adjacent_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
 def top_pairs(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     """The k most frequent adjacent pairs with a fully deterministic
     order (count desc, then pair text) — the candidates round one of
-    BPE training would merge. Global window over the vocab^2-bounded
-    pair table, never over the corpus."""
-    w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+    BPE training would merge. Top-k rides orderBy+limit over the
+    vocab^2-bounded pair table (TakeOrderedAndProject: per-partition
+    top-N + merge, never a global sort); rank is recomputed over the
+    k survivors only."""
+    order = [F.desc("cnt"), F.asc("a"), F.asc("b")]
     return (
         adjacent_pair_counts(df, text_col)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        .orderBy(*order)
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(bounded_global(*order)).cast("long"))
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.functions.text import subword_tokens, tokens
+from kafka_connect_bigquery_spark.functions.winutil import bounded_global
 
 
 def _shard(col, n_shards: int, salt: str = "pack"):
@@ -233,7 +234,7 @@ def shard_plan(
     totals = base.groupBy("__b").agg(F.sum("__w").alias("__bt"))
     # n_order_buckets rows: the only global window runs over THEM, not
     # over the corpus
-    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off_w = bounded_global("__b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
     )

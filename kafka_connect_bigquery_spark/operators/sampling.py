@@ -113,15 +113,21 @@ def mixture_rebalance(
     tiny and broadcast back), then a pure per-row filter — no shuffle
     of the corpus itself.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # the per-source count table feeds both the max-ratio aggregate and
+    # the rate projection — checkpoint so the corpus is scanned once
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint(eager=False)
     # weight_s / n_s = n^(alpha-1), normalized so the largest ratio
-    # (the rarest source) keeps rate 1.0; the window runs over the
-    # tiny per-source rate table, not the corpus
+    # (the rarest source) keeps rate 1.0. The normalizer is a plain
+    # aggregate broadcast back — not a window: even over the tiny rate
+    # table an unpartitioned window is a shape the plan fence bans
     ratio = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
-    rates = counts.select(
+    max_ratio = counts.agg(F.max(ratio).alias("_mx"))
+    rates = counts.crossJoin(F.broadcast(max_ratio)).select(
         source_col,
         F.col("_n").alias("n_source"),
-        (ratio / F.max(ratio).over(Window.partitionBy())).alias("keep_rate"),
+        (ratio / F.col("_mx")).alias("keep_rate"),
     )
     return (
         df.join(F.broadcast(rates), source_col)

@@ -1992,10 +1992,18 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("w1", "w2", "c_bi", pmi_q.alias("pmi_q"))
     )
-    w = Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-N + merge), NOT a global row_number window — scored bigram
+    # TYPES grow Heaps-sublinearly but unbounded, and an unpartitioned
+    # window would sort them all in one task (r06-verdict scale-killer).
+    # rank is recomputed over the _PMI_TOP surviving rows only.
+    from kafka_connect_bigquery_spark.functions.winutil import bounded_global
+
+    w = bounded_global(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PMI_TOP)
+        scored.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "w1", "w2",
             F.col("c_bi").cast("bigint").alias("c_bi"),
@@ -2154,41 +2162,55 @@ FROM counts CROSS JOIN tot
 def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (rank-sum) comparing 'click' vs 'view' values —
     the non-parametric twin of ``events_welch_t``, computed ENTIRELY in
-    integers: with min-rank r(v) and tie-group size c(v) from two
-    window functions, each observation's doubled midrank is
-    2·r(v) + c(v) − 1, so 2·R₁ and U₁·2 are exact BIGINTs (float
-    midranks would be summation-order-dependent). The global order-by
-    window is the definition of ranking; at 100 TB the same statistic
-    assembles from per-partition sorted runs + merge, which this
-    formulation permits because everything is additive."""
+    integers. Like the KS twin below, the corpus is aggregated to the
+    DISTINCT quantized-value grid FIRST (per-value a/b counts), and the
+    ordered window runs only over that bounded frame: with cumulative
+    group size giving min-rank r(v) = 1 + cum-count(<v) and tie-group
+    size c(v) = a(v)+b(v), each observation's doubled midrank is
+    2·r(v) + c(v) − 1, so 2·R₁ = Σ_v a(v)·(2·r(v)+c(v)−1) and 2·U₁ are
+    exact BIGINTs (float midranks would be summation-order-dependent).
+    A per-ROW rank window here would funnel every event through one
+    task — the r06-verdict scale-killer this formulation replaces; the
+    distinct-value frame is capped by the 1e-4 quantization lattice."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_WELCH_A, _WELCH_B)
     )
     vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
-    base = e.select("event_type", vq.alias("vq"))
-    w = Window.orderBy("vq")
-    ranked = base.select(
-        "event_type",
-        (2 * F.rank().over(w) + F.count(F.lit(1)).over(
-            Window.partitionBy("vq")
-        ) - 1).alias("mid2"),
+    per_val = (
+        e.select("event_type", vq.alias("vq"))
+        .groupBy("vq")
+        .agg(
+            F.sum(F.when(F.col("event_type") == _WELCH_A, 1).otherwise(0)).alias("a"),
+            F.count(F.lit(1)).alias("c"),
+        )
     )
-    g = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("mid2").alias("r2")
-    ).localCheckpoint(eager=False)  # filtered twice (A side, B side)
-    a = g.filter(F.col("event_type") == _WELCH_A).select(
-        F.col("n").alias("na"), F.col("r2").alias("ra2")
+    # frame = DISTINCT 1e-4-quantized values (the lattice), not rows;
+    # bounded_global declares the intended single partition (fence-
+    # allowlisted with this bound)
+    from kafka_connect_bigquery_spark.functions.winutil import bounded_global
+
+    w = bounded_global("vq").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "a",
+        "c",
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + 1).alias("r"),
     )
-    b = g.filter(F.col("event_type") == _WELCH_B).select(F.col("n").alias("nb"))
-    return a.crossJoin(F.broadcast(b)).select(
-        F.col("na").cast("bigint").alias("n_a"),
-        F.col("nb").cast("bigint").alias("n_b"),
-        F.col("ra2").cast("bigint").alias("rank_sum_x2"),
-        (F.col("ra2") - F.col("na") * (F.col("na") + 1))
-        .cast("bigint")
-        .alias("u_x2"),
+    return (
+        ranked.agg(
+            F.sum("a").alias("na"),
+            F.sum(F.col("c") - F.col("a")).alias("nb"),
+            F.sum(F.col("a") * (2 * F.col("r") + F.col("c") - 1)).alias("ra2"),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("ra2").cast("bigint").alias("rank_sum_x2"),
+            (F.col("ra2") - F.col("na") * (F.col("na") + 1))
+            .cast("bigint")
+            .alias("u_x2"),
+        )
     )
 
 
@@ -2238,7 +2260,10 @@ def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # feeds the cumulative window AND totals
     )
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    # frame = DISTINCT quantized-value grid (fence-allowlisted bound)
+    from kafka_connect_bigquery_spark.functions.winutil import bounded_global
+
+    w = bounded_global("vq").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_val.select(
         F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
     )

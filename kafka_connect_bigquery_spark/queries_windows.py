@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_spark.functions.winutil import bounded_global
 from kafka_connect_bigquery_spark.queries import _qsum, _qsum_sql, _qval, _ts_us
 from kafka_connect_bigquery_spark.session import read_table
 from kafka_connect_bigquery_spark.streaming.windows import (
@@ -397,16 +398,22 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("len"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-N + merge), NOT a global row_number window — the frame here
+    # is per-distinct-path counts, which grows with the data, and an
+    # unpartitioned window would sort it all in one task (r06-verdict
+    # scale-killer). rank is recomputed over the _PATH_TOP survivors.
     ranked = (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOP)
         .withColumn(
             "rank",
             F.row_number().over(
-                Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+                bounded_global(F.desc("n_sessions"), F.asc("path"))
             ),
         )
-        .filter(F.col("rank") <= _PATH_TOP)
     )
     return ranked
 

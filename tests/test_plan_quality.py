@@ -27,15 +27,41 @@ PYTHON_OK = {
 # explicit crossJoin — bounded by design (queries << corpus)
 CROSS_OK = {"ann_cosine_topk"}
 
+# Queries allowed a single-partition (empty or literal-only partition
+# spec) Window whose frame is NOT bounded by a limit below it in the
+# plan. Every entry documents the bound that makes one partition safe;
+# anything else tripping the fence is the r06-verdict scale-killer
+# class (a global sort of a data-sized frame through one task).
+WINDOW_NOPART_OK = {
+    # exact global ntile over the per-customer aggregate: the oracle
+    # contract is exact deciles; the in-code note documents the
+    # two-pass approx-boundary alternative for fleet scale
+    "customer_ltv_deciles",
+    # cumulative counts over the DISTINCT 1e-4-quantized value grid
+    # (the lattice), not over event rows
+    "events_ks_test",
+    "events_mannwhitney",
+    # bucket-offset stage of the two-level prefix sum: the frame is
+    # n_order_buckets rows (constant, default 64)
+    "corpus_shard_plan",
+}
 
-def _plan(spark, name):
+
+def _df(spark, name):
     from kafka_connect_bigquery_spark import queries as q
 
-    df = q.queries()[name](spark, SF)
+    return q.queries()[name](spark, SF)
+
+
+def _explain(df):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _plan(spark, name):
+    return _explain(_df(spark, name))
 
 
 def _registry_names():
@@ -49,7 +75,8 @@ def _registry_names():
 
 @pytest.mark.parametrize("name", _registry_names())
 def test_no_rowwise_python_or_unbounded_cartesian(spark, name):
-    plan = _plan(spark, name)
+    df = _df(spark, name)
+    plan = _explain(df)
     # row-at-a-time Python (BatchEvalPython) is never acceptable;
     # ArrowEvalPython/mapInPandas only at the declared multimodal seam
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
@@ -70,6 +97,55 @@ def test_no_rowwise_python_or_unbounded_cartesian(spark, name):
         f"{name}: CollectLimit (unordered limit) — use orderBy+limit "
         "(TakeOrderedAndProject) or drop the limit"
     )
+    # r06-verdict bug class, fenced: a Window with no real partition
+    # spec (empty OR literal-only — the bounded_global helper is
+    # treated identically, so it can never relax this fence) moves its
+    # whole frame through ONE task. Fine only when the frame is bounded
+    # by construction: a limit below it in the plan, or the documented
+    # WINDOW_NOPART_OK bound.
+    bad = _unbounded_global_windows(df)
+    if bad and name not in WINDOW_NOPART_OK:
+        raise AssertionError(
+            f"{name}: {len(bad)} single-partition Window(s) over an "
+            "unbounded frame — partition the window, rewrite top-k as "
+            "orderBy+limit, or document the bound in WINDOW_NOPART_OK"
+        )
+
+
+def _walk_logical(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_logical(it.next())
+
+
+def _unbounded_global_windows(df):
+    """Window nodes in the optimized logical plan whose partition spec
+    is empty OR literal-only (the ``bounded_global`` helper — treated
+    identically, so the helper can never relax this fence) and that do
+    NOT sit above a limit (a limit below makes the frame constant-
+    bounded, e.g. the ≤k survivors of an orderBy().limit(k) re-rank).
+    """
+    out = []
+    for n in _walk_logical(df._jdf.queryExecution().optimizedPlan()):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        spec = n.partitionSpec()
+        lit_only = True
+        it = spec.iterator()
+        while it.hasNext():
+            if it.next().getClass().getSimpleName() != "Literal":
+                lit_only = False
+        if not (spec.isEmpty() or lit_only):
+            continue
+        has_limit_below = any(
+            c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+            for c in _walk_logical(n)
+            if c is not n
+        )
+        if not has_limit_below:
+            out.append(n.getClass().getSimpleName())
+    return out
 
 
 def test_warehouse_partition_pruning(spark, tmp_path):
