@@ -261,6 +261,72 @@ def hll_estimate_grouped(
     )
 
 
+def hll_maintain_grouped(
+    stored: DataFrame,
+    changes: DataFrame,
+    col: str,
+    group_cols: list[str],
+    current: DataFrame,
+    *,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Incremental maintenance of a per-group HLL register table from a
+    CDC feed (``Warehouse.read_changes(images="both")``) — the sketch
+    counterpart of ``rollup.apply_rollup_delta``.
+
+    HLL registers are max-monotone: additions MERGE in (per-register
+    max, bit-identical to a direct rebuild), and re-inserting an
+    existing value is a no-op, so insert / update_postimage rows apply
+    at CDC cost. What max cannot do is SUBTRACT, so any group that
+    LOST a contribution — a tuple ``(group, col)`` present in a
+    delete/update_preimage row with no matching post-image row — is
+    rebuilt from ``current`` instead. The lost-contribution test is an
+    anti-join of pre-image tuples against post-image tuples, i.e. an
+    update that keeps the sketched tuple (only other columns changed)
+    stays on the cheap path.
+
+    Scale shape: the cheap path touches |changes| + |registers of
+    affected groups| rows; the rebuild path scans only the affected
+    groups of ``current`` (with a date-grained group column that read
+    is partition-pruned). Nothing ever rescans the unaffected corpus,
+    and maintained registers are provably EQUAL to a direct rebuild —
+    the staged oracle query re-derives both inside one plan.
+
+    Returns ``(*group_cols, register, rho)`` for every group still
+    carrying contributions (a fully-deleted group disappears, exactly
+    as a direct rebuild would drop it).
+    """
+    live = changes.filter(F.col(col).isNotNull())
+    pre = live.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*group_cols, col)
+    post = live.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*group_cols, col)
+    lost_groups = (
+        pre.join(post, [*group_cols, col], "left_anti")
+        .select(*group_cols)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds two anti-joins + one semi-join
+    )
+    delta = hll_build_grouped(
+        post.join(lost_groups, group_cols, "left_anti"), col, group_cols, p=p
+    )
+    kept = stored.join(lost_groups, group_cols, "left_anti")
+    rebuilt = hll_build_grouped(
+        current.join(F.broadcast(lost_groups), group_cols, "left_semi"),
+        col,
+        group_cols,
+        p=p,
+    )
+    return (
+        kept.unionByName(delta)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+        .unionByName(rebuilt)
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV (k minimum values): distinct-count sketch with exact set algebra
 # ---------------------------------------------------------------------------

@@ -2006,6 +2006,193 @@ FROM est JOIN exact USING (day)
 """
 
 
+def q_sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-day HLL distinct-count
+    rollup over the warehouse CDC feed
+    (operators/sketch.py::hll_maintain_grouped) — closing the
+    mergeable-sketch story into the streaming path the same way
+    ``rollup_incremental`` / ``bm25_incremental`` did for exact
+    aggregates and postings: maintained == recomputed, proven inside
+    the query.
+
+    Staged scenario: events with event_id % 5 != 0 MERGE in at v0; one
+    delta MERGE then inserts the %5 == 0 remainder, updates every 7th
+    surviving event's value (+100 — the sketched (day, event_id) tuple
+    is unchanged, so these must ride the cheap merge path), and
+    tombstones event_id ≡ 3 (mod 11) rows on month-days 01-03 (days
+    that LOST a contribution, forcing the targeted rebuild path).
+    Maintenance = stored v0 registers ⊕ post-image registers for
+    untouched days (per-register max — additions and re-insertions are
+    free under max-monotonicity), plus a rebuild of ONLY the
+    delete-affected days; cost follows |changes| + |affected days|,
+    never |corpus|. The frame audits the algebra three ways: per-day
+    ``n_register_mismatch`` against a direct rebuild of the final
+    state (must be 0, the oracle pins it as a contract literal),
+    per-day ``rebuilt`` derived from the CDC lost-contribution
+    anti-join (the oracle re-derives it from the scenario predicate),
+    and the estimate columns themselves, hash-compared against the
+    oracle's from-scratch registers."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    dom = F.substring(F.date_format(F.col("ts"), "yyyy-MM-dd"), 9, 2).cast("int")
+    del_cond = (
+        (F.col("event_id") % 11 == 3) & (F.col("event_id") % 5 != 0) & (dom <= 3)
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_hll_ivm")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    v0 = (
+        e.filter(F.col("event_id") % 5 != 0)
+        .withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(v0, "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    inserts = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    updates = (
+        e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    deletes = (
+        e.filter(del_cond)
+        .withColumn("i", F.lit(2).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        inserts.unionByName(updates).unionByName(deletes),
+        "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec,
+    )
+    stored = SK.hll_build_grouped(
+        wh.read("t", version=0).select(day, "event_id"), "event_id", ["day"],
+        p=_HLL_P,
+    )
+    changes = wh.read_changes("t", from_version=0, images="both").select(
+        day, "event_id", "_change_type"
+    )
+    current = wh.read("t").select(day, "event_id").localCheckpoint(
+        eager=False
+    )  # feeds rebuild, direct-build proof, AND the exact audit
+    maintained = SK.hll_maintain_grouped(
+        stored, changes, "event_id", ["day"], current, p=_HLL_P
+    ).localCheckpoint(eager=False)  # feeds estimates AND the mismatch proof
+    direct = SK.hll_build_grouped(current, "event_id", ["day"], p=_HLL_P)
+    m = maintained.select("day", "register", F.col("rho").alias("m_rho"))
+    d = direct.select("day", "register", F.col("rho").alias("d_rho"))
+    mism = (
+        m.join(d, ["day", "register"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("m_rho").isNull()
+                    | F.col("d_rho").isNull()
+                    | (F.col("m_rho") != F.col("d_rho")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_register_mismatch")
+        )
+    )
+    est = SK.hll_estimate_grouped(maintained, ["day"], p=_HLL_P)
+    exact = current.groupBy("day").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    reb = (
+        changes.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .join(
+            changes.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("day", "event_id"),
+            ["day", "event_id"],
+            "left_anti",
+        )
+        .select("day")
+        .distinct()
+        .withColumn("rebuilt", F.lit(True))
+    )
+    return (
+        est.join(exact, "day")
+        .join(mism, "day")
+        .join(reb, "day", "left")
+        .select(
+            "day", "m", "n_nonzero", "s_scaled", "hll_estimate", "n_exact",
+            F.coalesce(F.col("rebuilt"), F.lit(False)).alias("rebuilt"),
+            "n_register_mismatch",
+            (F.col("n_register_mismatch") == 0).alias("merge_ok"),
+        )
+    )
+
+
+Q_SKETCH_HLL_INCREMENTAL_SQL = f"""
+WITH final AS (
+  SELECT event_id, strftime({_TS_US}, '%Y-%m-%d') AS day
+  FROM events
+  WHERE event_id IS NOT NULL
+    AND NOT (event_id % 11 = 3 AND event_id % 5 <> 0
+             AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3)
+),
+h AS (
+  SELECT day,
+         CAST(concat('0x', substr(md5(concat('hll:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM final
+),
+rr AS (
+  SELECT day, hv // {_HLL_W} AS register,
+         CASE WHEN hv % {_HLL_W} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_W})) END AS rho
+  FROM h
+),
+grouped AS (SELECT day, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT day, COUNT(*) AS n_nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho)) AS BIGINT) AS s_present
+  FROM grouped GROUP BY 1
+),
+est AS (
+  SELECT day, {_HLL_M} AS m, n_nonzero,
+         s_present + ({_HLL_M} - n_nonzero) * {1 << _HLL_RMAX} AS s_scaled
+  FROM agg
+),
+exact AS (SELECT day, COUNT(DISTINCT event_id) AS n_exact FROM final GROUP BY 1),
+reb AS (
+  SELECT DISTINCT strftime({_TS_US}, '%Y-%m-%d') AS day, TRUE AS rebuilt
+  FROM events
+  WHERE event_id % 11 = 3 AND event_id % 5 <> 0
+    AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3
+)
+SELECT e.day, m, n_nonzero, s_scaled,
+       (CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) AS hll_estimate,
+       n_exact,
+       COALESCE(r.rebuilt, FALSE) AS rebuilt,
+       CAST(0 AS BIGINT) AS n_register_mismatch,
+       TRUE AS merge_ok
+FROM est e JOIN exact USING (day) LEFT JOIN reb r ON e.day = r.day
+"""
+
+
 def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k minimum values) distinct sketch (operators/sketch.py):
     two half-corpus sketches (even/odd event_id) merged and checked
@@ -3447,6 +3634,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
     "sketch_hll_distinct": (q_sketch_hll_distinct, Q_SKETCH_HLL_SQL),
     "sketch_hll_daily": (q_sketch_hll_daily, Q_SKETCH_HLL_DAILY_SQL),
+    "sketch_hll_incremental": (q_sketch_hll_incremental, Q_SKETCH_HLL_INCREMENTAL_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "sketch_kmv_overlap": (q_sketch_kmv_overlap, Q_SKETCH_KMV_OVERLAP_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
@@ -3479,93 +3667,88 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 6 window (50 slots), final shape: the 32 entries whose most
-# recent driver row is r03 (the streaming-window, multimodal,
-# text-quality and corpus-ops families — stalest evidence in the
-# fleet), plus events_approx_stats — its oracle is a tolerance contract
-# rather than value equality, so it stays in-window EVERY round (sketch
-# drift can never hide) — plus a 5-entry TPC-H backfill (q1..q5), plus
-# the r06 FIRST-WITNESS block: 9 new entries (sketch_hll_distinct/
-# _daily, sketch_kmv_distinct/_overlap, dedup_substring_runs,
-# dedup_containment, docs_dsir_weights, warehouse_delete_read,
-# warehouse_sketch_distinct) + corpus_shard_plan + the 3 changed-path
-# warehouse reads (bloom/zonemap/evolution). TPC-H q6..q19 yielded
-# their backfill slots to the new entries.
-# r07 rotation plan: lead with the 32 entries whose latest driver row
-# will then be r04 (tpch_q9/q11/q20/q21/q22, the dedup_* family, ann/
-# bpe/sketch_count_min/graph_pagerank/cobucketed/rollup_incremental...),
-# keep events_approx_stats pinned, backfill FIRST with the r04-era
-# TPC-H q6/q7/q8/q10/q12/q13/q14/q15 that yielded r06 slots, then
-# q16..q19 and the oldest r05 rows (merge family first — they exercise
-# the warehouse read path).
+# Round 7 window (50 slots), executed exactly as pre-registered in the
+# r06 verdict/SURVEY §7: lead with the 46 entries whose most recent
+# driver row is r04 (the TPC-H q3..q22 family, the dedup_* family,
+# ann/bpe/sketch_count_min/graph_pagerank/cobucketed/rollup_incremental/
+# table_profile and the embedding/text/events ops) — after r06 they are
+# the stalest evidence in the fleet; keep events_approx_stats pinned
+# (its oracle is a tolerance contract rather than value equality, so it
+# stays in-window EVERY round — sketch drift can never hide); one
+# first-witness slot for sketch_hll_incremental (new this round, r06
+# verdict ask 7); and two changed-path slots (r05 precedent: entries
+# whose plan changed this round go in-window) for events_mannwhitney
+# (per-row global rank rewritten to the distinct-value-grid midrank
+# assembly) and session_paths (global row_number top-k rewritten to
+# orderBy+limit + bounded re-rank). The remaining r07 plan changes —
+# text_collocations (same top-k restructure), mixture_rebalance (rate
+# normalizer window -> aggregate+broadcast), events_ks_test /
+# corpus_shard_plan / bpe_top_pairs (bounded_global helper swap; bpe is
+# in-window anyway as r04-stale) — are EXACT in the local gate at
+# sf0.01 + sf0.1 and LEAD THE R08 WINDOW together with the r07-changed
+# warehouse reads (op-log/manifest + distributed index rebuilds:
+# warehouse_time_travel_read, warehouse_delete_read,
+# warehouse_bloom_read, warehouse_sketch_distinct) and then the oldest
+# r05 rows (merge family first).
 _PRIORITY_ORDER: list[str] = [
-    # -- r06 head: refresh the 32 entries whose latest driver row is r03
-    # (streaming windows, multimodal, text-quality, corpus-ops) --------
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_session_window",
-    "events_asof_join",
-    "events_interval_join",
-    "events_attribution",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_transitions",
-    "events_value_quantiles",
-    "text_token_stats",
-    "text_subword_stats",
-    "text_top_terms",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_bigram_fluency",
-    "docs_quality_filter",
-    "docs_length_histogram",
-    "docs_sequence_pack",
-    "docs_decontaminate",
-    "multimodal_image_meta",
-    "multimodal_frame_features",
-    "multimodal_audio_chunks",
-    "dedup_winnow",
-    "dedup_passages",
-    "dedup_minhash_recall",
-    "ann_ivfpq_topk",
-    "mixture_rebalance",
-    "sample_k_per_group",
-    "embedding_label_centroids",
+    # -- r07 head: the 46 entries whose latest driver row is r04 ------
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_incremental",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "bpe_top_pairs",
+    "sketch_count_min",
+    "graph_pagerank",
+    "cobucketed_join",
+    "rollup_incremental",
+    "table_profile",
+    "bq_shape_projection",
+    "dataset_split",
+    "stratified_sample",
+    "embedding_dim_stats",
+    "embedding_gram",
+    "text_hashed_tf",
+    "text_sparse_cosine",
+    "events_moment_stats",
+    "events_rollup_pyramid",
+    "user_value_distribution",
     # -- tolerance-contract entry: pinned in-window every round ------
     "events_approx_stats",
-    # -- backfill: oldest r04 rows, TPC-H family (17 slots) ----------
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    # -- new-entry slots: the HLL and KMV distinct sketches, the
-    # ExactSubstr duplication profile, containment pairs, and DSIR
-    # weights (added r06, first witness; tpch_q10/q12/q13/q14/q15
-    # yield their backfill slots and join the r07 backfill) -----------
-    "sketch_hll_distinct",
-    "sketch_hll_daily",
-    "sketch_kmv_distinct",
-    "sketch_kmv_overlap",
-    "dedup_substring_runs",
-    "dedup_containment",
-    "docs_dsir_weights",
-    "docs_vocab_growth",
-    # -- new-entry slot: corpus_shard_plan (added r06, first witness;
-    # tpch_q16 yields its slot to the r07 backfill) -------------------
-    "corpus_shard_plan",
-    # -- changed-path slots (r05 precedent: entries whose code moved
-    # this round go in-window): the bloom index became a parquet table,
-    # pruned reads now conform nested schemas, and the evolution-read
-    # entry is NEW this round (first witness). tpch_q17/q18/q19 yield their
-    # backfill slots and lead the r07 backfill instead. ---------------
-    "warehouse_bloom_read",
-    "warehouse_zonemap_read",
-    "warehouse_evolution_read",
-    "warehouse_delete_read",
-    "warehouse_sketch_distinct",
-    "warehouse_time_travel_read",
+    # -- first-witness slot: incremental HLL rollup over the CDC feed
+    # (added r07, verdict ask 7) --------------------------------------
+    "sketch_hll_incremental",
+    # -- changed-path slots (r05 precedent): the two highest-risk plan
+    # rewrites of the r07 unpartitioned-window fixes ------------------
+    "events_mannwhitney",
+    "session_paths",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r05 (or late-r04 for the tpch/ops remainder) ====
+    # == green in r05 or r06 ======================================
 ]
 
 

@@ -161,3 +161,78 @@ def test_hll_estimate_grouped_matches_per_group_single(spark):
         assert per[g] == (
             single["n_nonzero"], single["s_scaled"], single["hll_estimate"]
         )
+
+
+# ---------------------------------------------------------------------------
+# HLL incremental maintenance (hll_maintain_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _reg_map(df):
+    return {(r["g"], r["register"]): r["rho"] for r in df.collect()}
+
+
+def _cdc(spark, rows):
+    """rows: (g, v, _change_type)"""
+    return spark.createDataFrame(rows, "g: string, v: bigint, _change_type: string")
+
+
+def test_hll_maintain_insert_only_never_touches_current(spark):
+    """Insert/update CDC rides the cheap merge path: maintained equals a
+    direct rebuild, and `current` is NEVER scanned — proven by handing
+    the operator a poisoned current that would corrupt the sketch if the
+    rebuild path ran."""
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), i) for i in range(200)], "g: string, v: bigint"
+    )
+    stored = SK.hll_build_grouped(base, "v", ["g"])
+    cdc = _cdc(
+        spark,
+        [("a", v, "insert") for v in range(200, 260)]
+        # an update that keeps the sketched tuple: pre == post
+        + [("b", 8, "update_preimage"), ("b", 8, "update_postimage")],
+    )
+    poisoned = spark.createDataFrame([("a", 10**9), ("b", 10**9)], "g: string, v: bigint")
+    maintained = SK.hll_maintain_grouped(stored, cdc, "v", ["g"], poisoned)
+    final = base.unionByName(
+        spark.createDataFrame([("a", v) for v in range(200, 260)], "g: string, v: bigint")
+    )
+    assert _reg_map(maintained) == _reg_map(SK.hll_build_grouped(final, "v", ["g"]))
+
+
+def test_hll_maintain_delete_rebuilds_only_lost_group(spark):
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), i) for i in range(200)], "g: string, v: bigint"
+    )
+    stored = SK.hll_build_grouped(base, "v", ["g"])
+    # delete two values from group a; group b untouched
+    cdc = _cdc(spark, [("a", 1, "delete"), ("a", 3, "delete")])
+    final = base.filter(~((F.col("g") == "a") & F.col("v").isin(1, 3)))
+    maintained = SK.hll_maintain_grouped(stored, cdc, "v", ["g"], final)
+    assert _reg_map(maintained) == _reg_map(SK.hll_build_grouped(final, "v", ["g"]))
+
+
+def test_hll_maintain_update_moving_group_rebuilds_source_group(spark):
+    """An update that MOVES the sketched tuple across groups: the losing
+    group rebuilds, the gaining group cheap-merges."""
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "g: string, v: bigint"
+    )
+    stored = SK.hll_build_grouped(base, "v", ["g"])
+    cdc = _cdc(spark, [("a", 2, "update_preimage"), ("b", 2, "update_postimage")])
+    final = spark.createDataFrame(
+        [("a", 1), ("b", 10), ("b", 2)], "g: string, v: bigint"
+    )
+    maintained = SK.hll_maintain_grouped(stored, cdc, "v", ["g"], final)
+    assert _reg_map(maintained) == _reg_map(SK.hll_build_grouped(final, "v", ["g"]))
+
+
+def test_hll_maintain_group_fully_deleted_disappears(spark):
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "g: string, v: bigint")
+    stored = SK.hll_build_grouped(base, "v", ["g"])
+    cdc = _cdc(spark, [("a", 1, "delete")])
+    final = base.filter(F.col("g") != "a")
+    maintained = SK.hll_maintain_grouped(stored, cdc, "v", ["g"], final)
+    got = _reg_map(maintained)
+    assert got == _reg_map(SK.hll_build_grouped(final, "v", ["g"]))
+    assert not any(g == "a" for g, _ in got)
