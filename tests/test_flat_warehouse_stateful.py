@@ -33,7 +33,11 @@ from hypothesis import strategies as st
 from hypothesis.stateful import RuleBasedStateMachine, invariant, precondition, rule
 
 from kafka_connect_bigquery_spark.session import get_spark
-from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
 
 CATS = ["a", "b", "c"]
 PLAIN = TableSpec(partition_grain="NONE")
@@ -70,6 +74,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         # compact) are invalidated — their files were destroyed
         self.version_log: list = []
         self.first_readable = 0
+        self.vacuumed = False
         # which evolved columns the CURRENT table schema carries (reset
         # by overwrite, which is a full re-statement)
         self.has_w = False
@@ -233,6 +238,16 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self._snap()
 
     @precondition(lambda self: self.created)
+    @rule(keep=st.integers(min_value=0, max_value=3))
+    def vacuum_retained(self, keep):
+        """Retention policy: drop all but the newest ``keep`` retained
+        layers. Versions whose files lived only in dropped layers must
+        fail LOUDLY from now on (the exact-or-loud time-travel
+        invariant below) — never return partial rows."""
+        self.wh.vacuum_retained("t", keep_layers=keep)
+        self.vacuumed = True
+
+    @precondition(lambda self: self.created)
     @rule()
     def record_bloom(self):
         self.wh.record_bloom("t", ["k", "cat"])
@@ -302,14 +317,27 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
     def time_travel_reconstructs_readable_versions(self):
         """Every version ever committed must reconstruct its exact
         model snapshot — schema-as-of-then included, ACROSS rewrites
-        (overwrite/compact park prior files in retained layers). Checks
-        the first, middle and latest versions each step."""
+        (overwrite/compact park prior files in retained layers) — OR,
+        once a vacuum_retained has run, fail LOUDLY with the documented
+        retention error. A partial read (some rows, wrong snapshot) is
+        the bug class this invariant exists to kill. The LATEST version
+        must always reconstruct: its files are the live table, which no
+        retention policy touches. Checks first/middle/latest each
+        step."""
         if not self.version_log:
             return
         last = len(self.version_log) - 1
         for v in {0, last // 2, last}:
             want_model, flags = self.version_log[v]
-            got = self._project(self.wh.read("t", version=v), flags=flags)
+            try:
+                got = self._project(self.wh.read("t", version=v), flags=flags)
+            except WarehouseError as e:
+                assert self.vacuumed, (
+                    f"version {v} unreadable with no vacuum ever run: {e}"
+                )
+                assert "no longer readable" in str(e), e
+                assert v != last, f"latest version must always read: {e}"
+                continue
             assert got == want_model, f"time travel diverged at version {v}"
 
     @invariant()
@@ -335,4 +363,151 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
 TestFlatWarehouseStateful = FlatWarehouseMachine.TestCase
 TestFlatWarehouseStateful.settings = settings(
     max_examples=8, stateful_step_count=10, deadline=None
+)
+
+
+class PartitionedExpiryMachine(RuleBasedStateMachine):
+    """The retention ↔ time-travel ↔ partition-expiration interplay
+    (r06 verdict ask 6 — the fourth strike zone of the
+    silent-partial-read class): a DAY-partitioned flat table under
+    random appends (rows spread across past days), overwrites,
+    ``expire_partitions`` TTL drops, and ``vacuum_retained``.
+
+    Invariants: the current read always equals the model; every op-log
+    version reconstructs EXACTLY or fails LOUDLY with the documented
+    retention error (never partial rows); the latest version always
+    reconstructs (expire_partitions commits its own op-log delta, so
+    post-expire state is a first-class version). The subtle case this
+    machine exists for: an expired partition's files can STILL back an
+    old version if a pre-rewrite copy survives in a ``_retained/``
+    layer — old versions then stay exactly readable until
+    vacuum_retained drops the layer, and only then flip to loud
+    failure."""
+
+    def __init__(self):
+        super().__init__()
+        self.spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+        self.tmp = tempfile.mkdtemp(prefix="whp_fuzz_")
+        self.wh = Warehouse(self.spark, self.tmp)
+        self.spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+        self.model: Counter = Counter()  # (k, day-string)
+        self.created = False
+        self.aged = False  # any expire/vacuum ever ran
+        self.version_log: list = []
+
+    @staticmethod
+    def _now():
+        import datetime as dt
+
+        return dt.datetime.now(dt.timezone.utc)
+
+    def _rows(self, batch):
+        import datetime as dt
+
+        now = self._now()
+        return [
+            (k, now - dt.timedelta(days=ago), (now - dt.timedelta(days=ago)).strftime("%Y-%m-%d"))
+            for k, ago in batch
+        ]
+
+    _pbatch = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from([0, 2, 5, 12, 28]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @rule(batch=_pbatch)
+    def append(self, batch):
+        rows = self._rows(batch)
+        df = self.spark.createDataFrame(
+            [(k, ts) for k, ts, _ in rows], "k: bigint, ts: timestamp"
+        )
+        self.wh.append(df, "tp", self.spec)
+        self.model.update((k, day) for k, _, day in rows)
+        self.created = True
+        self.version_log.append(Counter(self.model))
+
+    @rule(batch=_pbatch)
+    def overwrite(self, batch):
+        rows = self._rows(batch)
+        df = self.spark.createDataFrame(
+            [(k, ts) for k, ts, _ in rows], "k: bigint, ts: timestamp"
+        )
+        self.wh.overwrite(df, "tp", self.spec)
+        self.model = Counter((k, day) for k, _, day in rows)
+        self.created = True
+        self.version_log.append(Counter(self.model))
+
+    @precondition(lambda self: self.created)
+    @rule(older=st.sampled_from([1, 4, 10, 60]))
+    def expire(self, older):
+        import datetime as dt
+
+        n = self.wh.expire_partitions("tp", self.spec, older_than_days=older)
+        cutoff = self._now() - dt.timedelta(days=older)
+        kept = Counter(
+            {
+                t: c
+                for t, c in self.model.items()
+                if not dt.datetime.strptime(t[1], "%Y-%m-%d").replace(
+                    tzinfo=dt.timezone.utc
+                )
+                < cutoff
+            }
+        )
+        dropped_days = {t[1] for t in self.model} - {t[1] for t in kept}
+        self.model = kept
+        if n:
+            # a real drop commits an op-log delta -> a new version
+            self.version_log.append(Counter(self.model))
+            self.aged = True
+        assert bool(n) == bool(dropped_days), (
+            f"expire dropped {n} partitions, model dropped days {dropped_days}"
+        )
+
+    @precondition(lambda self: self.created)
+    @rule(keep=st.integers(min_value=0, max_value=2))
+    def vacuum_retained(self, keep):
+        self.wh.vacuum_retained("tp", keep_layers=keep)
+        self.aged = True
+
+    @invariant()
+    def current_read_matches_model(self):
+        if not self.created:
+            return
+        got = Counter(
+            (r["k"], r["p_date"])
+            for r in self.wh.read("tp").select("k", "p_date").collect()
+        )
+        assert got == self.model
+
+    @invariant()
+    def versions_exact_or_loud(self):
+        if not self.version_log:
+            return
+        last = len(self.version_log) - 1
+        for v in {0, last // 2, last}:
+            want = self.version_log[v]
+            try:
+                df = self.wh.read("tp", version=v)
+                got = Counter(
+                    (r["k"], r["p_date"]) for r in df.select("k", "p_date").collect()
+                )
+            except WarehouseError as e:
+                assert self.aged, f"version {v} unreadable, nothing aged: {e}"
+                assert "no longer readable" in str(e), e
+                assert v != last, f"latest version must always read: {e}"
+                continue
+            assert got == want, f"time travel diverged at version {v}"
+
+    def teardown(self):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+TestPartitionedExpiry = PartitionedExpiryMachine.TestCase
+TestPartitionedExpiry.settings = settings(
+    max_examples=6, stateful_step_count=8, deadline=None
 )

@@ -1,0 +1,129 @@
+"""Flat-table op-log scaling contract (r06 verdict ask 4): commits are
+one small per-version file under ``_oplog/``, append commits are
+O(|written files|) DELTAS (never an O(table) state snapshot or dir
+listing), periodic checkpoints are RECONSTRUCTED from the log, and
+version reads resolve through the checkpoint+delta chain — including
+across a legacy single-file ``_oplog.jsonl`` prefix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+SPEC = TableSpec(partition_grain="NONE")
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([(i, f"v{i}") for i in range(lo, hi)], "k: bigint, v: string")
+
+
+def _recs(wh, table):
+    d = wh._oplog_dir(table)
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append((name, json.load(f)))
+    return out
+
+
+def test_append_commits_are_deltas_with_periodic_checkpoints(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(6):
+        wh.append(_df(spark, 10 * i, 10 * i + 10), "t", SPEC)
+    recs = _recs(wh, "t")
+    assert [n for n, _ in recs] == [f"{v:08d}.json" for v in range(6)]
+    # v0 is a checkpoint (version % N == 0); v1..v5 are pure deltas
+    assert "state" in recs[0][1] and "delta" not in recs[0][1]
+    for _, r in recs[1:]:
+        assert "delta" in r and "state" not in r
+        assert r["delta"]["add"] and not r["delta"]["remove"]
+        # a delta never carries the table's file list
+        assert "files" not in r["delta"]
+    # every version reconstructs; file sets grow strictly and the final
+    # reconstruction equals checkpoint files plus every delta's adds
+    sizes = [len(wh._flat_state_at("t", v)["files"]) for v in range(6)]
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+    expected = set(recs[0][1]["state"]["files"])
+    for _, r in recs[1:]:
+        expected |= set(r["delta"]["add"])
+    assert set(wh._flat_state_at("t", 5)["files"]) == expected
+    # version reads return exactly the rows present then
+    assert wh.read("t", version=0).count() == 10
+    assert wh.read("t", version=3).count() == 40
+    assert wh.read("t", version=5).count() == 60
+
+
+def test_checkpoint_every_n_is_reconstructed_not_listed(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = Warehouse._OPLOG_CHECKPOINT_EVERY
+    for i in range(n + 2):
+        wh.append(_df(spark, 10 * i, 10 * i + 2), "t", SPEC)
+    recs = _recs(wh, "t")
+    assert "state" in recs[0][1]
+    assert "state" in recs[n][1], "periodic checkpoint missing"
+    # the checkpoint's file set equals the reconstruction at n-1 plus
+    # its own adds — i.e. it is consistent with the delta chain
+    chain = set(recs[0][1]["state"]["files"])
+    for _, r in recs[1:n]:
+        chain |= set(r["delta"]["add"])
+    # the record BEFORE the checkpoint knows nothing of checkpoint adds
+    assert chain <= set(recs[n][1]["state"]["files"])
+    assert wh.read("t", version=n + 1).count() == (n + 2) * 2
+
+
+def test_overwrite_and_compact_are_checkpoints_and_history_is_clean(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 10), "t", SPEC)
+    wh.append(_df(spark, 10, 20), "t", SPEC)
+    wh.overwrite(_df(spark, 0, 5), "t", SPEC)
+    wh.append(_df(spark, 5, 8), "t", SPEC)
+    wh.compact("t", SPEC, min_files=1)
+    recs = _recs(wh, "t")
+    ops = [r["op"] for _, r in recs]
+    assert ops == ["append", "append", "overwrite", "append", "compact"]
+    assert "state" in recs[2][1] and "state" in recs[4][1]
+    # history(): detail JSON carries neither the manifest nor the delta
+    for row in wh.history("t").collect():
+        detail = json.loads(row["detail"])
+        assert "state" not in detail and "delta" not in detail
+    # all five versions reconstruct across the two dir swaps
+    assert [wh.read("t", version=v).count() for v in range(5)] == [10, 20, 5, 8, 8]
+
+
+def test_delete_where_commits_metadata_only_delta(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 10), "t", SPEC)
+    wh.delete_where("t", "k >= 7")
+    recs = _recs(wh, "t")
+    r = recs[1][1]
+    assert r["op"] == "delete_where"
+    assert r["delta"]["add"] == [] and r["delta"]["remove"] == []
+    assert r["delta"]["deletes"], "pending delete must ride the record"
+    assert wh.read("t").count() == 7
+    assert wh.read("t", version=0).count() == 10
+    assert wh.read("t", version=1).count() == 7
+
+
+def test_legacy_jsonl_prefix_still_resolves(spark, tmp_path):
+    """Tables written by the pre-r07 engine carry a single-file jsonl
+    log of full-state records; new commits continue the version line in
+    the per-commit dir, and every version on either side reads."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 10), "t", SPEC)
+    wh.append(_df(spark, 10, 20), "t", SPEC)
+    # demote the dir records to a legacy jsonl, as an old engine wrote
+    recs = [r for _, r in _recs(wh, "t")]
+    import shutil
+
+    shutil.rmtree(wh._oplog_dir("t"))
+    with open(wh._oplog_path("t"), "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    wh.append(_df(spark, 20, 30), "t", SPEC)
+    new = _recs(wh, "t")
+    assert [n for n, _ in new] == ["00000002.json"]
+    assert [wh.read("t", version=v).count() for v in range(3)] == [10, 20, 30]
+    assert wh.history("t").count() == 3
