@@ -1533,9 +1533,10 @@ class Warehouse:
         holding the commit lock through a long job would trip the
         stale-lock sweep): safe WITHOUT serialization because (a) index
         rows are idempotent — duplicate (f, c, w) rows from racing
-        recorders carry identical bits; (b) each build lands as ONE
-        parquet file (see the coalesce below), so a (f, c) marker and
-        its word rows commit atomically together — a marker without its
+        recorders carry identical bits; (b) every (f, c) group — marker
+        and word rows — lands WHOLE inside one output file
+        (``_write_index``: incremental builds coalesce to one file,
+        full rebuilds repartition BY ``f``), so a marker without its
         words, which would prune wrongly, cannot exist; (c) a build
         torn away entirely by a racing full rebuild just leaves files
         unindexed, and the probe treats unindexed as
@@ -1570,15 +1571,39 @@ class Warehouse:
         out = self.spark.createDataFrame(markers, schema)
         if rows is not None:
             out = rows.unionByName(out)
-        # one index file per build: a marker row and its word rows land
-        # in the SAME parquet file, so a torn or racing write can never
-        # leave a marker without its words (which would prune wrongly)
-        # — this single-file commit IS the concurrency contract above.
-        # At fleet scale, scale file count with the batch instead of
-        # pinning to 1, keeping each (file, column) group within one
-        # output file (repartition by f before the write).
-        out.coalesce(1).write.mode(mode).parquet(self._bloom_index_dir(table))
+        self._write_index(
+            out, mode=mode, n_files=len(new_rel),
+            dest=self._bloom_index_dir(table),
+        )
         self._write_bloom_meta(table, meta)
+
+    # indexed table files per index output file on a full rebuild —
+    # sized so a rebuild at millions of files fans out across the
+    # cluster instead of funneling through one task
+    _INDEX_FILES_PER_OUTPUT = 64
+
+    def _write_index(
+        self, out: DataFrame, *, mode: str, n_files: int, dest: str
+    ) -> None:
+        """Commit an index build (Bloom words / HLL registers).
+
+        Incremental appends stay ONE parquet file: the batch is tiny
+        (just-written table files) and a single file bounds listing
+        cost. FULL rebuilds hash-repartition on the indexed file path
+        ``f`` so write parallelism scales with the table's file count
+        (the r06 verdict's coalesce(1) fix) while every (f, c) group —
+        a marker row and ALL its word/register rows — still lands WHOLE
+        inside one output file, which is the torn/racing-write
+        atomicity contract: a marker can never commit without its rows
+        (that would prune wrongly / under-estimate). Spark's job commit
+        publishes all output files or none, so a torn rebuild leaves
+        the previous index intact either way."""
+        if mode == "overwrite" and n_files > self._INDEX_FILES_PER_OUTPUT:
+            nparts = -(-n_files // self._INDEX_FILES_PER_OUTPUT)
+            out = out.repartition(nparts, "f")
+        else:
+            out = out.coalesce(1)
+        out.write.mode(mode).parquet(dest)
 
     def _refresh_bloom_if_recorded(self, table: str, *, incremental: bool) -> None:
         meta = self.bloom_meta(table)
@@ -1759,7 +1784,10 @@ class Warehouse:
         out = self.spark.createDataFrame(markers, schema)
         if rows is not None:
             out = rows.unionByName(out)
-        out.coalesce(1).write.mode(mode).parquet(self._sketch_index_dir(table))
+        self._write_index(
+            out, mode=mode, n_files=len(new_rel),
+            dest=self._sketch_index_dir(table),
+        )
         import json
 
         os.makedirs(self._sketch_dir(table), exist_ok=True)

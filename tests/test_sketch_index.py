@@ -166,3 +166,71 @@ def test_partition_scoped_estimate(spark, wh):
         .asDict()
     )
     assert day2 == py_hll_estimate(range(1, 600, 2))
+
+
+def test_full_rebuild_fans_out_when_table_has_many_files(spark, wh, monkeypatch):
+    """r06 verdict ask 5: a FULL index rebuild must not funnel through
+    one task — output file count scales with the table's file count
+    (threshold lowered via monkeypatch), while incremental appends stay
+    single-file, every (f, c) marker keeps its register rows in the
+    same output file, and estimates stay exact."""
+    import glob
+    import os
+
+    monkeypatch.setattr(Warehouse, "_INDEX_FILES_PER_OUTPUT", 2)
+    for i in range(3):
+        wh.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"c{j}") for j in range(5)], "k: bigint, cat: string"
+            ).repartition(2),
+            "t",
+            PLAIN,
+        )
+    n_table_files = len(Warehouse._data_files(wh.path("t")))
+    assert n_table_files >= 5
+    wh.record_sketch("t", ["k"])  # full build over >threshold files
+    idx_dir = wh._sketch_index_dir("t")
+    idx_files = glob.glob(os.path.join(idx_dir, "*.parquet"))
+    assert len(idx_files) > 1, "full rebuild still single-task"
+    assert _est(wh, "k") == _direct(wh, "k") == py_hll_estimate(
+        {r["k"] for r in wh.read("t").collect()}
+    )
+    # (f, c) groups land whole: every indexed file's rows live in ONE
+    # index output file
+    rows = spark.read.parquet(idx_dir).select(
+        "f", F.input_file_name().alias("src")
+    ).distinct().collect()
+    by_f: dict[str, set] = {}
+    for r in rows:
+        by_f.setdefault(r["f"], set()).add(r["src"])
+    assert all(len(srcs) == 1 for srcs in by_f.values())
+    # incremental append stays single-file and exact
+    before = set(idx_files)
+    wh.append(
+        spark.createDataFrame([(100, "x")], "k: bigint, cat: string"), "t", PLAIN
+    )
+    after = set(glob.glob(os.path.join(idx_dir, "*.parquet")))
+    assert len(after - before) == 1
+    assert _est(wh, "k") == _direct(wh, "k")
+
+
+def test_bloom_full_rebuild_fans_out_and_probes_stay_exact(spark, wh, monkeypatch):
+    import glob
+    import os
+
+    monkeypatch.setattr(Warehouse, "_INDEX_FILES_PER_OUTPUT", 2)
+    for i in range(3):
+        wh.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"c{j}") for j in range(5)], "k: bigint, cat: string"
+            ).repartition(2),
+            "t",
+            PLAIN,
+        )
+    wh.record_bloom("t", ["k"])
+    idx_files = glob.glob(os.path.join(wh._bloom_index_dir("t"), "*.parquet"))
+    assert len(idx_files) > 1
+    for key in (0, 11, 24, 999):
+        got = {r["k"] for r in wh.read_pruned_where("t", {"k": key}).collect()}
+        want = {r["k"] for r in wh.read("t").filter(F.col("k") == key).collect()}
+        assert got == want
