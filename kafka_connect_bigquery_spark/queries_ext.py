@@ -114,6 +114,58 @@ WHERE inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) >= {min_jaccard}
 
 Q_DEDUP_NGRAM_SQL = _ngram_sql(_JACCARD_MIN)
 
+# rational Jaccard threshold for the exact prefix-filtered join.
+# 5-gram shingles + t=0.9: char-3-gram universes are too dense for
+# discriminative prefixes (measured max prefix-df 1890 at sf0.1),
+# and this corpus carries a large just-below-threshold similarity
+# band, so the production point is high-confidence near-dup pairs
+_PFX_NUM, _PFX_DEN = 9, 10
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.7 via prefix filtering
+    (operators/dedup.py::prefix_filter_pairs — AllPairs/PPJoin prefix
+    principle): candidates come only from each doc's df-rarest shingle
+    prefix, so the self-join stays bounded WITHOUT the recall-losing
+    stop-shingle guard the ``dedup_ngram_jaccard`` entry uses. The
+    oracle is the brute inverted-index join over ALL shingles — any
+    pair the prefix filter missed hash-mismatches, which is the
+    exactness theorem checked as data."""
+    from kafka_connect_bigquery_spark.operators import dedup as D
+
+    return D.prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=5,
+        jaccard_num=_PFX_NUM,
+        jaccard_den=_PFX_DEN,
+    )
+
+
+Q_DEDUP_PREFIX_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 5)
+                 for i in range(1, greatest(length(c) - 4, 1) + 1)])) AS sh
+  FROM canon
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+       inter_size / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {_PFX_DEN} * inter_size >= {_PFX_NUM} * (sa.sz + sb.sz - inter_size)
+"""
+
+
 _CONTAIN_PCT = 60
 
 
@@ -3431,6 +3483,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "avro_wire_roundtrip": (q_avro_wire_roundtrip, Q_AVRO_WIRE_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_SQL),
+    "dedup_prefix_filter": (q_dedup_prefix_filter, Q_DEDUP_PREFIX_SQL),
     "dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
     "dedup_winnow": (q_dedup_winnow, Q_DEDUP_WINNOW_SQL),
     "dedup_passages": (q_dedup_passages, Q_DEDUP_PASSAGES_SQL),
