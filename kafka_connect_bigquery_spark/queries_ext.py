@@ -2009,6 +2009,200 @@ FROM terms GROUP BY 1
 """
 
 
+_ZIPF_TOP = 500
+_ZIPF_Q = 100_000  # ln lattice; Q=1e5 keeps k*Σxy far below 2^63
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus's top-500 terms — the
+    power-law diagnostic (alongside ``docs_vocab_growth``'s Heaps
+    curve) that flags synthetic or template-heavy corpora before
+    training: natural text has slope ≈ -1; duplication and templating
+    flatten or kink the line. Closed-form least squares of
+    ln(count) on ln(rank), both floored to the 1/Q integer lattice, so
+    the slope is an exact BIGINT ratio. Top-k rides orderBy+limit
+    (TakeOrderedAndProject), never a global window over term TYPES;
+    rank is recomputed over the 500 survivors."""
+    from kafka_connect_bigquery_spark.functions import text as text_fns
+    from kafka_connect_bigquery_spark.functions.winutil import bounded_global
+
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    counts = (
+        d.repartition(par)
+        .select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.desc("n"), F.asc("tok")]
+    ranked = (
+        counts.orderBy(*order)
+        .limit(_ZIPF_TOP)
+        .withColumn("r", F.row_number().over(bounded_global(*order)).cast("long"))
+    )
+    lx = F.floor(F.log(F.col("r").cast("double")) * _ZIPF_Q + F.lit(0.5)).cast("long")
+    ly = F.floor(F.log(F.col("n").cast("double")) * _ZIPF_Q + F.lit(0.5)).cast("long")
+    agg = ranked.select(lx.alias("lx"), ly.alias("ly")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # slope stays an exact BIGINT ratio; the intercept's cross products
+    # exceed int64, so it is an IEEE double chain over the SAME exact
+    # integer sums — deterministic on both engines
+    numd, dend = num.cast("double"), den.cast("double")
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (numd / dend).alias("slope"),
+        (
+            (F.col("sy").cast("double") * dend - numd * F.col("sx").cast("double"))
+            / (F.col("k").cast("double") * dend)
+            / _ZIPF_Q
+        ).alias("intercept_ln"),
+    )
+
+
+Q_TEXT_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks WHERE tok <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r
+  FROM counts ORDER BY n DESC, tok LIMIT {_ZIPF_TOP}
+),
+q AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * {_ZIPF_Q} + 0.5) AS BIGINT) AS lx,
+         CAST(FLOOR(ln(CAST(n AS DOUBLE)) * {_ZIPF_Q} + 0.5) AS BIGINT) AS ly
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(lx) AS BIGINT) AS sx,
+         CAST(SUM(ly) AS BIGINT) AS sy, CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy
+  FROM q
+)
+SELECT k AS n_terms,
+       CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+         AS slope,
+       (CAST(sy AS DOUBLE) * CAST(k * sxx - sx * sx AS DOUBLE)
+          - CAST(k * sxy - sx * sy AS DOUBLE) * CAST(sx AS DOUBLE))
+         / (CAST(k AS DOUBLE) * CAST(k * sxx - sx * sx AS DOUBLE))
+         / {_ZIPF_Q} AS intercept_ln
+FROM s
+"""
+
+
+_BASKET_MINSUP = 3
+_BASKET_TOP = 50
+_BASKET_Q = 1_000_000
+
+
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over lineitem (A-priori, Agrawal &
+    Srikant VLDB'94): part pairs co-ordered in >= 3 orders, with exact
+    integer lift. The A-priori prune — only items whose own support
+    reaches the pair threshold can appear in a qualifying pair — runs
+    as a broadcast semi-join BEFORE the per-order self-join, which is
+    what keeps candidate pairs bounded on a skewed real basket corpus
+    (popular items otherwise dominate the join). Per-order pair
+    generation is an equi-join on the order key (co-partitioned, no
+    cartesian); top pairs ride orderBy+limit with rank recomputed over
+    the survivors; lift is the exact integer
+    floor(n_pair * n_orders * Q / (n_p1 * n_p2))."""
+    from kafka_connect_bigquery_spark.functions.winutil import bounded_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds item counts, totals, both pair sides
+    )
+    items = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = items.filter(F.col("n_item") >= _BASKET_MINSUP).localCheckpoint(
+        eager=False
+    )  # broadcast twice (prune + lift columns)
+    fb = baskets.join(F.broadcast(freq.select("p")), "p", "left_semi")
+    a = fb.select("o", F.col("p").alias("p1"))
+    b = fb.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MINSUP)
+    )
+    n_orders = baskets.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    order = [F.desc("n_pair"), F.asc("p1"), F.asc("p2")]
+    return (
+        pairs.orderBy(*order)
+        .limit(_BASKET_TOP)
+        .withColumn("rank", F.row_number().over(bounded_global(*order)))
+        .join(
+            F.broadcast(freq.select(F.col("p").alias("p1"), F.col("n_item").alias("n_p1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("p").alias("p2"), F.col("n_item").alias("n_p2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_p1").cast("bigint").alias("n_p1"),
+            F.col("n_p2").cast("bigint").alias("n_p2"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.expr(
+                f"CAST(n_pair * n_orders * {_BASKET_Q} DIV (n_p1 * n_p2) AS BIGINT)"
+            ).alias("lift_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+Q_ORDERS_BASKET_SQL = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+items AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1),
+freq AS (SELECT * FROM items WHERE n_item >= {_BASKET_MINSUP}),
+fb AS (SELECT b.* FROM baskets b JOIN freq USING (p)),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MINSUP}
+),
+tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets),
+top AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_pair DESC, p1, p2) AS INT) AS rank
+  FROM pairs ORDER BY n_pair DESC, p1, p2 LIMIT {_BASKET_TOP}
+)
+SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, n_pair,
+       f1.n_item AS n_p1, f2.n_item AS n_p2, n_orders,
+       CAST(n_pair * n_orders * {_BASKET_Q} // (f1.n_item * f2.n_item) AS BIGINT)
+         AS lift_q,
+       rank
+FROM top
+JOIN freq f1 ON f1.p = top.p1
+JOIN freq f2 ON f2.p = top.p2
+CROSS JOIN tot
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_TOP = 50
 
@@ -3510,6 +3704,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_entropy": (q_mixture_entropy, Q_MIXTURE_ENTROPY_SQL),
     "docs_chi_square": (q_docs_chi_square, Q_DOCS_CHI_SQUARE_SQL),
     "text_collocations": (q_text_collocations, Q_TEXT_COLLOCATIONS_SQL),
+    "text_zipf_fit": (q_text_zipf_fit, Q_TEXT_ZIPF_SQL),
+    "orders_market_basket": (q_orders_market_basket, Q_ORDERS_BASKET_SQL),
     "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
     "events_benford": (q_events_benford, Q_EVENTS_BENFORD_SQL),
     "events_mannwhitney": (q_events_mannwhitney, Q_EVENTS_MANNWHITNEY_SQL),
