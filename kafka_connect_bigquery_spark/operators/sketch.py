@@ -356,6 +356,106 @@ def kmv_build(df: DataFrame, col: str, *, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_build_grouped(
+    df: DataFrame, col: str, group_cols: list[str], *, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketches in one pass: ``(*group_cols, hv)`` rows,
+    at most k per group — distinct (group, hash) then a top-k window
+    PARTITIONED by group (parallel across groups, k-bounded within)."""
+    from pyspark.sql import Window
+
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, _hash32(F.col(col), "kmv:").alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_maintain_grouped(
+    stored: DataFrame,
+    changes: DataFrame,
+    col: str,
+    group_cols: list[str],
+    current: DataFrame,
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Incremental maintenance of a per-group KMV sketch table from a
+    CDC feed — the KMV twin of :func:`hll_maintain_grouped`, and the
+    second half of the mergeable-sketch IVM story: KMV merge is
+    LOSSLESS set algebra (k smallest of the union == sketch of the
+    concatenation), so insert / update post-images fold in at CDC cost
+    via a per-group top-k window. What the kept set cannot do is
+    UN-SEE a deletion — the (k+1)-th smallest hash was discarded — so
+    any group that LOST a ``(group, col)`` contribution (pre-image with
+    no matching post-image) rebuilds from ``current``, affected groups
+    only. Maintained sketches are provably EQUAL to a direct rebuild of
+    the final state."""
+    live = changes.filter(F.col(col).isNotNull())
+    pre = live.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*group_cols, col)
+    post = live.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*group_cols, col)
+    lost_groups = (
+        pre.join(post, [*group_cols, col], "left_anti")
+        .select(*group_cols)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds two anti-joins + one semi-join
+    )
+    delta = (
+        post.join(lost_groups, group_cols, "left_anti")
+        .filter(F.col(col).isNotNull())
+        .select(*group_cols, _hash32(F.col(col), "kmv:").alias("hv"))
+    )
+    kept = stored.join(lost_groups, group_cols, "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    merged = (
+        kept.unionByName(delta)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    rebuilt = kmv_build_grouped(
+        current.join(F.broadcast(lost_groups), group_cols, "left_semi"),
+        col,
+        group_cols,
+        k=k,
+    )
+    return merged.unionByName(rebuilt)
+
+
+def kmv_estimate_grouped(
+    grouped: DataFrame, group_cols: list[str], *, k: int = KMV_K
+) -> DataFrame:
+    """Per-group integer estimates from a ``kmv_build_grouped`` frame —
+    same arithmetic as :func:`kmv_estimate`."""
+    return (
+        grouped.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_hash"))
+        .select(
+            *group_cols,
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+            .otherwise(
+                F.expr(f"CAST({k - 1} AS BIGINT) * 4294967296 DIV kth_hash")
+            )
+            .alias("kmv_estimate"),
+        )
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Union the kept hash sets, dedup, keep the k smallest — exactly
     the sketch of the concatenated inputs."""

@@ -2193,6 +2193,174 @@ FROM est e JOIN exact USING (day) LEFT JOIN reb r ON e.day = r.day
 """
 
 
+def q_sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-day KMV distinct sketch over
+    the warehouse CDC feed (operators/sketch.py::kmv_maintain_grouped)
+    — the KMV twin of ``sketch_hll_incremental``, completing the
+    mergeable-sketch IVM family: KMV merge is LOSSLESS set algebra, so
+    insert/update post-images fold into the stored kept sets at CDC
+    cost (per-group top-k window), while days that LOST a contribution
+    (the same month-day 01-03 tombstones) rebuild from only the
+    affected days. Same staged scenario as the HLL twin; the frame
+    audits per-day kept-hash equality against a direct rebuild
+    (``n_hash_mismatch`` = 0, oracle-pinned) plus the rebuilt-path flag
+    and the estimate columns hash-compared against the oracle's
+    from-scratch sketch."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    dom = F.substring(F.date_format(F.col("ts"), "yyyy-MM-dd"), 9, 2).cast("int")
+    del_cond = (
+        (F.col("event_id") % 11 == 3) & (F.col("event_id") % 5 != 0) & (dom <= 3)
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_kmv_ivm")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    v0 = (
+        e.filter(F.col("event_id") % 5 != 0)
+        .withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(v0, "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    inserts = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    updates = (
+        e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    deletes = (
+        e.filter(del_cond)
+        .withColumn("i", F.lit(2).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        inserts.unionByName(updates).unionByName(deletes),
+        "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec,
+    )
+    stored = SK.kmv_build_grouped(
+        wh.read("t", version=0).select(day, "event_id"), "event_id", ["day"],
+        k=_KMV_K,
+    )
+    changes = wh.read_changes("t", from_version=0, images="both").select(
+        day, "event_id", "_change_type"
+    )
+    current = wh.read("t").select(day, "event_id").localCheckpoint(
+        eager=False
+    )  # feeds rebuild, direct-build proof, AND the exact audit
+    maintained = SK.kmv_maintain_grouped(
+        stored, changes, "event_id", ["day"], current, k=_KMV_K
+    ).localCheckpoint(eager=False)  # feeds estimates AND the mismatch proof
+    direct = SK.kmv_build_grouped(current, "event_id", ["day"], k=_KMV_K)
+    m = maintained.select("day", "hv", F.lit(1).alias("_m"))
+    d = direct.select("day", "hv", F.lit(1).alias("_d"))
+    mism = (
+        m.join(d, ["day", "hv"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("_m").isNull() | F.col("_d").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_hash_mismatch")
+        )
+    )
+    est = SK.kmv_estimate_grouped(maintained, ["day"], k=_KMV_K)
+    exact = current.groupBy("day").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    reb = (
+        changes.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .join(
+            changes.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("day", "event_id"),
+            ["day", "event_id"],
+            "left_anti",
+        )
+        .select("day")
+        .distinct()
+        .withColumn("rebuilt", F.lit(True))
+    )
+    return (
+        est.join(exact, "day")
+        .join(mism, "day")
+        .join(reb, "day", "left")
+        .select(
+            "day",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.col("kth_hash").cast("bigint").alias("kth_hash"),
+            "kmv_estimate",
+            "n_exact",
+            F.coalesce(F.col("rebuilt"), F.lit(False)).alias("rebuilt"),
+            "n_hash_mismatch",
+            (F.col("n_hash_mismatch") == 0).alias("merge_ok"),
+        )
+    )
+
+
+Q_SKETCH_KMV_INCREMENTAL_SQL = f"""
+WITH final AS (
+  SELECT event_id, strftime({_TS_US}, '%Y-%m-%d') AS day
+  FROM events
+  WHERE event_id IS NOT NULL
+    AND NOT (event_id % 11 = 3 AND event_id % 5 <> 0
+             AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3)
+),
+h AS (
+  SELECT day,
+         CAST(concat('0x', substr(md5(concat('kmv:', CAST(event_id AS VARCHAR))), 1, 8))
+              AS BIGINT) AS hv
+  FROM final
+),
+kept AS (
+  SELECT day, hv FROM (
+    SELECT day, hv,
+           row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT day, hv FROM h)
+  ) WHERE rn <= {_KMV_K}
+),
+agg AS (SELECT day, COUNT(*) AS n_kept, MAX(hv) AS kth_hash FROM kept GROUP BY 1),
+est AS (
+  SELECT day, CAST(n_kept AS BIGINT) AS n_kept, CAST(kth_hash AS BIGINT) AS kth_hash,
+         CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS BIGINT)
+              ELSE CAST({_KMV_K - 1} AS BIGINT) * 4294967296 // kth_hash END
+           AS kmv_estimate
+  FROM agg
+),
+exact AS (SELECT day, COUNT(DISTINCT event_id) AS n_exact FROM final GROUP BY 1),
+reb AS (
+  SELECT DISTINCT strftime({_TS_US}, '%Y-%m-%d') AS day, TRUE AS rebuilt
+  FROM events
+  WHERE event_id % 11 = 3 AND event_id % 5 <> 0
+    AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3
+)
+SELECT e.day, n_kept, kth_hash, kmv_estimate, n_exact,
+       COALESCE(r.rebuilt, FALSE) AS rebuilt,
+       CAST(0 AS BIGINT) AS n_hash_mismatch,
+       TRUE AS merge_ok
+FROM est e JOIN exact USING (day) LEFT JOIN reb r ON e.day = r.day
+"""
+
+
 def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k minimum values) distinct sketch (operators/sketch.py):
     two half-corpus sketches (even/odd event_id) merged and checked
@@ -3635,6 +3803,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_hll_distinct": (q_sketch_hll_distinct, Q_SKETCH_HLL_SQL),
     "sketch_hll_daily": (q_sketch_hll_daily, Q_SKETCH_HLL_DAILY_SQL),
     "sketch_hll_incremental": (q_sketch_hll_incremental, Q_SKETCH_HLL_INCREMENTAL_SQL),
+    "sketch_kmv_incremental": (q_sketch_kmv_incremental, Q_SKETCH_KMV_INCREMENTAL_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "sketch_kmv_overlap": (q_sketch_kmv_overlap, Q_SKETCH_KMV_OVERLAP_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),

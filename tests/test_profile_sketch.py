@@ -236,3 +236,62 @@ def test_hll_maintain_group_fully_deleted_disappears(spark):
     got = _reg_map(maintained)
     assert got == _reg_map(SK.hll_build_grouped(final, "v", ["g"]))
     assert not any(g == "a" for g, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# KMV incremental maintenance (kmv_maintain_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["g"], set()).add(r["hv"])
+    return out
+
+
+def test_kmv_maintain_insert_only_never_touches_current(spark):
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), i) for i in range(200)], "g: string, v: bigint"
+    )
+    stored = SK.kmv_build_grouped(base, "v", ["g"])
+    cdc = _cdc(
+        spark,
+        [("a", v, "insert") for v in range(200, 260)]
+        + [("b", 8, "update_preimage"), ("b", 8, "update_postimage")],
+    )
+    poisoned = spark.createDataFrame([("a", 10**9), ("b", 10**9)], "g: string, v: bigint")
+    maintained = SK.kmv_maintain_grouped(stored, cdc, "v", ["g"], poisoned)
+    final = base.unionByName(
+        spark.createDataFrame([("a", v) for v in range(200, 260)], "g: string, v: bigint")
+    )
+    assert _kmv_map(maintained) == _kmv_map(SK.kmv_build_grouped(final, "v", ["g"]))
+
+
+def test_kmv_maintain_delete_rebuilds_lost_group(spark):
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), i) for i in range(200)], "g: string, v: bigint"
+    )
+    stored = SK.kmv_build_grouped(base, "v", ["g"])
+    cdc = _cdc(spark, [("a", 1, "delete"), ("a", 3, "delete")])
+    final = base.filter(~((F.col("g") == "a") & F.col("v").isin(1, 3)))
+    maintained = SK.kmv_maintain_grouped(stored, cdc, "v", ["g"], final)
+    assert _kmv_map(maintained) == _kmv_map(SK.kmv_build_grouped(final, "v", ["g"]))
+
+
+def test_kmv_grouped_estimates_match_single_group_build(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(600)], "v: bigint, g: string"
+    )
+    grouped = SK.kmv_build_grouped(df, "v", ["g"])
+    per = {
+        r["g"]: (r["n_kept"], r["kth_hash"], r["kmv_estimate"])
+        for r in SK.kmv_estimate_grouped(grouped, ["g"]).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        single = SK.kmv_estimate(
+            SK.kmv_build(df.filter(F.col("g") == g), "v")
+        ).collect()[0]
+        assert per[g] == (
+            single["n_kept"], single["kth_hash"], single["kmv_estimate"]
+        )
