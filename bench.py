@@ -112,6 +112,7 @@ HEADLINE = [
     # scratch-warehouse entries (timing is parquet-write dominated).
     "text_zipf_fit",
     "orders_market_basket",
+    "docs_chunk_windows",
 ]
 
 

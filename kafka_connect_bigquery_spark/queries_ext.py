@@ -2104,6 +2104,77 @@ FROM s
 """
 
 
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    context-chunking pass every RAG / long-context training pipeline
+    runs before embedding or packing. Pure per-row array arithmetic:
+    chunk count ceil(max(n-W,0)/S)+1, token slices via higher-order
+    array functions, md5 fingerprint of each chunk for downstream
+    chunk-level dedup. No shuffle at all — runs at scan speed on any
+    cluster size; the oracle re-derives every boundary, so off-by-one
+    window/stride bugs hash-mismatch."""
+    from kafka_connect_bigquery_spark.functions import text as text_fns
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(text_fns.tokens(F.col("text")), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("tk")).withColumn(
+        "n_tok", F.size("tk").cast("bigint")
+    )
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.col("n_tok") - _CHUNK_W, F.lit(0)) + _CHUNK_S - 1)
+            / _CHUNK_S
+        ).cast("long")
+        + 1
+    )
+    chunked = base.select(
+        "doc_id",
+        "tk",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).withColumn(
+        "chunk", F.slice(F.col("tk"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_tok",
+        F.size("chunk").cast("bigint").alias("chunk_len"),
+        F.element_at("chunk", 1).alias("first_tok"),
+        F.element_at("chunk", -1).alias("last_tok"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )
+
+
+Q_DOCS_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, [t for t in {_TOKS} if t <> ''] AS tk FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+         CAST(FLOOR((greatest(len(tk) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+              / {_CHUNK_S}) AS BIGINT) + 1 AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, n_tok, CAST(i AS BIGINT) AS chunk_id,
+         tk[CAST(i AS INT) * {_CHUNK_S} + 1 :
+            CAST(i AS INT) * {_CHUNK_S} + {_CHUNK_W}] AS chunk
+  FROM sized, unnest(range(0, n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_id, n_tok,
+       CAST(len(chunk) AS BIGINT) AS chunk_len,
+       chunk[1] AS first_tok,
+       chunk[-1] AS last_tok,
+       md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
 _BASKET_MINSUP = 3
 _BASKET_TOP = 50
 _BASKET_Q = 1_000_000
@@ -3706,6 +3777,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_collocations": (q_text_collocations, Q_TEXT_COLLOCATIONS_SQL),
     "text_zipf_fit": (q_text_zipf_fit, Q_TEXT_ZIPF_SQL),
     "orders_market_basket": (q_orders_market_basket, Q_ORDERS_BASKET_SQL),
+    "docs_chunk_windows": (q_docs_chunk_windows, Q_DOCS_CHUNKS_SQL),
     "events_welch_t": (q_events_welch_t, Q_EVENTS_WELCH_SQL),
     "events_benford": (q_events_benford, Q_EVENTS_BENFORD_SQL),
     "events_mannwhitney": (q_events_mannwhitney, Q_EVENTS_MANNWHITNEY_SQL),
