@@ -1541,6 +1541,86 @@ FROM events WHERE NOT coalesce(user_id % 5 = 2, FALSE)
 """
 
 
+# canonical-text / whitespace-token SQL twins of
+# operators.dedup.canonical_text + functions.text.tokens (same macros
+# as queries_ext — duplicated here to keep module imports acyclic)
+_DOC_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_DOC_TOKS = f"str_split({_DOC_CANON}, ' ')"
+
+
+def q_warehouse_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text token lookup through the per-file text index
+    (sinks/warehouse.py::record_text_index/read_containing) — grep at
+    warehouse scale: documents land in TWO appends (the second
+    refreshes the recorded postings incrementally, new files only) and
+    the probe term's matches are found by reading ONLY the files whose
+    recorded postings contain the term; scanned files without it are
+    provably skipped. The probe term is data-derived identically on
+    both engines (most frequent token of length >= 6, lexicographic
+    tie-break — a 1-row bounded collect on the Spark side, a scalar
+    subquery in the oracle), and the result must equal the plain
+    tokenized filter the oracle runs over ALL documents — a wrongly
+    skipped file loses rows and hash-mismatches."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.functions.text import token_count, tokens
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    term = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 6)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1)  # 1-row bounded collect: the probe term
+        .collect()[0]["tok"]
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_textidx")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(d.filter(F.col("doc_id") % 2 == 0), "docs", spec)
+    wh.record_text_index("docs", ["text"])
+    wh.append(d.filter(F.col("doc_id") % 2 == 1), "docs", spec)  # incremental
+    return wh.read_containing("docs", "text", term).select(
+        "doc_id",
+        "lang",
+        F.lit(term).alias("term"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+
+
+Q_WAREHOUSE_TEXT_SEARCH_SQL = f"""
+WITH toked AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM documents),
+term AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(toks) AS tok FROM toked)
+    WHERE length(tok) >= 6 GROUP BY 1
+  ) ORDER BY n DESC, tok LIMIT 1
+)
+SELECT doc_id, lang, term.tok AS term,
+       CAST(len(toks) AS BIGINT) AS n_tok
+FROM toked CROSS JOIN term
+WHERE list_contains(toks, term.tok)
+"""
+
+
 def q_warehouse_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT DISTINCT through the per-file HLL index
     (sinks/warehouse.py::record_sketch/approx_distinct): events land in
@@ -3796,6 +3876,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_evolution_read": (q_warehouse_evolution_read, Q_WAREHOUSE_EVOLUTION_SQL),
     "warehouse_delete_read": (q_warehouse_delete_read, Q_WAREHOUSE_DELETE_SQL),
     "warehouse_sketch_distinct": (q_warehouse_sketch_distinct, Q_WAREHOUSE_SKETCH_SQL),
+    "warehouse_text_search": (q_warehouse_text_search, Q_WAREHOUSE_TEXT_SEARCH_SQL),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),

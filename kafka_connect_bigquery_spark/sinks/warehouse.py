@@ -1347,7 +1347,7 @@ class Warehouse:
     # bucketed migration) yet IS data — a startswith('_') rule emptied
     # every bucketed listing (regression-probed: describe_detail
     # num_files=0, compact no-op).
-    _META_DIRS = frozenset({"_bloom", "_sketch", "_retained"})
+    _META_DIRS = frozenset({"_bloom", "_sketch", "_text", "_retained"})
 
     @classmethod
     def _data_files(cls, tdir: str) -> list[str]:
@@ -1805,6 +1805,202 @@ class Warehouse:
             table, meta["cols"], p=meta["p"], incremental=incremental
         )
 
+    # -- full-text token index (CONTAINS-style file skipping) -------------
+    #
+    # Per-file DISTINCT token postings for text columns, same storage
+    # discipline as the Bloom/HLL indexes: a parquet table at
+    # `<table>/_text/index/` with rows (f, c, tok) plus an empty-string
+    # marker row per scanned (file, column) — tokens come from the
+    # canonical whitespace tokenizer (functions/text.py), which never
+    # emits "", so the marker cannot collide. The probe reads ONLY the
+    # term's rows via parquet predicate pushdown; a scanned file without
+    # the term is provably skippable, an unindexed file is
+    # conservatively read. This is grep-at-100TB: a rare-term corpus
+    # lookup touches the index plus the few files that contain the term.
+
+    def _text_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_text")
+
+    def _text_meta_path(self, table: str) -> str:
+        return os.path.join(self._text_dir(table), "meta.json")
+
+    def _text_index_dir(self, table: str) -> str:
+        return os.path.join(self._text_dir(table), "index")
+
+    def text_meta(self, table: str) -> dict | None:
+        """The recorded text-index columns ({cols}) or None."""
+        import json
+
+        p = self._text_meta_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def text_indexed_files(self, table: str) -> set[str]:
+        """Relative paths the text index covers — only the ``f`` column
+        leaves the index table."""
+        d = self._text_index_dir(table)
+        if not os.path.isdir(d):
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        names: set[str] = set()
+        for batch in pads.dataset(d, format="parquet").to_batches(columns=["f"]):
+            names.update(pc.unique(batch.column("f")).to_pylist())
+        return names
+
+    def _text_build(
+        self, table: str, cols: list[str], files: list[str] | None
+    ) -> tuple[DataFrame | None, list[str]]:
+        """One scan for all columns: (f, c, tok) DISTINCT token postings
+        per file. Reads raw data files, never read() — file-physical,
+        like the Bloom/HLL builds (deferred deletes are not subtracted
+        until materialized)."""
+        from kafka_connect_bigquery_spark.functions.text import tokens
+
+        tdir = self.path(table)
+        if files is None:
+            files = self._data_files(tdir)
+        if not files:
+            return None, []
+        src = (
+            self.spark.read.option("basePath", tdir)
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
+        fields = {f.name: f.dataType for f in src.schema.fields}
+        indexable = [
+            c for c in cols if c in fields and isinstance(fields[c], T.StringType)
+        ]
+        if not indexable:
+            return None, indexable
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.filter(
+                        tokens(F.coalesce(F.col(c), F.lit(""))),
+                        lambda t: t != "",
+                    ).alias("tk"),
+                )
+                for c in indexable
+            ]
+        )
+        rows = (
+            src.select(F.input_file_name().alias("f"), F.explode(entries).alias("e"))
+            .select("f", F.col("e.c").alias("c"), F.explode("e.tk").alias("tok"))
+            .distinct()
+            .withColumn(
+                "f",
+                F.expr(
+                    "substring(regexp_replace(f, '^file:(//)?', ''), "
+                    f"{len(tdir) + 2})"
+                ),
+            )
+        )
+        return rows, indexable
+
+    def record_text_index(
+        self, table: str, cols: list[str], *, incremental: bool = False
+    ) -> None:
+        """Record per-file token postings for text ``cols``. Same
+        lifecycle and concurrency contract as the Bloom index: appends
+        refresh incrementally (new files only), overwrite/compact
+        rebuild, every (f, c) marker lands in the same output file as
+        its token rows (``_write_index``), duplicate rows from racing
+        recorders are identical, and skipping is an optimization —
+        an unindexed file is always read."""
+        if self.layout_meta(table).get("generations") is not None:
+            raise WarehouseError(
+                f"table {table} is bucketed: per-file text postings assume "
+                "the flat append-log layout"
+            )
+        meta = {"cols": sorted(cols)}
+        tdir = self.path(table)
+        live = {os.path.relpath(q, tdir): q for q in self._data_files(tdir)}
+        mode = "overwrite"
+        scan: list[str] | None = None
+        new_rel = set(live)
+        if incremental and self.text_meta(table) == meta:
+            indexed = self.text_indexed_files(table)
+            new_rel = {rel for rel in live if rel not in indexed}
+            if not new_rel:
+                return
+            scan = [live[r] for r in sorted(new_rel)]
+            mode = "append"
+        rows, indexable = (
+            self._text_build(table, meta["cols"], scan) if new_rel else (None, [])
+        )
+        schema = "f string, c string, tok string"
+        markers = [(rel, c, "") for rel in sorted(new_rel) for c in indexable]
+        out = self.spark.createDataFrame(markers, schema)
+        if rows is not None:
+            out = rows.unionByName(out)
+        self._write_index(
+            out, mode=mode, n_files=len(new_rel),
+            dest=self._text_index_dir(table),
+        )
+        import json
+
+        os.makedirs(self._text_dir(table), exist_ok=True)
+        dst = self._text_meta_path(table)
+        tmp = dst + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, dst)
+
+    def _refresh_text_if_recorded(self, table: str, *, incremental: bool) -> None:
+        meta = self.text_meta(table)
+        if not meta:
+            return
+        self.record_text_index(table, meta["cols"], incremental=incremental)
+
+    def read_containing(self, table: str, col: str, term: str) -> DataFrame:
+        """All rows whose ``col`` contains ``term`` as a whole token —
+        exactly ``read(table).filter(array_contains(tokens(col),
+        term))``, with the text index (when recorded) skipping every
+        scanned file that provably lacks the term. The probe loads ONLY
+        the term's index rows plus the scanned markers (parquet
+        predicate pushdown); deferred deletes and schema conformance
+        apply to the surviving files exactly as in read()."""
+        from kafka_connect_bigquery_spark.functions.text import tokens
+
+        pred = F.array_contains(tokens(F.coalesce(F.col(col), F.lit(""))), term)
+        meta = self.text_meta(table)
+        idx = self._text_index_dir(table)
+        if (
+            not term
+            or meta is None
+            or col not in meta.get("cols", [])
+            or not os.path.isdir(idx)
+            or self.layout_meta(table).get("generations") is not None
+        ):
+            return self.read(table).filter(pred)
+        import pyarrow.dataset as pads
+
+        hits: set[str] = set()
+        scanned: set[str] = set()
+        ds = pads.dataset(idx, format="parquet")
+        expr = (pads.field("c") == col) & pads.field("tok").isin([term, ""])
+        for batch in ds.to_batches(columns=["f", "tok"], filter=expr):
+            for f_, t_ in zip(
+                batch.column("f").to_pylist(), batch.column("tok").to_pylist()
+            ):
+                (scanned if t_ == "" else hits).add(f_)
+        tdir = self.path(table)
+        keep = [
+            p
+            for p in self._data_files(tdir)
+            if (rel := os.path.relpath(p, tdir)) in hits or rel not in scanned
+        ]
+        if not keep:
+            return self.read(table).limit(0).filter(pred)
+        return self._read_files_with_deletes(
+            table, keep, self.layout_meta(table)
+        ).filter(pred)
+
     def approx_distinct(
         self, table: str, col: str, *, partition: tuple[str, str] | None = None
     ) -> DataFrame:
@@ -2151,6 +2347,7 @@ class Warehouse:
             self._record_zonemap(table, incremental=True)
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
+        self._refresh_text_if_recorded(table, incremental=True)
         self._log_op(table, "append", n_columns=len(out.columns), adds=adds)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
@@ -2184,6 +2381,7 @@ class Warehouse:
         # promise is rebuild, not vanish)
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
+        text = self.text_meta(table)
         oplog = None
         if os.path.exists(self._oplog_path(table)):
             with open(self._oplog_path(table)) as f:
@@ -2206,6 +2404,8 @@ class Warehouse:
             )
         if sketch:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
+        if text:
+            self.record_text_index(table, text["cols"])
         self._log_op(
             table, "overwrite", n_columns=len(out.columns), checkpoint=True
         )
@@ -2778,6 +2978,7 @@ class Warehouse:
         # recording is inside the dir being replaced
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
+        text = self.text_meta(table)
         oplog = None
         if os.path.exists(self._oplog_path(table)):
             with open(self._oplog_path(table)) as f:
@@ -2805,6 +3006,8 @@ class Warehouse:
             )
         if sketch:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
+        if text:
+            self.record_text_index(table, text["cols"])
         self._log_op(
             table, "compact", files_before=len(files), files_after=n_out,
             checkpoint=True,
