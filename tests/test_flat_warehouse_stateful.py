@@ -65,6 +65,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.created = False
         self.bloomed = False
         self.sketched = False
+        self.texted = False
         # physical (k, cat) rows on disk: deferred deletes do NOT
         # shrink this until compact/overwrite materializes them — the
         # file-physical view the HLL index sees
@@ -259,6 +260,12 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.wh.record_sketch("t", ["k", "cat"])
         self.sketched = True
 
+    @precondition(lambda self: self.created)
+    @rule()
+    def record_text(self):
+        self.wh.record_text_index("t", ["cat"])
+        self.texted = True
+
     # -- invariants -----------------------------------------------------
     def _project(self, df, flags=None):
         """Model-shaped (k, cat, v, w, sa, sb) tuples from a read."""
@@ -312,6 +319,20 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
             got = self._project(self.wh.read_pruned_where("t", {"k": key}))
             want = Counter(t for t in self.model.elements() if t[0] == key)
             assert got == want, f"bloom point lookup diverged for k={key}"
+
+    @invariant()
+    def text_contains_reads_stay_exact(self):
+        """Once the token index is recorded, CONTAINS reads through it
+        must equal the model filter across every subsequent append
+        (incremental refresh) / overwrite / compact (rebuild) /
+        deferred delete — file skipping must never lose or resurrect
+        rows."""
+        if not self.texted:
+            return
+        for cat in CATS + ["zz"]:  # zz never inserted
+            got = self._project(self.wh.read_containing("t", "cat", cat))
+            want = Counter(t for t in self.model.elements() if t[1] == cat)
+            assert got == want, f"text-index read diverged for cat={cat}"
 
     @invariant()
     def time_travel_reconstructs_readable_versions(self):
