@@ -3938,8 +3938,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # sf0.01 + sf0.1 and LEAD THE R08 WINDOW together with the r07-changed
 # warehouse reads (op-log/manifest + distributed index rebuilds:
 # warehouse_time_travel_read, warehouse_delete_read,
-# warehouse_bloom_read, warehouse_sketch_distinct) and then the oldest
-# r05 rows (merge family first).
+# warehouse_bloom_read, warehouse_sketch_distinct), the late-r07
+# first-witness entries (sketch_kmv_incremental, dedup_prefix_filter,
+# text_zipf_fit, orders_market_basket, docs_chunk_windows,
+# warehouse_text_search), and then the oldest r05 rows (merge family
+# first). Full r08 plan: SURVEY §7 "Round-8 pre-registration".
 _PRIORITY_ORDER: list[str] = [
     # -- r07 head: the 46 entries whose latest driver row is r04 ------
     "tpch_q3_shipping_priority",
