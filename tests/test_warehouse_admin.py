@@ -131,3 +131,17 @@ def test_flat_append_evolution_keeps_column_and_values(spark, tmp_path):
         (4, None),
         (5, 50),
     ]
+
+
+def test_text_index_cli(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "k: bigint, body: string"
+    )
+    wh.append(df, "t", TableSpec(partition_grain="NONE"))
+    out = _run(capsys, "text", root, "t", "--text-cols", "body")
+    assert out["meta"] == {"cols": ["body"]} and out["n_files"] >= 1
+    # report-only form
+    out = _run(capsys, "text", root, "t")
+    assert out["meta"] == {"cols": ["body"]}

@@ -8,12 +8,14 @@ Spark code:
     python tools/warehouse_admin.py history  <root> <table>
     python tools/warehouse_admin.py snapshots <root> <table>
     python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
+    python tools/warehouse_admin.py text     <root> <table> [--text-cols a,b]
     python tools/warehouse_admin.py restore  <root> <table> --version N
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
 session. `bloom` with --bloom-cols records per-file Bloom filters (one
-Spark pass); without it, it reports the recorded bloom state.
+Spark pass); without it, it reports the recorded bloom state. `text`
+works the same way for the per-file full-text token index.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "describe", "vacuum", "compact", "history", "snapshots",
-            "bloom", "restore",
+            "bloom", "text", "restore",
         ],
     )
     p.add_argument("root")
@@ -41,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-snapshots", type=int, default=None)
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
     p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
+    p.add_argument("--text-cols", default=None, help="comma-separated columns")
     p.add_argument("--version", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -86,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
             "table": args.table,
             "meta": meta,
             "n_files": len(bw.bloom_indexed_files(args.table)) if meta else 0,
+        }
+    elif args.command == "text":
+        if args.text_cols:
+            w = wh()
+            w.record_text_index(args.table, args.text_cols.split(","))
+        tw = Warehouse(None, args.root)
+        meta = tw.text_meta(args.table)
+        out = {
+            "table": args.table,
+            "meta": meta,
+            "n_files": len(tw.text_indexed_files(args.table)) if meta else 0,
         }
     else:  # history
         w = wh()
