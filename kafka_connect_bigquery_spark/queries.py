@@ -3579,17 +3579,27 @@ FROM events GROUP BY 1, 2
 
 def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime-value decile profile: per-customer total spend
-    (orders⨝customer), ntile(10) deciles over a fully pinned order,
-    then per-decile aggregates — the two-level windowed-then-aggregated
-    shape BI cohort dashboards run. Spend totals are quantized-exact,
-    the decile window's ordering is total (spend, custkey), and the
-    per-decile min/max/sum re-derive from those exact integers.
+    (orders⨝customer), EXACT ntile(10) deciles over a fully pinned
+    order, then per-decile aggregates — the two-level
+    windowed-then-aggregated shape BI cohort dashboards run. Spend
+    totals are quantized-exact and the per-decile min/max/sum re-derive
+    from those exact integers.
 
-    Scale note: the frame under the global ntile is the per-customer
-    AGGREGATE (|customers| rows, not |orders|); at extreme customer
-    cardinality the exact global window would be swapped for two-pass
-    decile boundaries (approx quantiles of spend_q + a range join) —
-    here exactness wins because the oracle must hash-match."""
+    Scale shape (r07 verdict ask 2 — this was the registry's last
+    data-sized single-partition window): the exact global rank is a
+    distributed sort, not a global ntile window. ``repartitionByRange``
+    on (spend_q DESC, c_custkey) range-partitions the per-customer
+    frame into ``P`` ordered slices (partition ids follow range order —
+    the same contract distributed sort rests on); a within-slice
+    ``row_number`` plus broadcast per-slice count OFFSETS gives the
+    exact global rank with no single-task sort anywhere. The offsets
+    are a triangular broadcast self-join over the CONSTANT P-row count
+    frame (no global window at all — the plan fence needs no
+    allowlist). The decile is then computed from (rank, N) by the
+    exact SQL-standard ntile split — the first N mod 10 tiles take
+    ceil(N/10) rows, the rest floor(N/10); note floor((rank-1)*10/N)+1
+    is NOT ntile (it interleaves the remainder tiles) — so the result
+    hash-matches the oracle's genuine ntile(10) on every N."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     spend = (
@@ -3598,9 +3608,47 @@ def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_qsum(F.col("o_totalprice")).alias("spend_q"),
              F.count(F.lit(1)).alias("n_orders"))
     )
-    w = Window.orderBy(F.desc("spend_q"), F.asc("c_custkey"))
+    # P is a constant slice count (raise for fleet scale: |customers|/P
+    # rows sort per task). localCheckpoint pins the range shuffle so the
+    # count pass and the rank pass see identical partition ids, and the
+    # spend aggregate is scanned once (reused subtrees are not
+    # AQE-deduplicated — the q15/q2/q11 pattern).
+    P = 64
+    parts = (
+        spend.repartitionByRange(P, F.desc("spend_q"), F.asc("c_custkey"))
+        .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = parts.groupBy("__p").agg(F.count(F.lit(1)).alias("__cnt"))
+    b = counts.select(
+        F.col("__p").alias("__bp"), F.col("__cnt").alias("__bcnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(b), F.col("__bp") < F.col("__p"), "left")
+        .groupBy("__p")
+        .agg(F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+    within = Window.partitionBy("__p").orderBy(
+        F.desc("spend_q"), F.asc("c_custkey")
+    )
+    ranked = (
+        parts.join(F.broadcast(offsets), "__p")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__r", F.row_number().over(within) + F.col("__off"))
+    )
+    # exact ntile(10): q = N div 10, rem = N mod 10; ranks 1..rem*(q+1)
+    # fall in the first rem (big) tiles, the rest in q-sized tiles.
+    # greatest(q,1) keeps the unused else-branch division defined when
+    # N < 10 (ANSI mode would otherwise raise on the dead branch).
+    decile = F.expr(
+        "CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1) "
+        "THEN (__r - 1) DIV (__n DIV 10 + 1) + 1 "
+        "ELSE (__n % 10) + (__r - (__n % 10) * (__n DIV 10 + 1) - 1) "
+        "DIV greatest(__n DIV 10, 1) + 1 END AS BIGINT)"
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

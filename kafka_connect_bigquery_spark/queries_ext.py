@@ -2528,6 +2528,12 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("u_x2"),
         )
+        # degenerate-corpus guard: the SQL oracle's a CROSS JOIN b frame
+        # is EMPTY when either event type has no rows, while a global
+        # agg always emits one row (NULL/0-filled on an empty or
+        # one-group input) — filter it back to the empty frame so both
+        # engines agree on every input, not just populated ones
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
 
 

@@ -366,11 +366,14 @@ class Warehouse:
         import time as _time
 
         tdir = self.path(table)
-        meta = self.layout_meta(table)
-        schema = meta.get("schema")
-        deletes = list(meta.get("deferred_deletes") or [])
         rec: dict = {"op": op, "committed_at": _time.time(), **detail}
         with self._commit_lock(table):
+            # layout_meta is read INSIDE the lock so the record's
+            # schema/deletes can never belong to a neighboring commit
+            # that raced between the read and the version assignment.
+            meta = self.layout_meta(table)
+            schema = meta.get("schema")
+            deletes = list(meta.get("deferred_deletes") or [])
             version = self._oplog_len(table)
             if checkpoint or adds is None:
                 files = sorted(
@@ -385,11 +388,32 @@ class Warehouse:
                     if version
                     else {"files": []}
                 )
-                files = sorted(
+                reconstructed = sorted(
                     (set(prev["files"]) - set(removes or [])) | set(adds)
                 )
+                # Self-heal at checkpoint commits: data files were moved
+                # in BEFORE this record commits, so a crashed (or
+                # _log_op-failed) earlier append can leave live files no
+                # log record references — the log-derived view would then
+                # diverge from read()'s directory listing FOREVER, since
+                # deltas never re-list. Reconcile against the actual
+                # listing here (O(files) once per _OPLOG_CHECKPOINT_EVERY
+                # commits, amortized O(files/16)); on mismatch trust the
+                # filesystem and record the repair loudly in the commit.
+                listed = sorted(
+                    os.path.relpath(p, tdir) for p in self._data_files(tdir)
+                )
+                if listed != reconstructed:
+                    rec["reconciled"] = {
+                        "orphans_adopted": sorted(
+                            set(listed) - set(reconstructed)
+                        ),
+                        "ghosts_dropped": sorted(
+                            set(reconstructed) - set(listed)
+                        ),
+                    }
                 rec["state"] = {
-                    "files": files, "schema": schema, "deletes": deletes,
+                    "files": listed, "schema": schema, "deletes": deletes,
                 }
             else:
                 rec["delta"] = {
@@ -400,8 +424,24 @@ class Warehouse:
                 }
             d = self._oplog_dir(table)
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"{version:08d}.json"), "x") as f:
+            # Crash-safe publish: stage the record under a name no
+            # reader matches (no .json suffix), fsync, then os.replace
+            # into the versioned name. A crash mid-write leaves only a
+            # .tmp orphan — never a truncated NNNNNNNN.json that would
+            # poison _read_oplog/_flat_state_at for every later reader
+            # AND every 16th-commit checkpoint reconstruction. The
+            # open("x") exclusivity moves to the final name via a
+            # pre-flight existence check under the commit lock (replace
+            # itself must overwrite-or-create atomically).
+            final = os.path.join(d, f"{version:08d}.json")
+            if os.path.exists(final):
+                raise FileExistsError(final)
+            tmp = final + f".tmp.{os.getpid()}"
+            with open(tmp, "x") as f:
                 f.write(_json.dumps(rec))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
 
     def _read_oplog(self, table: str) -> list[dict]:
         import json as _json
@@ -2387,9 +2427,16 @@ class Warehouse:
             with open(self._oplog_path(table)) as f:
                 oplog = f.read()
         if os.path.isdir(self._oplog_dir(table)):
-            # the per-commit log dir survives the swap by moving INTO
-            # the incoming dir (one rename — it becomes the table dir)
-            os.replace(self._oplog_dir(table), os.path.join(tmp, "_oplog"))
+            # the per-commit log dir survives the swap by COPYING into
+            # the incoming dir; the source copy dies with the old table
+            # dir inside _swap_dir_retaining's rmtree. A crash anywhere
+            # before the swap therefore leaves the original table —
+            # commit history included — fully intact, with only an
+            # orphaned .tmp_* scratch dir to sweep (the pre-r08 move
+            # stranded the entire history in that scratch dir).
+            shutil.copytree(
+                self._oplog_dir(table), os.path.join(tmp, "_oplog")
+            )
         self._swap_dir_retaining(table, tmp)
         if oplog is not None:
             with open(self._oplog_path(table), "w") as f:
@@ -2984,9 +3031,16 @@ class Warehouse:
             with open(self._oplog_path(table)) as f:
                 oplog = f.read()
         if os.path.isdir(self._oplog_dir(table)):
-            # the per-commit log dir survives the swap by moving INTO
-            # the incoming dir (one rename — it becomes the table dir)
-            os.replace(self._oplog_dir(table), os.path.join(tmp, "_oplog"))
+            # the per-commit log dir survives the swap by COPYING into
+            # the incoming dir; the source copy dies with the old table
+            # dir inside _swap_dir_retaining's rmtree. A crash anywhere
+            # before the swap therefore leaves the original table —
+            # commit history included — fully intact, with only an
+            # orphaned .tmp_* scratch dir to sweep (the pre-r08 move
+            # stranded the entire history in that scratch dir).
+            shutil.copytree(
+                self._oplog_dir(table), os.path.join(tmp, "_oplog")
+            )
         self._swap_dir_retaining(table, tmp)
         if oplog is not None:
             with open(self._oplog_path(table), "w") as f:

@@ -127,3 +127,79 @@ def test_legacy_jsonl_prefix_still_resolves(spark, tmp_path):
     assert [n for n, _ in new] == ["00000002.json"]
     assert [wh.read("t", version=v).count() for v in range(3)] == [10, 20, 30]
     assert wh.history("t").count() == 3
+
+
+def test_stray_tmp_record_is_invisible_to_readers(spark, tmp_path):
+    """A crash mid-write leaves only a ``NNNNNNNN.json.tmp.<pid>``
+    staging orphan (the record publishes via tmp + os.replace); readers
+    and the version counter must ignore it, and the version line must
+    continue cleanly past it."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 10), "t", SPEC)
+    # simulate a crashed writer: truncated staging file for v1
+    orphan = os.path.join(wh._oplog_dir("t"), "00000001.json.tmp.99999")
+    with open(orphan, "w") as f:
+        f.write('{"op": "append", "delta": {"add"')  # truncated JSON
+    assert wh._oplog_len("t") == 1
+    wh.history("t").collect()  # must not raise
+    wh.append(_df(spark, 10, 20), "t", SPEC)
+    assert [n for n, _ in _recs(wh, "t")] == ["00000000.json", "00000001.json"]
+    assert wh.read("t", version=1).count() == 20
+
+
+def test_periodic_checkpoint_reconciles_against_listing(spark, tmp_path):
+    """Self-heal at checkpoint commits: a live data file no log record
+    references (crashed earlier append: files moved in, record never
+    committed) is ADOPTED by the next periodic checkpoint, and the
+    repair is recorded loudly in the commit record."""
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = Warehouse._OPLOG_CHECKPOINT_EVERY
+    for i in range(n - 1):  # versions 0..n-2; next commit is version n-1
+        wh.append(_df(spark, 10 * i, 10 * i + 2), "t", SPEC)
+    # orphan: copy a live part file to a name no record references
+    tdir = wh.path("t")
+    part = next(
+        p for p in os.listdir(tdir)
+        if p.endswith(".parquet") and not p.startswith(("_", "."))
+    )
+    shutil.copy(os.path.join(tdir, part), os.path.join(tdir, "part-orphan.parquet"))
+    wh.append(_df(spark, 900, 902), "t", SPEC)   # version n-1: plain delta
+    assert "delta" in _recs(wh, "t")[-1][1]      # orphan still unknown
+    wh.append(_df(spark, 910, 912), "t", SPEC)   # version n: checkpoint
+    name, rec = _recs(wh, "t")[-1]
+    assert "state" in rec
+    assert rec["reconciled"]["orphans_adopted"] == ["part-orphan.parquet"]
+    assert "part-orphan.parquet" in rec["state"]["files"]
+    # log-derived latest now equals the directory-listing read
+    assert wh.read("t", version=wh._oplog_len("t") - 1).count() == wh.read("t").count()
+
+
+def test_overwrite_crash_before_swap_preserves_history(spark, tmp_path):
+    """The op-log dir is COPIED into the incoming dir, so a crash in
+    the window before the swap leaves the original table — history
+    included — intact (pre-r08, the move stranded it in scratch)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 10), "t", SPEC)
+    wh.append(_df(spark, 10, 20), "t", SPEC)
+
+    # crash injection: fail inside _swap_dir_retaining before any rename
+    def boom(table, tmp):
+        raise RuntimeError("injected crash before swap")
+
+    orig = wh._swap_dir_retaining
+    wh._swap_dir_retaining = boom
+    try:
+        wh.overwrite(_df(spark, 0, 5), "t", SPEC)
+    except RuntimeError:
+        pass
+    finally:
+        wh._swap_dir_retaining = orig
+    # original table fully intact: data, history, every version
+    assert wh.read("t").count() == 20
+    assert wh.history("t").count() == 2
+    assert [wh.read("t", version=v).count() for v in range(2)] == [10, 20]
+    # and the table still accepts new commits on the same version line
+    wh.append(_df(spark, 20, 30), "t", SPEC)
+    assert wh.read("t", version=2).count() == 30

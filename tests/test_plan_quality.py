@@ -33,10 +33,9 @@ CROSS_OK = {"ann_cosine_topk"}
 # anything else tripping the fence is the r06-verdict scale-killer
 # class (a global sort of a data-sized frame through one task).
 WINDOW_NOPART_OK = {
-    # exact global ntile over the per-customer aggregate: the oracle
-    # contract is exact deciles; the in-code note documents the
-    # two-pass approx-boundary alternative for fleet scale
-    "customer_ltv_deciles",
+    # (customer_ltv_deciles left this list in r08: its exact ntile is
+    # now a range-partitioned rank + broadcast slice offsets + the
+    # piecewise ntile split — no single-partition window remains)
     # cumulative counts over the DISTINCT 1e-4-quantized value grid
     # (the lattice), not over event rows
     "events_ks_test",
@@ -205,3 +204,42 @@ def test_ivfpq_join_is_equi_on_list(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "list_id" in plan
+
+
+def test_ltv_distributed_ntile_matches_real_ntile_on_awkward_n(spark):
+    """The r08 customer_ltv_deciles rewrite computes ntile(10) from
+    (exact global rank, N) via the piecewise SQL-standard split. The
+    parquet fixtures all have N % 10 == 0, so the remainder branch
+    (first N mod 10 tiles take the extra row) never meets the oracle —
+    pin it here against Spark's own ntile on awkward N, including
+    N < 10 (every row its own tile) and N just past a multiple of 10."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (1, 3, 7, 10, 12, 95, 101, 109):
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 7 % 97).alias("k")
+        )
+        w = Window.orderBy(F.desc("k"), F.asc("id"))
+        truth = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+        }
+        ranked = df.select(
+            "id",
+            F.row_number().over(w).alias("__r"),
+            F.lit(n).alias("__n"),
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id",
+                F.expr(
+                    "CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1) "
+                    "THEN (__r - 1) DIV (__n DIV 10 + 1) + 1 "
+                    "ELSE (__n % 10) + (__r - (__n % 10) * (__n DIV 10 + 1) - 1) "
+                    "DIV greatest(__n DIV 10, 1) + 1 END AS INT)"
+                ).alias("t"),
+            ).collect()
+        }
+        assert got == truth, f"N={n}"
