@@ -1718,6 +1718,201 @@ FROM est JOIN exact USING (col_name)
 """
 
 
+def _staged_wh(spark, tag: str):
+    """Scratch Warehouse under a per-invocation unique dir (stale
+    siblings older than an hour swept) — the staging pattern every
+    warehouse oracle entry uses."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+
+    base = os.path.join(tempfile.gettempdir(), f"kcbq_spark_{tag}")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+
+
+def q_warehouse_sketch_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT DISTINCT on a BUCKETED MERGE table (r07
+    verdict ask 3 — the reference's upsert destinations,
+    BigQuerySinkConfig upsert mode, are exactly this layout): events
+    MERGE in keyed by event_id (v0), the HLL index is recorded on the
+    NON-key user_id column, then a second MERGE deletes every
+    event_id ≡ 4 (mod 13) and moves every event_id ≡ 5 (mod 13) to a
+    NEW user (+10^6) — touched buckets get new generation dirs, the
+    commit hook indexes them incrementally, and the superseded
+    generations' index rows go DEAD in place. ``approx_distinct`` must
+    merge registers over the live manifest only: the oracle computes
+    the register math from the post-merge state's values, so a dead
+    row leaking in (old user_ids of moved keys) over-estimates and
+    hash-mismatches."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    wh = _staged_wh(spark, "sketchbkt")
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    wh.merge(
+        e.withColumn("i", F.lit(0)).withColumn("__tombstone", F.lit(False)),
+        "t", ["event_id"], mode="upsert_delete", spec=spec,
+    )
+    wh.record_sketch("t", ["user_id"])
+    upd = (
+        e.filter(F.col("event_id") % 13 == 5)
+        .withColumn("user_id", F.col("user_id") + 1000000)
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    dels = (
+        e.filter(F.col("event_id") % 13 == 4)
+        .select("event_id", F.lit(None).cast("long").alias("user_id"))
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        upd.unionByName(dels), "t", ["event_id"],
+        mode="upsert_delete", spec=spec,
+    )
+    exact = wh.read("t").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        wh.approx_distinct("t", "user_id")
+        .crossJoin(F.broadcast(exact))
+        .select("m", "n_nonzero", "s_scaled", "hll_estimate", "n_exact")
+    )
+
+
+Q_WAREHOUSE_SKETCH_BUCKETED_SQL = f"""
+WITH state AS (
+  SELECT CASE WHEN event_id % 13 = 5 THEN user_id + 1000000
+              ELSE user_id END AS user_id
+  FROM events WHERE event_id % 13 <> 4
+),
+h AS (
+  SELECT CAST(concat('0x', substr(md5(concat('hll:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS hv
+  FROM state WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT hv // {_HLL_W} AS register,
+         CASE WHEN hv % {_HLL_W} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_W})) END AS rho
+  FROM h
+),
+reg AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY 1),
+agg AS (
+  SELECT COUNT(*) AS n_nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho)) AS BIGINT) AS s_present
+  FROM reg
+),
+est AS (
+  SELECT {_HLL_M} AS m, n_nonzero,
+         s_present + ({_HLL_M} - n_nonzero) * {1 << _HLL_RMAX} AS s_scaled
+  FROM agg
+)
+SELECT m, n_nonzero, s_scaled,
+       (CAST({_HLL_ALPHA_PPM} AS BIGINT) * {_HLL_M} * {_HLL_M} * {1 << _HLL_RMAX})
+         // (s_scaled * 1000000) AS hll_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM state) AS n_exact
+FROM est
+"""
+
+
+def q_warehouse_text_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text CONTAINS through the per-file token index on a
+    BUCKETED MERGE table (r07 verdict ask 3): documents MERGE in keyed
+    by doc_id, the text index is recorded, then a second MERGE deletes
+    every doc_id ≡ 3 (mod 11) and prepends a marker token to every
+    doc_id ≡ 7 (mod 11) — new generations indexed incrementally by the
+    commit hook, superseded generations' postings dead in place. Two
+    probes, unioned with a tag: the corpus-derived frequent term (the
+    warehouse_text_search convention) proves dead postings cannot
+    resurrect deleted/rewritten rows; the marker term proves the
+    incrementally-indexed new generations are actually found. The
+    oracle runs both filters over the post-merge state."""
+    from kafka_connect_bigquery_spark.functions.text import token_count, tokens
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    term = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 6)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1)  # 1-row bounded collect: the probe term
+        .collect()[0]["tok"]
+    )
+    wh = _staged_wh(spark, "textbkt")
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    wh.merge(
+        d.withColumn("i", F.lit(0)).withColumn("__tombstone", F.lit(False)),
+        "docs", ["doc_id"], mode="upsert_delete", spec=spec,
+    )
+    wh.record_text_index("docs", ["text"])
+    upd = (
+        d.filter(F.col("doc_id") % 11 == 7)
+        .withColumn("text", F.concat(F.lit("xmarkerx "), F.col("text")))
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    dels = (
+        d.filter(F.col("doc_id") % 11 == 3)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        upd.unionByName(dels), "docs", ["doc_id"],
+        mode="upsert_delete", spec=spec,
+    )
+    parts = []
+    for tag, probe in (("corpus", term), ("marker", "xmarkerx")):
+        parts.append(
+            wh.read_containing("docs", "text", probe).select(
+                F.lit(tag).alias("probe"),
+                "doc_id",
+                "lang",
+                token_count(F.col("text")).cast("bigint").alias("n_tok"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+Q_WAREHOUSE_TEXT_BUCKETED_SQL = f"""
+WITH term AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest({_DOC_TOKS}) AS tok FROM documents)
+    WHERE length(tok) >= 6 GROUP BY 1
+  ) ORDER BY n DESC, tok LIMIT 1
+),
+state AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 11 = 7 THEN concat('xmarkerx ', text)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+),
+toked AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM state)
+SELECT 'corpus' AS probe, doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok
+FROM toked CROSS JOIN term WHERE list_contains(toks, term.tok)
+UNION ALL
+SELECT 'marker' AS probe, doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok
+FROM toked WHERE list_contains(toks, 'xmarkerx')
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -3925,6 +4120,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_delete_read": (q_warehouse_delete_read, Q_WAREHOUSE_DELETE_SQL),
     "warehouse_sketch_distinct": (q_warehouse_sketch_distinct, Q_WAREHOUSE_SKETCH_SQL),
     "warehouse_text_search": (q_warehouse_text_search, Q_WAREHOUSE_TEXT_SEARCH_SQL),
+    "warehouse_sketch_bucketed": (
+        q_warehouse_sketch_bucketed, Q_WAREHOUSE_SKETCH_BUCKETED_SQL,
+    ),
+    "warehouse_text_bucketed": (
+        q_warehouse_text_bucketed, Q_WAREHOUSE_TEXT_BUCKETED_SQL,
+    ),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),

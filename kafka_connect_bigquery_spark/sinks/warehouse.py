@@ -1402,6 +1402,25 @@ class Warehouse:
             if os.path.relpath(p, tdir).split(os.sep, 1)[0] not in cls._META_DIRS
         ]
 
+    def _live_data_files(self, table: str, meta: dict | None = None) -> dict[str, str]:
+        """The LIVE file set as ``{rel path: abs path}`` — the one
+        enumeration the data-skipping indexes key on. Flat tables list
+        the table dir; bucketed tables resolve through the generation
+        MANIFEST, so superseded generation dirs (still on disk while a
+        retained snapshot references them) are never treated as live —
+        a directory listing there would double-count every merged-over
+        row."""
+        meta = self.layout_meta(table) if meta is None else meta
+        tdir = self.path(table)
+        gens = meta.get("generations")
+        if gens is None:
+            return {os.path.relpath(p, tdir): p for p in self._data_files(tdir)}
+        out: dict[str, str] = {}
+        for b, g in gens.items():
+            for p in self._data_files(self._bucket_gen_dir(table, b, g)):
+                out[os.path.relpath(p, tdir)] = p
+        return out
+
     def bloom_meta(self, table: str) -> dict | None:
         """The recorded bloom parameters ({m, k, cols}) or None."""
         import json
@@ -1707,6 +1726,29 @@ class Warehouse:
             names.update(pc.unique(batch.column("f")).to_pylist())
         return names
 
+    def _index_scan(self, table: str, files: list[str] | None) -> DataFrame | None:
+        """Raw-file scan feeding an index build (Bloom words / HLL
+        registers / text postings). ``files=None`` scans the whole live
+        set. Flat tables read with ``basePath`` so Hive-partition
+        columns stay indexable; bucketed generation paths
+        (``_buckets/<b>/gen=<g>/``) trip Spark's partition-discovery
+        conflict check under a shared basePath (probed), and carry no
+        Hive columns anyway — each file reads against its own parent."""
+        meta = self.layout_meta(table)
+        bucketed = meta.get("generations") is not None
+        if files is None:
+            files = (
+                sorted(self._live_data_files(table, meta).values())
+                if bucketed
+                else self._data_files(self.path(table))
+            )
+        if not files:
+            return None
+        reader = self.spark.read.option("mergeSchema", "true")
+        if not bucketed:
+            reader = reader.option("basePath", self.path(table))
+        return reader.parquet(*files)
+
     def _sketch_build(
         self, table: str, cols: list[str], p: int, files: list[str] | None
     ) -> tuple[DataFrame | None, list[str]]:
@@ -1722,15 +1764,9 @@ class Warehouse:
         two semantics (fuzz-found: delete_where then record_sketch
         under-counted). The index is file-physical by contract."""
         tdir = self.path(table)
-        if files is None:
-            files = self._data_files(tdir)
-        if not files:
+        src = self._index_scan(table, files)
+        if src is None:
             return None, []
-        src = (
-            self.spark.read.option("basePath", tdir)
-            .option("mergeSchema", "true")
-            .parquet(*files)
-        )
         fields = {f.name: f.dataType for f in src.schema.fields}
         sketchable = [
             c for c in cols if c in fields and isinstance(fields[c], self._SKETCHABLE)
@@ -1790,20 +1826,23 @@ class Warehouse:
         contract as the Bloom index (identical registers from racing
         recorders, a marker never lands without its rows). Once
         recorded, ``append`` refreshes it incrementally and
-        ``overwrite``/``compact`` rebuild it. Flat tables only.
+        ``overwrite``/``compact`` rebuild it.
+
+        Bucketed MERGE tables (r07 verdict ask 3) follow the
+        per-GENERATION file lifecycle: the live set resolves through the
+        generation manifest (``_live_data_files``), every merge commit
+        incrementally indexes the new generations' files, and rows for
+        superseded generations simply go dead in place — ``approx_
+        distinct`` joins registers to the live manifest so dead rows
+        never pollute an estimate, and a full (non-incremental) rebuild
+        drops them physically. Same loud-when-stale contract as flat.
 
         Note on deferred deletes: the index is file-physical — pending
         ``delete_where`` predicates are NOT subtracted (HLL cannot
         unsee), so estimates include soft-deleted rows until a
         compact() materializes them and the rebuild drops them."""
-        if self.layout_meta(table).get("generations") is not None:
-            raise WarehouseError(
-                f"table {table} is bucketed: per-file sketches assume the "
-                "flat append-log layout"
-            )
         meta = {"p": p, "cols": sorted(cols)}
-        tdir = self.path(table)
-        live = {os.path.relpath(q, tdir): q for q in self._data_files(tdir)}
+        live = self._live_data_files(table)
         mode = "overwrite"
         scan: list[str] | None = None
         new_rel = set(live)
@@ -1901,15 +1940,9 @@ class Warehouse:
         from kafka_connect_bigquery_spark.functions.text import tokens
 
         tdir = self.path(table)
-        if files is None:
-            files = self._data_files(tdir)
-        if not files:
+        src = self._index_scan(table, files)
+        if src is None:
             return None, []
-        src = (
-            self.spark.read.option("basePath", tdir)
-            .option("mergeSchema", "true")
-            .parquet(*files)
-        )
         fields = {f.name: f.dataType for f in src.schema.fields}
         indexable = [
             c for c in cols if c in fields and isinstance(fields[c], T.StringType)
@@ -1951,15 +1984,17 @@ class Warehouse:
         rebuild, every (f, c) marker lands in the same output file as
         its token rows (``_write_index``), duplicate rows from racing
         recorders are identical, and skipping is an optimization —
-        an unindexed file is always read."""
-        if self.layout_meta(table).get("generations") is not None:
-            raise WarehouseError(
-                f"table {table} is bucketed: per-file text postings assume "
-                "the flat append-log layout"
-            )
+        an unindexed file is always read.
+
+        Bucketed MERGE tables (r07 verdict ask 3): per-generation
+        lifecycle — the live set resolves through the generation
+        manifest, every merge commit incrementally indexes the new
+        generations' files, superseded generations' rows go dead in
+        place (``read_containing`` intersects hits with the live
+        manifest, so dead postings are harmless) and a full rebuild
+        drops them physically."""
         meta = {"cols": sorted(cols)}
-        tdir = self.path(table)
-        live = {os.path.relpath(q, tdir): q for q in self._data_files(tdir)}
+        live = self._live_data_files(table)
         mode = "overwrite"
         scan: list[str] | None = None
         new_rel = set(live)
@@ -2015,7 +2050,6 @@ class Warehouse:
             or meta is None
             or col not in meta.get("cols", [])
             or not os.path.isdir(idx)
-            or self.layout_meta(table).get("generations") is not None
         ):
             return self.read(table).filter(pred)
         import pyarrow.dataset as pads
@@ -2029,17 +2063,26 @@ class Warehouse:
                 batch.column("f").to_pylist(), batch.column("tok").to_pylist()
             ):
                 (scanned if t_ == "" else hits).add(f_)
-        tdir = self.path(table)
+        # the live enumeration resolves bucketed tables through the
+        # generation manifest, so a dead posting (superseded generation
+        # still on disk for a retained snapshot) can never pull a stale
+        # file into the read — and an unindexed live file (manifest
+        # moved since the last refresh) is conservatively read
+        layout = self.layout_meta(table)
         keep = [
             p
-            for p in self._data_files(tdir)
-            if (rel := os.path.relpath(p, tdir)) in hits or rel not in scanned
+            for rel, p in self._live_data_files(table, layout).items()
+            if rel in hits or rel not in scanned
         ]
         if not keep:
             return self.read(table).limit(0).filter(pred)
-        return self._read_files_with_deletes(
-            table, keep, self.layout_meta(table)
-        ).filter(pred)
+        if layout.get("generations") is not None:
+            # bucketed survivors: same read shape as read() — merged
+            # footers + manifest-schema conform (generation paths carry
+            # no Hive columns and reject a shared basePath; probed)
+            sub = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+            return self._conform_to_stored(sub, layout).filter(pred)
+        return self._read_files_with_deletes(table, keep, layout).filter(pred)
 
     def approx_distinct(
         self, table: str, col: str, *, partition: tuple[str, str] | None = None
@@ -2068,8 +2111,7 @@ class Warehouse:
                 f"no HLL sketch recorded for {table}.{col}; call "
                 "record_sketch first"
             )
-        tdir = self.path(table)
-        live = {os.path.relpath(q, tdir) for q in self._data_files(tdir)}
+        live = set(self._live_data_files(table))
         missing = live - self.sketch_indexed_files(table)
         if missing:
             raise WarehouseError(
@@ -2079,6 +2121,16 @@ class Warehouse:
         regs = self.spark.read.parquet(self._sketch_index_dir(table)).filter(
             (F.col("c") == col) & (F.col("register") >= 0)
         )
+        # registers merge over the LIVE file set only: rows for dead
+        # files — superseded bucket generations, expired partitions —
+        # stay in the index until a full rebuild, and HLL cannot unsee,
+        # so merging them would silently OVER-estimate. The live list is
+        # the same driver-side enumeration the staleness check above
+        # already did; the join is index-metadata-scale.
+        live_df = self.spark.createDataFrame(
+            [(r,) for r in sorted(live)], "f string"
+        )
+        regs = regs.join(live_df, "f", "left_semi")
         if partition is not None:
             name, value = partition
             regs = regs.filter(
@@ -2722,6 +2774,17 @@ class Warehouse:
             for v in versions[: -self.snapshot_retention]:
                 os.remove(self._snapshot_path(table, v))
             self._gc_stale(table, gens)
+        # -- post-commit index refresh (OUTSIDE the lock — a Spark scan
+        #    must never hold the commit lock): the new generations'
+        #    files get sketch/text rows appended; superseded
+        #    generations' rows go dead in place and every probe joins
+        #    against the live manifest. A crash between commit and
+        #    refresh leaves the index lagging — approx_distinct is loud
+        #    about it, read_containing conservatively reads unindexed
+        #    files, and the next commit's refresh covers the gap (it
+        #    indexes live-minus-indexed, not just its own writes). -----
+        self._refresh_sketch_if_recorded(table, incremental=True)
+        self._refresh_text_if_recorded(table, incremental=True)
 
     def _gc_stale(self, table: str, gens: dict[str, object]) -> int:
         """Remove generation dirs that neither the live manifest nor any

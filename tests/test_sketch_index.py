@@ -133,14 +133,20 @@ def test_all_null_column_yields_marker_only_and_zero_estimate(spark, wh):
     assert est == py_hll_estimate([])
 
 
-def test_bucketed_tables_rejected(spark, wh):
-    df = spark.createDataFrame([(1, "x", 0)], "k: bigint, val: string, i: bigint")
+def test_bucketed_tables_supported(spark, wh):
+    """r07 verdict ask 3: bucketed MERGE tables take the per-generation
+    index lifecycle instead of the pre-r08 raise (depth coverage in
+    test_bucketed_indexes.py)."""
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}", 0) for i in range(40)], "k: bigint, val: string, i: bigint"
+    )
     wh.merge(
         df, "bt", key_cols=["k"],
         spec=TableSpec(partition_grain="NONE", key_bucket_count=4),
     )
-    with pytest.raises(WarehouseError):
-        wh.record_sketch("bt", ["k"])
+    wh.record_sketch("bt", ["val"])
+    est = wh.approx_distinct("bt", "val").collect()[0].asDict()
+    assert est == py_hll_estimate({f"v{i % 7}" for i in range(40)})
 
 
 def test_partition_scoped_estimate(spark, wh):
