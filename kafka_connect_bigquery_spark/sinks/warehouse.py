@@ -334,6 +334,7 @@ class Warehouse:
         adds: list[str] | None = None,
         removes: list[str] | None = None,
         checkpoint: bool = False,
+        locked: bool = False,
         **detail,
     ) -> None:
         """Commit one op-log record for a flat table — the Delta-model
@@ -362,12 +363,19 @@ class Warehouse:
         scope — that is the delete's snapshot semantics (Delta's DELETE
         also plans against the full manifest), not commit bookkeeping.
         """
+        import contextlib
         import json as _json
         import time as _time
 
         tdir = self.path(table)
         rec: dict = {"op": op, "committed_at": _time.time(), **detail}
-        with self._commit_lock(table):
+        # ``locked=True``: the caller already holds this table's commit
+        # lock around a larger critical section (append's move+commit,
+        # the overwrite/compact swap) — the lock is NOT reentrant
+        lock = (
+            contextlib.nullcontext() if locked else self._commit_lock(table)
+        )
+        with lock:
             # layout_meta is read INSIDE the lock so the record's
             # schema/deletes can never belong to a neighboring commit
             # that raced between the read and the version assignment.
@@ -2406,20 +2414,27 @@ class Warehouse:
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
         writer.parquet(tmp)
         tdir = self.path(table)
+        # ONE commit-lock hold covers move-files + schema union + op-log
+        # record: a concurrent overwrite/compact swaps the table dir
+        # under the same lock, so an append's files can never be moved
+        # into a dir that a racing swap is about to retire (pre-r08 that
+        # window silently destroyed the moved files), and the op-log
+        # record always describes the dir its files actually landed in.
+        # Everything inside is O(|batch files|) filesystem metadata —
+        # the Spark write above already finished.
         adds: list[str] = []
-        for p in self._data_files(tmp):
-            rel = os.path.relpath(p, tmp)
-            dst = os.path.join(tdir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(p, dst)
-            adds.append(rel)
-        shutil.rmtree(tmp, ignore_errors=True)
-        # persist the (evolved) logical schema: evolution on the append
-        # path is a metadata fact the footers alone cannot carry — older
-        # files predate the new columns, and a plain parquet read
-        # samples ONE footer (see read()); the union here is additive,
-        # mirroring the bucketed manifest commit
         with self._commit_lock(table):
+            for p in self._data_files(tmp):
+                rel = os.path.relpath(p, tmp)
+                dst = os.path.join(tdir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(p, dst)
+                adds.append(rel)
+            # persist the (evolved) logical schema: evolution on the
+            # append path is a metadata fact the footers alone cannot
+            # carry — older files predate the new columns, and a plain
+            # parquet read samples ONE footer (see read()); the union
+            # here is additive, mirroring the bucketed manifest commit
             meta = self.layout_meta(table)
             prior_json = meta.get("schema")
             new_schema = out.schema
@@ -2435,12 +2450,19 @@ class Warehouse:
                 )
             meta["schema"] = new_schema.json()
             self._write_layout_meta(table, meta)
+            self._log_op(
+                table, "append", n_columns=len(out.columns), adds=adds,
+                locked=True,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        # index upkeep AFTER the commit (Spark jobs never run under the
+        # lock); a crash here leaves the indexes lagging, which is the
+        # documented loud/conservative state, healed by the next refresh
         if spec.clustering:
             self._record_zonemap(table, incremental=True)
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
         self._refresh_text_if_recorded(table, incremental=True)
-        self._log_op(table, "append", n_columns=len(out.columns), adds=adds)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
@@ -2474,26 +2496,37 @@ class Warehouse:
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
         text = self.text_meta(table)
-        oplog = None
-        if os.path.exists(self._oplog_path(table)):
-            with open(self._oplog_path(table)) as f:
-                oplog = f.read()
-        if os.path.isdir(self._oplog_dir(table)):
-            # the per-commit log dir survives the swap by COPYING into
-            # the incoming dir; the source copy dies with the old table
-            # dir inside _swap_dir_retaining's rmtree. A crash anywhere
-            # before the swap therefore leaves the original table —
-            # commit history included — fully intact, with only an
-            # orphaned .tmp_* scratch dir to sweep (the pre-r08 move
-            # stranded the entire history in that scratch dir).
-            shutil.copytree(
-                self._oplog_dir(table), os.path.join(tmp, "_oplog")
-            )
-        self._swap_dir_retaining(table, tmp)
-        if oplog is not None:
-            with open(self._oplog_path(table), "w") as f:
-                f.write(oplog)
-        self._write_layout_meta(table, meta)
+        # the swap runs under the table's commit lock: append holds the
+        # same lock across its move-files+record section, so a racing
+        # append serializes to entirely-before (its files are listed,
+        # retained, and superseded by this overwrite — last-writer-wins
+        # is overwrite's contract) or entirely-after (its files land in
+        # the NEW dir and the checkpoint record below lists them); the
+        # pre-r08 unserialized swap could DESTROY files an append had
+        # just moved in (listed after the swap's data-file sweep,
+        # caught by its rmtree)
+        with self._commit_lock(table):
+            oplog = None
+            if os.path.exists(self._oplog_path(table)):
+                with open(self._oplog_path(table)) as f:
+                    oplog = f.read()
+            if os.path.isdir(self._oplog_dir(table)):
+                # the per-commit log dir survives the swap by COPYING
+                # into the incoming dir; the source copy dies with the
+                # old table dir inside _swap_dir_retaining's rmtree. A
+                # crash anywhere before the swap therefore leaves the
+                # original table — commit history included — fully
+                # intact, with only an orphaned .tmp_* scratch dir to
+                # sweep (the pre-r08 move stranded the entire history
+                # in that scratch dir).
+                shutil.copytree(
+                    self._oplog_dir(table), os.path.join(tmp, "_oplog")
+                )
+            self._swap_dir_retaining(table, tmp)
+            if oplog is not None:
+                with open(self._oplog_path(table), "w") as f:
+                    f.write(oplog)
+            self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
         if bloom:
@@ -3023,6 +3056,10 @@ class Warehouse:
         import glob
 
         spec = spec or TableSpec(partition_grain="NONE")
+        # flat-path OCC base: the op-log position this rewrite reads at,
+        # captured BEFORE anything is listed or read (see the commit
+        # check below); bucketed tables carry their own base generation
+        base_versions = self._oplog_len(table)
         files = self._data_files(self.path(table))
         if len(files) < min_files:
             return 0
@@ -3089,31 +3126,51 @@ class Warehouse:
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
         text = self.text_meta(table)
-        oplog = None
-        if os.path.exists(self._oplog_path(table)):
-            with open(self._oplog_path(table)) as f:
-                oplog = f.read()
-        if os.path.isdir(self._oplog_dir(table)):
-            # the per-commit log dir survives the swap by COPYING into
-            # the incoming dir; the source copy dies with the old table
-            # dir inside _swap_dir_retaining's rmtree. A crash anywhere
-            # before the swap therefore leaves the original table —
-            # commit history included — fully intact, with only an
-            # orphaned .tmp_* scratch dir to sweep (the pre-r08 move
-            # stranded the entire history in that scratch dir).
-            shutil.copytree(
-                self._oplog_dir(table), os.path.join(tmp, "_oplog")
-            )
-        self._swap_dir_retaining(table, tmp)
-        if oplog is not None:
-            with open(self._oplog_path(table), "w") as f:
-                f.write(oplog)
-        # the compacted files were read through read(), which applied
-        # every pending deferred delete — they are now materialized, so
-        # the predicates must not be re-applied to the rewritten files
-        meta.pop("deferred_deletes", None)
-        if meta:
-            self._write_layout_meta(table, meta)
+        # optimistic concurrency for the flat rewrite (the flat twin of
+        # _commit_bucket_generations' base-generation check): compact's
+        # contract is PRESERVE ALL DATA, so if any commit landed after
+        # the state this rewrite was computed from (base_versions,
+        # captured before the read), publishing would silently drop
+        # that commit's rows into _retained — abort loudly instead and
+        # let the caller re-run against the new state. The check and
+        # the swap share one lock hold with append's move+record
+        # critical section, so a half-landed append (files moved,
+        # record pending) is impossible here.
+        with self._commit_lock(table):
+            if self._oplog_len(table) != base_versions:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise WarehouseError(
+                    f"concurrent commit on {table}: compact read version "
+                    f"{base_versions - 1} but the op log has advanced; "
+                    "retry the compact"
+                )
+            oplog = None
+            if os.path.exists(self._oplog_path(table)):
+                with open(self._oplog_path(table)) as f:
+                    oplog = f.read()
+            if os.path.isdir(self._oplog_dir(table)):
+                # the per-commit log dir survives the swap by COPYING
+                # into the incoming dir; the source copy dies with the
+                # old table dir inside _swap_dir_retaining's rmtree. A
+                # crash anywhere before the swap therefore leaves the
+                # original table — commit history included — fully
+                # intact, with only an orphaned .tmp_* scratch dir to
+                # sweep (the pre-r08 move stranded the entire history
+                # in that scratch dir).
+                shutil.copytree(
+                    self._oplog_dir(table), os.path.join(tmp, "_oplog")
+                )
+            self._swap_dir_retaining(table, tmp)
+            if oplog is not None:
+                with open(self._oplog_path(table), "w") as f:
+                    f.write(oplog)
+            # the compacted files were read through read(), which
+            # applied every pending deferred delete — they are now
+            # materialized, so the predicates must not be re-applied to
+            # the rewritten files
+            meta.pop("deferred_deletes", None)
+            if meta:
+                self._write_layout_meta(table, meta)
         if spec.clustering:
             self._record_zonemap(table)
         if bloom:
