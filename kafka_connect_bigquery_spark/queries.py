@@ -4166,91 +4166,85 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 7 window (50 slots), executed exactly as pre-registered in the
-# r06 verdict/SURVEY §7: lead with the 46 entries whose most recent
-# driver row is r04 (the TPC-H q3..q22 family, the dedup_* family,
-# ann/bpe/sketch_count_min/graph_pagerank/cobucketed/rollup_incremental/
-# table_profile and the embedding/text/events ops) — after r06 they are
-# the stalest evidence in the fleet; keep events_approx_stats pinned
-# (its oracle is a tolerance contract rather than value equality, so it
-# stays in-window EVERY round — sketch drift can never hide); one
-# first-witness slot for sketch_hll_incremental (new this round, r06
-# verdict ask 7); and two changed-path slots (r05 precedent: entries
-# whose plan changed this round go in-window) for events_mannwhitney
-# (per-row global rank rewritten to the distinct-value-grid midrank
-# assembly) and session_paths (global row_number top-k rewritten to
-# orderBy+limit + bounded re-rank). The remaining r07 plan changes —
-# text_collocations (same top-k restructure), mixture_rebalance (rate
-# normalizer window -> aggregate+broadcast), events_ks_test /
-# corpus_shard_plan / bpe_top_pairs (bounded_global helper swap; bpe is
-# in-window anyway as r04-stale) — are EXACT in the local gate at
-# sf0.01 + sf0.1 and LEAD THE R08 WINDOW together with the r07-changed
-# warehouse reads (op-log/manifest + distributed index rebuilds:
-# warehouse_time_travel_read, warehouse_delete_read,
-# warehouse_bloom_read, warehouse_sketch_distinct), the late-r07
-# first-witness entries (sketch_kmv_incremental, dedup_prefix_filter,
-# text_zipf_fit, orders_market_basket, docs_chunk_windows,
-# warehouse_text_search), and then the oldest r05 rows (merge family
-# first). Full r08 plan: SURVEY §7 "Round-8 pre-registration".
+# Round 8 window (50 slots), executed as pre-registered in the r07
+# verdict/SURVEY §7: lead with the six never-witnessed late-r07 entries,
+# then the two NEW r08 entries (bucketed-layout data-skipping indexes,
+# r07 verdict ask 3), the r07-changed-path entries without an r07
+# witness (text_collocations, mixture_rebalance, events_ks_test,
+# corpus_shard_plan; bpe_top_pairs rides along per the pre-registration
+# even though its r07 row is green), the four staged warehouse reads
+# whose commit plumbing moved AGAIN this round (flat commit
+# serialization + compact OCC + live-manifest index probes), the pinned
+# tolerance-contract entry, and the two r08-changed-path entries
+# (customer_ltv_deciles — global ntile replaced by the distributed
+# exact rank; events_mannwhitney — degenerate-corpus filter). The
+# remaining 30 slots backfill the stalest r05 rows, merge/connector
+# family first. The 13 r05 rows that do not fit (mixture_entropy,
+# docs_chi_square, events_welch_t, events_benford, events_gap_fill,
+# events_asof_tolerance, events_ewma, events_streaks,
+# events_mad_outliers, events_rolling_7d, events_salted_agg,
+# orders_salted_join, integrity_audit) are pre-registered to LEAD the
+# r09 window. Full plan: SURVEY §7 "Round-9 pre-registration".
 _PRIORITY_ORDER: list[str] = [
-    # -- r07 head: the 46 entries whose latest driver row is r04 ------
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_incremental",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
+    # -- never-witnessed late-r07 entries (first-witness) -------------
+    "sketch_kmv_incremental",
+    "dedup_prefix_filter",
+    "text_zipf_fit",
+    "orders_market_basket",
+    "docs_chunk_windows",
+    "warehouse_text_search",
+    # -- NEW r08 entries (first-witness): bucketed-layout indexes -----
+    "warehouse_sketch_bucketed",
+    "warehouse_text_bucketed",
+    # -- r07-changed-path entries not witnessed in r07 ----------------
+    "text_collocations",
+    "mixture_rebalance",
+    "events_ks_test",
     "bpe_top_pairs",
-    "sketch_count_min",
-    "graph_pagerank",
-    "cobucketed_join",
-    "rollup_incremental",
-    "table_profile",
-    "bq_shape_projection",
-    "dataset_split",
-    "stratified_sample",
-    "embedding_dim_stats",
-    "embedding_gram",
-    "text_hashed_tf",
-    "text_sparse_cosine",
-    "events_moment_stats",
-    "events_rollup_pyramid",
-    "user_value_distribution",
-    # -- tolerance-contract entry: pinned in-window every round ------
+    "corpus_shard_plan",
+    # -- staged warehouse reads: commit plumbing changed in r07 AND r08
+    "warehouse_time_travel_read",
+    "warehouse_delete_read",
+    "warehouse_bloom_read",
+    "warehouse_sketch_distinct",
+    # -- tolerance-contract entry: pinned in-window every round -------
     "events_approx_stats",
-    # -- first-witness slot: incremental HLL rollup over the CDC feed
-    # (added r07, verdict ask 7) --------------------------------------
-    "sketch_hll_incremental",
-    # -- changed-path slots (r05 precedent): the two highest-risk plan
-    # rewrites of the r07 unpartitioned-window fixes ------------------
+    # -- r08-changed-path slots ----------------------------------------
+    "customer_ltv_deciles",
     "events_mannwhitney",
-    "session_paths",
+    # -- backfill: stalest (r05) rows, merge/connector family first ---
+    "merge_upsert",
+    "merge_upsert_delete",
+    "merge_delete_only",
+    "merge_upsert_bucketed",
+    "last_event_per_user",
+    "hourly_partition_rollup",
+    "staged_load_roundtrip",
+    "routed_write_roundtrip",
+    "avro_wire_roundtrip",
+    "logical_types_wire",
+    "sanitized_projection",
+    "user_value_ranks",
+    "events_set_ops",
+    "events_json_agg",
+    "top_orders_per_segment",
+    "events_pivot",
+    "events_cube",
+    "ann_ivf_topk",
+    "text_language_id",
+    "text_quality_scores",
+    "graph_triangles",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    "text_bm25",
+    "bm25_incremental",
+    "search_hybrid_rrf",
+    "ann_incremental",
+    "embedding_projection",
+    "weighted_sample",
+    "pairs_contrastive",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r05 or r06 ======================================
+    # == green in r05, r06 or r07 ==================================
 ]
 
 
