@@ -1913,6 +1913,66 @@ FROM toked WHERE list_contains(toks, 'xmarkerx')
 """
 
 
+def q_warehouse_bloom_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-lookup on a NON-key column of a BUCKETED MERGE table
+    (r08, completing the per-generation index family — bucket routing
+    prunes by the key, bloom covers everything else): events MERGE in
+    keyed by event_id, the bloom index is recorded on user_id, then a
+    second MERGE deletes every event_id ≡ 4 (mod 13) and moves every
+    event_id ≡ 5 (mod 13) to a NEW user (+10^6) — new generations
+    indexed incrementally by the commit hook, superseded generations'
+    words ignored by the probe (it iterates live manifest files only).
+    The probe user is data-derived identically on both engines (the
+    final state's minimum user_id); a wrongly skipped file loses rows
+    and hash-mismatches, a dead-generation leak resurrects the moved
+    keys' OLD rows and hash-mismatches."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    wh = _staged_wh(spark, "bloombkt")
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    wh.merge(
+        e.withColumn("i", F.lit(0)).withColumn("__tombstone", F.lit(False)),
+        "t", ["event_id"], mode="upsert_delete", spec=spec,
+    )
+    wh.record_bloom("t", ["user_id"])
+    upd = (
+        e.filter(F.col("event_id") % 13 == 5)
+        .withColumn("user_id", F.col("user_id") + 1000000)
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    dels = (
+        e.filter(F.col("event_id") % 13 == 4)
+        .select("event_id", F.lit(None).cast("long").alias("user_id"))
+        .withColumn("i", F.lit(1))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        upd.unionByName(dels), "t", ["event_id"],
+        mode="upsert_delete", spec=spec,
+    )
+    probe = wh.read("t").agg(F.min("user_id")).first()[0]  # 1-row collect
+    return (
+        wh.read_pruned_where("t", {"user_id": int(probe)})
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+
+
+Q_WAREHOUSE_BLOOM_BUCKETED_SQL = """
+WITH state AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 5 THEN user_id + 1000000
+              ELSE user_id END AS user_id
+  FROM events WHERE event_id % 13 <> 4
+)
+SELECT event_id, user_id FROM state
+WHERE user_id = (SELECT MIN(user_id) FROM state)
+ORDER BY event_id
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -4126,6 +4186,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_text_bucketed": (
         q_warehouse_text_bucketed, Q_WAREHOUSE_TEXT_BUCKETED_SQL,
     ),
+    "warehouse_bloom_bucketed": (
+        q_warehouse_bloom_bucketed, Q_WAREHOUSE_BLOOM_BUCKETED_SQL,
+    ),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
@@ -4168,8 +4231,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # greens at the tail.
 # Round 8 window (50 slots), executed as pre-registered in the r07
 # verdict/SURVEY §7: lead with the six never-witnessed late-r07 entries,
-# then the two NEW r08 entries (bucketed-layout data-skipping indexes,
-# r07 verdict ask 3), the r07-changed-path entries without an r07
+# then the three NEW r08 entries (bucketed-layout data-skipping
+# indexes — HLL/text per r07 verdict ask 3, plus bloom completing the
+# family), the r07-changed-path entries without an r07
 # witness (text_collocations, mixture_rebalance, events_ks_test,
 # corpus_shard_plan; bpe_top_pairs rides along per the pre-registration
 # even though its r07 row is green), the four staged warehouse reads
@@ -4178,10 +4242,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # tolerance-contract entry, and the two r08-changed-path entries
 # (customer_ltv_deciles — global ntile replaced by the distributed
 # exact rank; events_mannwhitney — degenerate-corpus filter). The
-# remaining 30 slots backfill the stalest r05 rows, merge/connector
-# family first. The 13 r05 rows that do not fit (mixture_entropy,
-# docs_chi_square, events_welch_t, events_benford, events_gap_fill,
-# events_asof_tolerance, events_ewma, events_streaks,
+# remaining 29 slots backfill the stalest r05 rows, merge/connector
+# family first. The 14 r05 rows that do not fit (pairs_contrastive,
+# mixture_entropy, docs_chi_square, events_welch_t, events_benford,
+# events_gap_fill, events_asof_tolerance, events_ewma, events_streaks,
 # events_mad_outliers, events_rolling_7d, events_salted_agg,
 # orders_salted_join, integrity_audit) are pre-registered to LEAD the
 # r09 window. Full plan: SURVEY §7 "Round-9 pre-registration".
@@ -4196,6 +4260,7 @@ _PRIORITY_ORDER: list[str] = [
     # -- NEW r08 entries (first-witness): bucketed-layout indexes -----
     "warehouse_sketch_bucketed",
     "warehouse_text_bucketed",
+    "warehouse_bloom_bucketed",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",
@@ -4242,7 +4307,6 @@ _PRIORITY_ORDER: list[str] = [
     "ann_incremental",
     "embedding_projection",
     "weighted_sample",
-    "pairs_contrastive",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05, r06 or r07 ==================================
 ]

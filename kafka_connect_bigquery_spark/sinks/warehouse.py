@@ -1498,14 +1498,15 @@ class Warehouse:
         only cost an extra file open — skipping is an optimization,
         never a correctness dependency."""
         tdir = self.path(table)
-        if files is None:
+        if files is None and self.layout_meta(table).get("generations") is None:
             src = self.read(table)
         else:
-            src = (
-                self.spark.read.option("basePath", tdir)
-                .option("mergeSchema", "true")
-                .parquet(*files)
-            )
+            # explicit file list (the incremental path) or a bucketed
+            # table (live files resolve through the generation
+            # manifest; generation paths reject a shared basePath)
+            src = self._index_scan(table, files)
+            if src is None:
+                return None, []
         fields = {f.name: f.dataType for f in src.schema.fields}
         bloomable = [
             c
@@ -1593,8 +1594,15 @@ class Warehouse:
         predicates. Once recorded, ``append`` keeps it fresh
         incrementally (new files only, appended to the index table) and
         ``overwrite``/``compact`` rebuild it (dropping rows for dead
-        files). Not applicable to bucketed tables (their bucket key IS
-        the file-routing predicate).
+        files).
+
+        Bucketed MERGE tables (r08, completing the per-generation index
+        family): bucket routing already prunes by the KEY columns, so
+        bloom's value there is NON-key equality ("find this request id
+        in the upsert table") — the live set resolves through the
+        generation manifest, merge commits index new generations
+        incrementally, dead generations' rows are ignored by the probe
+        (it iterates live files only), full rebuilds drop them.
 
         Concurrency contract (no lock held across the Spark build —
         holding the commit lock through a long job would trip the
@@ -1610,14 +1618,8 @@ class Warehouse:
         conservatively-kept. Worst case is fewer prunes, never wrong
         rows: skipping is an optimization, not a correctness
         dependency."""
-        if self.layout_meta(table).get("generations") is not None:
-            raise WarehouseError(
-                f"table {table} is bucketed: bucket routing already prunes "
-                "by key; bloom filters apply to flat tables"
-            )
         meta = {"m": m_bits, "k": k_hashes, "cols": sorted(cols)}
-        tdir = self.path(table)
-        live = {os.path.relpath(p, tdir): p for p in self._data_files(tdir)}
+        live = self._live_data_files(table)
         mode = "overwrite"
         scan: list[str] | None = None  # None = whole-table scan
         new_rel = set(live)
@@ -2196,14 +2198,15 @@ class Warehouse:
         for col, (lo, hi) in ranges.items():
             pred = pred & F.col(col).between(lo, hi)
         bloom_meta = self.bloom_meta(table) or {}
-        have_zm = os.path.exists(self._zonemap_path(table))
-        if (
-            not ranges
-            or (not have_zm and not bloom_meta)
-            # bucketed tables resolve files through the generation
-            # manifest, not the flat zone map — full read there
-            or self.layout_meta(table).get("generations") is not None
-        ):
+        # bucketed tables have no zone map (their layout is key-hash,
+        # not range-clustered) but DO carry the per-generation bloom
+        # index (r08) — equality probes on NON-key columns prune there
+        layout = self.layout_meta(table)
+        have_zm = (
+            os.path.exists(self._zonemap_path(table))
+            and layout.get("generations") is None
+        )
+        if not ranges or (not have_zm and not bloom_meta):
             return self.read(table).filter(pred)
 
         zm = {}
@@ -2247,13 +2250,14 @@ class Warehouse:
                         scanned.add((f_, c_))
                     else:
                         words[(f_, c_, w_)] = b_
-        tdir = self.path(table)
         keep = []
-        # files on disk but not in the map (e.g. appended by a writer
-        # that didn't refresh it) can never be skipped — only a recorded
-        # non-overlapping zone / zero bloom bit is evidence of absence
-        for p in self._data_files(tdir):
-            rel = os.path.relpath(p, tdir)
+        # live files not in the map (e.g. appended by a writer that
+        # didn't refresh it) can never be skipped — only a recorded
+        # non-overlapping zone / zero bloom bit is evidence of absence.
+        # The live enumeration resolves bucketed tables through the
+        # generation manifest, so dead-generation index rows are never
+        # consulted and a superseded file can never be pulled in.
+        for rel, p in self._live_data_files(table, layout).items():
             zones = zm.get(rel, {})
             survives = True
             for col, (lo, hi) in ranges.items():
@@ -2277,6 +2281,12 @@ class Warehouse:
                 keep.append(p)
         if not keep:
             return self.read(table).limit(0).filter(pred)
+        if layout.get("generations") is not None:
+            # bucketed survivors: merged footers + manifest-schema
+            # conform, the same read shape as read() (generation paths
+            # carry no Hive columns and reject a shared basePath)
+            sub = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+            return self._conform_to_stored(sub, layout).filter(pred)
         # basePath keeps Hive-style partition columns visible when
         # individual files inside partition dirs are listed explicitly;
         # conform so the result's schema equals read(table)'s even when
@@ -2284,9 +2294,7 @@ class Warehouse:
         # deferred deletes apply to their scoped files here exactly as
         # in read() — file skipping must never resurrect deleted rows
         # (with none pending this is the same single conform read).
-        return self._read_files_with_deletes(
-            table, keep, self.layout_meta(table)
-        ).filter(pred)
+        return self._read_files_with_deletes(table, keep, layout).filter(pred)
 
     # -- CHECK constraints (write-path data-quality gate) -----------------
     def _enforce_constraints(self, df: DataFrame, table: str, spec: TableSpec) -> DataFrame:
@@ -2816,6 +2824,7 @@ class Warehouse:
         #    about it, read_containing conservatively reads unindexed
         #    files, and the next commit's refresh covers the gap (it
         #    indexes live-minus-indexed, not just its own writes). -----
+        self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
         self._refresh_text_if_recorded(table, incremental=True)
 

@@ -208,3 +208,41 @@ def test_flat_expired_partition_rows_no_longer_pollute_estimate(spark, wh):
     assert _est(wh, "t", "id") == py_hll_estimate(range(1000))
     assert wh.expire_partitions("t", spec, older_than_days=365) == 1
     assert _est(wh, "t", "id") == py_hll_estimate(range(500, 1000))
+
+
+def test_bloom_nonkey_equality_prunes_buckets_and_stays_exact(spark, wh):
+    """Bloom on a NON-key column of a bucketed table (bucket routing
+    only prunes by key): read_pruned_where must equal the plain filter
+    across merges, actually skip files for a value confined to one
+    bucket's generation, and never consult dead-generation rows."""
+    rows = [(i, "x", f"tag{i}", 0, False) for i in range(200)]
+    wh.merge(_batch(spark, rows), "t", ["k"], mode="upsert_delete", spec=BUCKETED)
+    wh.record_bloom("t", ["val"])
+
+    def pruned(val):
+        return {r["k"] for r in wh.read_pruned_where("t", {"val": val}).collect()}
+
+    def plain(val):
+        return {
+            r["k"] for r in wh.read("t").filter(F.col("val") == val).collect()
+        }
+
+    assert pruned("tag7") == plain("tag7") == {7}
+    assert pruned("absent") == plain("absent") == set()
+
+    # merge: move one tag to another key, delete a key — new gens get
+    # indexed via the commit hook; dead gens' words must not resurrect
+    batch = [
+        (7, "x", "moved", 1, False),       # tag7 disappears from live
+        (11, None, None, 1, True),          # delete key 11 (tag11 gone)
+        (300, "x", "tag7", 1, False),       # tag7 reappears on a new key
+    ]
+    wh.merge(_batch(spark, batch), "t", ["k"], mode="upsert_delete", spec=BUCKETED)
+    assert pruned("tag7") == plain("tag7") == {300}
+    assert pruned("tag11") == plain("tag11") == set()
+    assert pruned("moved") == plain("moved") == {7}
+    # the probe actually skips: a single-row tag lives in few files
+    live = wh._live_data_files("t")
+    kept = wh.read_pruned_where("t", {"val": "tag42"})
+    n_scanned = len(kept.inputFiles())
+    assert 0 < n_scanned < len(live), (n_scanned, len(live))

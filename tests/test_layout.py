@@ -340,14 +340,13 @@ def test_bloom_survives_overwrite(spark, tmp_path):
     assert wh.read_pruned_where("t", {"id": 424_242}).inputFiles() == []
 
 
-def test_bloom_rejects_bucketed_tables(spark, tmp_path):
-    import pytest as _pytest
+def test_bloom_supported_on_bucketed_tables(spark, tmp_path):
+    """r08: bloom covers bucketed MERGE tables via the per-generation
+    lifecycle (bucket routing prunes by key; bloom adds NON-key
+    equality probes — depth coverage in test_bucketed_indexes.py)."""
+    from pyspark.sql import functions as F
 
-    from kafka_connect_bigquery_spark.sinks.warehouse import (
-        TableSpec,
-        Warehouse,
-        WarehouseError,
-    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
 
     wh = Warehouse(spark, str(tmp_path / "wh5"))
     df = spark.createDataFrame(
@@ -358,8 +357,10 @@ def test_bloom_rejects_bucketed_tables(spark, tmp_path):
         df, "t", ["id"], mode="upsert",
         spec=TableSpec(partition_grain="NONE", key_bucket_count=4),
     )
-    with _pytest.raises(WarehouseError):
-        wh.record_bloom("t", ["id"])
+    wh.record_bloom("t", ["s"])
+    got = {r["id"] for r in wh.read_pruned_where("t", {"s": "v7"}).collect()}
+    want = {r["id"] for r in wh.read("t").filter(F.col("s") == "v7").collect()}
+    assert got == want == {7}
 
 
 def test_zorder_string_column_pruning(spark, tmp_path):
