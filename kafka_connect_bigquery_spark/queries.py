@@ -1973,6 +1973,56 @@ ORDER BY event_id
 """
 
 
+def q_warehouse_partition_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction (r08 — the O(partition) rewrite +
+    delta commit a 100 TB flat store schedules instead of compact()'s
+    O(table) swap): DAY-partitioned events land in TWO appends (several
+    small files per partition), a deferred DELETE goes pending, then
+    the busiest partition is rewritten via ``compact_partition`` —
+    materializing the delete for exactly that partition's files,
+    parking the old era for time travel, and committing an
+    O(|partition files|) delta. The result frame unions the v0 read
+    (time travel THROUGH the rewrite: parked files resolve) with the
+    latest read (rows must be byte-identical through the rewrite, the
+    delete applied everywhere). A lost/duplicated row in the rewritten
+    partition, a leaked soft-deleted row, or a broken parked-file
+    resolution all hash-mismatch."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    wh = _staged_wh(spark, "pcompact")
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    wh.append(e.filter(F.col("event_id") % 2 == 0), "t", spec)  # v0
+    wh.append(e.filter(F.col("event_id") % 2 == 1), "t", spec)  # v1
+    wh.delete_where("t", "user_id % 7 = 3")  # v2 (pending, snapshot-scoped)
+    target = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .limit(1)  # 1-row bounded collect: the busiest day
+        .first()["d"]
+    )
+    wh.compact_partition("t", spec, target, target_file_rows=10_000_000)  # v3
+    v0 = wh.read("t", version=0).withColumn("at_version", F.lit(0))
+    v3 = wh.read("t", version=3).withColumn("at_version", F.lit(3))
+    return v0.unionByName(v3).select(
+        "at_version", "event_id", "user_id", "p_date", "value"
+    )
+
+
+Q_WAREHOUSE_PARTITION_COMPACT_SQL = f"""
+SELECT 0 AS at_version, event_id, user_id,
+       strftime({_TS_US}, '%Y-%m-%d') AS p_date, value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 3 AS at_version, event_id, user_id,
+       strftime({_TS_US}, '%Y-%m-%d') AS p_date, value
+FROM events WHERE NOT coalesce(user_id % 7 = 3, FALSE)
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (IVM) over the
     warehouse CDC feed (operators/rollup.py): the per-(user, type)
@@ -4189,6 +4239,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_bloom_bucketed": (
         q_warehouse_bloom_bucketed, Q_WAREHOUSE_BLOOM_BUCKETED_SQL,
     ),
+    "warehouse_partition_compact_read": (
+        q_warehouse_partition_compact_read, Q_WAREHOUSE_PARTITION_COMPACT_SQL,
+    ),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
@@ -4242,8 +4295,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # tolerance-contract entry, and the two r08-changed-path entries
 # (customer_ltv_deciles — global ntile replaced by the distributed
 # exact rank; events_mannwhitney — degenerate-corpus filter). The
-# remaining 29 slots backfill the stalest r05 rows, merge/connector
-# family first. The 14 r05 rows that do not fit (pairs_contrastive,
+# remaining 28 slots backfill the stalest r05 rows, merge/connector
+# family first. The 15 r05 rows that do not fit (weighted_sample,
+# pairs_contrastive,
 # mixture_entropy, docs_chi_square, events_welch_t, events_benford,
 # events_gap_fill, events_asof_tolerance, events_ewma, events_streaks,
 # events_mad_outliers, events_rolling_7d, events_salted_agg,
@@ -4261,6 +4315,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_sketch_bucketed",
     "warehouse_text_bucketed",
     "warehouse_bloom_bucketed",
+    "warehouse_partition_compact_read",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",
@@ -4306,7 +4361,6 @@ _PRIORITY_ORDER: list[str] = [
     "search_hybrid_rrf",
     "ann_incremental",
     "embedding_projection",
-    "weighted_sample",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r05, r06 or r07 ==================================
 ]

@@ -3197,6 +3197,131 @@ class Warehouse:
         )
         return len(files)
 
+    def compact_partition(
+        self,
+        table: str,
+        spec: TableSpec,
+        value: str,
+        *,
+        target_file_rows: int = 1_000_000,
+        min_files: int = 2,
+    ) -> int:
+        """Partition-scoped small-file compaction for FLAT tables — the
+        shape a 100 TB store actually schedules. ``compact()`` rewrites
+        the whole table through a directory swap (O(table) IO, a full
+        ``_retained`` layer); this rewrites ONE Hive partition
+        (``<spec.partition_col>=<value>/``) and commits an O(|partition
+        files|) op-log DELTA (removes = the partition's old files,
+        adds = the rewritten ones) — no swap, no table-wide retention
+        layer, commit cost independent of table size. Old files are
+        PARKED under ``_retained/<layer>/`` at their original rel paths
+        so every earlier op-log version still time-travels
+        (``_resolve_version_file``); ``vacuum_retained`` ages them out.
+
+        Pending ``delete_where`` predicates scoped to the rewritten
+        files are MATERIALIZED for this partition (the read applies
+        them) and their file scopes shrink accordingly — a predicate
+        whose scope empties is fully materialized and dropped; scopes
+        over other partitions stay pending. Same flat OCC contract as
+        compact(): any commit landing between the read and the publish
+        aborts loudly. Returns the number of files rewritten (0 =
+        nothing to do)."""
+        if not spec.partition_col:
+            raise WarehouseError(
+                "compact_partition needs a Hive-partitioned spec "
+                "(spec.partition_col)"
+            )
+        meta = self.layout_meta(table)
+        if meta.get("generations") is not None:
+            raise WarehouseError(
+                "compact_partition targets flat tables; bucketed tables "
+                "compact per bucket via compact()"
+            )
+        base_versions = self._oplog_len(table)
+        tdir = self.path(table)
+        prefix = f"{spec.partition_col}={value}" + os.sep
+        old = {
+            rel: p
+            for rel, p in self._live_data_files(table, meta).items()
+            if rel.startswith(prefix)
+        }
+        if len(old) < min_files:
+            return 0
+        # read ONLY the partition's files, deletes applied + schema
+        # conformed — exactly read(table).filter(partition) semantics
+        df = self._read_files_with_deletes(table, sorted(old.values()), meta)
+        n_rows = df.count()
+        n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+        if spec.clustering:
+            out = self._clustered(df, spec, n_out)
+        else:
+            out = df.repartition(n_out)
+        tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+        writer = out.write.mode("overwrite")
+        if spec.compression:
+            writer = writer.option("compression", spec.compression)
+        # partitionBy keeps the rewritten files under the same
+        # <col>=<value>/ rel path, byte-stable partition values included
+        writer.partitionBy(spec.partition_col).parquet(tmp)
+        new_files = {
+            os.path.relpath(p, tmp): p for p in self._data_files(tmp)
+        }
+        bad = [r for r in new_files if not r.startswith(prefix)]
+        if bad:  # a rewrite can never leak rows into other partitions
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise WarehouseError(
+                f"partition rewrite produced out-of-partition files: {bad[:3]}"
+            )
+        with self._commit_lock(table):
+            if self._oplog_len(table) != base_versions:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise WarehouseError(
+                    f"concurrent commit on {table}: compact_partition read "
+                    f"version {base_versions - 1} but the op log has "
+                    "advanced; retry"
+                )
+            # park the old era for time travel, move the new era in
+            layer = os.path.join(
+                tdir, "_retained", f"v{base_versions}_{uuid.uuid4().hex[:6]}"
+            )
+            for rel, p in sorted(old.items()):
+                dst = os.path.join(layer, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(p, dst)
+            for rel, p in sorted(new_files.items()):
+                dst = os.path.join(tdir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(p, dst)
+            # materialized-for-this-partition delete hygiene: shrink
+            # each pending scope by the rewritten files; a scope that
+            # empties is fully materialized
+            fresh = self.layout_meta(table)
+            dels = []
+            for d in fresh.get("deferred_deletes") or []:
+                kept = [r for r in d["files"] if r not in old]
+                if kept:
+                    dels.append({**d, "files": kept})
+            if fresh.get("deferred_deletes") is not None:
+                if dels:
+                    fresh["deferred_deletes"] = dels
+                else:
+                    fresh.pop("deferred_deletes", None)
+                self._write_layout_meta(table, fresh)
+            self._log_op(
+                table, "compact_partition",
+                partition=f"{spec.partition_col}={value}",
+                files_before=len(old), files_after=len(new_files),
+                adds=sorted(new_files), removes=sorted(old),
+                locked=True,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        if spec.clustering:
+            self._record_zonemap(table, incremental=True)
+        self._refresh_bloom_if_recorded(table, incremental=True)
+        self._refresh_sketch_if_recorded(table, incremental=True)
+        self._refresh_text_if_recorded(table, incremental=True)
+        return len(old)
+
     # -- retention (L3) --------------------------------------------------
     def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:
         """Drop partitions older than the TTL (partitionExpirationMs,

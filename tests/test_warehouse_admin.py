@@ -145,3 +145,24 @@ def test_text_index_cli(spark, tmp_path, capsys):
     # report-only form
     out = _run(capsys, "text", root, "t")
     assert out["meta"] == {"cols": ["body"]}
+
+
+def test_partition_compact_cli(spark, tmp_path, capsys):
+    import datetime
+
+    root = str(tmp_path / "whp")
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    for k in range(3):
+        df = spark.createDataFrame(
+            [(k * 10 + j, datetime.datetime(2024, 1, 1, 12, 0), float(j)) for j in range(5)],
+            ["id", "ts", "v"],
+        )
+        wh.append(df, "t", spec)
+    before = {r["id"] for r in wh.read("t").collect()}
+    out = _run(
+        capsys, "compact", root, "t",
+        "--partition-col", "p_date", "--partition-value", "2024-01-01",
+    )
+    assert out["compacted"] and out["partition"] == "p_date=2024-01-01"
+    assert {r["id"] for r in wh.read("t").collect()} == before

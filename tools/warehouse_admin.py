@@ -5,6 +5,7 @@ Spark code:
     python tools/warehouse_admin.py describe <root> <table>
     python tools/warehouse_admin.py vacuum   <root> <table> [--keep-snapshots N]
     python tools/warehouse_admin.py compact  <root> <table> [--target-file-rows N]
+                                     [--partition-col c --partition-value v]
     python tools/warehouse_admin.py history  <root> <table>
     python tools/warehouse_admin.py snapshots <root> <table>
     python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
@@ -13,7 +14,9 @@ Spark code:
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
-session. `bloom` with --bloom-cols records per-file Bloom filters (one
+session. `compact` with --partition-col/--partition-value runs the
+partition-scoped rewrite (O(partition) delta commit — the form a cron
+schedules at fleet scale). `bloom` with --bloom-cols records per-file Bloom filters (one
 Spark pass); without it, it reports the recorded bloom state. `text`
 works the same way for the per-file full-text token index.
 """
@@ -45,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
     p.add_argument("--text-cols", default=None, help="comma-separated columns")
     p.add_argument("--version", type=int, default=None)
+    p.add_argument("--partition-col", default=None)
+    p.add_argument("--partition-value", default=None)
     args = p.parse_args(argv)
 
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
@@ -67,12 +72,36 @@ def main(argv: list[str] | None = None) -> int:
         out = {"table": args.table, "removed_paths": removed}
     elif args.command == "compact":
         w = wh()
-        n = w.compact(
-            args.table,
-            TableSpec(partition_grain="NONE"),
-            target_file_rows=args.target_file_rows,
-        )
-        out = {"table": args.table, "files_before": n, "compacted": n > 0}
+        if args.partition_value is not None:
+            if not args.partition_col:
+                print("--partition-value requires --partition-col", file=sys.stderr)
+                return 2
+            grain = {
+                "p_hour": "HOUR", "p_date": "DAY",
+                "p_month": "MONTH", "p_year": "YEAR",
+            }.get(args.partition_col)
+            if grain is None:
+                print(f"unknown partition column {args.partition_col}", file=sys.stderr)
+                return 2
+            n = w.compact_partition(
+                args.table,
+                TableSpec(partition_grain=grain),
+                args.partition_value,
+                target_file_rows=args.target_file_rows,
+            )
+            out = {
+                "table": args.table,
+                "partition": f"{args.partition_col}={args.partition_value}",
+                "files_before": n,
+                "compacted": n > 0,
+            }
+        else:
+            n = w.compact(
+                args.table,
+                TableSpec(partition_grain="NONE"),
+                target_file_rows=args.target_file_rows,
+            )
+            out = {"table": args.table, "files_before": n, "compacted": n > 0}
     elif args.command == "restore":
         if args.version is None:
             print("restore requires --version", file=sys.stderr)
