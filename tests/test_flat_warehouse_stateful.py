@@ -495,6 +495,24 @@ class PartitionedExpiryMachine(RuleBasedStateMachine):
         self.wh.vacuum_retained("tp", keep_layers=keep)
         self.aged = True
 
+    @precondition(lambda self: self.created)
+    @rule(ago=st.sampled_from([0, 2, 5, 12, 28]))
+    def compact_partition(self, ago):
+        """Partition-scoped rewrite (r08) interleaved with appends,
+        overwrites, TTL drops and retention vacuums: rows must be
+        byte-preserved (model unchanged), the commit is a first-class
+        version, and parked old files keep every earlier version
+        exactly readable until a vacuum drops the layer (the existing
+        exact-or-loud invariant covers both fates)."""
+        import datetime as dt
+
+        day = (self._now() - dt.timedelta(days=ago)).strftime("%Y-%m-%d")
+        if not any(t[1] == day for t in self.model):
+            return
+        n = self.wh.compact_partition("tp", self.spec, day, min_files=1)
+        if n:
+            self.version_log.append(Counter(self.model))
+
     @invariant()
     def current_read_matches_model(self):
         if not self.created:
