@@ -484,3 +484,102 @@ def kmv_estimate(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+class SketchMaintainer:
+    """Keeps a materialized per-group distinct-count sketch table (HLL
+    registers or KMV minima) fresh against a bucketed source table by
+    consuming the warehouse CDC feed — the sketch twin of
+    ``rollup.RollupMaintainer``, attachable to the streaming MERGE
+    pipeline via ``SinkPipeline(rollup_maintainers=...)`` (same
+    ``refresh()`` protocol, the pipeline does not care what the
+    maintainer materializes).
+
+    Crash tolerance via the same durable cursor: the sketch table's
+    layout manifest records the applied source generation
+    (``sketch_applied_version``); each refresh applies the CDC span
+    cursor→current through ``hll_maintain_grouped`` /
+    ``kmv_maintain_grouped`` (additions merge at CDC cost; groups that
+    lost a contribution rebuild from only the affected groups). A
+    pruned cursor snapshot (consumer lagged past snapshot_retention)
+    falls back to a full rebuild — correct, just not incremental.
+    Maintained state is provably equal to a direct rebuild (the
+    operator-level tests pin it with poisoned-current checks).
+    """
+
+    CURSOR_KEY = "sketch_applied_version"
+
+    def __init__(
+        self,
+        warehouse,
+        source_table: str,
+        sketch_table: str,
+        col: str,
+        group_cols: list[str],
+        *,
+        kind: str = "hll",
+        p: int = HLL_P,
+        k: int = KMV_K,
+    ) -> None:
+        if kind not in ("hll", "kmv"):
+            raise ValueError(f"unknown sketch kind: {kind!r}")
+        self.wh = warehouse
+        self.source = source_table
+        self.table = sketch_table
+        self.col = col
+        self.group_cols = group_cols
+        self.kind = kind
+        self.p = p
+        self.k = k
+
+    def _rebuild(self) -> DataFrame:
+        src = self.wh.read(self.source)
+        if self.kind == "hll":
+            return hll_build_grouped(src, self.col, self.group_cols, p=self.p)
+        return kmv_build_grouped(src, self.col, self.group_cols, k=self.k)
+
+    def refresh(self) -> int:
+        """Bring the sketch table up to the source's current generation.
+        Returns the number of source versions applied (0 = current)."""
+        cur = self.wh.layout_meta(self.source).get("generation")
+        if cur is None:
+            raise ValueError(
+                f"source {self.source} is not a bucketed table; sketch "
+                "maintenance consumes the bucketed-MERGE CDC feed"
+            )
+        cur = int(cur)
+        last = self.wh.table_property(self.table, self.CURSOR_KEY)
+        if last is not None and int(last) == cur:
+            return 0
+        if last is None:
+            out = self._rebuild()
+        else:
+            try:
+                changes = self.wh.read_changes(
+                    self.source, from_version=int(last), images="both"
+                )
+                stored = self.wh.read(self.table)
+                current = self.wh.read(self.source)
+                if self.kind == "hll":
+                    out = hll_maintain_grouped(
+                        stored, changes, self.col, self.group_cols,
+                        current=current, p=self.p,
+                    )
+                else:
+                    out = kmv_maintain_grouped(
+                        stored, changes, self.col, self.group_cols,
+                        current=current, k=self.k,
+                    )
+            except Exception:
+                # cursor snapshot pruned or sketch table missing
+                out = self._rebuild()
+        # materialize before the overwrite drops the old sketch files
+        # out from under the lazily-read plan
+        out = out.localCheckpoint(eager=True)
+        from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+        # explicit NONE grain: a register table must not grow an
+        # ingestion-time partition column
+        self.wh.overwrite(out, self.table, TableSpec(partition_grain="NONE"))
+        self.wh.set_table_property(self.table, self.CURSOR_KEY, cur)
+        return cur - (int(last) if last is not None else cur - 1)

@@ -295,3 +295,49 @@ def test_kmv_grouped_estimates_match_single_group_build(spark):
         assert per[g] == (
             single["n_kept"], single["kth_hash"], single["kmv_estimate"]
         )
+
+
+def test_sketch_maintainer_tracks_cdc_and_catches_up(spark, tmp_path):
+    """SketchMaintainer (r08): the streaming-attachable twin of
+    RollupMaintainer — durable cursor, CDC-span refresh through
+    hll/kmv_maintain_grouped, full-rebuild fallback, maintained state
+    always equal to a direct rebuild."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), snapshot_retention=8)
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+
+    def merge(rows):
+        df = spark.createDataFrame(
+            rows, "k: bigint, g: string, v: bigint, i: bigint, __tombstone: boolean"
+        )
+        wh.merge(df, "src", ["k"], mode="upsert_delete", spec=spec)
+
+    def direct(kind):
+        src = wh.read("src")
+        build = SK.hll_build_grouped if kind == "hll" else SK.kmv_build_grouped
+        return {tuple(r) for r in build(src, "v", ["g"]).collect()}
+
+    merge([(i, f"g{i % 3}", i, 0, False) for i in range(30)])
+    live = SK.SketchMaintainer(wh, "src", "src_hll", "v", ["g"], kind="hll")
+    lag = SK.SketchMaintainer(wh, "src", "src_kmv", "v", ["g"], kind="kmv")
+    assert live.refresh() >= 1  # first refresh = rebuild
+    assert {tuple(r) for r in wh.read("src_hll").collect()} == direct("hll")
+    assert live.refresh() == 0  # current: no-op
+
+    # two merges, the live maintainer refreshing after each; the lagging
+    # one never ran and must catch up across both in one refresh
+    merge([(0, "g1", 500, 1, False), (1, None, None, 1, True)])
+    assert live.refresh() == 1
+    assert {tuple(r) for r in wh.read("src_hll").collect()} == direct("hll")
+    merge([(40, "g0", 600, 2, False), (2, "g2", 601, 2, False)])
+    assert live.refresh() == 1
+    assert {tuple(r) for r in wh.read("src_hll").collect()} == direct("hll")
+    assert lag.refresh() >= 1
+    assert {tuple(r) for r in wh.read("src_kmv").collect()} == direct("kmv")
+
+    # attachable to the streaming pipeline hook: same refresh protocol
+    assert hasattr(live, "refresh") and live.CURSOR_KEY == "sketch_applied_version"

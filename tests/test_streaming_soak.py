@@ -12,8 +12,8 @@ fresh SinkPipeline object on the same checkpoint = a process restart):
   micro-batch through the append hook;
 * upsert/delete MERGE pipeline -> bucketed table ``st`` with HLL +
   text indexes (per-generation lifecycle), an attached RollupMaintainer
-  (IVM through the CDC feed), and a manually-cursored grouped-HLL
-  maintenance (hll_maintain_grouped) advanced once per phase.
+  (IVM through the CDC feed), and an attached SketchMaintainer keeping
+  a grouped-HLL register table fresh through the same hook.
 
 After the final phase every maintained artifact is proven equal to its
 from-scratch rebuild: exactly-once row sets, metadata-only distinct
@@ -81,6 +81,7 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
     maintainer = R.RollupMaintainer(
         wh, "st", "st_by_name", ["name"], measures, count_measure="n"
     )
+    sketcher = SK.SketchMaintainer(wh, "st", "st_hll", "row", ["name"], kind="hll")
 
     def run_phase():
         """Fresh pipelines on the SAME checkpoints — a process restart.
@@ -102,7 +103,7 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
             value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
             key_parser=lambda c: c.cast("string"),
             table_specs={"st": TableSpec(partition_grain="NONE", key_bucket_count=4)},
-            rollup_maintainers={"st": [maintainer]},
+            rollup_maintainers={"st": [maintainer, sketcher]},
         )
         q1 = ev_pipe.start(
             file_stream_source(spark, ev_src, max_files_per_trigger=1),
@@ -153,24 +154,6 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
     wh.record_text_index("ev", ["body"])
     wh.record_sketch("st", ["name"])
     wh.record_text_index("st", ["body"])
-    # grouped-HLL IVM base + CDC cursor
-    hll = SK.hll_build_grouped(
-        wh.read_bucketed("st"), "row", ["name"]
-    ).localCheckpoint()
-    cursor = int(wh.layout_meta("st")["generation"])
-
-    def advance_hll():
-        nonlocal hll, cursor
-        now = int(wh.layout_meta("st")["generation"])
-        if now == cursor:
-            return
-        changes = wh.read_changes(
-            "st", from_version=cursor, to_version=now, images="both"
-        )
-        hll = SK.hll_maintain_grouped(
-            hll, changes, "row", ["name"], current=wh.read_bucketed("st")
-        ).localCheckpoint()
-        cursor = now
 
     # ---- phase 2 (restart #1): appends + update/delete/insert merge --
     ev_feed(12, 20)
@@ -180,7 +163,6 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
          ("u10", 10, "g1"), ("u11", 11, "g2")],
     )
     run_phase()
-    advance_hll()
 
     # ---- phase 3 (restart #2) ----------------------------------------
     ev_feed(20, 30)
@@ -190,7 +172,6 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
          ("u13", 13, "g0")],
     )
     run_phase()
-    advance_hll()
 
     # ================= verification vs from-scratch =================
     # exactly-once across both restarts
@@ -244,9 +225,11 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
     assert snap == recomputed
     assert maintainer.refresh() == 0  # nothing pending: it never lagged
 
-    # grouped-HLL IVM == direct rebuild of the final state
+    # grouped-HLL IVM (SketchMaintainer through the pipeline hook) ==
+    # direct rebuild of the final state
+    assert sketcher.refresh() == 0  # nothing pending: it never lagged
     maintained = {
-        (r["name"], r["register"], r["rho"]) for r in hll.collect()
+        (r["name"], r["register"], r["rho"]) for r in wh.read("st_hll").collect()
     }
     direct = {
         (r["name"], r["register"], r["rho"])
