@@ -2050,13 +2050,31 @@ class Warehouse:
         the term's index rows plus the scanned markers (parquet
         predicate pushdown); deferred deletes and schema conformance
         apply to the surviving files exactly as in read()."""
+        return self.read_containing_all(table, col, [term])
+
+    def read_containing_all(
+        self, table: str, col: str, terms: list[str]
+    ) -> DataFrame:
+        """Conjunctive CONTAINS: rows whose ``col`` carries EVERY term
+        in ``terms`` as a whole token — the multi-word grep. One index
+        probe loads all the terms' posting rows plus the scanned
+        markers; a scanned file missing ANY term is provably skippable
+        (per-file postings are complete), so pruning power multiplies
+        with each added term. Unindexed live files are conservatively
+        read; the result is exactly the chained array_contains filter
+        regardless of index state."""
         from kafka_connect_bigquery_spark.functions.text import tokens
 
-        pred = F.array_contains(tokens(F.coalesce(F.col(col), F.lit(""))), term)
+        terms = [t for t in dict.fromkeys(terms)]  # dedupe, keep order
+        toks = tokens(F.coalesce(F.col(col), F.lit("")))
+        pred = F.lit(True)
+        for term in terms:
+            pred = pred & F.array_contains(toks, term)
         meta = self.text_meta(table)
         idx = self._text_index_dir(table)
         if (
-            not term
+            not terms
+            or any(not t for t in terms)
             or meta is None
             or col not in meta.get("cols", [])
             or not os.path.isdir(idx)
@@ -2064,15 +2082,18 @@ class Warehouse:
             return self.read(table).filter(pred)
         import pyarrow.dataset as pads
 
-        hits: set[str] = set()
+        hits: dict[str, set[str]] = {t: set() for t in terms}
         scanned: set[str] = set()
         ds = pads.dataset(idx, format="parquet")
-        expr = (pads.field("c") == col) & pads.field("tok").isin([term, ""])
+        expr = (pads.field("c") == col) & pads.field("tok").isin([*terms, ""])
         for batch in ds.to_batches(columns=["f", "tok"], filter=expr):
             for f_, t_ in zip(
                 batch.column("f").to_pylist(), batch.column("tok").to_pylist()
             ):
-                (scanned if t_ == "" else hits).add(f_)
+                if t_ == "":
+                    scanned.add(f_)
+                else:
+                    hits[t_].add(f_)
         # the live enumeration resolves bucketed tables through the
         # generation manifest, so a dead posting (superseded generation
         # still on disk for a retained snapshot) can never pull a stale
@@ -2082,7 +2103,7 @@ class Warehouse:
         keep = [
             p
             for rel, p in self._live_data_files(table, layout).items()
-            if rel in hits or rel not in scanned
+            if rel not in scanned or all(rel in hits[t] for t in terms)
         ]
         if not keep:
             return self.read(table).limit(0).filter(pred)

@@ -131,3 +131,41 @@ def test_bucketed_tables_supported_and_tokenization_is_canonical(spark, tmp_path
     wh.record_text_index("t", ["body"])
     assert _got(wh, "beta") == {1}
     assert _got(wh, "BETA") == set()
+
+
+def test_read_containing_all_conjunctive_probe(spark, tmp_path):
+    """Multi-term AND grep (r08): exactly the chained array_contains
+    filter, one index probe for all terms, pruning multiplies — a
+    scanned file missing ANY term is skipped; unindexed files are
+    conservatively read."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha gamma"),
+        (4, "delta epsilon"),
+        (5, None),
+    ]
+    for k, body in docs:  # one file per row -> per-file pruning visible
+        wh.append(_docs(spark, [(k, body)]), "t", PLAIN)
+    wh.record_text_index("t", ["body"])
+
+    def got(terms):
+        return {
+            r["k"] for r in wh.read_containing_all("t", "body", terms).collect()
+        }
+
+    assert got(["alpha"]) == {1, 2, 3}
+    assert got(["alpha", "beta"]) == {1, 2}
+    assert got(["alpha", "beta", "gamma"]) == {1}
+    assert got(["alpha", "zzz"]) == set()
+    assert got(["beta", "beta"]) == {1, 2}  # dupes collapse
+    # conjunctive pruning actually narrows the scan
+    both = wh.read_containing_all("t", "body", ["alpha", "beta"])
+    assert len(both.inputFiles()) == 2
+    # an unindexed late append is conservatively read
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    spark.createDataFrame([(9, "alpha beta late")], "k: bigint, body: string").write.mode(
+        "append"
+    ).parquet(wh2.path("t"))
+    assert got(["alpha", "beta"]) == {1, 2, 9}

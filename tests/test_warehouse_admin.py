@@ -166,3 +166,16 @@ def test_partition_compact_cli(spark, tmp_path, capsys):
     )
     assert out["compacted"] and out["partition"] == "p_date=2024-01-01"
     assert {r["id"] for r in wh.read("t").collect()} == before
+
+
+def test_text_contains_cli(spark, tmp_path, capsys):
+    root = str(tmp_path / "whg")
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "beta")], "k: bigint, body: string"
+    )
+    wh.append(df, "t", TableSpec(partition_grain="NONE"))
+    wh.record_text_index("t", ["body"])
+    out = _run(capsys, "text", root, "t", "--contains", "body:alpha,beta")
+    assert out["n_rows"] == 1
+    assert out["contains"]["terms"] == ["alpha", "beta"]

@@ -10,6 +10,7 @@ Spark code:
     python tools/warehouse_admin.py snapshots <root> <table>
     python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
     python tools/warehouse_admin.py text     <root> <table> [--text-cols a,b]
+                                     [--contains "col:term1,term2"]
     python tools/warehouse_admin.py restore  <root> <table> --version N
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
@@ -18,7 +19,9 @@ session. `compact` with --partition-col/--partition-value runs the
 partition-scoped rewrite (O(partition) delta commit — the form a cron
 schedules at fleet scale). `bloom` with --bloom-cols records per-file Bloom filters (one
 Spark pass); without it, it reports the recorded bloom state. `text`
-works the same way for the per-file full-text token index.
+works the same way for the per-file full-text token index; with
+--contains "col:term1,term2" it runs a conjunctive indexed grep and
+reports the match count plus how many files the probe opened.
 """
 
 from __future__ import annotations
@@ -47,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
     p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
     p.add_argument("--text-cols", default=None, help="comma-separated columns")
+    p.add_argument(
+        "--contains", default=None,
+        help='indexed grep: "col:term1,term2" (AND of whole tokens)',
+    )
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--partition-col", default=None)
     p.add_argument("--partition-value", default=None)
@@ -123,13 +130,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.text_cols:
             w = wh()
             w.record_text_index(args.table, args.text_cols.split(","))
-        tw = Warehouse(None, args.root)
-        meta = tw.text_meta(args.table)
-        out = {
-            "table": args.table,
-            "meta": meta,
-            "n_files": len(tw.text_indexed_files(args.table)) if meta else 0,
-        }
+        if args.contains:
+            col, _, raw = args.contains.partition(":")
+            if not raw:
+                print('--contains wants "col:term1,term2"', file=sys.stderr)
+                return 2
+            w = wh()
+            hitdf = w.read_containing_all(args.table, col, raw.split(","))
+            n = hitdf.count()
+            out = {
+                "table": args.table,
+                "contains": {"col": col, "terms": raw.split(",")},
+                "n_rows": n,
+                "n_files_opened": len(hitdf.inputFiles()),
+            }
+        else:
+            tw = Warehouse(None, args.root)
+            meta = tw.text_meta(args.table)
+            out = {
+                "table": args.table,
+                "meta": meta,
+                "n_files": len(tw.text_indexed_files(args.table)) if meta else 0,
+            }
     else:  # history
         w = wh()
         out = {
