@@ -1644,6 +1644,8 @@ class Warehouse:
             out, mode=mode, n_files=len(new_rel),
             dest=self._bloom_index_dir(table),
         )
+        if mode == "append":
+            self._maybe_compact_index(self._bloom_index_dir(table), live)
         self._write_bloom_meta(table, meta)
 
     # indexed table files per index output file on a full rebuild —
@@ -1673,6 +1675,45 @@ class Warehouse:
         else:
             out = out.coalesce(1)
         out.write.mode(mode).parquet(dest)
+
+    # incremental index refreshes append ONE small parquet file each; a
+    # streaming table would otherwise grow the index by one file per
+    # micro-batch forever (plus dead rows for rewritten generations /
+    # compacted files). At this many index files the next refresh
+    # self-compacts: an O(index) rewrite — never a data rescan — that
+    # drops dead-file rows and restores the fan-out layout.
+    _INDEX_COMPACT_AT = 64
+
+    def _maybe_compact_index(self, dest: str, live: dict[str, str]) -> None:
+        """Self-compaction of a parquet index table (bloom words / HLL
+        registers / text postings): triggered by accumulated
+        incremental-append files, rewrites the index FROM ITSELF —
+        rows for dead files dropped, (f, c) groups kept whole per
+        output file (the torn-read atomicity contract), output count
+        scaling with the indexed file count. Cost is O(index), amortized
+        O(index/_INDEX_COMPACT_AT) per refresh; the data files are
+        never rescanned. Concurrency: same contract as a full rebuild —
+        Spark's job commit publishes all output files or none, and a
+        reader racing the overwrite window sees fewer indexed files,
+        which every probe treats conservatively (bloom/text) or loudly
+        (sketch staleness check), never wrongly."""
+        import glob as _glob
+
+        n = len(_glob.glob(os.path.join(dest, "*.parquet")))
+        if n < self._INDEX_COMPACT_AT:
+            return
+        live_df = self.spark.createDataFrame(
+            [(r,) for r in sorted(live)], "f string"
+        )
+        kept = (
+            self.spark.read.parquet(dest)
+            .join(live_df, "f", "left_semi")
+            # the index must be fully materialized before the overwrite
+            # deletes the files the lazy plan would read
+            .localCheckpoint(eager=True)
+        )
+        nparts = max(1, -(-len(live) // self._INDEX_FILES_PER_OUTPUT))
+        kept.repartition(nparts, "f").write.mode("overwrite").parquet(dest)
 
     def _refresh_bloom_if_recorded(self, table: str, *, incremental: bool) -> None:
         meta = self.bloom_meta(table)
@@ -1877,6 +1918,8 @@ class Warehouse:
             out, mode=mode, n_files=len(new_rel),
             dest=self._sketch_index_dir(table),
         )
+        if mode == "append":
+            self._maybe_compact_index(self._sketch_index_dir(table), live)
         import json
 
         os.makedirs(self._sketch_dir(table), exist_ok=True)
@@ -2027,6 +2070,8 @@ class Warehouse:
             out, mode=mode, n_files=len(new_rel),
             dest=self._text_index_dir(table),
         )
+        if mode == "append":
+            self._maybe_compact_index(self._text_index_dir(table), live)
         import json
 
         os.makedirs(self._text_dir(table), exist_ok=True)
@@ -3079,9 +3124,10 @@ class Warehouse:
         partition layout and clustering sort.
 
         Returns the number of files before compaction (0 = skipped).
-        At scale this runs per-partition on a schedule, compacting only
-        partitions whose file count exceeds ``min_files`` — here the
-        whole (test-sized) table is rewritten at once.
+        At scale this runs per-partition on a schedule — that form is
+        :meth:`compact_partition` (O(partition) rewrite, delta commit,
+        no dir swap); this whole-table form is for small tables and
+        deferred-delete materialization across every partition at once.
         """
         import glob
 

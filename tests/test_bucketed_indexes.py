@@ -246,3 +246,40 @@ def test_bloom_nonkey_equality_prunes_buckets_and_stays_exact(spark, wh):
     kept = wh.read_pruned_where("t", {"val": "tag42"})
     n_scanned = len(kept.inputFiles())
     assert 0 < n_scanned < len(live), (n_scanned, len(live))
+
+
+def test_incremental_index_self_compacts(spark, wh, monkeypatch):
+    """Every incremental refresh appends one small index file — a
+    streaming table would grow the index forever. At
+    _INDEX_COMPACT_AT files the next refresh rewrites the index FROM
+    ITSELF (O(index), no data rescan): dead-file rows dropped, file
+    count restored, probes still exact."""
+    monkeypatch.setattr(Warehouse, "_INDEX_COMPACT_AT", 4)
+    import glob
+    import os
+
+    rows = [(i, f"w{i} blue", f"v{i}", 0, False) for i in range(20)]
+    wh.merge(_batch(spark, rows), "t", ["k"], mode="upsert_delete", spec=BUCKETED)
+    wh.record_sketch("t", ["val"])
+    wh.record_text_index("t", ["body"])
+    vals = {f"v{i}" for i in range(20)}
+    for step in range(6):  # 6 merges -> 6 incremental appends each
+        k = step
+        wh.merge(
+            _batch(spark, [(k, f"w{k} red", f"u{step}", step + 1, False)]),
+            "t", ["k"], mode="upsert_delete", spec=BUCKETED,
+        )
+        vals = (vals - {f"v{k}"}) | {f"u{step}"}
+    for dest in (wh._sketch_index_dir("t"), wh._text_index_dir("t")):
+        n_files = len(glob.glob(os.path.join(dest, "*.parquet")))
+        assert n_files <= 4, (dest, n_files)
+        live = set(wh._live_data_files("t"))
+        dead = (
+            spark.read.parquet(dest)
+            .filter(~F.col("f").isin(list(live)))
+            .count()
+        )
+        assert dead == 0, f"{dest}: {dead} dead rows survived compaction"
+    assert _est(wh, "t", "val") == py_hll_estimate(vals)
+    assert _contains(wh, "t", "red") == set(range(6))
+    assert _contains(wh, "t", "blue") == set(range(6, 20))
