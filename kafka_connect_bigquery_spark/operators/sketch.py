@@ -36,11 +36,19 @@ def _slot(key: Column, d: int, width: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
 
 
-def _probe_rows(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+def _probe_rows(
+    df: DataFrame,
+    col: str,
+    depth: int,
+    width: int,
+    keep: list[str] | None = None,
+) -> DataFrame:
     key = F.col(col)
+    keep = list(keep or [])
     return (
         df.filter(key.isNotNull())
         .select(
+            *keep,
             col,
             F.explode(
                 F.array(
@@ -53,7 +61,7 @@ def _probe_rows(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
                 )
             ).alias("_e"),
         )
-        .select(col, "_e.d", "_e.slot")
+        .select(*keep, col, "_e.d", "_e.slot")
     )
 
 
@@ -77,6 +85,100 @@ def count_min_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_build_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-group count-min sketches in one pass: ``(*group_cols, d,
+    slot, cnt)`` rows, at most depth*width per group. One explode + one
+    map-side-combinable groupBy — the shape that lets a per-day
+    frequency sketch ride the same scan as the day's rollup."""
+    return (
+        _probe_rows(df, col, depth, width, keep=group_cols)
+        .groupBy(*group_cols, "d", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_maintain_grouped(
+    stored: DataFrame,
+    changes: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Incremental maintenance of a per-group count-min table from a CDC
+    feed (``Warehouse.read_changes(images="both")``) — the third member
+    of the sketch-IVM family, and the strongest: count-min is a LINEAR
+    sketch (every cell is a sum of per-row +1s), so deletions SUBTRACT.
+    Insert / update_postimage rows add 1 to their (d, slot) cells;
+    delete / update_preimage rows add -1; cells cancel exactly. Unlike
+    :func:`hll_maintain_grouped` (max cannot unsee) and
+    :func:`kmv_maintain_grouped` (the discarded (k+1)-th hash), there is
+    NO rebuild path and no ``current`` argument — maintenance cost is
+    O(|changes| x depth) + the merge against affected groups' cells,
+    even for a group that lost every row (its cells reach 0 and are
+    dropped, exactly as a direct rebuild would never emit them).
+    Maintained cells are provably EQUAL to a from-scratch build of the
+    final state: both are the same sum, associativity is the proof.
+    """
+    live = changes.filter(F.col(col).isNotNull())
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    signed = _probe_rows(
+        live.select(*group_cols, col, w.alias("_w")),
+        col,
+        depth,
+        width,
+        keep=[*group_cols, "_w"],
+    )
+    delta = signed.groupBy(*group_cols, "d", "slot").agg(
+        F.sum("_w").alias("cnt")
+    )
+    return (
+        stored.unionByName(delta)
+        .groupBy(*group_cols, "d", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def count_min_estimate_grouped(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-group frequency estimates for the distinct ``(*group_cols,
+    col)`` tuples in ``keys``: min over depth of the group's slot
+    counts. The sketch side is depth*width rows per group — the join
+    keys carry the group, so estimates for different groups never mix.
+    """
+    probes = _probe_rows(
+        keys.select(*group_cols, col).distinct(),
+        col,
+        depth,
+        width,
+        keep=group_cols,
+    )
+    return (
+        probes.join(sketch, [*group_cols, "d", "slot"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*group_cols, col)
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
 
 
 def count_min_estimate(
@@ -486,9 +588,140 @@ def kmv_estimate(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch: second-moment / self-join size
+# ---------------------------------------------------------------------------
+#
+# The tug-of-war sketch (Alon, Matias & Szegedy 1996): depth x width
+# cells, each the SIGNED sum of its keys' occurrences (sign = an
+# independently-salted hash bit per depth row). E[sum_slot cell^2] = F2
+# = sum_k f_k^2 — the self-join size, the quantity a join planner needs
+# to size a shuffle before running it. Like count-min it is LINEAR:
+# per-partition sketches merge by cell addition and deletions subtract,
+# so the same CDC maintenance applies with no rebuild path. depth is
+# odd so the median estimate is a single integer cell — every number
+# below is engine-exact int64 arithmetic a SQL oracle re-derives.
+
+AMS_DEPTH = 5
+AMS_WIDTH = 64
+
+
+def _ams_sign(key: Column, d: int) -> Column:
+    """±1 from a depth-salted hash bit, independent of the slot hash
+    (different salt prefix). SQL twin: 1 - 2 * (CAST(concat('0x',
+    substr(md5(concat('s<d>:', key)), 1, 8)) AS BIGINT) % 2)."""
+    h = F.md5(F.concat(F.lit(f"s{d}:"), key.cast("string")))
+    bit = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 2
+    return F.lit(1) - F.lit(2) * bit
+
+
+def _ams_rows(
+    df: DataFrame, col: str, depth: int, width: int, keep: list[str] | None = None
+) -> DataFrame:
+    key = F.col(col)
+    keep = list(keep or [])
+    return (
+        df.filter(key.isNotNull())
+        .select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _slot(key, d, width).alias("slot"),
+                            _ams_sign(key, d).alias("sign"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select(*keep, "_e.d", "_e.slot", "_e.sign")
+    )
+
+
+def ams_build(
+    df: DataFrame, col: str, *, depth: int = AMS_DEPTH, width: int = AMS_WIDTH
+) -> DataFrame:
+    """Build the tug-of-war sketch: ``(d, slot, s)`` rows (s = signed
+    occurrence sum; zero cells dropped — they contribute nothing to any
+    estimate and keep the sketch sparse). One explode + one map-side-
+    combinable groupBy, depth*width rows max regardless of input size.
+    """
+    return (
+        _ams_rows(df, col, depth, width)
+        .groupBy("d", "slot")
+        .agg(F.sum("sign").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built over disjoint row sets (cell-wise add —
+    linearity, same as count_min_merge)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("d", "slot").agg(F.sum("s").alias("s")).filter(F.col("s") != 0)
+    )
+
+
+def ams_maintain(
+    stored: DataFrame,
+    changes: DataFrame,
+    col: str,
+    *,
+    depth: int = AMS_DEPTH,
+    width: int = AMS_WIDTH,
+) -> DataFrame:
+    """Incremental maintenance from a CDC feed — linear, like
+    :func:`count_min_maintain_grouped`: insert/update_postimage rows add
+    their sign, delete/update_preimage rows subtract it, no rebuild
+    path, maintained == direct build by associativity."""
+    live = changes.filter(F.col(col).isNotNull())
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    signed = _ams_rows(live.select(col, w.alias("_w")), col, depth, width, keep=["_w"])
+    delta = signed.groupBy("d", "slot").agg(
+        F.sum(F.col("sign") * F.col("_w")).alias("s")
+    )
+    return (
+        stored.unionByName(delta)
+        .groupBy("d", "slot")
+        .agg(F.sum("s").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame, *, depth: int = AMS_DEPTH) -> DataFrame:
+    """One integer row: ``f2_estimate`` = median over depth of the
+    per-row sum of squared cells. Median of an odd count is a single
+    element — ``array_sort`` + ``element_at`` keeps it exact int64.
+    Depth rows that lost every cell to cancellation estimate 0, which
+    is what an all-zero row means."""
+    per_d = sketch.groupBy("d").agg(
+        F.sum(F.col("s") * F.col("s")).alias("f2")
+    )
+    # right-pad missing depth rows with 0 via a literal depth frame
+    dframe = sketch.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("d")
+    )
+    padded = dframe.join(per_d, "d", "left").select(
+        F.coalesce(F.col("f2"), F.lit(0).cast("long")).alias("f2")
+    )
+    return padded.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("f2")), (depth + 1) // 2
+        ).alias("f2_estimate")
+    )
+
+
 class SketchMaintainer:
-    """Keeps a materialized per-group distinct-count sketch table (HLL
-    registers or KMV minima) fresh against a bucketed source table by
+    """Keeps a materialized per-group sketch table (HLL registers, KMV
+    minima, or count-min cells) fresh against a bucketed source table by
     consuming the warehouse CDC feed — the sketch twin of
     ``rollup.RollupMaintainer``, attachable to the streaming MERGE
     pipeline via ``SinkPipeline(rollup_maintainers=...)`` (same
@@ -520,8 +753,10 @@ class SketchMaintainer:
         kind: str = "hll",
         p: int = HLL_P,
         k: int = KMV_K,
+        depth: int = DEPTH,
+        width: int = WIDTH,
     ) -> None:
-        if kind not in ("hll", "kmv"):
+        if kind not in ("hll", "kmv", "cm"):
             raise ValueError(f"unknown sketch kind: {kind!r}")
         self.wh = warehouse
         self.source = source_table
@@ -531,11 +766,17 @@ class SketchMaintainer:
         self.kind = kind
         self.p = p
         self.k = k
+        self.depth = depth
+        self.width = width
 
     def _rebuild(self) -> DataFrame:
         src = self.wh.read(self.source)
         if self.kind == "hll":
             return hll_build_grouped(src, self.col, self.group_cols, p=self.p)
+        if self.kind == "cm":
+            return count_min_build_grouped(
+                src, self.col, self.group_cols, depth=self.depth, width=self.width
+            )
         return kmv_build_grouped(src, self.col, self.group_cols, k=self.k)
 
     def refresh(self) -> int:
@@ -564,6 +805,12 @@ class SketchMaintainer:
                     out = hll_maintain_grouped(
                         stored, changes, self.col, self.group_cols,
                         current=current, p=self.p,
+                    )
+                elif self.kind == "cm":
+                    # linear sketch: no rebuild path, `current` unused
+                    out = count_min_maintain_grouped(
+                        stored, changes, self.col, self.group_cols,
+                        depth=self.depth, width=self.width,
                     )
                 else:
                     out = kmv_maintain_grouped(

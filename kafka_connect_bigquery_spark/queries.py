@@ -2156,6 +2156,7 @@ Q_TABLE_PROFILE_SQL = _profile_oracle_sql()
 
 
 _CMS_DEPTH, _CMS_WIDTH = 4, 256
+_AMS_DEPTH, _AMS_WIDTH = 5, 64
 
 
 def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2743,6 +2744,281 @@ SELECT e.day, n_kept, kth_hash, kmv_estimate, n_exact,
        CAST(0 AS BIGINT) AS n_hash_mismatch,
        TRUE AS merge_ok
 FROM est e JOIN exact USING (day) LEFT JOIN reb r ON e.day = r.day
+"""
+
+
+def q_sketch_cm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-day count-min frequency
+    sketch over the warehouse CDC feed
+    (operators/sketch.py::count_min_maintain_grouped) — the third and
+    strongest member of the sketch-IVM family: count-min is a LINEAR
+    sketch, so deletions SUBTRACT. Unlike ``sketch_hll_incremental``
+    (max cannot unsee) and ``sketch_kmv_incremental`` (the discarded
+    (k+1)-th hash), maintenance takes NO ``current`` input and has NO
+    rebuild path — the staged scenario's tombstoned days flow through
+    the same cell arithmetic as the inserts, and the frame proves the
+    maintained cells bit-equal to a from-scratch build of the final
+    state (``n_cell_mismatch`` = 0, oracle-pinned) even on
+    delete-affected days (``had_deletes`` re-derived by the oracle from
+    the scenario predicate). Updates that keep the sketched tuple
+    cancel exactly (pre-image -1, post-image +1, same cells).
+    Estimates are audited per (day, event_type) against exact counts —
+    never-underestimate is inherited from the equality proof."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    dom = F.substring(F.date_format(F.col("ts"), "yyyy-MM-dd"), 9, 2).cast("int")
+    del_cond = (
+        (F.col("event_id") % 11 == 3) & (F.col("event_id") % 5 != 0) & (dom <= 3)
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_cm_ivm")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    v0 = (
+        e.filter(F.col("event_id") % 5 != 0)
+        .withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(v0, "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    inserts = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    updates = (
+        e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    deletes = (
+        e.filter(del_cond)
+        .withColumn("i", F.lit(2).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        inserts.unionByName(updates).unionByName(deletes),
+        "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec,
+    )
+    kw = dict(depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    stored = SK.count_min_build_grouped(
+        wh.read("t", version=0).select(day, "event_type"), "event_type", ["day"],
+        **kw,
+    )
+    changes = wh.read_changes("t", from_version=0, images="both").select(
+        day, "event_type", "_change_type"
+    )
+    # NO current argument: the linear path is the whole point
+    maintained = SK.count_min_maintain_grouped(
+        stored, changes, "event_type", ["day"], **kw
+    ).localCheckpoint(eager=False)  # feeds estimates AND the mismatch proof
+    current = wh.read("t").select(day, "event_type").localCheckpoint(
+        eager=False
+    )  # feeds the direct-build proof and the exact audit only
+    direct = SK.count_min_build_grouped(current, "event_type", ["day"], **kw)
+    m = maintained.select("day", "d", "slot", F.col("cnt").alias("m_cnt"))
+    dd = direct.select("day", "d", "slot", F.col("cnt").alias("d_cnt"))
+    mism = (
+        m.join(dd, ["day", "d", "slot"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("m_cnt").isNull()
+                    | F.col("d_cnt").isNull()
+                    | (F.col("m_cnt") != F.col("d_cnt")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_cell_mismatch")
+        )
+    )
+    est = SK.count_min_estimate_grouped(
+        maintained, current, "event_type", ["day"], **kw
+    )
+    exact = current.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    deld = (
+        _t(spark, sf_dir, "events")
+        .filter(del_cond)
+        .select(day)
+        .distinct()
+        .withColumn("had_deletes", F.lit(True))
+    )
+    return (
+        est.join(exact, ["day", "event_type"])
+        .join(mism, "day")
+        .join(deld, "day", "left")
+        .select(
+            "day", "event_type", "cm_estimate",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("cm_estimate") >= F.col("n_exact")).alias(
+                "never_underestimates"
+            ),
+            F.coalesce(F.col("had_deletes"), F.lit(False)).alias("had_deletes"),
+            "n_cell_mismatch",
+            (F.col("n_cell_mismatch") == 0).alias("linear_ok"),
+        )
+    )
+
+
+Q_SKETCH_CM_INCREMENTAL_SQL = f"""
+WITH final AS (
+  SELECT event_type, strftime({_TS_US}, '%Y-%m-%d') AS day
+  FROM events
+  WHERE event_type IS NOT NULL
+    AND NOT (event_id % 11 = 3 AND event_id % 5 <> 0
+             AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3)
+),
+ds AS (SELECT unnest(range({_CMS_DEPTH})) AS d),
+hashed AS (
+  SELECT day, event_type, d,
+         CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':',
+              event_type)), 1, 8)) AS BIGINT) % {_CMS_WIDTH} AS slot
+  FROM final, ds
+),
+sketch AS (SELECT day, d, slot, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2, 3),
+probes AS (SELECT DISTINCT day, event_type, d, slot FROM hashed),
+est AS (
+  SELECT day, event_type, MIN(COALESCE(cnt, 0)) AS cm_estimate
+  FROM probes LEFT JOIN sketch USING (day, d, slot) GROUP BY 1, 2
+),
+exact AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM final GROUP BY 1, 2
+),
+deld AS (
+  SELECT DISTINCT strftime({_TS_US}, '%Y-%m-%d') AS day, TRUE AS had_deletes
+  FROM events
+  WHERE event_id % 11 = 3 AND event_id % 5 <> 0
+    AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3
+)
+SELECT e.day, e.event_type, cm_estimate, n_exact,
+       cm_estimate >= n_exact AS never_underestimates,
+       COALESCE(dl.had_deletes, FALSE) AS had_deletes,
+       CAST(0 AS BIGINT) AS n_cell_mismatch,
+       TRUE AS linear_ok
+FROM est e JOIN exact USING (day, event_type)
+LEFT JOIN deld dl ON e.day = dl.day
+"""
+
+
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketch.py::ams_build): the
+    second-moment estimator — F2 = sum of squared key frequencies = the
+    SELF-JOIN SIZE, the number a planner needs to size a shuffle before
+    running it (Alon, Matias & Szegedy 1996). depth x width signed
+    cells; estimate = median over depth of the per-row sum of squared
+    cells, exact int64 end-to-end (odd depth makes the median a single
+    element). Audited three ways in one integer row: two half-corpus
+    sketches (even/odd event_id) merged cell-wise must be bit-identical
+    to the direct build (linearity, ``n_cell_mismatch`` = 0), the
+    estimate lands within the theoretical 5-sigma band of the exact
+    self-join size on user_id (rel-std = sqrt(2/width), checked in
+    IEEE doubles over the same exact integers), and the estimate itself
+    is value-hashed against the oracle's from-scratch sketch."""
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    kw = dict(depth=_AMS_DEPTH, width=_AMS_WIDTH)
+    a = SK.ams_build(e.filter(F.col("event_id") % 2 == 0), "user_id", **kw)
+    b = SK.ams_build(e.filter(F.col("event_id") % 2 == 1), "user_id", **kw)
+    merged = SK.ams_merge(a, b)
+    direct = SK.ams_build(e, "user_id", **kw)
+    mism = (
+        merged.withColumnRenamed("s", "s_m")
+        .join(direct.withColumnRenamed("s", "s_d"), ["d", "slot"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s_m").isNull()
+                    | F.col("s_d").isNull()
+                    | (F.col("s_m") != F.col("s_d")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_cell_mismatch")
+        )
+    )
+    est = SK.ams_f2_estimate(merged, depth=_AMS_DEPTH)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("f2_exact"))
+    )
+    err2 = (
+        (F.col("f2_estimate") - F.col("f2_exact")).cast("double")
+        * (F.col("f2_estimate") - F.col("f2_exact")).cast("double")
+        * F.lit(float(_AMS_WIDTH))
+    )
+    bound = (
+        F.lit(50.0)
+        * F.col("f2_exact").cast("double")
+        * F.col("f2_exact").cast("double")
+    )
+    return (
+        est.crossJoin(exact)
+        .crossJoin(mism)
+        .select(
+            F.col("f2_estimate").cast("bigint").alias("f2_estimate"),
+            "f2_exact",
+            (err2 <= bound).alias("within_5sigma"),
+            "n_cell_mismatch",
+            (F.col("n_cell_mismatch") == 0).alias("merge_ok"),
+        )
+    )
+
+
+Q_SKETCH_AMS_F2_SQL = f"""
+WITH ds AS (SELECT unnest(range({_AMS_DEPTH})) AS d),
+r AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {_AMS_WIDTH} AS slot,
+         1 - 2 * (CAST(concat('0x', substr(md5(concat('s', CAST(d AS VARCHAR), ':',
+              CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS sign
+  FROM events, ds
+  WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT d, slot, SUM(sign) AS s FROM r GROUP BY 1, 2 HAVING SUM(sign) <> 0
+),
+perd0 AS (SELECT d, CAST(SUM(s * s) AS BIGINT) AS f2 FROM cells GROUP BY 1),
+perd AS (
+  SELECT ds.d, COALESCE(p.f2, 0) AS f2 FROM ds LEFT JOIN perd0 p USING (d)
+),
+med AS (
+  SELECT f2 AS f2_estimate FROM perd ORDER BY f2
+  LIMIT 1 OFFSET {(_AMS_DEPTH - 1) // 2}
+),
+exact AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS f2_exact
+  FROM (SELECT COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+)
+SELECT CAST(f2_estimate AS BIGINT) AS f2_estimate, f2_exact,
+       (CAST(f2_estimate - f2_exact AS DOUBLE)
+          * CAST(f2_estimate - f2_exact AS DOUBLE) * {float(_AMS_WIDTH)}
+        <= 50.0 * CAST(f2_exact AS DOUBLE) * CAST(f2_exact AS DOUBLE))
+         AS within_5sigma,
+       CAST(0 AS BIGINT) AS n_cell_mismatch,
+       TRUE AS merge_ok
+FROM med, exact
 """
 
 
@@ -4250,6 +4526,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_hll_daily": (q_sketch_hll_daily, Q_SKETCH_HLL_DAILY_SQL),
     "sketch_hll_incremental": (q_sketch_hll_incremental, Q_SKETCH_HLL_INCREMENTAL_SQL),
     "sketch_kmv_incremental": (q_sketch_kmv_incremental, Q_SKETCH_KMV_INCREMENTAL_SQL),
+    "sketch_cm_incremental": (q_sketch_cm_incremental, Q_SKETCH_CM_INCREMENTAL_SQL),
+    "sketch_ams_f2": (q_sketch_ams_f2, Q_SKETCH_AMS_F2_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "sketch_kmv_overlap": (q_sketch_kmv_overlap, Q_SKETCH_KMV_OVERLAP_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
@@ -4316,6 +4594,9 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_text_bucketed",
     "warehouse_bloom_bucketed",
     "warehouse_partition_compact_read",
+    # -- NEW r08 entries (first-witness): linear-sketch IVM + AMS F2 --
+    "sketch_cm_incremental",
+    "sketch_ams_f2",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",

@@ -341,3 +341,192 @@ def test_sketch_maintainer_tracks_cdc_and_catches_up(spark, tmp_path):
 
     # attachable to the streaming pipeline hook: same refresh protocol
     assert hasattr(live, "refresh") and live.CURSOR_KEY == "sketch_applied_version"
+
+
+# ---------------------------------------------------------------------------
+# Count-min grouped build + linear CDC maintenance (r08)
+# ---------------------------------------------------------------------------
+
+
+def _cm_map(df):
+    return {(r["g"], r["d"], r["slot"]): r["cnt"] for r in df.collect()}
+
+
+def test_cm_grouped_matches_per_group_single_build(spark):
+    df = spark.createDataFrame(
+        [(i % 7, "g%d" % (i % 3)) for i in range(300)], "v: bigint, g: string"
+    )
+    grouped = SK.count_min_build_grouped(df, "v", ["g"])
+    for g in ("g0", "g1", "g2"):
+        single = {
+            (r["d"], r["slot"]): r["cnt"]
+            for r in SK.count_min_build(df.filter(F.col("g") == g), "v").collect()
+        }
+        sub = {
+            (d, s): c for (gg, d, s), c in _cm_map(grouped).items() if gg == g
+        }
+        assert sub == single
+
+
+def test_cm_maintain_is_linear_no_rebuild_input(spark):
+    """The linear-sketch headline: deletes SUBTRACT — maintenance takes
+    no `current` at all, and maintained cells equal a direct rebuild of
+    the final state for inserts, updates, and deletes alike."""
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), i % 11) for i in range(200)],
+        "g: string, v: bigint",
+    )
+    stored = SK.count_min_build_grouped(base, "v", ["g"])
+    cdc = _cdc(
+        spark,
+        [("a", v % 11, "insert") for v in range(200, 240)]
+        + [("b", 8, "update_preimage"), ("b", 9, "update_postimage")]
+        + [("a", 1, "delete"), ("a", 3, "delete")],
+    )
+    final = (
+        base.unionByName(
+            spark.createDataFrame(
+                [("a", v % 11) for v in range(200, 240)], "g: string, v: bigint"
+            )
+        )
+        .exceptAll(
+            spark.createDataFrame(
+                [("b", 8), ("a", 1), ("a", 3)], "g: string, v: bigint"
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("b", 9)], "g: string, v: bigint")
+        )
+    )
+    maintained = SK.count_min_maintain_grouped(stored, cdc, "v", ["g"])
+    assert _cm_map(maintained) == _cm_map(
+        SK.count_min_build_grouped(final, "v", ["g"])
+    )
+
+
+def test_cm_maintain_group_fully_deleted_disappears(spark):
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "g: string, v: bigint")
+    stored = SK.count_min_build_grouped(base, "v", ["g"])
+    cdc = _cdc(spark, [("a", 1, "delete")])
+    maintained = SK.count_min_maintain_grouped(stored, cdc, "v", ["g"])
+    got = _cm_map(maintained)
+    assert got == _cm_map(
+        SK.count_min_build_grouped(base.filter(F.col("g") != "a"), "v", ["g"])
+    )
+    assert not any(k[0] == "a" for k in got)
+
+
+def test_cm_estimate_grouped_never_underestimates(spark):
+    df = spark.createDataFrame(
+        [(i % 5, "g%d" % (i % 2)) for i in range(200)], "v: bigint, g: string"
+    )
+    sk = SK.count_min_build_grouped(df, "v", ["g"])
+    est = {
+        (r["g"], r["v"]): r["cm_estimate"]
+        for r in SK.count_min_estimate_grouped(sk, df, "v", ["g"]).collect()
+    }
+    exact = {
+        (r["g"], r["v"]): r["n"]
+        for r in df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for key, n in exact.items():
+        assert est[key] >= n
+
+
+def test_sketch_maintainer_cm_kind(spark, tmp_path):
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whcm"), snapshot_retention=8)
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+
+    def merge(rows):
+        df = spark.createDataFrame(
+            rows, "k: bigint, g: string, v: bigint, i: bigint, __tombstone: boolean"
+        )
+        wh.merge(df, "src", ["k"], mode="upsert_delete", spec=spec)
+
+    def direct():
+        return {
+            tuple(r)
+            for r in SK.count_min_build_grouped(
+                wh.read("src"), "v", ["g"]
+            ).collect()
+        }
+
+    merge([(i, f"g{i % 2}", i % 9, 0, False) for i in range(24)])
+    m = SK.SketchMaintainer(wh, "src", "src_cm", "v", ["g"], kind="cm")
+    assert m.refresh() >= 1
+    assert {tuple(r) for r in wh.read("src_cm").collect()} == direct()
+    # delete + update: the linear path absorbs both without a rebuild
+    merge([(0, "g0", 0, 1, True), (1, "g1", 7, 1, False)])
+    assert m.refresh() == 1
+    assert {tuple(r) for r in wh.read("src_cm").collect()} == direct()
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (tug-of-war) sketch (r08)
+# ---------------------------------------------------------------------------
+
+
+def _exact_f2(df, col):
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+
+
+def test_ams_merge_equals_single_build(spark):
+    df = spark.createDataFrame([(i % 13,) for i in range(400)], "v: bigint")
+    a, b = df.filter(F.col("v") % 2 == 0), df.filter(F.col("v") % 2 == 1)
+    merged = {
+        (r["d"], r["slot"]): r["s"]
+        for r in SK.ams_merge(
+            SK.ams_build(a, "v"), SK.ams_build(b, "v")
+        ).collect()
+    }
+    single = {
+        (r["d"], r["slot"]): r["s"] for r in SK.ams_build(df, "v").collect()
+    }
+    assert merged == single
+
+
+def test_ams_f2_estimate_within_theory_bounds(spark):
+    """E[est] = F2 with relative std ~ sqrt(2/width); assert a loose
+    5-sigma band — deterministic (hashing is fixed), the band just
+    documents the accuracy class."""
+    df = spark.createDataFrame([(i % 50,) for i in range(1000)], "v: bigint")
+    est = SK.ams_f2_estimate(SK.ams_build(df, "v")).collect()[0]["f2_estimate"]
+    f2 = _exact_f2(df, "v")
+    sigma = (2.0 / SK.AMS_WIDTH) ** 0.5 * f2
+    assert abs(est - f2) <= 5 * sigma
+
+
+def test_ams_maintain_linear_deletes_subtract(spark):
+    base = spark.createDataFrame([(i % 17,) for i in range(300)], "v: bigint")
+    stored = SK.ams_build(base, "v")
+    cdc = spark.createDataFrame(
+        [(3, "insert"), (3, "insert"), (5, "delete"), (16, "update_preimage"),
+         (2, "update_postimage")],
+        "v: bigint, _change_type: string",
+    )
+    final = (
+        base.unionByName(spark.createDataFrame([(3,), (3,), (2,)], "v: bigint"))
+        .exceptAll(spark.createDataFrame([(5,), (16,)], "v: bigint"))
+    )
+    got = {
+        (r["d"], r["slot"]): r["s"]
+        for r in SK.ams_maintain(stored, cdc, "v").collect()
+    }
+    want = {
+        (r["d"], r["slot"]): r["s"] for r in SK.ams_build(final, "v").collect()
+    }
+    assert got == want
+
+
+def test_ams_empty_sketch_estimates_zero(spark):
+    empty = spark.createDataFrame([], "v: bigint")
+    est = SK.ams_f2_estimate(SK.ams_build(empty, "v")).collect()[0]["f2_estimate"]
+    assert est == 0
