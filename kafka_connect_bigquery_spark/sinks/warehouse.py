@@ -3389,6 +3389,99 @@ class Warehouse:
         self._refresh_text_if_recorded(table, incremental=True)
         return len(old)
 
+    def plan_compaction(
+        self,
+        table: str,
+        spec: TableSpec,
+        *,
+        min_files: int = 4,
+        small_file_bytes: int = 64 * 1024 * 1024,
+    ) -> list[dict]:
+        """Deterministic small-file compaction plan for a flat
+        Hive-partitioned table: one entry per partition whose live file
+        count is ≥ ``min_files`` AND whose mean live file size is under
+        ``small_file_bytes`` — the two-sided test that skips both
+        healthy partitions (few files) and already-compacted ones (big
+        files). Metadata-only: file sizes come from the filesystem,
+        never a data read, so planning cost is O(live files) — the same
+        class as the listing every read already does. Entries are
+        ``{"value", "n_files", "total_bytes"}`` sorted by value; feed
+        them to :meth:`compact_partition` or let :meth:`auto_compact`
+        drain the whole plan. The reference leaves layout upkeep to
+        BigQuery's background compactor; a self-managed store has to
+        schedule its own."""
+        if not spec.partition_col:
+            raise WarehouseError(
+                "plan_compaction needs a Hive-partitioned spec "
+                "(spec.partition_col)"
+            )
+        meta = self.layout_meta(table)
+        if meta.get("generations") is not None:
+            raise WarehouseError(
+                "plan_compaction targets flat tables; bucketed tables "
+                "compact per bucket via compact()"
+            )
+        pre = f"{spec.partition_col}="
+        parts: dict[str, list[str]] = {}
+        for rel, p in self._live_data_files(table, meta).items():
+            head, _, _ = rel.partition(os.sep)
+            if head.startswith(pre):
+                parts.setdefault(head[len(pre):], []).append(p)
+        plan = []
+        for value in sorted(parts):
+            files = parts[value]
+            if len(files) < min_files:
+                continue
+            total = 0
+            for p in files:
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass  # racing vacuum; the partition stays eligible
+            if total // len(files) < small_file_bytes:
+                plan.append(
+                    {"value": value, "n_files": len(files), "total_bytes": total}
+                )
+        return plan
+
+    def auto_compact(
+        self,
+        table: str,
+        spec: TableSpec,
+        *,
+        min_files: int = 4,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        target_file_rows: int = 1_000_000,
+        max_partitions: int | None = None,
+    ) -> list[dict]:
+        """Plan + execute: compact every partition ``plan_compaction``
+        flags (optionally capped at ``max_partitions`` per call — the
+        steady-state scheduler shape: drain a few partitions per tick,
+        never a table-wide stop-the-world). Each partition commits its
+        own O(|partition files|) delta through
+        :meth:`compact_partition`, so a mid-run crash loses nothing:
+        finished partitions are committed, the rest stay planned for
+        the next tick. Returns the executed plan entries annotated with
+        ``files_rewritten``. Same single-writer OCC contract as
+        compact_partition — a racing commit aborts loudly rather than
+        silently dropping its files."""
+        plan = self.plan_compaction(
+            table, spec, min_files=min_files, small_file_bytes=small_file_bytes
+        )
+        if max_partitions is not None:
+            plan = plan[:max_partitions]
+        out = []
+        for entry in plan:
+            n = self.compact_partition(
+                table,
+                spec,
+                entry["value"],
+                target_file_rows=target_file_rows,
+                min_files=min_files,
+            )
+            out.append({**entry, "files_rewritten": n})
+        return out
+
     # -- retention (L3) --------------------------------------------------
     def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:
         """Drop partitions older than the TTL (partitionExpirationMs,

@@ -129,3 +129,81 @@ def test_compact_partition_keeps_indexes_fresh_and_occ_aborts(spark, tmp_path):
     est = wh.approx_distinct("t", "id").collect()[0].asDict()
     assert est == py_hll_estimate(set(range(20)) | {90, 91})
     assert not [d for d in os.listdir(str(tmp_path / "wh")) if d.startswith(".tmp_")]
+
+
+def test_plan_compaction_flags_only_fragmented_small_partitions(spark, tmp_path):
+    """plan_compaction (r08): metadata-only two-sided test — a partition
+    qualifies on file COUNT >= min_files AND mean file size below the
+    small-file bar; healthy and already-compacted partitions are
+    skipped."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for k in range(4):  # day 1: 4x the files of day 2
+        wh.append(_df(spark, k * 10, k * 10 + 10, day=1), "t", SPEC)
+    wh.append(_df(spark, 0, 10, day=2), "t", SPEC)
+    n1, n2 = len(_part_files(wh, 1)), len(_part_files(wh, 2))
+    assert n1 > n2  # an append may write several part files; 4 appends > 1
+    plan = wh.plan_compaction("t", SPEC, min_files=n2 + 1)
+    assert [e["value"] for e in plan] == ["2024-01-01"]
+    e = plan[0]
+    assert e["n_files"] == n1 and e["total_bytes"] > 0
+    # raising the count bar empties the plan
+    assert wh.plan_compaction("t", SPEC, min_files=n1 + 1) == []
+    # a tiny small-file bar declares the files healthy -> no plan
+    assert wh.plan_compaction("t", SPEC, min_files=n2 + 1, small_file_bytes=1) == []
+
+
+def test_auto_compact_drains_plan_and_is_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for k in range(3):
+        wh.append(_df(spark, k * 10, k * 10 + 10, day=1), "t", SPEC)
+        wh.append(_df(spark, k * 10, k * 10 + 10, day=2), "t", SPEC)
+    wh.append(_df(spark, 0, 10, day=3), "t", SPEC)  # healthy: fewest files
+    before = _state(wh)
+    n1 = len(_part_files(wh, 1))
+    bar = len(
+        [
+            r
+            for r in Warehouse._data_files(wh.path("t"))
+            if os.path.relpath(r, wh.path("t")).startswith("p_date=2024-01-03/")
+        ]
+    ) + 1  # above day 3's count, at/below days 1-2
+
+    # capped tick: drains exactly one partition, the rest stay planned
+    done = wh.auto_compact(
+        "t", SPEC, min_files=bar, target_file_rows=10_000, max_partitions=1
+    )
+    assert [e["value"] for e in done] == ["2024-01-01"]
+    assert done[0]["files_rewritten"] == n1
+    assert [e["value"] for e in wh.plan_compaction("t", SPEC, min_files=bar)] == [
+        "2024-01-02"
+    ]
+    # next tick drains the rest; state never changes
+    done2 = wh.auto_compact("t", SPEC, min_files=bar, target_file_rows=10_000)
+    assert [e["value"] for e in done2] == ["2024-01-02"]
+    assert _state(wh) == before
+    assert len(_part_files(wh, 1)) == 1 and len(_part_files(wh, 2)) == 1
+    # steady state: nothing left to do
+    assert wh.auto_compact("t", SPEC, min_files=bar) == []
+    # time travel across the auto-compact commits still resolves
+    recs = wh._read_oplog("t")
+    assert [r["op"] for r in recs[-2:]] == ["compact_partition"] * 2
+    assert wh.read("t", version=len(recs) - 3).count() == 70
+
+
+def test_plan_compaction_rejects_unpartitioned_and_bucketed(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    flat_spec = TableSpec(partition_grain="NONE")
+    wh.append(
+        spark.createDataFrame([(1, 1.0)], ["id", "v"]), "plainflat", flat_spec
+    )
+    with pytest.raises(WarehouseError, match="Hive-partitioned"):
+        wh.plan_compaction("plainflat", flat_spec)
+    bspec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    df = spark.createDataFrame(
+        [(1, 1.0, 0, False)], ["id", "v", "i", "__tombstone"]
+    )
+    wh.merge(df, "bt", ["id"], mode="upsert_delete", spec=bspec)
+    with pytest.raises(WarehouseError, match="bucketed"):
+        wh.plan_compaction(
+            "bt", TableSpec(partition_grain="DAY", timestamp_field="ts")
+        )

@@ -179,3 +179,43 @@ def test_text_contains_cli(spark, tmp_path, capsys):
     out = _run(capsys, "text", root, "t", "--contains", "body:alpha,beta")
     assert out["n_rows"] == 1
     assert out["contains"]["terms"] == ["alpha", "beta"]
+
+
+def test_autocompact_cli_dry_run_then_execute(spark, tmp_path, capsys):
+    import datetime
+
+    root = str(tmp_path / "whac")
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    for k in range(3):
+        for day in (1, 2):
+            df = spark.createDataFrame(
+                [
+                    (k * 10 + j, datetime.datetime(2024, 1, day, 12, 0), float(j))
+                    for j in range(5)
+                ],
+                ["id", "ts", "v"],
+            )
+            wh.append(df, "t", spec)
+    before = {(r["id"], r["p_date"]) for r in wh.read("t").collect()}
+
+    plan = _run(
+        capsys, "autocompact", root, "t",
+        "--partition-col", "p_date", "--min-files", "2", "--dry-run",
+    )
+    assert plan["dry_run"] and [e["value"] for e in plan["plan"]] == [
+        "2024-01-01", "2024-01-02",
+    ]
+
+    out = _run(
+        capsys, "autocompact", root, "t",
+        "--partition-col", "p_date", "--min-files", "2", "--max-partitions", "1",
+    )
+    assert [e["value"] for e in out["compacted"]] == ["2024-01-01"]
+    assert out["compacted"][0]["files_rewritten"] >= 2
+    out2 = _run(
+        capsys, "autocompact", root, "t", "--partition-col", "p_date",
+        "--min-files", "2",
+    )
+    assert [e["value"] for e in out2["compacted"]] == ["2024-01-02"]
+    assert {(r["id"], r["p_date"]) for r in wh.read("t").collect()} == before

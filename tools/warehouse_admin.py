@@ -12,6 +12,9 @@ Spark code:
     python tools/warehouse_admin.py text     <root> <table> [--text-cols a,b]
                                      [--contains "col:term1,term2"]
     python tools/warehouse_admin.py restore  <root> <table> --version N
+    python tools/warehouse_admin.py autocompact <root> <table> --partition-col c
+                                     [--min-files N] [--small-file-bytes N]
+                                     [--max-partitions N] [--dry-run]
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
@@ -41,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "describe", "vacuum", "compact", "history", "snapshots",
-            "bloom", "text", "restore",
+            "bloom", "text", "restore", "autocompact",
         ],
     )
     p.add_argument("root")
@@ -57,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--partition-col", default=None)
     p.add_argument("--partition-value", default=None)
+    p.add_argument("--min-files", type=int, default=4)
+    p.add_argument(
+        "--small-file-bytes", type=int, default=64 * 1024 * 1024,
+        help="mean-file-size bar below which a partition counts as fragmented",
+    )
+    p.add_argument(
+        "--max-partitions", type=int, default=None,
+        help="cap partitions compacted per tick (steady-state cron shape)",
+    )
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="autocompact: print the plan without rewriting anything",
+    )
     args = p.parse_args(argv)
 
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
@@ -109,6 +125,32 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_rows=args.target_file_rows,
             )
             out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    elif args.command == "autocompact":
+        if not args.partition_col:
+            print("autocompact requires --partition-col", file=sys.stderr)
+            return 2
+        grain = {
+            "p_hour": "HOUR", "p_date": "DAY",
+            "p_month": "MONTH", "p_year": "YEAR",
+        }.get(args.partition_col)
+        if grain is None:
+            print(f"unknown partition column {args.partition_col}", file=sys.stderr)
+            return 2
+        spec = TableSpec(partition_grain=grain)
+        kw = dict(min_files=args.min_files, small_file_bytes=args.small_file_bytes)
+        if args.dry_run:
+            plan = Warehouse(None, args.root).plan_compaction(
+                args.table, spec, **kw
+            )
+            out = {"table": args.table, "dry_run": True, "plan": plan}
+        else:
+            done = wh().auto_compact(
+                args.table, spec,
+                target_file_rows=args.target_file_rows,
+                max_partitions=args.max_partitions,
+                **kw,
+            )
+            out = {"table": args.table, "compacted": done}
     elif args.command == "restore":
         if args.version is None:
             print("restore requires --version", file=sys.stderr)
