@@ -1541,6 +1541,77 @@ FROM events WHERE NOT coalesce(user_id % 5 = 2, FALSE)
 """
 
 
+def q_warehouse_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (sinks/warehouse.py::clone_table): zero-copy
+    flat-table clone via hardlinks — the dev/test-snapshot primitive.
+    Staged lifecycle: append low event_ids (v0), delete_where
+    ``user_id % 5 = 2`` (v1, deferred/merge-on-read), append the highs
+    (v2, NOT subject to the earlier delete — snapshot-scoped
+    semantics), then clone twice: pinned at v1 and at head. AFTER
+    cloning, the source takes another delete (``user_id % 5 = 3``) —
+    neither clone may see it, which is the independence proof: a
+    leaked post-clone predicate loses rows and hash-mismatches. Both
+    clones read through their own carried deferred-delete scopes;
+    ``zero_copy`` pins that every file was hardlinked, not copied
+    (same filesystem — deterministic in this harness)."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_clone")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    stats = e.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    split = int(stats["lo"]) + (int(stats["hi"]) - int(stats["lo"])) // 2
+    wh.append(e.filter(F.col("event_id") <= split), "t", spec)  # v0
+    wh.delete_where("t", "user_id % 5 = 2")  # v1 (scoped to v0's files)
+    wh.append(e.filter(F.col("event_id") > split), "t", spec)  # v2
+    r1 = wh.clone_table("t", "t_v1", version=1)
+    r2 = wh.clone_table("t", "t_head")
+    wh.delete_where("t", "user_id % 5 = 3")  # post-clone: must not leak
+    zero_copy = F.lit(r1["n_copied"] == 0 and r2["n_copied"] == 0)
+    v1 = wh.read("t_v1").withColumn("clone_tag", F.lit("v1"))
+    head = wh.read("t_head").withColumn("clone_tag", F.lit("head"))
+    return v1.unionByName(head).select(
+        "clone_tag", "event_id", "user_id", "event_type", "value",
+        zero_copy.alias("zero_copy"),
+    )
+
+
+Q_WAREHOUSE_CLONE_SQL = """
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 2 AS split
+  FROM events
+)
+SELECT 'v1' AS clone_tag, event_id, user_id, event_type, value,
+       TRUE AS zero_copy
+FROM events, b
+WHERE event_id <= b.split AND NOT coalesce(user_id % 5 = 2, FALSE)
+UNION ALL
+SELECT 'head', event_id, user_id, event_type, value, TRUE
+FROM events, b
+WHERE event_id <= b.split AND NOT coalesce(user_id % 5 = 2, FALSE)
+UNION ALL
+SELECT 'head', event_id, user_id, event_type, value, TRUE
+FROM events, b WHERE event_id > b.split
+"""
+
+
 # canonical-text / whitespace-token SQL twins of
 # operators.dedup.canonical_text + functions.text.tokens (same macros
 # as queries_ext — duplicated here to keep module imports acyclic)
@@ -4519,6 +4590,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_warehouse_partition_compact_read, Q_WAREHOUSE_PARTITION_COMPACT_SQL,
     ),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
+    "warehouse_clone_read": (q_warehouse_clone_read, Q_WAREHOUSE_CLONE_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -4594,9 +4666,11 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_text_bucketed",
     "warehouse_bloom_bucketed",
     "warehouse_partition_compact_read",
-    # -- NEW r08 entries (first-witness): linear-sketch IVM + AMS F2 --
+    # -- NEW r08 entries (first-witness): linear-sketch IVM + AMS F2,
+    # shallow clone
     "sketch_cm_incremental",
     "sketch_ams_f2",
+    "warehouse_clone_read",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",

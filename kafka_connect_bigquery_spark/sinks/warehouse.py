@@ -678,6 +678,104 @@ class Warehouse:
         )
         return int(self.layout_meta(table)["generation"])
 
+    def clone_table(
+        self, src: str, dst: str, *, version: int | None = None
+    ) -> dict:
+        """Zero-copy SHALLOW CLONE of a flat table at a version (Delta's
+        ``CREATE TABLE ... SHALLOW CLONE``): the clone gets its own
+        directory, layout manifest, and op log, but its data files are
+        HARDLINKS to the source's — safe because this engine never
+        mutates a data file in place (rewrites always publish new
+        files), so shared inodes can never see a write; and durable
+        because an inode survives until BOTH links drop, so the
+        source's later compaction/vacuum cannot pull files out from
+        under the clone (the posix analog of Delta's "clone pins the
+        files, vacuum skips referenced ones"). On a filesystem that
+        refuses the link (cross-device) each file silently falls back
+        to a copy — same semantics, just not free.
+
+        ``version`` pins the clone to an earlier op-log state (schema,
+        file set, and PENDING deferred deletes all as of that commit —
+        the clone reads exactly what ``read(src, version=...)`` returns,
+        merge-on-read predicates included). Default: current state.
+        Derived indexes (bloom/sketch/text/zonemap) are NOT cloned —
+        they key on file paths and stale-loudly by design; re-record on
+        the clone if wanted. Bucketed tables are refused: their
+        generation manifests assume exclusive ownership of generation
+        dirs; materialize via read()+merge instead.
+
+        The clone's op log starts at a self-contained v0 checkpoint
+        recording the provenance, so the clone time-travels, compacts,
+        and vacuums independently from birth. Returns ``{n_files,
+        n_hardlinked, n_copied, source_version}``."""
+        meta = self.layout_meta(src)
+        if meta.get("generations") is not None:
+            raise WarehouseError(
+                "clone_table targets flat tables; materialize a bucketed "
+                "table via read() + merge into a new table"
+            )
+        if not os.path.isdir(self.path(src)):
+            raise WarehouseError(f"no such table: {src}")
+        ddir = self.path(dst)
+        if os.path.exists(ddir):
+            raise WarehouseError(f"clone destination already exists: {dst}")
+        recs = self._read_oplog(src)
+        if recs:
+            v = len(recs) - 1 if version is None else version
+            state = self._flat_state_at(src, v, recs)
+            rels = state["files"]
+            schema, deletes = state.get("schema"), state.get("deletes") or []
+        else:
+            if version is not None:
+                raise WarehouseError(
+                    f"table {src} has no op log; cannot clone at a version"
+                )
+            v = None
+            rels = sorted(self._live_data_files(src, meta))
+            schema = meta.get("schema")
+            deletes = list(meta.get("deferred_deletes") or [])
+        resolved = {}
+        for rel in rels:
+            p = self._resolve_version_file(src, rel)
+            if p is None:
+                raise WarehouseError(
+                    f"version {v} of {src} is no longer clonable: file "
+                    f"{rel} was dropped by the retention policy"
+                )
+            resolved[rel] = p
+        os.makedirs(ddir, exist_ok=True)
+        n_link = n_copy = 0
+        for rel, p in sorted(resolved.items()):
+            q = os.path.join(ddir, rel)
+            os.makedirs(os.path.dirname(q), exist_ok=True)
+            try:
+                os.link(p, q)
+                n_link += 1
+            except OSError:
+                shutil.copy2(p, q)
+                n_copy += 1
+        new_meta = {
+            k: val
+            for k, val in meta.items()
+            if k not in ("deferred_deletes", "schema")
+        }
+        if schema is not None:
+            new_meta["schema"] = schema
+        if deletes:
+            new_meta["deferred_deletes"] = deletes
+        new_meta["cloned_from"] = {"table": src, "version": v}
+        self._write_layout_meta(dst, new_meta)
+        self._log_op(
+            dst, "clone", checkpoint=True,
+            source=src, source_version=v, n_files=len(resolved),
+        )
+        return {
+            "n_files": len(resolved),
+            "n_hardlinked": n_link,
+            "n_copied": n_copy,
+            "source_version": v,
+        }
+
     def version_at(self, table: str, ts: float) -> int:
         """Latest committed version at wall-clock ``ts`` — the AS OF
         <timestamp> resolution rule (Delta/Iceberg semantics: the

@@ -219,3 +219,20 @@ def test_autocompact_cli_dry_run_then_execute(spark, tmp_path, capsys):
     )
     assert [e["value"] for e in out2["compacted"]] == ["2024-01-02"]
     assert {(r["id"], r["p_date"]) for r in wh.read("t").collect()} == before
+
+
+def test_clone_cli_is_sparkless(spark, tmp_path, capsys):
+    import datetime
+
+    root = str(tmp_path / "whc")
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    df = spark.createDataFrame(
+        [(j, datetime.datetime(2024, 1, 1, 12, 0), float(j)) for j in range(8)],
+        ["id", "ts", "v"],
+    )
+    wh.append(df, "t", spec)
+    out = _run(capsys, "clone", root, "t", "--dest", "t_dev")
+    assert out["dest"] == "t_dev" and out["n_files"] > 0
+    assert out["n_hardlinked"] == out["n_files"]
+    assert {r["id"] for r in wh.read("t_dev").collect()} == set(range(8))

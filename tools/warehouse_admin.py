@@ -15,6 +15,8 @@ Spark code:
     python tools/warehouse_admin.py autocompact <root> <table> --partition-col c
                                      [--min-files N] [--small-file-bytes N]
                                      [--max-partitions N] [--dry-run]
+    python tools/warehouse_admin.py clone    <root> <table> --dest <name>
+                                     [--version N]
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
@@ -44,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "describe", "vacuum", "compact", "history", "snapshots",
-            "bloom", "text", "restore", "autocompact",
+            "bloom", "text", "restore", "autocompact", "clone",
         ],
     )
     p.add_argument("root")
@@ -72,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--dry-run", action="store_true",
         help="autocompact: print the plan without rewriting anything",
+    )
+    p.add_argument(
+        "--dest", default=None,
+        help="clone: destination table name (required)",
     )
     args = p.parse_args(argv)
 
@@ -125,6 +131,15 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_rows=args.target_file_rows,
             )
             out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    elif args.command == "clone":
+        if not args.dest:
+            print("clone requires --dest", file=sys.stderr)
+            return 2
+        # metadata + hardlinks only — no Spark session needed
+        res = Warehouse(None, args.root).clone_table(
+            args.table, args.dest, version=args.version
+        )
+        out = {"table": args.table, "dest": args.dest, **res}
     elif args.command == "autocompact":
         if not args.partition_col:
             print("autocompact requires --partition-col", file=sys.stderr)
