@@ -369,3 +369,107 @@ def running_totals_stream(grouped_stream) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (space-saving / Metwally et al. 2005)
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_est", T.LongType()),
+        T.StructField("error", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errors", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataFrame:
+    """Per-group streaming heavy hitters with BOUNDED state: a
+    space-saving summary (Metwally, Agrawal & El Abbadi 2005) of at
+    most ``k`` (item, count, error) triples per group, maintained
+    across micro-batches via ``applyInPandasWithState``. The exact
+    streaming top-k needs per-item state — unbounded on a 100 TB
+    stream; space-saving caps state at k rows per group while keeping
+    the three classic guarantees, all pinned by tests:
+
+    - every item whose true count exceeds n_seen/k is IN the summary;
+    - ``count_est`` never under-estimates the true count;
+    - ``count_est - error`` never over-estimates it.
+
+    Batches fold in bulk (per-batch counts merge into the summary;
+    eviction replaces the current minimum, inheriting its count as the
+    new item's ``error``), which preserves sum(counts) == n_seen — the
+    invariant the guarantees rest on. Each micro-batch emits the
+    group's full current summary (update mode; downstream keeps the
+    latest row per (group, item)).
+
+    ``grouped_stream`` is ``df.groupBy(<group col>)``; ``item_col``
+    values are stringified into state — the caller casts back if the
+    item is numeric. Use a high-cardinality group only if every group's
+    top-k genuinely matters; for a global top-k, group by a literal and
+    accept the single-task state (k rows — trivially small)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errors, n = state.get
+            summary = {
+                it: [c, er] for it, c, er in zip(items, counts, errors)
+            }
+        else:
+            summary, n = {}, 0
+        batch = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            vals = pdf[item_col].dropna().astype(str)
+            batch = batch.add(vals.value_counts(), fill_value=0)
+        for it, c in sorted(batch.items()):  # deterministic fold order
+            c = int(c)
+            n += c
+            if it in summary:
+                summary[it][0] += c
+            elif len(summary) < k:
+                summary[it] = [c, 0]
+            else:
+                evict = min(summary, key=lambda x: (summary[x][0], x))
+                m = summary.pop(evict)[0]
+                summary[it] = [m + c, m]
+        items = sorted(summary)
+        state.update(
+            (
+                items,
+                [summary[i][0] for i in items],
+                [summary[i][1] for i in items],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "group": [str(key[0])] * len(items),
+                "item": items,
+                "count_est": [summary[i][0] for i in items],
+                "error": [summary[i][1] for i in items],
+                "n_seen": [n] * len(items),
+            }
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -360,3 +360,69 @@ def test_stream_stream_join_batch_degrade_matches(spark):
     )
     got = sorted((r["amount"],) for r in out.collect())
     assert got == [(5.0,), (7.0,)]
+
+
+def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
+    """Space-saving heavy hitters (r08): state capped at k triples per
+    group while keeping the three classic guarantees across
+    micro-batches — frequent items present, count_est never under,
+    count_est - error never over."""
+    from collections import Counter
+
+    from kafka_connect_bigquery_spark.streaming.windows import (
+        heavy_hitters_stream,
+    )
+
+    src = str(tmp_path / "src")
+    K = 4
+    # skewed truth: u1 dominates, a long tail forces evictions
+    batch1 = (
+        [(1, _ts(0), "click", 1.0)] * 6
+        + [(2, _ts(0), "click", 1.0)] * 4
+        + [(i, _ts(0), "click", 1.0) for i in range(10, 16)]
+    )
+    batch2 = (
+        [(1, _ts(1), "click", 1.0)] * 5
+        + [(3, _ts(1), "click", 1.0)] * 4
+        + [(i, _ts(1), "click", 1.0) for i in range(20, 25)]
+    )
+    truth = Counter(str(r[0]) for r in batch1 + batch2)
+    n_total = len(batch1) + len(batch2)
+
+    _write_batch(spark, src, batch1)
+    stream = _stream(spark, src).select("event_type", "user_id")
+    out = heavy_hitters_stream(
+        stream.groupBy("event_type"), "user_id", k=K
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, batch2)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM hh_sink WHERE n_seen = %d" % n_total
+        ).collect()
+    finally:
+        q.stop()
+
+    # the final emission is the complete summary for the one group
+    summary = {r["item"]: (r["count_est"], r["error"]) for r in rows}
+    assert len(summary) <= K  # bounded state
+    assert all(r["group"] == "click" for r in rows)
+    # guarantee 1: every item with true count > n/k is present
+    for item, true_c in truth.items():
+        if true_c > n_total / K:
+            assert item in summary, (item, true_c, summary)
+    # guarantees 2+3: bounds hold for every summarized item
+    for item, (est, err) in summary.items():
+        assert est >= truth.get(item, 0)
+        assert est - err <= truth.get(item, 0)
+    # conservation: sum(counts) == n_seen (the invariant the
+    # guarantees rest on)
+    assert sum(est for est, _ in summary.values()) == n_total
