@@ -1612,6 +1612,90 @@ FROM events, b WHERE event_id > b.split
 """
 
 
+def q_warehouse_clone_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone of a BUCKETED MERGE table
+    (sinks/warehouse.py::_clone_bucketed) — the upsert-destination
+    tables are where the reference's users live, so the dev/test-
+    snapshot primitive must cover them too. Staged lifecycle: upsert
+    event_ids with ``%3 != 0`` (g0), then upsert the ``%3 == 0``
+    remainder and tombstone ``%7 == 1`` keys (g1); clone pinned at g0
+    and at head, then tombstone half the SOURCE's keys post-clone —
+    neither clone may see it (independence: generation dirs are
+    uniquely tokened, data files immutable and hardlinked). The oracle
+    re-derives both pinned states from the source table; ``zero_copy``
+    pins that no file was byte-copied."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_cloneb")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    v0 = (
+        e.filter(F.col("event_id") % 3 != 0)
+        .withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(v0, "bt", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    g0 = int(wh.layout_meta("bt")["generation"])
+    batch1 = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+        .unionByName(
+            e.filter(F.col("event_id") % 7 == 1)
+            .withColumn("i", F.lit(2).cast("bigint"))
+            .withColumn("__tombstone", F.lit(True))
+        )
+    )
+    wh.merge(
+        batch1, "bt", ["event_id"], mode="upsert_delete", order_col="i", spec=spec
+    )
+    r1 = wh.clone_table("bt", "bt_g0", version=g0)
+    r2 = wh.clone_table("bt", "bt_head")
+    # post-clone source write: must not leak into either clone
+    gone = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .withColumn("i", F.lit(3).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        gone, "bt", ["event_id"], mode="upsert_delete", order_col="i", spec=spec
+    )
+    zero_copy = F.lit(r1["n_copied"] == 0 and r2["n_copied"] == 0)
+    a = wh.read("bt_g0").withColumn("clone_tag", F.lit("g0"))
+    b = wh.read("bt_head").withColumn("clone_tag", F.lit("head"))
+    return a.unionByName(b).select(
+        "clone_tag", "event_id", "user_id", "event_type", "value",
+        zero_copy.alias("zero_copy"),
+    )
+
+
+Q_WAREHOUSE_CLONE_BUCKETED_SQL = """
+SELECT 'g0' AS clone_tag, event_id, user_id, event_type, value,
+       TRUE AS zero_copy
+FROM events WHERE event_id % 3 <> 0
+UNION ALL
+SELECT 'head', event_id, user_id, event_type, value, TRUE
+FROM events WHERE NOT (event_id % 7 = 1)
+"""
+
+
 # canonical-text / whitespace-token SQL twins of
 # operators.dedup.canonical_text + functions.text.tokens (same macros
 # as queries_ext — duplicated here to keep module imports acyclic)
@@ -4591,6 +4675,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "warehouse_clone_read": (q_warehouse_clone_read, Q_WAREHOUSE_CLONE_SQL),
+    "warehouse_clone_bucketed": (q_warehouse_clone_bucketed, Q_WAREHOUSE_CLONE_BUCKETED_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -4671,6 +4756,7 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_cm_incremental",
     "sketch_ams_f2",
     "warehouse_clone_read",
+    "warehouse_clone_bucketed",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",

@@ -694,31 +694,33 @@ class Warehouse:
         refuses the link (cross-device) each file silently falls back
         to a copy — same semantics, just not free.
 
-        ``version`` pins the clone to an earlier op-log state (schema,
-        file set, and PENDING deferred deletes all as of that commit —
-        the clone reads exactly what ``read(src, version=...)`` returns,
-        merge-on-read predicates included). Default: current state.
-        Derived indexes (bloom/sketch/text/zonemap) are NOT cloned —
-        they key on file paths and stale-loudly by design; re-record on
-        the clone if wanted. Bucketed tables are refused: their
-        generation manifests assume exclusive ownership of generation
-        dirs; materialize via read()+merge instead.
+        ``version`` pins the clone to an earlier state — an op-log
+        position for flat tables (schema, file set, and PENDING
+        deferred deletes all as of that commit — the clone reads
+        exactly what ``read(src, version=...)`` returns, merge-on-read
+        predicates included), a snapshot generation for bucketed-MERGE
+        tables (the clone's generation manifest is that snapshot's).
+        Default: current state. Derived indexes (bloom/sketch/text/
+        zonemap) are NOT cloned — they key on file paths and
+        stale-loudly by design; re-record on the clone if wanted.
 
-        The clone's op log starts at a self-contained v0 checkpoint
-        recording the provenance, so the clone time-travels, compacts,
-        and vacuums independently from birth. Returns ``{n_files,
-        n_hardlinked, n_copied, source_version}``."""
+        Flat clones start their op log at a self-contained v0
+        checkpoint recording the provenance. Bucketed clones copy the
+        pinned generation manifest (layout + one snapshot at the same
+        generation number), so merges, CDC reads, and restore continue
+        from the clone point with their own snapshot history —
+        generation dirs carry per-commit unique tokens, so later
+        writes on either side can never collide on a shared path.
+        Returns ``{n_files, n_hardlinked, n_copied, source_version}``.
+        """
         meta = self.layout_meta(src)
-        if meta.get("generations") is not None:
-            raise WarehouseError(
-                "clone_table targets flat tables; materialize a bucketed "
-                "table via read() + merge into a new table"
-            )
         if not os.path.isdir(self.path(src)):
             raise WarehouseError(f"no such table: {src}")
         ddir = self.path(dst)
         if os.path.exists(ddir):
             raise WarehouseError(f"clone destination already exists: {dst}")
+        if meta.get("generations") is not None:
+            return self._clone_bucketed(src, dst, meta, version)
         recs = self._read_oplog(src)
         if recs:
             v = len(recs) - 1 if version is None else version
@@ -771,6 +773,56 @@ class Warehouse:
         )
         return {
             "n_files": len(resolved),
+            "n_hardlinked": n_link,
+            "n_copied": n_copy,
+            "source_version": v,
+        }
+
+    def _clone_bucketed(
+        self, src: str, dst: str, meta: dict, version: int | None
+    ) -> dict:
+        """Bucketed half of :meth:`clone_table`: link every data file of
+        the pinned generation manifest's live gen dirs at their original
+        rel paths, then commit the clone's layout as a copy of that
+        manifest (plus one snapshot at the same generation, so CDC /
+        restore have their base). Written files are immutable and gen
+        dirs are uniquely tokened per commit, so source and clone can
+        merge/vacuum independently forever after."""
+        if version is not None:
+            if version not in self.snapshots(src):
+                raise WarehouseError(
+                    f"snapshot v{version} of {src} is not readable "
+                    f"(available: {self.snapshots(src)})"
+                )
+            meta_at = self._snapshot_meta(src, version)
+            v = version
+        else:
+            meta_at = meta
+            v = int(meta.get("generation", -1))
+        gens = meta_at.get("generations") or {}
+        sdir, ddir = self.path(src), self.path(dst)
+        n_link = n_copy = 0
+        n_files = 0
+        for b, g in sorted(gens.items()):
+            for p in self._data_files(self._bucket_gen_dir(src, b, g)):
+                rel = os.path.relpath(p, sdir)
+                q = os.path.join(ddir, rel)
+                os.makedirs(os.path.dirname(q), exist_ok=True)
+                try:
+                    os.link(p, q)
+                    n_link += 1
+                except OSError:
+                    shutil.copy2(p, q)
+                    n_copy += 1
+                n_files += 1
+        os.makedirs(ddir, exist_ok=True)  # all-tombstone edge: no files
+        new_meta = dict(meta_at)
+        new_meta["cloned_from"] = {"table": src, "version": v}
+        self._write_layout_meta(dst, new_meta)
+        if v >= 0:
+            self._write_snapshot(dst, new_meta)
+        return {
+            "n_files": n_files,
             "n_hardlinked": n_link,
             "n_copied": n_copy,
             "source_version": v,

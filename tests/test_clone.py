@@ -94,15 +94,8 @@ def test_clone_survives_source_compaction_and_vacuum(spark, tmp_path):
     assert _ids(wh.read("t")) == before
 
 
-def test_clone_refuses_bucketed_existing_and_bad_version(spark, tmp_path):
+def test_clone_refuses_existing_and_bad_version(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    bspec = TableSpec(partition_grain="NONE", key_bucket_count=4)
-    df = spark.createDataFrame(
-        [(1, 1.0, 0, False)], ["id", "v", "i", "__tombstone"]
-    )
-    wh.merge(df, "bt", ["id"], mode="upsert_delete", spec=bspec)
-    with pytest.raises(WarehouseError, match="flat"):
-        wh.clone_table("bt", "bt2")
     wh.append(_df(spark, 0, 5), "t", SPEC)
     wh.clone_table("t", "t2")
     with pytest.raises(WarehouseError, match="already exists"):
@@ -111,3 +104,58 @@ def test_clone_refuses_bucketed_existing_and_bad_version(spark, tmp_path):
         wh.clone_table("t", "t3", version=99)
     with pytest.raises(WarehouseError, match="no such table"):
         wh.clone_table("nope", "t4")
+
+
+BSPEC = TableSpec(partition_grain="NONE", key_bucket_count=4)
+
+
+def _bmerge(spark, wh, table, rows, i):
+    df = spark.createDataFrame(
+        [(k, v, i, tomb) for k, v, tomb in rows],
+        "id: bigint, v: double, i: bigint, __tombstone: boolean",
+    )
+    wh.merge(df, table, ["id"], mode="upsert_delete", order_col="i", spec=BSPEC)
+
+
+def _kv(df):
+    return {(r["id"], r["v"]) for r in df.collect()}
+
+
+def test_clone_bucketed_current_and_pinned(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _bmerge(spark, wh, "bt", [(k, float(k), False) for k in range(8)], 0)  # g0
+    _bmerge(spark, wh, "bt", [(0, 99.0, False), (1, 0.0, True)], 1)       # g1
+    g0 = wh.snapshots("bt")[0]
+    out = wh.clone_table("bt", "bt_dev")
+    assert out["n_copied"] == 0 and out["n_files"] > 0
+    assert _kv(wh.read("bt_dev")) == _kv(wh.read("bt"))
+    pinned = wh.clone_table("bt", "bt_g0", version=g0)
+    assert pinned["source_version"] == g0
+    assert _kv(wh.read("bt_g0")) == {(k, float(k)) for k in range(8)}
+    with pytest.raises(WarehouseError, match="not readable"):
+        wh.clone_table("bt", "bt_bad", version=999)
+
+
+def test_clone_bucketed_is_independent_and_cdc_capable(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _bmerge(spark, wh, "bt", [(k, float(k), False) for k in range(6)], 0)
+    wh.clone_table("bt", "bt_dev")
+    base = int(wh.layout_meta("bt_dev")["generation"])
+    # both sides merge independently after the clone
+    _bmerge(spark, wh, "bt", [(0, -1.0, False)], 1)
+    _bmerge(spark, wh, "bt_dev", [(5, 50.0, False), (6, 60.0, False)], 1)
+    assert _kv(wh.read("bt")) == {(0, -1.0)} | {(k, float(k)) for k in range(1, 6)}
+    assert _kv(wh.read("bt_dev")) == (
+        {(k, float(k)) for k in range(5)} | {(5, 50.0), (6, 60.0)}
+    )
+    # the clone's CDC feed starts at the clone point
+    ch = wh.read_changes("bt_dev", from_version=base, images="both")
+    types = {(r["id"], r["_change_type"]) for r in ch.select("id", "_change_type").collect()}
+    assert (6, "insert") in types
+    assert (5, "update_postimage") in types
+    # source vacuum cannot break the clone (shared inodes, own dirs)
+    wh.vacuum_snapshots("bt", keep_last=1)
+    wh.vacuum("bt")
+    assert _kv(wh.read("bt_dev")) == (
+        {(k, float(k)) for k in range(5)} | {(5, 50.0), (6, 60.0)}
+    )
