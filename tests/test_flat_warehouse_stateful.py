@@ -81,6 +81,7 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
         self.has_w = False
         self.has_s = False
         self.s_has_b = False
+        self._clone_n = 0
 
     def _snap(self, rewrite=False):
         # rewrites no longer invalidate history: _swap_dir_retaining
@@ -360,6 +361,35 @@ class FlatWarehouseMachine(RuleBasedStateMachine):
                 assert v != last, f"latest version must always read: {e}"
                 continue
             assert got == want_model, f"time travel diverged at version {v}"
+
+    @precondition(lambda self: self.created and self.version_log)
+    @rule(which=st.sampled_from(["first", "mid", "last"]))
+    def clone_at_version(self, which):
+        """Shallow clone (r08) composed against every other op the
+        machine generates: a clone pinned at any readable version must
+        read EXACTLY that version's model snapshot — schema-as-of-then
+        included, deferred deletes applied, across rewrites (the clone
+        links files out of retained layers) — or, when retention
+        dropped the version's files, fail LOUDLY with the documented
+        error. The clone is read immediately and dropped; its
+        correctness is the invariant."""
+        last = len(self.version_log) - 1
+        v = {"first": 0, "mid": last // 2, "last": last}[which]
+        dst = f"c{self._clone_n}"
+        self._clone_n += 1
+        want, flags = self.version_log[v]
+        try:
+            self.wh.clone_table("t", dst, version=v)
+        except WarehouseError as e:
+            assert self.vacuumed, (
+                f"clone at v{v} refused with no vacuum ever run: {e}"
+            )
+            assert "no longer clonable" in str(e), e
+            assert v != last, f"latest version must always clone: {e}"
+            return
+        got = self._project(self.wh.read(dst), flags=flags)
+        self.wh.drop_table(dst)
+        assert got == want, f"clone at version {v} diverged"
 
     @invariant()
     def sketch_index_matches_python_registers(self):
