@@ -4757,6 +4757,7 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_ams_f2",
     "warehouse_clone_read",
     "warehouse_clone_bucketed",
+    "docs_ngram_novelty",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",
     "mixture_rebalance",

@@ -3024,6 +3024,86 @@ FROM counts GROUP BY doc_id
 """
 
 
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-curation twin of the
+    repetition rules: for each document, how many of its DISTINCT token
+    trigrams appear in no other document (corpus df == 1). Low novelty
+    flags template/boilerplate mass a pretraining mix should
+    down-weight; ``dedup_*`` finds near-copies, this finds the
+    mushier "everything here is phrased like everything else" signal.
+    All integers: n_distinct_tri, n_unique_tri, novelty_x100 =
+    100*unique DIV distinct. Plan: trigrams built row-locally
+    (zip_with against the token array's own tails — no window, no
+    shuffle), distinct per doc, then ONE shuffle on trigram for the
+    df counts and a join back. Docs with < 3 tokens carry no trigram
+    and drop out — same on both engines."""
+    from kafka_connect_bigquery_spark.operators.dedup import canonical_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(canonical_text(F.col("text")), " ")
+    t2 = F.slice(toks, F.lit(2), F.size(toks))
+    t3 = F.slice(toks, F.lit(3), F.size(toks))
+    bc = F.zip_with(t2, t3, lambda b, c: F.concat(b, F.lit(" "), c))
+    tri = F.zip_with(toks, bc, lambda a, x: F.concat(a, F.lit(" "), x))
+    tris = F.filter(tri, lambda x: x.isNotNull())
+    pairs = (
+        d.select("doc_id", F.explode(tris).alias("tri"))
+        .distinct()  # trigram TYPES per doc
+    )
+    df_counts = pairs.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        pairs.join(df_counts, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tri"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique_tri"
+            ),
+        )
+    )
+    # integer division on BOTH engines (Spark DIV / DuckDB //): a
+    # double-then-cast would round on DuckDB but truncate on Spark
+    novelty = F.expr("CAST(100 * n_unique_tri AS BIGINT) DIV n_distinct_tri")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_distinct_tri").cast("bigint").alias("n_distinct_tri"),
+        F.col("n_unique_tri").cast("bigint").alias("n_unique_tri"),
+        novelty.alias("novelty_x100"),
+        (novelty < 20).alias("template_like"),
+    )
+
+
+Q_DOCS_NGRAM_NOVELTY_SQL = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents),
+tok AS (
+  SELECT doc_id,
+         str_split(c, ' ')[CAST(u.pos AS INT) + 1] AS tok,
+         u.pos AS pos
+  FROM canon, unnest(range(len(str_split(c, ' ')))) AS u(pos)
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS tri
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+pairs AS (SELECT doc_id, tri FROM tri WHERE tri IS NOT NULL),
+dfc AS (SELECT tri, COUNT(*) AS df FROM pairs GROUP BY 1),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tri,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique_tri
+  FROM pairs JOIN dfc USING (tri) GROUP BY 1
+)
+SELECT doc_id, n_distinct_tri, n_unique_tri,
+       CAST((100 * n_unique_tri) // n_distinct_tri AS BIGINT) AS novelty_x100,
+       CAST((100 * n_unique_tri) // n_distinct_tri AS BIGINT) < 20
+         AS template_like
+FROM per_doc
+"""
+
+
 _KPG_K = 5
 
 
@@ -3805,6 +3885,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_pii_scrub": (q_text_pii_scrub, Q_TEXT_PII_SQL),
     "docs_quality_filter": (q_docs_quality_filter, Q_DOCS_QUALITY_SQL),
     "text_repetition_stats": (q_text_repetition_stats, Q_TEXT_REPETITION_SQL),
+    "docs_ngram_novelty": (q_docs_ngram_novelty, Q_DOCS_NGRAM_NOVELTY_SQL),
     "text_bigram_fluency": (q_text_bigram_fluency, Q_TEXT_BIGRAM_FLUENCY_SQL),
     "text_bm25": (q_text_bm25, Q_TEXT_BM25_SQL),
     "bm25_incremental": (q_bm25_incremental, Q_TEXT_BM25_SQL),
