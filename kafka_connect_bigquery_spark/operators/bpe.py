@@ -116,3 +116,140 @@ def learn_merges(
         merges.append((a, b))
         toked = _merge_pair(toked, a, b)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Classic word-dict BPE (Sennrich et al. 2016, Algorithm 1) — the
+# 100 TB shape
+# ---------------------------------------------------------------------------
+#
+# ``learn_merges`` streams the whole CORPUS once per round — n_merges
+# corpus passes. Classic BPE never merges across word boundaries, which
+# buys the decisive compression: aggregate the corpus ONCE into the
+# (word, count) frequency dict, then every training round runs over the
+# dict — vocabulary-bounded, corpus-size-independent. A 100 TB corpus
+# with a 10^8-word vocabulary pays one corpus scan total; each round is
+# a pass over 10^8 dict rows (still a Spark frame — too big to collect,
+# small enough to iterate), with pair statistics weighted by word
+# frequency. The merge fold itself is the same HOF as _merge_pair.
+
+WORD_END = "</w>"
+
+
+def word_freq_dict(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus pass: whitespace-word frequencies as ``(tk, cnt)``
+    with ``tk`` the word's character sequence plus the ``</w>``
+    end-of-word marker (so merges can learn suffixes without ever
+    crossing a word boundary — Sennrich's formulation)."""
+    from kafka_connect_bigquery_spark.functions.text import tokens
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i.cast("int"), 1),
+    )
+    tk = F.concat(chars, F.array(F.lit(WORD_END)))
+    return words.select(tk.alias("tk"), "cnt").localCheckpoint(eager=False)
+
+
+def _weighted_pair_counts(dict_df: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at("tk", i.cast("int")).alias("a"),
+            F.element_at("tk", (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        dict_df.filter(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("_p"), "cnt")
+        .groupBy("_p.a", "_p.b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def learn_merges_words(
+    df: DataFrame, text_col: str, *, n_merges: int = 8
+) -> list[tuple[str, str]]:
+    """Classic within-word BPE training: one corpus pass builds the
+    word-frequency dict, then each round counts frequency-weighted
+    adjacent pairs over the DICT, merges the winner (count desc, pair
+    text asc — fully deterministic), and repeats. Stops early when no
+    pair's weighted count reaches 2. Merge semantics differ from
+    ``learn_merges`` exactly as classic BPE differs from a stream
+    tokenizer: pairs never span whitespace, and suffix units carry the
+    ``</w>`` marker."""
+    d = word_freq_dict(df, text_col)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _weighted_pair_counts(d)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = F.aggregate(
+            F.col("tk"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        d = d.select(merged.alias("tk"), "cnt").localCheckpoint(eager=False)
+    return merges
+
+
+def apply_merges_words(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: per word,
+    start from characters + ``</w>`` and replay the merges in order —
+    the inference half of the tokenizer, one linear pass per merge
+    over the row's own array (no shuffle at all). Returns the input
+    plus a ``subwords`` array column."""
+    from kafka_connect_bigquery_spark.functions.text import tokens
+
+    def fold(a: str, b: str):
+        def step(acc: Column, x: Column) -> Column:
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    def seg(word: Column) -> Column:
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substring(word, i.cast("int"), 1),
+        )
+        tk = F.concat(chars, F.array(F.lit(WORD_END)))
+        for a, b in merges:
+            tk = F.aggregate(tk, F.array().cast("array<string>"), fold(a, b))
+        return tk
+
+    subwords = F.flatten(
+        F.transform(
+            F.filter(tokens(F.col(text_col)), lambda w: w != F.lit("")),
+            seg,
+        )
+    )
+    return df.withColumn("subwords", subwords)

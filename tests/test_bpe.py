@@ -80,3 +80,77 @@ def test_top_pairs_deterministic_rank(spark):
 def test_stops_when_no_pair_repeats(spark):
     df = spark.createDataFrame([("x y",), ("p q",)], "text: string")
     assert bpe.learn_merges(df, "text", n_merges=3) == []
+
+
+# ---------------------------------------------------------------------------
+# Classic word-dict BPE (r08): one corpus pass, vocab-bounded rounds
+# ---------------------------------------------------------------------------
+
+
+def _ref_learn_words(texts, n_merges):
+    """Sennrich Algorithm 1: word-frequency dict, chars + </w>, merge
+    within words, counts weighted by word frequency."""
+    from collections import Counter
+
+    def canon_words(t):
+        c = re.sub(r"[^a-z0-9\s]", "", t.lower())
+        return [w for w in re.sub(r"\s+", " ", c).strip().split(" ") if w]
+
+    freqs = Counter(w for t in texts for w in canon_words(t))
+    vocab = {w: list(w) + [bpe.WORD_END] for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, toks in vocab.items():
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] += freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        vocab = {w: _ref_merge(t, a, b) for w, t in vocab.items()}
+    return merges
+
+
+def test_learn_merges_words_matches_classic_reference(spark):
+    got = bpe.learn_merges_words(_df(spark), "text", n_merges=8)
+    assert got == _ref_learn_words(TEXTS, 8)
+    assert got  # the corpus genuinely learns something
+
+
+def test_learn_merges_words_partitioning_invariant(spark):
+    df = _df(spark)
+    one = bpe.learn_merges_words(df.coalesce(1), "text", n_merges=4)
+    many = bpe.learn_merges_words(df.repartition(8), "text", n_merges=4)
+    assert one == many
+
+
+def test_apply_merges_words_roundtrips_and_uses_merges(spark):
+    df = _df(spark)
+    merges = bpe.learn_merges_words(df, "text", n_merges=6)
+    out = bpe.apply_merges_words(df, "text", merges).collect()
+    for row in out:
+        subs = row["subwords"]
+        # every word reconstructs exactly: concatenation of its
+        # subwords minus the </w> markers equals the lowered text
+        joined = "".join(subs).replace(bpe.WORD_END, " ").strip()
+        canon = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", row["text"].lower())).strip()
+        assert joined == canon
+        # at least one learned multi-char unit is actually used
+        if merges:
+            assert any(len(s.replace(bpe.WORD_END, "")) > 1 for s in subs)
+
+
+def test_word_dict_bpe_never_crosses_word_boundary(spark):
+    # "b a" is adjacent ACROSS words in every document, but word-dict
+    # BPE has no cross-word pairs at all: the only learnable units are
+    # (b, </w>) and (a, </w>); ("b", "a") must never appear
+    df = spark.createDataFrame([("b a",)] * 5, "text: string")
+    merges = bpe.learn_merges_words(df, "text", n_merges=3)
+    assert merges and ("b", "a") not in merges
+    assert merges[0] == ("a", bpe.WORD_END)  # tie-break: pair text asc
+    # the stream variant DOES see the cross-word pair — the semantic
+    # difference between the two trainers, pinned
+    assert ("b", "a") in bpe.learn_merges(df, "text", n_merges=3)
