@@ -209,6 +209,31 @@ class WarehouseMachine(RuleBasedStateMachine):
         self.extra2 = {k: vw[2] for k, vw in snap.items()}
         self._committed()
 
+    @precondition(lambda self: self.created)
+    @rule(data=st.data())
+    def clone_at_snapshot(self, data):
+        """Bucketed shallow clone (r08) composed against merges,
+        evolution, compaction, restore, and vacuum: a clone pinned at
+        any retained snapshot must read EXACTLY that version's model
+        state (evolved columns included); cloning at head must match
+        the live model. The clone is read and dropped immediately."""
+        versions = [v for v in self.wh.snapshots("t") if v in self.history]
+        if not versions:
+            return
+        v = data.draw(st.sampled_from([*versions, None]))
+        dst = f"c{len(self.history)}_{v}"
+        self.wh.clone_table("t", dst, version=v)
+        got = {
+            r["k"]: r["v"]
+            for r in self.wh.read(dst).select("k", "v").collect()
+        }
+        if v is None:
+            want = dict(self.model)
+        else:
+            want = {k: vw[0] for k, vw in self.history[v].items()}
+        self.wh.drop_table(dst)
+        assert got == want, f"bucketed clone at {v} diverged"
+
     @invariant()
     def state_matches_model(self):
         if not self.created:
