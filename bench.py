@@ -113,6 +113,11 @@ HEADLINE = [
     "text_zipf_fit",
     "orders_market_basket",
     "docs_chunk_windows",
+    # r08 additions (pure queries). The staged clone/cm entries stay
+    # out like the other scratch-warehouse entries; sketch_ams_f2 and
+    # docs_ngram_novelty are pure scans+aggs and join the headline.
+    "sketch_ams_f2",
+    "docs_ngram_novelty",
 ]
 
 
