@@ -589,6 +589,132 @@ def kmv_estimate(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-grid histogram: mergeable quantiles that survive deletes
+# ---------------------------------------------------------------------------
+#
+# A per-group equi-width histogram over a FIXED [lo, hi) grid is the
+# third linear sketch: cells are sums, so per-partition histograms
+# merge by addition and CDC deletions SUBTRACT — the property
+# approx_percentile's GK/KLL summaries lack (they cannot unsee). On a
+# fixed grid the quantile answer is deterministic to a bucket: the
+# smallest bucket whose cumulative count covers ceil(q*n), every step
+# integer arithmetic a SQL oracle re-derives. Bucket resolution is the
+# accuracy knob; out-of-range values clamp into the edge buckets, so
+# the sketch never drops rows.
+
+HIST_NBINS = 64
+
+
+def _hist_bucket(col: Column, lo: float, hi: float, nbins: int) -> Column:
+    raw = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        * F.lit(float(nbins))
+        / F.lit(float(hi) - float(lo))
+    ).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+
+
+def hist_build_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Per-group fixed-grid histogram: ``(*group_cols, bucket, cnt)``
+    rows, at most nbins per group. One map-side-combinable groupBy."""
+    key = F.col(col)
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, _hist_bucket(key, lo, hi, nbins).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_maintain_grouped(
+    stored: DataFrame,
+    changes: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Incremental maintenance from a CDC feed — linear, exactly like
+    :func:`count_min_maintain_grouped`: post-images add 1 to their
+    bucket, pre-images subtract 1, no rebuild path, maintained ==
+    direct build by associativity. An update that moves a row's value
+    across buckets decrements the old bucket and increments the new
+    one in the same pass."""
+    key = F.col(col)
+    live = changes.filter(key.isNotNull())
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        live.select(
+            *group_cols,
+            _hist_bucket(key, lo, hi, nbins).alias("bucket"),
+            w.alias("_w"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+    return (
+        stored.unionByName(delta)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def hist_quantile_grouped(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs_x1000: list[int],
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Per-group quantile buckets from a histogram frame: for each
+    q (in thousandths), the smallest bucket whose cumulative count
+    reaches ceil(q*n/1000) — compared in cross-multiplied integers
+    (``cum * 1000 >= q * n``), so the answer is engine-exact. Emits
+    ``p<q>_bucket`` plus its lower edge ``p<q>_lo`` (the deterministic
+    double ``lo + bucket*(hi-lo)/nbins``). The cumulative sum is a
+    window PARTITIONED by group over at most nbins rows per group."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    j = h.join(totals, list(group_cols))
+    out = totals
+    step = (float(hi) - float(lo)) / nbins
+    for q in qs_x1000:
+        picked = (
+            j.filter(F.col("cum") * 1000 >= F.lit(q) * F.col("n"))
+            .groupBy(*group_cols)
+            .agg(F.min("bucket").alias(f"p{q}_bucket"))
+        )
+        out = out.join(picked, list(group_cols))
+        out = out.withColumn(
+            f"p{q}_lo",
+            F.lit(float(lo)) + F.col(f"p{q}_bucket").cast("double") * F.lit(step),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # AMS (Alon-Matias-Szegedy) F2 sketch: second-moment / self-join size
 # ---------------------------------------------------------------------------
 #

@@ -3074,6 +3074,184 @@ LEFT JOIN deld dl ON e.day = dl.day
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 512.0, 64
+
+
+def q_sketch_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-day fixed-grid histogram over
+    the warehouse CDC feed (operators/sketch.py::hist_maintain_grouped)
+    — mergeable QUANTILES that survive deletes, which approx_percentile's
+    GK/KLL summaries cannot do (they cannot unsee). Same staged scenario
+    as the count-min twin, with one twist that matters here: the +100
+    value updates MOVE rows across buckets, so the linear path must
+    decrement the old bucket and increment the new one in the same pass
+    (pre-image -1, post-image +1 — different cells this time). No
+    ``current`` input, no rebuild path; maintained buckets bit-equal a
+    from-scratch build (``n_cell_mismatch`` = 0, oracle-pinned). The
+    p50/p90 buckets are read off the maintained histogram in
+    cross-multiplied integer arithmetic; values above the grid clamp
+    into the top bucket (the clamp path is data-exercised: max value
+    560 > hi 512)."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.operators import sketch as SK
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    dom = F.substring(F.date_format(F.col("ts"), "yyyy-MM-dd"), 9, 2).cast("int")
+    del_cond = (
+        (F.col("event_id") % 11 == 3) & (F.col("event_id") % 5 != 0) & (dom <= 3)
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_hist_ivm")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    v0 = (
+        e.filter(F.col("event_id") % 5 != 0)
+        .withColumn("i", F.lit(0).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    wh.merge(v0, "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec)
+    inserts = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    updates = (
+        e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("i", F.lit(1).cast("bigint"))
+        .withColumn("__tombstone", F.lit(False))
+    )
+    deletes = (
+        e.filter(del_cond)
+        .withColumn("i", F.lit(2).cast("bigint"))
+        .withColumn("__tombstone", F.lit(True))
+    )
+    wh.merge(
+        inserts.unionByName(updates).unionByName(deletes),
+        "t", ["event_id"], mode="upsert_delete", order_col="i", spec=spec,
+    )
+    kw = dict(lo=_HIST_LO, hi=_HIST_HI, nbins=_HIST_NBINS)
+    stored = SK.hist_build_grouped(
+        wh.read("t", version=0).select(day, "value"), "value", ["day"], **kw
+    )
+    changes = wh.read_changes("t", from_version=0, images="both").select(
+        day, "value", "_change_type"
+    )
+    maintained = SK.hist_maintain_grouped(
+        stored, changes, "value", ["day"], **kw
+    ).localCheckpoint(eager=False)  # feeds quantiles AND the mismatch proof
+    current = wh.read("t").select(day, "value").localCheckpoint(eager=False)
+    direct = SK.hist_build_grouped(current, "value", ["day"], **kw)
+    m = maintained.select("day", "bucket", F.col("cnt").alias("m_cnt"))
+    dd = direct.select("day", "bucket", F.col("cnt").alias("d_cnt"))
+    mism = (
+        m.join(dd, ["day", "bucket"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("m_cnt").isNull()
+                    | F.col("d_cnt").isNull()
+                    | (F.col("m_cnt") != F.col("d_cnt")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_cell_mismatch")
+        )
+    )
+    q = SK.hist_quantile_grouped(maintained, ["day"], [500, 900], **kw)
+    deld = (
+        _t(spark, sf_dir, "events")
+        .filter(del_cond)
+        .select(day)
+        .distinct()
+        .withColumn("had_deletes", F.lit(True))
+    )
+    return (
+        q.join(mism, "day")
+        .join(deld, "day", "left")
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("p500_bucket").cast("bigint").alias("p500_bucket"),
+            "p500_lo",
+            F.col("p900_bucket").cast("bigint").alias("p900_bucket"),
+            "p900_lo",
+            F.coalesce(F.col("had_deletes"), F.lit(False)).alias("had_deletes"),
+            "n_cell_mismatch",
+            (F.col("n_cell_mismatch") == 0).alias("linear_ok"),
+        )
+    )
+
+
+Q_SKETCH_HIST_INCREMENTAL_SQL = f"""
+WITH final AS (
+  SELECT strftime({_TS_US}, '%Y-%m-%d') AS day,
+         CASE WHEN event_id % 7 = 0 AND event_id % 5 <> 0
+              THEN value + 100.0 ELSE value END AS value
+  FROM events
+  WHERE value IS NOT NULL
+    AND NOT (event_id % 11 = 3 AND event_id % 5 <> 0
+             AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3)
+),
+hist AS (
+  SELECT day,
+         GREATEST(0, LEAST({_HIST_NBINS - 1},
+           CAST(floor((value - {_HIST_LO}) * {float(_HIST_NBINS)}
+                / {_HIST_HI - _HIST_LO}) AS BIGINT))) AS bucket,
+         COUNT(*) AS cnt
+  FROM final GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY day) AS n
+  FROM hist
+),
+p50 AS (
+  SELECT day, MIN(bucket) AS p500_bucket FROM cum
+  WHERE cum * 1000 >= 500 * n GROUP BY 1
+),
+p90 AS (
+  SELECT day, MIN(bucket) AS p900_bucket FROM cum
+  WHERE cum * 1000 >= 900 * n GROUP BY 1
+),
+tot AS (SELECT day, CAST(MAX(n) AS BIGINT) AS n FROM cum GROUP BY 1),
+deld AS (
+  SELECT DISTINCT strftime({_TS_US}, '%Y-%m-%d') AS day, TRUE AS had_deletes
+  FROM events
+  WHERE event_id % 11 = 3 AND event_id % 5 <> 0
+    AND CAST(substr(strftime({_TS_US}, '%Y-%m-%d'), 9, 2) AS INT) <= 3
+)
+SELECT t.day, n,
+       CAST(p500_bucket AS BIGINT) AS p500_bucket,
+       {_HIST_LO} + CAST(p500_bucket AS DOUBLE)
+         * {(_HIST_HI - _HIST_LO) / _HIST_NBINS} AS p500_lo,
+       CAST(p900_bucket AS BIGINT) AS p900_bucket,
+       {_HIST_LO} + CAST(p900_bucket AS DOUBLE)
+         * {(_HIST_HI - _HIST_LO) / _HIST_NBINS} AS p900_lo,
+       COALESCE(dl.had_deletes, FALSE) AS had_deletes,
+       CAST(0 AS BIGINT) AS n_cell_mismatch,
+       TRUE AS linear_ok
+FROM tot t
+JOIN p50 USING (day) JOIN p90 USING (day)
+LEFT JOIN deld dl ON t.day = dl.day
+"""
+
+
 def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war F2 sketch (operators/sketch.py::ams_build): the
     second-moment estimator — F2 = sum of squared key frequencies = the
@@ -4685,6 +4863,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_kmv_incremental": (q_sketch_kmv_incremental, Q_SKETCH_KMV_INCREMENTAL_SQL),
     "sketch_cm_incremental": (q_sketch_cm_incremental, Q_SKETCH_CM_INCREMENTAL_SQL),
     "sketch_ams_f2": (q_sketch_ams_f2, Q_SKETCH_AMS_F2_SQL),
+    "sketch_hist_incremental": (q_sketch_hist_incremental, Q_SKETCH_HIST_INCREMENTAL_SQL),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, Q_SKETCH_KMV_SQL),
     "sketch_kmv_overlap": (q_sketch_kmv_overlap, Q_SKETCH_KMV_OVERLAP_SQL),
     "cobucketed_join": (q_cobucketed_join, Q_COBUCKETED_JOIN_SQL),
@@ -4755,6 +4934,7 @@ _PRIORITY_ORDER: list[str] = [
     # shallow clone
     "sketch_cm_incremental",
     "sketch_ams_f2",
+    "sketch_hist_incremental",
     "warehouse_clone_read",
     "warehouse_clone_bucketed",
     "docs_ngram_novelty",

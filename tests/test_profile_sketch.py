@@ -530,3 +530,79 @@ def test_ams_empty_sketch_estimates_zero(spark):
     empty = spark.createDataFrame([], "v: bigint")
     est = SK.ams_f2_estimate(SK.ams_build(empty, "v")).collect()[0]["f2_estimate"]
     assert est == 0
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram: mergeable quantiles that survive deletes (r08)
+# ---------------------------------------------------------------------------
+
+_HKW = dict(lo=0.0, hi=100.0, nbins=10)
+
+
+def _hist_map(df):
+    return {(r["g"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+
+def test_hist_build_clamps_out_of_range_values(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 55.0), ("a", 99.9), ("a", 240.0)],
+        "g: string, v: double",
+    )
+    got = _hist_map(SK.hist_build_grouped(df, "v", ["g"], **_HKW))
+    assert got == {("a", 0): 2, ("a", 5): 1, ("a", 9): 2}
+
+
+def test_hist_maintain_moves_buckets_and_subtracts(spark):
+    base = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), float(i % 100)) for i in range(200)],
+        "g: string, v: double",
+    )
+    stored = SK.hist_build_grouped(base, "v", ["g"], **_HKW)
+    cdc = spark.createDataFrame(
+        [
+            ("a", 15.0, "insert"),
+            ("a", 1.0, "delete"),
+            # value update moves the row two buckets up
+            ("b", 22.0, "update_preimage"),
+            ("b", 47.0, "update_postimage"),
+        ],
+        "g: string, v: double, _change_type: string",
+    )
+    final = (
+        base.unionByName(
+            spark.createDataFrame([("a", 15.0), ("b", 47.0)], "g: string, v: double")
+        ).exceptAll(
+            spark.createDataFrame([("a", 1.0), ("b", 22.0)], "g: string, v: double")
+        )
+    )
+    got = _hist_map(SK.hist_maintain_grouped(stored, cdc, "v", ["g"], **_HKW))
+    assert got == _hist_map(SK.hist_build_grouped(final, "v", ["g"], **_HKW))
+
+
+def test_hist_quantiles_match_exact_on_bucket_grid(spark):
+    # values on exact bucket lower edges so the quantile bucket is
+    # computable by hand: group a = [0,10,...,90] uniform
+    df = spark.createDataFrame(
+        [("a", float(10 * i)) for i in range(10)], "g: string, v: double"
+    )
+    h = SK.hist_build_grouped(df, "v", ["g"], **_HKW)
+    q = SK.hist_quantile_grouped(h, ["g"], [500, 900], **_HKW).collect()[0]
+    # ceil(0.5*10)=5th value = 40 -> bucket 4; ceil(0.9*10)=9th = 80 -> 8
+    assert (q["n"], q["p500_bucket"], q["p900_bucket"]) == (10, 4, 8)
+    assert (q["p500_lo"], q["p900_lo"]) == (40.0, 80.0)
+
+
+def test_hist_merge_is_cellwise_addition(spark):
+    df = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(300)], "g: string, v: double"
+    )
+    a = df.filter(F.col("v") < 50)
+    b = df.filter(F.col("v") >= 50)
+    ha = SK.hist_build_grouped(a, "v", ["g"], **_HKW)
+    hb = SK.hist_build_grouped(b, "v", ["g"], **_HKW)
+    merged = (
+        ha.unionByName(hb).groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert _hist_map(merged) == _hist_map(
+        SK.hist_build_grouped(df, "v", ["g"], **_HKW)
+    )
