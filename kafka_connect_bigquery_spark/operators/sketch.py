@@ -847,7 +847,8 @@ def ams_f2_estimate(sketch: DataFrame, *, depth: int = AMS_DEPTH) -> DataFrame:
 
 class SketchMaintainer:
     """Keeps a materialized per-group sketch table (HLL registers, KMV
-    minima, or count-min cells) fresh against a bucketed source table by
+    minima, count-min cells, or fixed-grid histogram buckets) fresh
+    against a bucketed source table by
     consuming the warehouse CDC feed — the sketch twin of
     ``rollup.RollupMaintainer``, attachable to the streaming MERGE
     pipeline via ``SinkPipeline(rollup_maintainers=...)`` (same
@@ -881,8 +882,11 @@ class SketchMaintainer:
         k: int = KMV_K,
         depth: int = DEPTH,
         width: int = WIDTH,
+        lo: float = 0.0,
+        hi: float = 1.0,
+        nbins: int = HIST_NBINS,
     ) -> None:
-        if kind not in ("hll", "kmv", "cm"):
+        if kind not in ("hll", "kmv", "cm", "hist"):
             raise ValueError(f"unknown sketch kind: {kind!r}")
         self.wh = warehouse
         self.source = source_table
@@ -894,6 +898,9 @@ class SketchMaintainer:
         self.k = k
         self.depth = depth
         self.width = width
+        self.lo = lo
+        self.hi = hi
+        self.nbins = nbins
 
     def _rebuild(self) -> DataFrame:
         src = self.wh.read(self.source)
@@ -902,6 +909,11 @@ class SketchMaintainer:
         if self.kind == "cm":
             return count_min_build_grouped(
                 src, self.col, self.group_cols, depth=self.depth, width=self.width
+            )
+        if self.kind == "hist":
+            return hist_build_grouped(
+                src, self.col, self.group_cols,
+                lo=self.lo, hi=self.hi, nbins=self.nbins,
             )
         return kmv_build_grouped(src, self.col, self.group_cols, k=self.k)
 
@@ -937,6 +949,12 @@ class SketchMaintainer:
                     out = count_min_maintain_grouped(
                         stored, changes, self.col, self.group_cols,
                         depth=self.depth, width=self.width,
+                    )
+                elif self.kind == "hist":
+                    # linear sketch: no rebuild path, `current` unused
+                    out = hist_maintain_grouped(
+                        stored, changes, self.col, self.group_cols,
+                        lo=self.lo, hi=self.hi, nbins=self.nbins,
                     )
                 else:
                     out = kmv_maintain_grouped(

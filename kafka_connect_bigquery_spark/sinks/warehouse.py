@@ -754,7 +754,21 @@ class Warehouse:
                 os.link(p, q)
                 n_link += 1
             except OSError:
-                shutil.copy2(p, q)
+                try:
+                    shutil.copy2(p, q)
+                except FileNotFoundError:
+                    # a rewrite racing this clone moved the file into a
+                    # _retained layer between resolve and link; the file
+                    # itself is immutable — re-resolve and link there
+                    p2 = self._resolve_version_file(src, rel)
+                    if p2 is None:
+                        raise WarehouseError(
+                            f"clone of {src} lost {rel} mid-flight "
+                            "(concurrent rewrite + retention); retry"
+                        )
+                    os.link(p2, q)
+                    n_link += 1
+                    continue
                 n_copy += 1
         new_meta = {
             k: val

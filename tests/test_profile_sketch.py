@@ -606,3 +606,32 @@ def test_hist_merge_is_cellwise_addition(spark):
     assert _hist_map(merged) == _hist_map(
         SK.hist_build_grouped(df, "v", ["g"], **_HKW)
     )
+
+
+def test_sketch_maintainer_hist_kind(spark, tmp_path):
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whh"), snapshot_retention=8)
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    kw = dict(lo=0.0, hi=100.0, nbins=10)
+
+    def merge(rows):
+        df = spark.createDataFrame(
+            rows, "k: bigint, g: string, v: double, i: bigint, __tombstone: boolean"
+        )
+        wh.merge(df, "src", ["k"], mode="upsert_delete", spec=spec)
+
+    def direct():
+        return {
+            tuple(r)
+            for r in SK.hist_build_grouped(wh.read("src"), "v", ["g"], **kw).collect()
+        }
+
+    merge([(i, f"g{i % 2}", float(i % 100), 0, False) for i in range(30)])
+    m = SK.SketchMaintainer(wh, "src", "src_hist", "v", ["g"], kind="hist", **kw)
+    assert m.refresh() >= 1
+    assert {tuple(r) for r in wh.read("src_hist").collect()} == direct()
+    # delete + a value update that moves buckets: linear path only
+    merge([(0, "g0", 0.0, 1, True), (1, "g1", 77.0, 1, False)])
+    assert m.refresh() == 1
+    assert {tuple(r) for r in wh.read("src_hist").collect()} == direct()
