@@ -82,6 +82,11 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
         wh, "st", "st_by_name", ["name"], measures, count_measure="n"
     )
     sketcher = SK.SketchMaintainer(wh, "st", "st_hll", "row", ["name"], kind="hll")
+    # the LINEAR twin (r08): count-min frequency cells maintained through
+    # the same hook — deletes subtract, no rebuild path ever
+    cm_sketcher = SK.SketchMaintainer(
+        wh, "st", "st_cm", "row", ["name"], kind="cm"
+    )
 
     def run_phase():
         """Fresh pipelines on the SAME checkpoints — a process restart.
@@ -103,7 +108,7 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
             value_parser=lambda c: F.from_json(c.cast("string"), VALUE_SCHEMA),
             key_parser=lambda c: c.cast("string"),
             table_specs={"st": TableSpec(partition_grain="NONE", key_bucket_count=4)},
-            rollup_maintainers={"st": [maintainer, sketcher]},
+            rollup_maintainers={"st": [maintainer, sketcher, cm_sketcher]},
         )
         q1 = ev_pipe.start(
             file_stream_source(spark, ev_src, max_files_per_trigger=1),
@@ -238,6 +243,21 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
         ).collect()
     }
     assert maintained == direct
+
+    # grouped count-min IVM (linear path: the soak's tombstones were
+    # absorbed by SUBTRACTION, never a rebuild) == direct rebuild
+    assert cm_sketcher.refresh() == 0  # nothing pending: it never lagged
+    cm_maintained = {
+        (r["name"], r["d"], r["slot"], r["cnt"])
+        for r in wh.read("st_cm").collect()
+    }
+    cm_direct = {
+        (r["name"], r["d"], r["slot"], r["cnt"])
+        for r in SK.count_min_build_grouped(
+            wh.read_bucketed("st"), "row", ["name"]
+        ).collect()
+    }
+    assert cm_maintained == cm_direct
 
     # history stayed coherent through restarts: every bucketed commit
     # retained in the window still time-travels
