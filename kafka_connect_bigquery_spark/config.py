@@ -53,6 +53,17 @@ class SinkConfig:
     enable_batch_load_topics: list[str] = field(default_factory=list)
     batch_load_interval_sec: int = 120            # :84-91
     gcs_staging_dir: str | None = None            # stands in for gcsBucketName
+    # record-conversion error handling — the Connect FRAMEWORK's
+    # errors.tolerance / errors.deadletterqueue.topic.name contract
+    # (framework-level in the reference deployment; the connector sees
+    # only already-converted records). "permissive" keeps the engine's
+    # historical behavior (unparsable values flow as NULLs — note that
+    # in delete_enabled mode a NULL value is a tombstone, so strict or
+    # DLQ is strongly recommended for upsert pipelines); "none" fails
+    # the batch on the first conversion failure (the Connect default);
+    # "all" routes failures to dead_letter_table and continues.
+    errors_tolerance: str = "permissive"          # permissive | none | all
+    dead_letter_table: str | None = None
     # ops (T2/T3/T8)
     thread_pool_size: int = 10                    # :399-407
     queue_size: int = -1                          # :409-419
@@ -80,6 +91,17 @@ class SinkConfig:
                 raise ConfigError("upsert/delete is incompatible with GCS batch loading")
         if self.merge_interval_ms == 0 or self.merge_records_threshold == 0:
             raise ConfigError("merge interval/threshold must be positive or -1")
+
+        # errors.tolerance contract (Connect framework semantics)
+        if self.errors_tolerance not in ("permissive", "none", "all"):
+            raise ConfigError(
+                f"invalid errors_tolerance {self.errors_tolerance!r} "
+                "(permissive | none | all)"
+            )
+        if self.dead_letter_table and self.errors_tolerance != "all":
+            raise ConfigError(
+                "dead_letter_table requires errors_tolerance='all'"
+            )
 
         # PartitioningModeValidator.java:45-59
         if self.use_partition_decorator and self.timestamp_partition_field_name:

@@ -41,6 +41,12 @@ import enum
 from kafka_connect_bigquery_spark.schema.evolution import SchemaEvolutionError
 
 
+class ConversionError(RuntimeError):
+    """A record failed value conversion under errors_tolerance='none'
+    (the Connect framework's strict mode) — a DATA error, never
+    retriable: replaying the same malformed bytes cannot succeed."""
+
+
 class ErrorClass(enum.Enum):
     RETRIABLE = "retriable"
     RETRIABLE_AFTER_TABLE_CREATE = "retriable_after_table_create"

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.config import SinkConfig
-from kafka_connect_bigquery_spark.errors import is_retriable
+from kafka_connect_bigquery_spark.errors import ConversionError, is_retriable
 from kafka_connect_bigquery_spark.functions.bq_shape import (
     to_bq_shape,
     with_kafka_metadata,
@@ -61,6 +61,27 @@ def retry_with_jitter(fn, retries: int, wait_ms: int, *, classify=None, sleep=ti
             jitter_ms = hash(("jitter", attempt)) % 1000  # <=1s, like the reference
             sleep((wait_ms + jitter_ms) / 1000.0)
             attempt += 1
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def json_value_parser(schema):
+    """JSON value parser WITH conversion-failure detection: Spark's
+    PERMISSIVE ``from_json`` never returns a NULL struct for bad input
+    (it null-fills), so a plain ``from_json`` parser cannot distinguish
+    garbage bytes from a legitimately all-null record. This constructor
+    appends the ``columnNameOfCorruptRecord`` field, which
+    ``SinkPipeline._route_malformed`` reads (and strips) to implement
+    errors_tolerance / dead-letter routing. Works for every tolerance
+    mode; required for "none"/"all" to actually catch JSON failures."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    return lambda c: F.from_json(c.cast("string"), full, opts)
 
 
 @dataclass
@@ -129,7 +150,76 @@ class SinkPipeline:
             df = df.withColumn(self.config.kafka_key_field_name, key_col)
         if self.config.kafka_data_field_name:
             df = with_kafka_metadata(df, self.config.kafka_data_field_name)
-        return df
+        return self._route_malformed(df)
+
+    def _route_malformed(self, df: DataFrame) -> DataFrame:
+        """The Connect framework's errors.tolerance /
+        errors.deadletterqueue contract, applied at the one seam where
+        conversion failure is observable. Detection: when the parser
+        carries a ``_corrupt_record`` field (the
+        :func:`json_value_parser` constructor — Spark's PERMISSIVE
+        ``from_json`` never returns a NULL struct for bad input, it
+        null-fills and stashes the raw text there), malformed means
+        that field is set; otherwise (e.g. the Avro decode seam, which
+        does return NULL on failure) malformed means raw value present
+        but parsed value NULL. Either way a true tombstone (raw value
+        NULL) is never misclassified. This matters most in
+        delete_enabled mode, where a NULL value is a TOMBSTONE, and in
+        append mode, where PERMISSIVE parsing silently writes all-NULL
+        rows.
+
+        - ``permissive`` (default): historical behavior, zero extra
+          cost — malformed rows flow as PERMISSIVE leaves them.
+        - ``none``: fail the batch loudly on the first failure (the
+          Connect default), naming the (topic, partition, offset).
+        - ``all``: append failures to ``dead_letter_table`` (raw key/
+          value base64 + source coordinates + error tag — everything a
+          replay needs) and continue with the good rows."""
+        cfg = self.config
+        if self.value_parser is None:
+            return df
+        has_corrupt = CORRUPT_COL in _struct_fields(df, "__value")
+        if has_corrupt:
+            bad_cond = F.col(f"__value.{CORRUPT_COL}").isNotNull()
+            df = df.withColumn(
+                "__bad", F.coalesce(bad_cond, F.lit(False))
+            ).withColumn("__value", F.col("__value").dropFields(CORRUPT_COL))
+            bad_cond = F.col("__bad")
+        else:
+            bad_cond = F.col("value").isNotNull() & F.col("__value").isNull()
+        if cfg.errors_tolerance == "permissive":
+            return df.drop("__bad") if has_corrupt else df
+        if cfg.errors_tolerance == "none":
+            first = (
+                df.filter(bad_cond).select("topic", "partition", "offset").first()
+            )
+            if first is not None:
+                raise ConversionError(
+                    "record value conversion failed at "
+                    f"{first['topic']}-{first['partition']}:{first['offset']}"
+                    " (errors_tolerance='none'; set 'all' + "
+                    "dead_letter_table to route instead)"
+                )
+        elif cfg.dead_letter_table:
+            bad = df.filter(bad_cond).select(
+                "topic",
+                "partition",
+                "offset",
+                F.col("timestamp").cast("timestamp").alias("record_ts"),
+                F.base64(F.col("key").cast("binary")).alias("key_b64"),
+                F.base64(F.col("value").cast("binary")).alias("value_b64"),
+                F.lit("value_conversion_failed").alias("error"),
+            )
+            if not bad.isEmpty():
+                self._retried(
+                    lambda: self.warehouse.append(
+                        bad,
+                        cfg.dead_letter_table,
+                        TableSpec(partition_grain="NONE"),
+                    )
+                )
+        out = df if cfg.errors_tolerance == "none" else df.filter(~bad_cond)
+        return out.drop("__bad") if has_corrupt else out
 
     def _retried(self, fn):
         """Run one warehouse write under the reference's retry policy

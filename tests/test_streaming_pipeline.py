@@ -586,3 +586,126 @@ def test_streaming_keeps_hll_sketch_index_fresh(spark, tmp_path):
         "n%d" % (i % 11) for i in range(8, 30)
     }
     assert est2 == py_hll_estimate(want)
+
+
+# ---------------------------------------------------------------------------
+# errors.tolerance / dead-letter routing (r08)
+# ---------------------------------------------------------------------------
+
+
+def _raw_kafka_rows(rows):
+    """[(key_bytes, value_bytes, topic, part, off)] verbatim — lets a
+    test feed deliberately malformed value bytes."""
+    return [(k, v, t, p, o, None) for k, v, t, p, o in rows]
+
+
+def test_dlq_routes_malformed_and_keeps_tombstones(spark, tmp_path):
+    from kafka_connect_bigquery_spark.streaming.pipeline import json_value_parser
+
+    rows = [
+        (b"k1", b'{"row": 1, "name": "a"}', "t1", 0, 0),
+        (b"k2", b"{definitely not json", "t1", 0, 1),   # -> DLQ
+        (b"k3", None, "t1", 0, 2),                      # tombstone: NOT an error
+        (b"k4", b'{"row": "zz"}', "t1", 0, 3),          # type mismatch -> DLQ
+        (b"k5", b'{"row": 5, "name": "e"}', "t1", 0, 4),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_raw_kafka_rows(rows), KAFKA_SCHEMA).write.parquet(src)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t1"],
+        time_partitioning_type="NONE",
+        errors_tolerance="all",
+        dead_letter_table="t1_dlq",
+    )
+    pipe = SinkPipeline(
+        warehouse=wh, config=cfg, value_parser=json_value_parser(VALUE_SCHEMA)
+    )
+    _run_stream(pipe, spark, src, tmp_path)
+    good = {(r["row"], r["name"]) for r in wh.read("t1").collect()}
+    assert good == {(1, "a"), (5, "e")}
+    # no leaked corrupt-record column on the destination
+    assert "_corrupt_record" not in wh.read("t1").columns
+    dlq = {
+        (r["offset"], r["error"]) for r in wh.read("t1_dlq").collect()
+    }
+    assert dlq == {(1, "value_conversion_failed"), (3, "value_conversion_failed")}
+    import base64
+
+    raws = {
+        base64.b64decode(r["value_b64"]) for r in wh.read("t1_dlq").collect()
+    }
+    assert raws == {b"{definitely not json", b'{"row": "zz"}'}
+
+
+def test_dlq_malformed_never_tombstones_in_delete_mode(spark, tmp_path):
+    from kafka_connect_bigquery_spark.streaming.pipeline import json_value_parser
+
+    rows1 = [(b"k1", b'{"row": 1, "name": "a"}', "st", 0, 0)]
+    # a corrupt message for the SAME key must not delete it
+    rows2 = [(b"k1", b"{corrupt!!", "st", 0, 1)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_raw_kafka_rows(rows1), KAFKA_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["st"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+        time_partitioning_type="NONE",
+        errors_tolerance="all",
+        dead_letter_table="st_dlq",
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=json_value_parser(VALUE_SCHEMA),
+        key_parser=lambda c: c.cast("string"),
+        table_specs={"st": TableSpec(partition_grain="NONE", key_bucket_count=2)},
+    )
+    stream = file_stream_source(spark, src)
+    q = pipe.start(stream, str(tmp_path / "ckpt"), key_cols=["kkey"])
+    q.processAllAvailable()
+    spark.createDataFrame(_raw_kafka_rows(rows2), KAFKA_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert {(r["kkey"], r["row"]) for r in wh.read("st").collect()} == {("k1", 1)}
+    assert wh.read("st_dlq").count() == 1
+
+
+def test_errors_tolerance_none_fails_the_stream(spark, tmp_path):
+    from kafka_connect_bigquery_spark.streaming.pipeline import json_value_parser
+
+    rows = [
+        (b"k1", b'{"row": 1, "name": "a"}', "t1", 0, 0),
+        (b"k2", b"{broken", "t1", 0, 1),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_raw_kafka_rows(rows), KAFKA_SCHEMA).write.parquet(src)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = SinkConfig(
+        topics=["t1"], time_partitioning_type="NONE", errors_tolerance="none"
+    )
+    pipe = SinkPipeline(
+        warehouse=wh, config=cfg, value_parser=json_value_parser(VALUE_SCHEMA)
+    )
+    stream = file_stream_source(spark, src)
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="conversion failed at t1-0:1"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_dlq_config_validation():
+    from kafka_connect_bigquery_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="errors_tolerance"):
+        SinkConfig(topics=["a"], errors_tolerance="sometimes").validate()
+    with pytest.raises(ConfigError, match="dead_letter_table"):
+        SinkConfig(topics=["a"], dead_letter_table="dlq").validate()
