@@ -3049,6 +3049,7 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.select("doc_id", F.explode(tris).alias("tri"))
         .distinct()  # trigram TYPES per doc
+        .localCheckpoint(eager=False)  # feeds df counts AND the join back
     )
     df_counts = pairs.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
