@@ -95,6 +95,36 @@ def main() -> None:
             _touch(sync, "compact_conflict")
             wh.compact("t", spec, target_file_rows=10_000, min_files=2)
         _touch(sync, "compact_done")
+    elif mode == "cloner":
+        # resolve the clone's file list, then HOLD while the peer
+        # compacts (moving every live file into a _retained layer) —
+        # forcing the stale-path link failure clone_table's re-resolve
+        # fallback exists for
+        spark = get_spark("race-clone", master="local[2]", shuffle_partitions=2)
+        held = {"first": True}
+
+        class HoldingWarehouse(Warehouse):
+            def _resolve_version_file(self, table, rel):
+                p = super()._resolve_version_file(table, rel)
+                if held["first"]:
+                    held["first"] = False
+                    _touch(sync, "clone_resolving")
+                    _wait(sync, "compact_done")
+                return p
+
+        wh = HoldingWarehouse(spark, root)
+        out = wh.clone_table("t", "tc")
+        assert out["n_files"] > 0, out
+        got = {(r["k"], r["src"]) for r in wh.read("tc").collect()}
+        want = {(k, "seed") for k in range(6)}
+        assert got == want, got
+        _touch(sync, "clone_done")
+    elif mode == "compactor_for_clone":
+        spark = get_spark("race-compact2", master="local[2]", shuffle_partitions=2)
+        wh = Warehouse(spark, root)
+        _wait(sync, "clone_resolving")
+        wh.compact("t", spec, target_file_rows=10_000, min_files=2)
+        _touch(sync, "compact_done")
     else:  # peer appender for the compactor scenario
         spark = get_spark("race-app-late", master="local[2]", shuffle_partitions=2)
         wh = Warehouse(spark, root)

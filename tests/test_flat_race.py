@@ -113,3 +113,29 @@ def test_two_process_append_during_compact_aborts_and_retries(spark, tmp_path):
     assert orphans == [] and len(finals) == 6
     # every pre-compact version still time-travels (files retained)
     assert [wh.read("t", version=v).count() for v in range(6)] == [1, 2, 3, 4, 5, 5]
+
+
+def test_two_process_clone_during_compact_links_retained_files(spark, tmp_path):
+    """Forced interleaving: the cloner resolves its file list from the
+    latest version, holds, the peer compact() parks every live file
+    into a _retained layer, then the cloner links — its first resolved
+    path is now stale, so the re-resolve fallback must find the file
+    inside the retained layer and the finished clone must read the
+    exact pre-compact state. Both sides are real separate JVMs."""
+    root = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    wh = Warehouse(spark, root)
+    for k in range(6):
+        wh.append(
+            spark.createDataFrame([(k, "seed")], "k: bigint, src: string"),
+            "t",
+            SPEC,
+        )
+    _run(["cloner", "compactor_for_clone"], root, sync)
+    assert os.path.exists(os.path.join(sync, "clone_done"))
+    # clone state verified inside the cloner process; cross-check here
+    got = {(r["k"], r["src"]) for r in wh.read("tc").collect()}
+    assert got == {(k, "seed") for k in range(6)}
+    # and the source's compact committed normally
+    assert {(r["k"], r["src"]) for r in wh.read("t").collect()} == got
