@@ -1612,6 +1612,66 @@ FROM events, b WHERE event_id > b.split
 """
 
 
+def q_warehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-consumer feed over the flat append log
+    (sinks/warehouse.py::read_appended) — "process only the data that
+    arrived since my cursor", the append-only half of the bucketed CDC
+    feed. Staged lifecycle: append low event_ids (v0), append the mids
+    (v1), COMPACT (v2 — parks v0/v1's files in a retained layer), then
+    append the highs (v3). ``read_appended(from_version=0)`` must
+    return exactly the mid + high rows: the compact is row-preserving
+    and contributes nothing, and the mid append's files — rewritten
+    away by the compact — are still read through the retained-layer
+    resolution. The oracle re-derives the span from the split
+    predicates."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "kcbq_spark_increread")
+    os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in os.listdir(base):
+        p = os.path.join(base, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    wh = Warehouse(spark, os.path.join(base, _uuid.uuid4().hex[:12]))
+    spec = TableSpec(partition_grain="NONE")
+    stats = e.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    s1 = lo + (hi - lo) // 3
+    s2 = lo + 2 * (hi - lo) // 3
+    wh.append(e.filter(F.col("event_id") <= s1), "t", spec)        # v0
+    wh.append(
+        e.filter((F.col("event_id") > s1) & (F.col("event_id") <= s2)),
+        "t", spec,
+    )                                                              # v1
+    wh.compact("t", spec, target_file_rows=1_000_000, min_files=2)  # v2
+    wh.append(e.filter(F.col("event_id") > s2), "t", spec)         # v3
+    return wh.read_appended("t", 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+Q_WAREHOUSE_INCREMENTAL_SQL = """
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 3 AS s1
+  FROM events
+)
+SELECT event_id, user_id, event_type, value
+FROM events, b WHERE event_id > b.s1
+"""
+
+
 def q_warehouse_clone_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow clone of a BUCKETED MERGE table
     (sinks/warehouse.py::_clone_bucketed) — the upsert-destination
@@ -4854,6 +4914,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_time_travel_read": (q_warehouse_time_travel_read, Q_WAREHOUSE_TIME_TRAVEL_SQL),
     "warehouse_clone_read": (q_warehouse_clone_read, Q_WAREHOUSE_CLONE_SQL),
     "warehouse_clone_bucketed": (q_warehouse_clone_bucketed, Q_WAREHOUSE_CLONE_BUCKETED_SQL),
+    "warehouse_incremental_read": (q_warehouse_incremental_read, Q_WAREHOUSE_INCREMENTAL_SQL),
     "rollup_incremental": (q_rollup_incremental, Q_ROLLUP_INCREMENTAL_SQL),
     "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
     "sketch_count_min": (q_sketch_count_min, Q_SKETCH_COUNT_MIN_SQL),
@@ -4937,6 +4998,7 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_hist_incremental",
     "warehouse_clone_read",
     "warehouse_clone_bucketed",
+    "warehouse_incremental_read",
     "docs_ngram_novelty",
     # -- r07-changed-path entries not witnessed in r07 ----------------
     "text_collocations",

@@ -678,6 +678,101 @@ class Warehouse:
         )
         return int(self.layout_meta(table)["generation"])
 
+    def read_appended(
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        strict: bool = True,
+    ) -> DataFrame:
+        """Incremental-consumer feed for FLAT append-log tables: the
+        rows appended in versions ``(from_version, to_version]`` — the
+        append-only half of what ``read_changes`` gives bucketed MERGE
+        tables, and the primitive an incremental ETL job needs
+        ("process only the data that arrived since my cursor").
+
+        Per-commit semantics: ``append`` contributes its added files'
+        rows (insert images, read via the retained-layer resolution so
+        a LATER compaction cannot hide them; conformed to the span-end
+        schema); row-preserving maintenance (``compact``,
+        ``compact_partition``) contributes nothing. Ops that MUTATE
+        visible rows — ``delete_where``, ``expire_partitions``,
+        ``overwrite`` — make a pure-insert feed a lie, so ``strict``
+        (default) raises and tells the consumer to resync from a full
+        read; ``strict=False`` skips them and returns just the appends
+        (for consumers that reconcile deletes separately). Appends that
+        landed as every-16th checkpoint records carry no delta — their
+        add set is recovered as the state diff vs the prior version.
+        """
+        recs = self._read_oplog(table)
+        if not recs:
+            raise WarehouseError(
+                f"table {table} has no op log; incremental reads need "
+                "commits made by this engine version"
+            )
+        if self.layout_meta(table).get("generations") is not None:
+            raise WarehouseError(
+                "read_appended targets flat tables; bucketed tables have "
+                "the full CDC feed (read_changes)"
+            )
+        to_version = len(recs) - 1 if to_version is None else to_version
+        if not 0 <= from_version <= to_version < len(recs):
+            raise WarehouseError(
+                f"bad version span ({from_version}, {to_version}] for "
+                f"{table} (op log has versions 0..{len(recs) - 1})"
+            )
+        adds: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            rec = recs[v]
+            op = rec.get("op")
+            if op == "append":
+                dl = rec.get("delta")
+                if dl is not None:
+                    adds.extend(dl["add"])
+                else:  # checkpoint-upgraded append: recover via state diff
+                    prev = (
+                        set(self._flat_state_at(table, v - 1, recs)["files"])
+                        if v
+                        else set()
+                    )
+                    adds.extend(
+                        sorted(set(rec["state"]["files"]) - prev)
+                    )
+            elif op in ("compact", "compact_partition", "clone"):
+                continue  # row-preserving
+            elif strict:
+                raise WarehouseError(
+                    f"version {v} of {table} is a {op!r} commit — the "
+                    "appended-rows feed cannot represent it; resync from "
+                    "a full read (or pass strict=False to skip)"
+                )
+        state = self._flat_state_at(table, to_version, recs)
+        meta_at = {"schema": state.get("schema"), "deferred_deletes": []}
+        files, rels = [], {}
+        for rel in adds:
+            p = self._resolve_version_file(table, rel)
+            if p is None:
+                raise WarehouseError(
+                    f"appended file {rel} of {table} was dropped by the "
+                    "retention policy; the span is no longer readable"
+                )
+            files.append(p)
+            rels[p] = rel
+        if not files:
+            schema_json = meta_at["schema"]
+            if schema_json is None:
+                raise WarehouseError(
+                    f"empty span of {table} predates stored schemas — "
+                    "cannot derive a schema"
+                )
+            import json as _json
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(_json.loads(schema_json))
+            )
+        return self._read_files_with_deletes(table, files, meta_at, rels=rels)
+
     def clone_table(
         self, src: str, dst: str, *, version: int | None = None
     ) -> dict:

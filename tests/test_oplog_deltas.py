@@ -10,7 +10,11 @@ from __future__ import annotations
 import json
 import os
 
-from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
 
 SPEC = TableSpec(partition_grain="NONE")
 
@@ -203,3 +207,79 @@ def test_overwrite_crash_before_swap_preserves_history(spark, tmp_path):
     # and the table still accepts new commits on the same version line
     wh.append(_df(spark, 20, 30), "t", SPEC)
     assert wh.read("t", version=2).count() == 30
+
+
+# ---------------------------------------------------------------------------
+# read_appended: the incremental-consumer feed over the append log (r08)
+# ---------------------------------------------------------------------------
+
+
+def _ids(df):
+    return {r["k"] for r in df.collect()}
+
+
+def test_read_appended_returns_only_span_rows(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 5), "t", SPEC)      # v0
+    wh.append(_df(spark, 5, 9), "t", SPEC)      # v1
+    wh.append(_df(spark, 9, 12), "t", SPEC)     # v2
+    assert _ids(wh.read_appended("t", 0)) == set(range(5, 12))
+    assert _ids(wh.read_appended("t", 0, 1)) == set(range(5, 9))
+    assert _ids(wh.read_appended("t", 2, 2)) == set()  # empty span
+    with pytest.raises(WarehouseError, match="bad version span"):
+        wh.read_appended("t", 2, 99)
+
+
+def test_read_appended_sees_through_compaction(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 5), "t", SPEC)      # v0
+    wh.append(_df(spark, 5, 9), "t", SPEC)      # v1
+    wh.compact("t", SPEC, target_file_rows=10_000, min_files=2)  # v2
+    wh.append(_df(spark, 9, 12), "t", SPEC)     # v3
+    # the v1 append's files were parked by the compact; the feed must
+    # still read them (retained-layer resolution), and the compact
+    # itself contributes nothing
+    assert _ids(wh.read_appended("t", 0)) == set(range(5, 12))
+
+
+def test_read_appended_recovers_checkpoint_upgraded_appends(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh._OPLOG_CHECKPOINT_EVERY = 3  # force an upgraded append quickly
+    for i in range(5):  # v0..v4; v3 lands as a checkpoint record
+        wh.append(_df(spark, i * 10, i * 10 + 2), "t", SPEC)
+    recs = wh._read_oplog("t")
+    assert "state" in recs[3] and "delta" not in recs[3]
+    assert _ids(wh.read_appended("t", 2)) == {30, 31, 40, 41}
+
+
+def test_read_appended_strict_on_mutating_ops(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_df(spark, 0, 5), "t", SPEC)      # v0
+    wh.delete_where("t", "k = 1")               # v1
+    wh.append(_df(spark, 5, 8), "t", SPEC)      # v2
+    with pytest.raises(WarehouseError, match="delete_where"):
+        wh.read_appended("t", 0)
+    # non-strict: just the appends, as inserted (insert images — the
+    # deleted k=1 is NOT in the span's appends anyway)
+    assert _ids(wh.read_appended("t", 0, strict=False)) == {5, 6, 7}
+    # spans that avoid the mutation stay strict-clean
+    assert _ids(wh.read_appended("t", 1, 2)) == {5, 6, 7}
+
+
+def test_read_appended_refuses_bucketed(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, 1.0, 0, False)], ["id", "v", "i", "__tombstone"]
+    )
+    wh.merge(
+        df, "bt", ["id"], mode="upsert_delete",
+        spec=TableSpec(partition_grain="NONE", key_bucket_count=2),
+    )
+    with pytest.raises(WarehouseError, match="no op log|flat"):
+        wh.read_appended("bt", 0)
