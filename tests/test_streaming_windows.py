@@ -426,3 +426,53 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     # conservation: sum(counts) == n_seen (the invariant the
     # guarantees rest on)
     assert sum(est for est, _ in summary.values()) == n_total
+
+
+def test_heavy_hitters_state_survives_restart(spark, tmp_path):
+    """The space-saving summary lives in the state store: a new query
+    on the SAME checkpoint must resume the counts, not restart them."""
+    from collections import Counter
+
+    from kafka_connect_bigquery_spark.streaming.windows import (
+        heavy_hitters_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(1, _ts(0), "click", 1.0)] * 4 + [(2, _ts(0), "click", 1.0)] * 2
+    b2 = [(1, _ts(1), "click", 1.0)] * 3 + [(3, _ts(1), "click", 1.0)] * 2
+
+    seen: list = []
+
+    def start():
+        stream = _stream(spark, src).select("event_type", "user_id")
+        out = heavy_hitters_stream(stream.groupBy("event_type"), "user_id", k=4)
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, _id: seen.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(spark, src, b1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # process "restart"
+    _write_batch(spark, src, b2)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_total = len(b1) + len(b2)
+    rows = [r for r in seen if r["n_seen"] == n_total]
+    assert rows, [tuple(r) for r in seen]
+    truth = Counter(str(r[0]) for r in b1 + b2)
+    summary = {r["item"]: r["count_est"] for r in rows}
+    # resumed, not restarted: totals reflect BOTH batches exactly
+    # (k=4 >= distinct items, so every estimate is the true count)
+    assert summary == dict(truth)
