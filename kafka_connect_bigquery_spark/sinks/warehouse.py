@@ -3741,6 +3741,57 @@ class Warehouse:
             out.append({**entry, "files_rewritten": n})
         return out
 
+    def maintenance_tick(
+        self,
+        table: str,
+        spec: TableSpec,
+        *,
+        min_files: int = 4,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        target_file_rows: int = 1_000_000,
+        max_partitions: int | None = 4,
+        keep_layers: int = 2,
+        keep_snapshots: int | None = None,
+        expire_older_than_days: int | None = None,
+    ) -> dict:
+        """The ONE call a maintenance cron runs per table per tick,
+        composing the steady-state upkeep in dependency order:
+        (1) partition expiration when a TTL is configured (metadata
+        delete, L3); (2) a capped :meth:`auto_compact` pass over
+        fragmented partitions (per-partition delta commits — a mid-run
+        crash loses nothing, the rest stays planned for the next
+        tick; compact_partition already refreshes every recorded index
+        incrementally); (3) :meth:`vacuum_retained` to age out
+        rewritten-era layers beyond the time-travel window; and
+        (4) :meth:`vacuum` for snapshot retention + crashed-writer
+        staging orphans. Flat Hive-partitioned tables get all four;
+        non-Hive-partitioned or bucketed tables skip the partition
+        steps (compaction for those is :meth:`compact` / the bucketed
+        merge path). Returns a summary dict — the cron's log line."""
+        out: dict = {"table": table}
+        is_bucketed = self.layout_meta(table).get("generations") is not None
+        if expire_older_than_days is not None and spec.partition_col:
+            out["expired_partitions"] = self.expire_partitions(
+                table, spec, expire_older_than_days
+            )
+        if spec.partition_col and not is_bucketed:
+            out["compacted"] = self.auto_compact(
+                table,
+                spec,
+                min_files=min_files,
+                small_file_bytes=small_file_bytes,
+                target_file_rows=target_file_rows,
+                max_partitions=max_partitions,
+            )
+        if not is_bucketed:
+            out["retained_layers_removed"] = self.vacuum_retained(
+                table, keep_layers=keep_layers
+            )
+        out["vacuumed_paths"] = self.vacuum(
+            table, keep_snapshots=keep_snapshots
+        )
+        return out
+
     # -- retention (L3) --------------------------------------------------
     def expire_partitions(self, table: str, spec: TableSpec, older_than_days: int) -> int:
         """Drop partitions older than the TTL (partitionExpirationMs,

@@ -236,3 +236,35 @@ def test_clone_cli_is_sparkless(spark, tmp_path, capsys):
     assert out["dest"] == "t_dev" and out["n_files"] > 0
     assert out["n_hardlinked"] == out["n_files"]
     assert {r["id"] for r in wh.read("t_dev").collect()} == set(range(8))
+
+
+def test_maintenance_tick_cli_composes_upkeep(spark, tmp_path, capsys):
+    import datetime
+
+    root = str(tmp_path / "whtick")
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    for k in range(3):
+        df = spark.createDataFrame(
+            [
+                (k * 10 + j, datetime.datetime(2024, 1, 1, 12, 0), float(j))
+                for j in range(5)
+            ],
+            ["id", "ts", "v"],
+        )
+        wh.append(df, "t", spec)
+    before = {(r["id"], r["p_date"]) for r in wh.read("t").collect()}
+    out = _run(
+        capsys, "tick", root, "t", "--partition-col", "p_date",
+        "--min-files", "2", "--keep-layers", "1",
+    )
+    assert [e["value"] for e in out["compacted"]] == ["2024-01-01"]
+    assert out["retained_layers_removed"] >= 0
+    assert "vacuumed_paths" in out
+    assert {(r["id"], r["p_date"]) for r in wh.read("t").collect()} == before
+    # steady state: the next tick has nothing to compact
+    out2 = _run(
+        capsys, "tick", root, "t", "--partition-col", "p_date",
+        "--min-files", "2",
+    )
+    assert out2["compacted"] == []

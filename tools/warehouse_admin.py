@@ -17,6 +17,10 @@ Spark code:
                                      [--max-partitions N] [--dry-run]
     python tools/warehouse_admin.py clone    <root> <table> --dest <name>
                                      [--version N]
+    python tools/warehouse_admin.py tick     <root> <table> [--partition-col c]
+                                     [--min-files N] [--max-partitions N]
+                                     [--keep-layers N] [--keep-snapshots N]
+                                     [--expire-older-than-days N]
 
 Prints one JSON object to stdout. `describe`/`vacuum`/`snapshots` are
 metadata-only (no Spark job); `compact`/`history` start a local
@@ -46,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "describe", "vacuum", "compact", "history", "snapshots",
-            "bloom", "text", "restore", "autocompact", "clone",
+            "bloom", "text", "restore", "autocompact", "clone", "tick",
         ],
     )
     p.add_argument("root")
@@ -78,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--dest", default=None,
         help="clone: destination table name (required)",
+    )
+    p.add_argument(
+        "--expire-older-than-days", type=int, default=None,
+        help="tick: partition TTL (omit to skip expiration)",
+    )
+    p.add_argument(
+        "--keep-layers", type=int, default=2,
+        help="tick: retained rewrite-era layers to keep (time travel window)",
     )
     args = p.parse_args(argv)
 
@@ -131,6 +143,26 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_rows=args.target_file_rows,
             )
             out = {"table": args.table, "files_before": n, "compacted": n > 0}
+    elif args.command == "tick":
+        grain = {
+            "p_hour": "HOUR", "p_date": "DAY",
+            "p_month": "MONTH", "p_year": "YEAR",
+            None: "NONE",
+        }.get(args.partition_col, None)
+        if grain is None:
+            print(f"unknown partition column {args.partition_col}", file=sys.stderr)
+            return 2
+        out = wh().maintenance_tick(
+            args.table,
+            TableSpec(partition_grain=grain),
+            min_files=args.min_files,
+            small_file_bytes=args.small_file_bytes,
+            target_file_rows=args.target_file_rows,
+            max_partitions=args.max_partitions,
+            keep_layers=args.keep_layers,
+            keep_snapshots=args.keep_snapshots,
+            expire_older_than_days=args.expire_older_than_days,
+        )
     elif args.command == "clone":
         if not args.dest:
             print("clone requires --dest", file=sys.stderr)
