@@ -569,21 +569,18 @@ def strip_confluent_frame(c: Column) -> Column:
     fixtures go through Schema Registry (BigQuerySinkConnectorIT
     .java:75-159), so raw Kafka values carry it. NULL (tombstone)
     passes through untouched. A non-NULL payload whose first byte is
-    not the 0x00 magic is NOT silently beheaded: the Confluent
+    not the 0x00 magic is NOT silently beheaded (the Confluent
     deserializer errors on an unknown magic byte, and decoding a
-    5-bytes-shifted stream produces garbage, so we fail the job with a
-    clear message instead."""
+    5-bytes-shifted stream produces garbage): it strips to NULL, which
+    downstream ``from_avro`` keeps NULL, so the record surfaces as a
+    conversion failure (raw value present, parsed struct NULL) for
+    ``SinkPipeline._route_malformed`` — errors_tolerance='none' fails
+    the batch naming the record, 'all' dead-letters it with the raw
+    bytes intact for replay."""
     return (
         F.when(c.isNull(), F.lit(None).cast("binary"))
         .when(F.substring(c, 1, 1) == F.lit(b"\x00"), F.substring(c, F.lit(6), F.length(c)))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("not a Confluent-framed Avro payload (magic byte != 0x00): 0x"),
-                    F.hex(F.substring(c, 1, 1)),
-                )
-            ).cast("binary")
-        )
+        .otherwise(F.lit(None).cast("binary"))
     )
 
 
@@ -615,7 +612,13 @@ def avro_value_parser(
         def parse_jvm(c: Column) -> Column:
             if confluent_framed:
                 c = strip_confluent_frame(c)
-            return from_avro(c, schema_json)
+            # PERMISSIVE: a corrupt Avro body yields a NULL struct
+            # instead of failing the task (from_avro's default is
+            # FAILFAST), so decode failure is observable downstream —
+            # SinkPipeline._route_malformed classifies raw-present /
+            # parsed-NULL rows and applies errors_tolerance ('none'
+            # raises with the record's coordinates, 'all' dead-letters).
+            return from_avro(c, schema_json, {"mode": "PERMISSIVE"})
 
         return parse_jvm
 
@@ -627,9 +630,18 @@ def avro_value_parser(
     make_decoder(schema_json)
     # Arrow serialization needs top-level fields nullable: a tombstone
     # batch row decodes to an all-NULL field vector even though the
-    # outer when() below replaces it with a true NULL struct
+    # outer when() below replaces it with a true NULL struct.
+    # __corrupt carries the decode-failure marker INSIDE the UDF result:
+    # a pandas struct UDF cannot emit a true NULL struct for one row (an
+    # all-None row arrives as struct-of-NULLs, which _route_malformed's
+    # raw-present/parsed-NULL test would miss). parse_py() nullifies the
+    # whole struct when the marker is set and strips the field, so the
+    # public output schema is unchanged and BOTH seam modes signal
+    # failure identically: NULL struct out for non-NULL bytes in.
+    _CORRUPT_COL = "__corrupt"
     udf_schema = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in spark_schema.fields]
+        + [T.StructField(_CORRUPT_COL, T.StringType(), True)]
     )
 
     import pandas as pd
@@ -646,32 +658,50 @@ def avro_value_parser(
         # for jar-less environments and tests only
         decode = make_decoder(schema_json)
 
+        # decode failure -> all-NULL data fields + the corrupt marker
+        # set (NOT an exception: the documented contract is that the
+        # Avro seam never fails the task on malformed bytes — the
+        # pipeline's errors_tolerance decides, matching the JVM path's
+        # PERMISSIVE from_avro). None (true tombstone) stays None; the
+        # outer when() turns it into a real NULL struct.
         def _decode_one(v):
             if v is None:
                 return None
             b = bytes(v)
             if confluent_framed:
-                # mirror strip_confluent_frame's guard: an unframed or
-                # non-Confluent payload must error, not decode shifted
+                # mirror strip_confluent_frame: an unframed or
+                # non-Confluent payload is malformed, not decodable
+                # 5-bytes-shifted garbage
                 if not b or b[0] != 0:
-                    raise ValueError(
-                        "not a Confluent-framed Avro payload "
-                        f"(magic byte != 0x00): 0x{b[:1].hex() or '<empty>'}"
-                    )
+                    return f"bad Confluent magic byte: 0x{b[:1].hex() or '<empty>'}"
                 b = b[5:]
-            return decode(b)
+            try:
+                return decode(b)
+            except Exception as exc:
+                return f"avro decode failed: {type(exc).__name__}"
 
         rows = [_decode_one(v) for v in vals]
         cols = [f.name for f in spark_schema.fields]
+
+        def _row(r):
+            if r is None:
+                return [None] * len(cols) + [None]
+            if isinstance(r, str):  # failure marker
+                return [None] * len(cols) + [r]
+            return [r.get(c) for c in cols] + [None]
+
         return pd.DataFrame(
-            [[None] * len(cols) if r is None else [r.get(c) for c in cols] for r in rows],
-            columns=cols,
-            dtype=object,
+            [_row(r) for r in rows], columns=cols + [_CORRUPT_COL], dtype=object
         )
 
     def parse_py(c: Column) -> Column:
         # NULL in -> NULL struct out, matching from_json/from_avro
-        # tombstone semantics (the pipeline's F1 filter keys on it)
-        return F.when(c.isNotNull(), decode_udf(c))
+        # tombstone semantics (the pipeline's F1 filter keys on it).
+        # Decode failure -> NULL struct too (marker set inside the UDF
+        # row), matching the JVM path's PERMISSIVE from_avro — so
+        # _route_malformed sees raw-present/parsed-NULL either way.
+        v = decode_udf(c)
+        ok = F.when(v[_CORRUPT_COL].isNull(), v.dropFields(_CORRUPT_COL))
+        return F.when(c.isNotNull(), ok)
 
     return parse_py

@@ -66,6 +66,22 @@ def retry_with_jitter(fn, retries: int, wait_ms: int, *, classify=None, sleep=ti
 CORRUPT_COL = "_corrupt_record"
 
 
+def _releases_batch_caches(fn):
+    """Handler decorator: unpersist the frames convert() cached for the
+    strict/DLQ malformed probe once the handler (and its write) is done,
+    whether it succeeded or raised."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._release_batch_caches()
+
+    return wrapper
+
+
 def json_value_parser(schema):
     """JSON value parser WITH conversion-failure detection: Spark's
     PERMISSIVE ``from_json`` never returns a NULL struct for bad input
@@ -116,6 +132,9 @@ class SinkPipeline:
     rollup_maintainers: dict[str, list] = dc_field(default_factory=dict)
     dedupe_by_offset: bool = True
     _batch_counter: int = 0
+    # frames persisted by _route_malformed for the strict/'all' probe;
+    # the batch handlers release them after their write
+    _persisted: list = dc_field(default_factory=list)
     # A3 batch counters (MergeBatches.java:146-167,305-349): per-batch
     # row/tombstone counts observed on the running plan, no extra pass.
     last_metrics: dict = dc_field(default_factory=dict)
@@ -142,6 +161,12 @@ class SinkPipeline:
             self.value_parser(F.col("value")) if self.value_parser else F.col("value")
         )
         df = df.withColumn("__value", value_col)
+        # errors_tolerance routing runs BEFORE the F1 tombstone filter:
+        # parsers that signal conversion failure with a NULL struct (the
+        # Avro decode seam) would otherwise have their malformed rows
+        # silently swallowed by the filter in append mode — 'none' must
+        # raise and 'all' must dead-letter them first.
+        df = self._route_malformed(df)
         if not self.config.delete_enabled:
             # F1 tombstone filter (BigQuerySinkTask.java:258)
             df = df.filter(F.col("__value").isNotNull())
@@ -150,7 +175,7 @@ class SinkPipeline:
             df = df.withColumn(self.config.kafka_key_field_name, key_col)
         if self.config.kafka_data_field_name:
             df = with_kafka_metadata(df, self.config.kafka_data_field_name)
-        return self._route_malformed(df)
+        return df
 
     def _route_malformed(self, df: DataFrame) -> DataFrame:
         """The Connect framework's errors.tolerance /
@@ -160,13 +185,19 @@ class SinkPipeline:
         :func:`json_value_parser` constructor — Spark's PERMISSIVE
         ``from_json`` never returns a NULL struct for bad input, it
         null-fills and stashes the raw text there), malformed means
-        that field is set; otherwise (e.g. the Avro decode seam, which
-        does return NULL on failure) malformed means raw value present
+        that field is set; otherwise (the Avro decode seam — BOTH paths
+        return a NULL struct on decode failure: JVM ``from_avro`` runs
+        in PERMISSIVE mode, the pure-Python decoder catches decode
+        errors, see schema/avro.py) malformed means raw value present
         but parsed value NULL. Either way a true tombstone (raw value
-        NULL) is never misclassified. This matters most in
-        delete_enabled mode, where a NULL value is a TOMBSTONE, and in
-        append mode, where PERMISSIVE parsing silently writes all-NULL
-        rows.
+        NULL) is never misclassified, and routing happens BEFORE the F1
+        tombstone filter so append mode cannot silently drop failures.
+        This matters most in delete_enabled mode, where a NULL value is
+        a TOMBSTONE: with a NULL-marker parser under ``permissive``
+        tolerance, a decode failure is indistinguishable from a
+        tombstone downstream — configure ``none`` or ``all`` when
+        deletes are enabled. In append mode PERMISSIVE JSON parsing
+        silently writes all-NULL rows.
 
         - ``permissive`` (default): historical behavior, zero extra
           cost — malformed rows flow as PERMISSIVE leaves them.
@@ -189,6 +220,13 @@ class SinkPipeline:
             bad_cond = F.col("value").isNotNull() & F.col("__value").isNull()
         if cfg.errors_tolerance == "permissive":
             return df.drop("__bad") if has_corrupt else df
+        # strict/'all' modes probe the batch for failures BEFORE the
+        # write — without a persist that probe re-parses every value
+        # (and 'all' would parse three times: probe, DLQ select, write).
+        # Cache the parsed frame so conversion runs once; the handler
+        # unpersists after its write via _release_batch_caches().
+        df = df.persist()
+        self._persisted.append(df)
         if cfg.errors_tolerance == "none":
             first = (
                 df.filter(bad_cond).select("topic", "partition", "offset").first()
@@ -220,6 +258,16 @@ class SinkPipeline:
                 )
         out = df if cfg.errors_tolerance == "none" else df.filter(~bad_cond)
         return out.drop("__bad") if has_corrupt else out
+
+    def _release_batch_caches(self) -> None:
+        """Unpersist frames cached for the strict/DLQ malformed probe
+        (one per convert() call in 'none'/'all' modes). Called by every
+        batch handler after its write; safe to call when empty."""
+        while self._persisted:
+            try:
+                self._persisted.pop().unpersist()
+            except Exception:  # pragma: no cover - session already gone
+                pass
 
     def _retried(self, fn):
         """Run one warehouse write under the reference's retry policy
@@ -270,6 +318,7 @@ class SinkPipeline:
         )
 
     # -- path 1: streaming insert ---------------------------------------
+    @_releases_batch_caches
     def write_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch handler for the default append path."""
         from pyspark.sql import Observation
@@ -326,6 +375,7 @@ class SinkPipeline:
             pass
 
     # -- path 2: upsert/delete ------------------------------------------
+    @_releases_batch_caches
     def merge_batch(self, batch: DataFrame, batch_id: int, key_cols: list[str]) -> None:
         """foreachBatch handler for upsert/delete mode (§3.2): dedup to
         newest per key happens inside the MERGE operators; tombstones are
@@ -367,6 +417,7 @@ class SinkPipeline:
                 self._retried(maintainer.refresh)
 
     # -- path 3: batch load ---------------------------------------------
+    @_releases_batch_caches
     def stage_batch(self, batch: DataFrame, batch_id: int, staging_dir: str) -> None:
         """S5: serialize rows to newline-delimited JSON in the staging
         dir with table metadata in the path (GCSToBQWriter.java:108-193;

@@ -413,7 +413,13 @@ def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataF
     new item's ``error``), which preserves sum(counts) == n_seen — the
     invariant the guarantees rest on. Each micro-batch emits the
     group's full current summary (update mode; downstream keeps the
-    latest row per (group, item)).
+    latest row per (group, item)) PLUS a retraction row (``count_est``
+    and ``error`` NULL, ``n_seen`` current) for every item evicted
+    from the summary this batch — without it, a latest-row-per-
+    (group, item) view would accumulate stale rows whose estimates
+    froze at eviction time and could hold more than k items per group.
+    Consumers drop rows with NULL ``count_est`` (the item is no longer
+    tracked; its true count may keep growing unobserved).
 
     ``grouped_stream`` is ``df.groupBy(<group col>)``; ``item_col``
     values are stringified into state — the caller casts back if the
@@ -432,6 +438,7 @@ def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataF
             }
         else:
             summary, n = {}, 0
+        pre_items = set(summary)  # emitted in a prior batch
         batch = pd.Series(dtype="int64")
         for pdf in pdfs:
             vals = pdf[item_col].dropna().astype(str)
@@ -456,13 +463,25 @@ def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataF
                 n,
             )
         )
+        # retractions: items present (hence emitted) before this batch
+        # but evicted during it. Items added AND evicted within the
+        # batch were never emitted, so nothing to retract for them.
+        evicted = sorted(pre_items - set(summary))
         yield pd.DataFrame(
             {
-                "group": [str(key[0])] * len(items),
-                "item": items,
-                "count_est": [summary[i][0] for i in items],
-                "error": [summary[i][1] for i in items],
-                "n_seen": [n] * len(items),
+                "group": [str(key[0])] * (len(items) + len(evicted)),
+                "item": items + evicted,
+                # nullable Int64: mixing live counts with NULL retraction
+                # markers must not decay to float64 on the Arrow path
+                "count_est": pd.array(
+                    [summary[i][0] for i in items] + [None] * len(evicted),
+                    dtype="Int64",
+                ),
+                "error": pd.array(
+                    [summary[i][1] for i in items] + [None] * len(evicted),
+                    dtype="Int64",
+                ),
+                "n_seen": [n] * (len(items) + len(evicted)),
             }
         )
 

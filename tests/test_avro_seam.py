@@ -433,23 +433,91 @@ def test_fixed_backed_decimal_logical_decodes():
     assert out["d"] == Decimal("3141.59")
 
 
-def test_python_path_rejects_bad_magic_byte(spark):
-    """confluent_framed=True must error on a payload whose first byte
-    is not the 0x00 magic — silently beheading 5 bytes decodes garbage."""
+def test_bad_magic_byte_surfaces_as_conversion_failure(spark):
+    """confluent_framed=True must not silently behead 5 bytes (that
+    decodes garbage) NOR fail the task outright: a payload whose first
+    byte is not the 0x00 magic parses to a NULL struct — raw value
+    present, parsed NULL — which is exactly the malformed signature
+    SinkPipeline._route_malformed classifies, so errors_tolerance
+    decides ('none' raises with coordinates, 'all' dead-letters)."""
     schema, rows = _fixture("nulls")
     payloads = _encoded(schema, rows)
+    good = b"\x00\x00\x00\x00\x2a" + payloads[0]
+    bad = b"\x01\x00\x00\x00\x2a" + payloads[0]
     df = spark.createDataFrame(
-        [(0, bytearray(b"\x01\x00\x00\x00\x2a" + payloads[0]))],
-        "i: int, value: binary",
+        [(0, bytearray(bad)), (1, bytearray(good))], "i: int, value: binary"
     )
     parser = avro_value_parser(
         spark, json.dumps(schema), mode="python", confluent_framed=True
     )
-    with pytest.raises(Exception, match="magic byte"):
-        df.select(parser(F.col("value")).alias("v")).collect()
-    # the Column-level stripper enforces the same contract JVM-side
-    with pytest.raises(Exception, match="magic byte"):
-        df.select(strip_confluent_frame(F.col("value")).alias("b")).collect()
+    out = (
+        df.select("i", parser(F.col("value")).alias("v")).orderBy("i").collect()
+    )
+    assert out[0]["v"] is None  # malformed -> NULL struct, not an error
+    assert out[1]["v"]["f1"] == rows[0]["f1"]  # good rows unaffected
+    # the Column-level stripper used by the JVM path strips to NULL too
+    stripped = (
+        df.select("i", strip_confluent_frame(F.col("value")).alias("b"))
+        .orderBy("i")
+        .collect()
+    )
+    assert stripped[0]["b"] is None
+    assert bytes(stripped[1]["b"]) == payloads[0]
+
+
+def test_malformed_avro_honors_errors_tolerance(spark, tmp_path):
+    """End-to-end over the Avro seam: malformed bytes (bad frame OR
+    corrupt body) are routed by errors_tolerance BEFORE the tombstone
+    filter — 'none' raises naming the record, 'all' dead-letters it and
+    writes the good rows, and the true tombstone is never misrouted."""
+    from kafka_connect_bigquery_spark.config import SinkConfig
+    from kafka_connect_bigquery_spark.errors import ConversionError
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+    from kafka_connect_bigquery_spark.streaming.pipeline import SinkPipeline
+
+    schema, rows = _fixture("nulls")
+    payloads = _encoded(schema, rows)
+    good = b"\x00\x00\x00\x00\x2a" + payloads[0]
+    bad_frame = b"\x01\x00\x00\x00\x2a" + payloads[0]
+    corrupt_body = b"\x00\x00\x00\x00\x2a" + b"\xff"  # truncated varint
+    batch_rows = [
+        (None, bytearray(good), "t", 0, 0, 0),
+        (None, bytearray(bad_frame), "t", 0, 1, 0),
+        (None, bytearray(corrupt_body), "t", 0, 2, 0),
+        (None, None, "t", 0, 3, 0),  # tombstone: NOT malformed
+    ]
+    cols = "key: binary, value: binary, topic: string, partition: int, offset: long, timestamp: long"
+
+    def mk_pipeline(**cfg_kw):
+        wh = Warehouse(spark, str(tmp_path / cfg_kw.pop("root")))
+        cfg = SinkConfig(
+            topics=["t"],
+            default_dataset="d",
+            time_partitioning_type="NONE",
+            **cfg_kw,
+        )
+        return wh, SinkPipeline(
+            warehouse=wh,
+            config=cfg,
+            value_parser=avro_value_parser(
+                spark, json.dumps(schema), mode="python", confluent_framed=True
+            ),
+        )
+
+    batch = spark.createDataFrame(batch_rows, cols)
+    # 'none': fail loudly, naming the first bad record
+    _, strict = mk_pipeline(root="w_none", errors_tolerance="none")
+    with pytest.raises(ConversionError, match="t-0:[12]"):
+        strict.write_batch(batch, batch_id=0)
+    # 'all': both malformed rows dead-letter, the good row lands
+    wh, dlq = mk_pipeline(
+        root="w_all", errors_tolerance="all", dead_letter_table="d.dlq"
+    )
+    dlq.write_batch(batch, batch_id=0)
+    dead = wh.read("d.dlq")
+    assert sorted(r["offset"] for r in dead.collect()) == [1, 2]
+    landed = wh.read("t")
+    assert landed.count() == 1  # good row only (tombstone filtered, not DLQ'd)
 
 
 def test_construction_time_schema_error(spark):

@@ -408,11 +408,25 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
         rows = spark.sql(
             "SELECT * FROM hh_sink WHERE n_seen = %d" % n_total
         ).collect()
+        all_rows = spark.sql("SELECT * FROM hh_sink").collect()
     finally:
         q.stop()
 
-    # the final emission is the complete summary for the one group
+    # the final emission is the complete summary for the one group,
+    # plus NULL-count_est retraction rows for items evicted this batch
+    # (the documented consumer contract: drop NULL count_est)
+    retracted = {r["item"] for r in rows if r["count_est"] is None}
+    rows = [r for r in rows if r["count_est"] is not None]
     summary = {r["item"]: (r["count_est"], r["error"]) for r in rows}
+    # retraction correctness: every item emitted in an earlier batch
+    # but absent from the final summary got a retraction row, so a
+    # latest-row-per-(group,item) view holds exactly the live summary
+    emitted_before = {
+        r["item"]
+        for r in all_rows
+        if r["n_seen"] != n_total and r["count_est"] is not None
+    }
+    assert emitted_before - set(summary) == retracted
     assert len(summary) <= K  # bounded state
     assert all(r["group"] == "click" for r in rows)
     # guarantee 1: every item with true count > n/k is present

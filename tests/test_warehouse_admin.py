@@ -268,3 +268,35 @@ def test_maintenance_tick_cli_composes_upkeep(spark, tmp_path, capsys):
         "--min-files", "2",
     )
     assert out2["compacted"] == []
+
+
+def test_tick_cli_without_max_partitions_stays_capped(spark, tmp_path, capsys):
+    """A cron `tick` with no --max-partitions must inherit
+    maintenance_tick's steady-state cap (4/tick), NOT argparse's None
+    (unbounded table-wide compaction); --max-partitions 0 opts into
+    unbounded explicitly."""
+    import datetime
+
+    root = str(tmp_path / "whcap")
+    wh = Warehouse(spark, root)
+    spec = TableSpec(partition_grain="DAY", timestamp_field="ts")
+    # 6 fragmented day partitions, 3 small files each
+    for k in range(3):
+        df = spark.createDataFrame(
+            [
+                (k * 100 + d, datetime.datetime(2024, 1, 1 + d, 12, 0), 1.0)
+                for d in range(6)
+            ],
+            ["id", "ts", "v"],
+        )
+        wh.append(df, "t", spec)
+    out = _run(
+        capsys, "tick", root, "t", "--partition-col", "p_date",
+        "--min-files", "2",
+    )
+    assert len(out["compacted"]) == 4  # the documented per-tick cap
+    out2 = _run(
+        capsys, "tick", root, "t", "--partition-col", "p_date",
+        "--min-files", "2", "--max-partitions", "0",
+    )
+    assert len(out2["compacted"]) == 2  # 0 -> unbounded: the rest

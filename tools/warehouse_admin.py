@@ -73,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--max-partitions", type=int, default=None,
-        help="cap partitions compacted per tick (steady-state cron shape)",
+        help="cap partitions compacted per tick (steady-state cron "
+        "shape). tick: absent -> maintenance_tick's default cap of 4; "
+        "pass 0 for unbounded. autocompact: absent -> unbounded",
     )
     p.add_argument(
         "--dry-run", action="store_true",
@@ -152,16 +154,25 @@ def main(argv: list[str] | None = None) -> int:
         if grain is None:
             print(f"unknown partition column {args.partition_col}", file=sys.stderr)
             return 2
+        # --max-partitions absent -> let maintenance_tick's own
+        # steady-state default (4 per tick) apply, keeping cron
+        # invocations capped as documented; the argparse default is
+        # None, which would otherwise mean UNBOUNDED table-wide work.
+        tick_kwargs = {}
+        if args.max_partitions is not None:
+            tick_kwargs["max_partitions"] = (
+                None if args.max_partitions == 0 else args.max_partitions
+            )
         out = wh().maintenance_tick(
             args.table,
             TableSpec(partition_grain=grain),
             min_files=args.min_files,
             small_file_bytes=args.small_file_bytes,
             target_file_rows=args.target_file_rows,
-            max_partitions=args.max_partitions,
             keep_layers=args.keep_layers,
             keep_snapshots=args.keep_snapshots,
             expire_older_than_days=args.expire_older_than_days,
+            **tick_kwargs,
         )
     elif args.command == "clone":
         if not args.dest:
