@@ -120,6 +120,42 @@ HEADLINE = [
     "docs_ngram_novelty",
 ]
 
+# The frozen r01 headline set (BENCH_r01.json): round-over-round and
+# vs-baseline comparisons use THIS subset's total, so the number is
+# meaningful even as HEADLINE grows. Emitted in the final summary line.
+R01_COMMON = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "last_event_per_user",
+    "merge_upsert",
+    "merge_upsert_delete",
+    "merge_delete_only",
+    "hourly_partition_rollup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window",
+    "events_asof_join",
+    "events_interval_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,11 +215,33 @@ def main() -> None:
     except OSError:
         pass
     # stop Spark BEFORE printing so no shutdown chatter can land after
-    # (or interleave with) the summary, then emit it as the last stdout
-    # line in the tightest encoding json allows — r04's 62-query line
-    # outgrew the driver's tail capture and parsed as null
+    # (or interleave with) the summary
     spark.stop()
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # a JSON line out of it (BENCH_r08.json: our one ~2.3 KB line got
+    # its head — the headline total — truncated away, parsed=null). So:
+    # the full per-query payload line first, then a guaranteed-tiny
+    # summary line LAST that always survives the tail capture whole —
+    # headline total, the frozen-r01-subset total for round-over-round
+    # comparison, and the per-query count. The full per-query map also
+    # persists in BENCH_LOCAL.json (committed) either way.
     print(json.dumps(payload, separators=(",", ":")), flush=True)
+    r01_present = [n for n in R01_COMMON if n in timings]
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "r01_common_total_sec": round(
+            sum(timings[n] for n in r01_present), 4
+        ),
+        # the frozen-r01 subset's per-query map (~1.3 KB: fits the tail
+        # whole) — the cross-round comparison set; the full map is on
+        # the previous line and in BENCH_LOCAL.json
+        "queries": {n: round(timings[n], 3) for n in r01_present},
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
