@@ -4957,87 +4957,40 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 8 window (50 slots), executed as pre-registered in the r07
-# verdict/SURVEY §7: lead with the six never-witnessed late-r07 entries,
-# then the three NEW r08 entries (bucketed-layout data-skipping
-# indexes — HLL/text per r07 verdict ask 3, plus bloom completing the
-# family), the r07-changed-path entries without an r07
-# witness (text_collocations, mixture_rebalance, events_ks_test,
-# corpus_shard_plan; bpe_top_pairs rides along per the pre-registration
-# even though its r07 row is green), the four staged warehouse reads
-# whose commit plumbing moved AGAIN this round (flat commit
-# serialization + compact OCC + live-manifest index probes), the pinned
-# tolerance-contract entry, and the two r08-changed-path entries
-# (customer_ltv_deciles — global ntile replaced by the distributed
-# exact rank; events_mannwhitney — degenerate-corpus filter). The
-# remaining 28 slots backfill the stalest r05 rows, merge/connector
-# family first. The 15 r05 rows that do not fit (weighted_sample,
-# pairs_contrastive,
-# mixture_entropy, docs_chi_square, events_welch_t, events_benford,
-# events_gap_fill, events_asof_tolerance, events_ewma, events_streaks,
-# events_mad_outliers, events_rolling_7d, events_salted_agg,
-# orders_salted_join, integrity_audit) are pre-registered to LEAD the
-# r09 window. Full plan: SURVEY §7 "Round-9 pre-registration".
+# Round 9 window (50 slots), executed exactly as pre-registered in the
+# r08 verdict / SURVEY §7 "Round-9 pre-registration": lead with the 22
+# r05-stale rows the r08 window displaced, then the NEW r09
+# first-witness entries (the warehouse-native ANN index completing the
+# table-attached index family: flat + bucketed twins, and the
+# incremental pretrain tick), the r09-changed-path entry
+# (avro_wire_roundtrip — the decode seam gained the NULL-on-failure
+# malformed contract, both JVM and python paths), the pinned
+# tolerance-contract entry, and backfill with 23 of the 43 r06-stale
+# rows — warehouse reads and the streaming-semantics window family
+# first, then the multimodal/sketch/dedup/docs representatives. The 20
+# r06 rows that do not fit (text_* diagnostics, events_attribution/
+# cohort/funnel/transitions/daily_anomalies/value_quantiles,
+# ann_ivfpq_topk, dedup_minhash_recall, docs_length_histogram/
+# quality_filter/vocab_growth, embedding_label_centroids,
+# sample_k_per_group, sketch_kmv_overlap) are pre-registered to LEAD
+# the r10 window.
 _PRIORITY_ORDER: list[str] = [
-    # -- never-witnessed late-r07 entries (first-witness) -------------
-    "sketch_kmv_incremental",
-    "dedup_prefix_filter",
-    "text_zipf_fit",
-    "orders_market_basket",
-    "docs_chunk_windows",
-    "warehouse_text_search",
-    # -- NEW r08 entries (first-witness): bucketed-layout indexes -----
-    "warehouse_sketch_bucketed",
-    "warehouse_text_bucketed",
-    "warehouse_bloom_bucketed",
-    "warehouse_partition_compact_read",
-    # -- NEW r08 entries (first-witness): linear-sketch IVM + AMS F2,
-    # shallow clone
-    "sketch_cm_incremental",
-    "sketch_ams_f2",
-    "sketch_hist_incremental",
-    "warehouse_clone_read",
-    "warehouse_clone_bucketed",
-    "warehouse_incremental_read",
-    "docs_ngram_novelty",
-    # -- r07-changed-path entries not witnessed in r07 ----------------
-    "text_collocations",
-    "mixture_rebalance",
-    "events_ks_test",
-    "bpe_top_pairs",
-    "corpus_shard_plan",
-    # -- staged warehouse reads: commit plumbing changed in r07 AND r08
-    "warehouse_time_travel_read",
-    "warehouse_delete_read",
-    "warehouse_bloom_read",
-    "warehouse_sketch_distinct",
-    # -- tolerance-contract entry: pinned in-window every round -------
-    "events_approx_stats",
-    # -- r08-changed-path slots ----------------------------------------
-    "customer_ltv_deciles",
-    "events_mannwhitney",
-    # -- backfill: stalest (r05) rows, merge/connector family first ---
-    "merge_upsert",
-    "merge_upsert_delete",
-    "merge_delete_only",
-    "merge_upsert_bucketed",
-    "last_event_per_user",
-    "hourly_partition_rollup",
-    "staged_load_roundtrip",
-    "routed_write_roundtrip",
-    "avro_wire_roundtrip",
-    "logical_types_wire",
-    "sanitized_projection",
-    "user_value_ranks",
-    "events_set_ops",
-    "events_json_agg",
-    "top_orders_per_segment",
-    "events_pivot",
-    "events_cube",
-    "ann_ivf_topk",
-    "text_language_id",
-    "text_quality_scores",
-    "graph_triangles",
+    # -- the 22 r05-stale rows (displaced from the r08 window) --------
+    "weighted_sample",
+    "pairs_contrastive",
+    "mixture_entropy",
+    "docs_chi_square",
+    "events_welch_t",
+    "events_benford",
+    "events_gap_fill",
+    "events_asof_tolerance",
+    "events_ewma",
+    "events_streaks",
+    "events_mad_outliers",
+    "events_rolling_7d",
+    "events_salted_agg",
+    "orders_salted_join",
+    "integrity_audit",
     "dedup_semantic",
     "dedup_simhash_pairs",
     "text_bm25",
@@ -5045,8 +4998,40 @@ _PRIORITY_ORDER: list[str] = [
     "search_hybrid_rrf",
     "ann_incremental",
     "embedding_projection",
+    # -- NEW r09 entries (first-witness) -------------------------------
+    "warehouse_ann_read",
+    "warehouse_ann_bucketed",
+    # -- r09-changed-path: Avro decode seam's malformed contract ------
+    "avro_wire_roundtrip",
+    # -- tolerance-contract entry: pinned in-window every round -------
+    "events_approx_stats",
+    # -- backfill: stalest (r06) rows ----------------------------------
+    "warehouse_evolution_read",
+    "warehouse_zonemap_read",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window",
+    "events_asof_join",
+    "events_interval_join",
+    "multimodal_image_meta",
+    "multimodal_frame_features",
+    "multimodal_audio_chunks",
+    "sketch_hll_distinct",
+    "sketch_hll_daily",
+    "sketch_kmv_distinct",
+    "dedup_containment",
+    "dedup_passages",
+    "dedup_winnow",
+    "dedup_substring_runs",
+    "docs_decontaminate",
+    "docs_dsir_weights",
+    "docs_sequence_pack",
+    "text_pii_scrub",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r05, r06 or r07 ==================================
+    # == green in r06, r07 or r08 ==================================
 ]
 
 

@@ -1250,6 +1250,232 @@ SELECT vec_id, list_id FROM (
 """
 
 
+def _scratch_wh(spark, key: str):
+    """A throwaway Warehouse root under tmp with the staged entries'
+    stale-dir sweep (same convention as q_warehouse_text_search)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import Warehouse
+
+    base = _os.path.join(tempfile.gettempdir(), f"kcbq_spark_{key}")
+    _os.makedirs(base, exist_ok=True)
+    now = _time.time()
+    for stale in _os.listdir(base):
+        p = _os.path.join(base, stale)
+        try:
+            if now - _os.path.getmtime(p) > 3600:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return Warehouse(spark, _os.path.join(base, _uuid.uuid4().hex[:12]))
+
+
+def q_warehouse_ann_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector similarity through the TABLE-ATTACHED ANN index
+    (sinks/warehouse.py::record_ann/read_nearest) — the index modality
+    that completes the bloom/zonemap/HLL/text family: embeddings land
+    in TWO appends (the second refreshes the recorded per-file list
+    memberships incrementally against the FROZEN seeded quantizer,
+    new files only) and the probe answers "5 nearest to vec 1's
+    embedding" exactly within the 2 probed inverted lists, skipping
+    files proven to hold no probed-list vector. Seeding (8 smallest
+    vec_ids of the FIRST append = the even ids 0..14) makes the whole
+    pipeline closed-form, so the oracle reproduces it bit-exactly with
+    the same quantized integer distances as Q_ANN_IVF_SQL. A wrongly
+    skipped file loses candidate rows and hash-mismatches."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annidx")
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=_IVF_LISTS)
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)  # incremental
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    return wh.read_nearest(
+        "vecs", "embedding", qv, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+
+
+Q_WAREHOUSE_ANN_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+dists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT list_id FROM (
+    SELECT list_id,
+           row_number() OVER (ORDER BY dist, list_id) AS rn
+    FROM dists WHERE vec_id = 1
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS neighbor_id
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+),
+dots AS (
+  SELECT c.neighbor_id,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el n ON n.vec_id = c.neighbor_id
+  JOIN el q ON q.vec_id = 1 AND q.d = n.d
+  GROUP BY 1
+)
+SELECT neighbor_id, cosine, rank FROM (
+  SELECT d.neighbor_id,
+         (d.dq / {_QE}.0) /
+         (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) AS cosine,
+         CAST(row_number() OVER (
+              ORDER BY (d.dq / {_QE}.0) /
+                       (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) DESC,
+                       d.neighbor_id) AS INT) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = 1
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def q_warehouse_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's bucketed-MERGE twin: the corpus lands as base
+    MERGE (vec_id % 10 != 0) + delta MERGE (every 10th vector) into a
+    key-bucketed table; ``record_ann`` after the base freezes the
+    quantizer (seeds = 8 smallest base vec_ids), the delta merge's
+    post-commit hook indexes the NEW generations incrementally, and
+    superseded generations' index rows go dead harmlessly (the probe
+    iterates the manifest-resolved live set). The probe for vec 0's
+    embedding — itself a delta row — must equal the closed-form oracle
+    over the full corpus."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annbkt")
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=8)
+    is_delta = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+    wh.merge(
+        emb.filter(~is_delta).withColumn("i", F.col("vec_id")),
+        "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec,
+    )
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=_IVF_LISTS)
+    wh.merge(
+        emb.filter(is_delta).withColumn("i", F.col("vec_id")),
+        "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec,
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return wh.read_nearest(
+        "vecs", "embedding", qv, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+
+
+Q_WAREHOUSE_ANN_BUCKETED_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+dists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT list_id FROM (
+    SELECT list_id,
+           row_number() OVER (ORDER BY dist, list_id) AS rn
+    FROM dists WHERE vec_id = 0
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS neighbor_id
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+),
+dots AS (
+  SELECT c.neighbor_id,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el n ON n.vec_id = c.neighbor_id
+  JOIN el q ON q.vec_id = 0 AND q.d = n.d
+  GROUP BY 1
+)
+SELECT neighbor_id, cosine, rank FROM (
+  SELECT d.neighbor_id,
+         (d.dq / {_QE}.0) /
+         (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) AS cosine,
+         CAST(row_number() OVER (
+              ORDER BY (d.dq / {_QE}.0) /
+                       (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) DESC,
+                       d.neighbor_id) AS INT) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+
+
 _RRF_TOP_N = 20  # per-retriever depth
 _RRF_TOP_K = 10  # fused depth
 
@@ -3875,6 +4101,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
+    "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
+    "warehouse_ann_bucketed": (
+        q_warehouse_ann_bucketed,
+        Q_WAREHOUSE_ANN_BUCKETED_SQL,
+    ),
     "search_hybrid_rrf": (q_search_hybrid_rrf, Q_SEARCH_HYBRID_SQL),
     "embedding_projection": (q_embedding_projection, Q_EMBEDDING_PROJECTION_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, Q_ANN_IVFPQ_SQL),

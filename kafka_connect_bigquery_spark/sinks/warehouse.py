@@ -1654,7 +1654,7 @@ class Warehouse:
     # bucketed migration) yet IS data — a startswith('_') rule emptied
     # every bucketed listing (regression-probed: describe_detail
     # num_files=0, compact no-op).
-    _META_DIRS = frozenset({"_bloom", "_sketch", "_text", "_retained"})
+    _META_DIRS = frozenset({"_bloom", "_sketch", "_text", "_ann", "_retained"})
 
     @classmethod
     def _data_files(cls, tdir: str) -> list[str]:
@@ -2475,6 +2475,352 @@ class Warehouse:
         regs = regs.groupBy("register").agg(F.max("rho").alias("rho"))
         return SK.hll_estimate(regs, p=meta["p"])
 
+    # -- IVF ANN index (vector similarity as a table-attached index) ------
+    #
+    # Completes the data-skipping index family for the one remaining
+    # modality: bloom answers equality, zone maps answer ranges, HLL
+    # answers distinct counts, text postings answer CONTAINS — this
+    # answers "nearest vectors to q". Storage discipline is identical:
+    # a parquet table at `<table>/_ann/index/` with one row per
+    # (file, list_id) — WHICH inverted lists (operators/ann.py IVF,
+    # nearest of the frozen coarse-quantizer centroids) each data file
+    # contains — plus a `list_id = -1` marker row per scanned file. The
+    # centroids live in `_ann/meta.json` (k x dim doubles — driver-
+    # scale by construction, like any IVF coarse quantizer).
+    #
+    # The probe (`read_nearest`) is EXACT within its probed lists: the
+    # index only skips files proven to contain no probed-list vector;
+    # surviving rows are re-assigned with the same integer-quantized
+    # expressions and re-ranked by exact cosine. So, as everywhere in
+    # this family, skipping is an optimization, never a correctness
+    # dependency: result == ivf_topk(same centroids) over the live set
+    # regardless of index state, and an unindexed file is
+    # conservatively read. At 100 TB the pruning power comes from
+    # writing the corpus clustered by list assignment (cluster on an
+    # `assign_list` column, or Z-order on leading vector dims): each
+    # list then maps to few files and a probe touches ~n_probe/n_lists
+    # of the data; an unclustered table degrades to a full scan with
+    # identical results.
+
+    ANN_LISTS = 8
+
+    def _ann_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_ann")
+
+    def _ann_meta_path(self, table: str) -> str:
+        return os.path.join(self._ann_dir(table), "meta.json")
+
+    def _ann_index_dir(self, table: str) -> str:
+        return os.path.join(self._ann_dir(table), "index")
+
+    def ann_meta(self, table: str) -> dict | None:
+        """The recorded ANN index parameters
+        ({col, id_col, n_lists, iters, centroids}) or None."""
+        import json
+
+        p = self._ann_meta_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def ann_indexed_files(self, table: str) -> set[str]:
+        """Relative paths the ANN index covers — only the ``f`` column
+        leaves the index table (column pruning)."""
+        d = self._ann_index_dir(table)
+        if not os.path.isdir(d):
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        names: set[str] = set()
+        for batch in pads.dataset(d, format="parquet").to_batches(columns=["f"]):
+            names.update(pc.unique(batch.column("f")).to_pylist())
+        return names
+
+    def _ann_build(
+        self, table: str, meta: dict, files: list[str] | None
+    ) -> tuple[DataFrame | None, bool]:
+        """One raw-file scan: DISTINCT (f, list_id) membership rows —
+        which inverted lists each file contains. Assignment uses the
+        SAME integer-quantized argmin as operators/ann.py::assign_list,
+        so build-time membership, probe-time re-assignment, and the SQL
+        oracles are bit-identical. NULL vectors join no list (they can
+        never match a probe). Returns (rows, indexable)."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        tdir = self.path(table)
+        src = self._index_scan(table, files)
+        if src is None:
+            return None, False
+        col = meta["col"]
+        if col not in src.columns:
+            return None, False
+        rows = (
+            src.select(
+                F.input_file_name().alias("f"),
+                ANN.assign_list(F.col(col), meta["centroids"]).alias("list_id"),
+            )
+            .filter(F.col("list_id").isNotNull())
+            .distinct()
+            .withColumn(
+                "f",
+                F.expr(
+                    "substring(regexp_replace(f, '^file:(//)?', ''), "
+                    f"{len(tdir) + 2})"
+                ),
+            )
+        )
+        return rows, True
+
+    def record_ann(
+        self,
+        table: str,
+        col: str,
+        *,
+        id_col: str,
+        n_lists: int = ANN_LISTS,
+        kmeans_iters: int = 0,
+        incremental: bool = False,
+        centroids: list[list[float]] | None = None,
+    ) -> None:
+        """Record the IVF ANN index for vector column ``col`` (an
+        array<float/double> column; ``id_col`` orders ties and seeds
+        the quantizer deterministically).
+
+        Quantizer: ``kmeans_iters = 0`` seeds centroids from the
+        ``n_lists`` rows with smallest ``id_col`` (closed-form — SQL
+        oracles reproduce it exactly); > 0 refines with deterministic
+        Lloyd iterations (operators/ann.py::kmeans_fit). Once recorded
+        the centroids are FROZEN: ``append``/``merge`` keep the index
+        fresh incrementally (new files assigned to the existing lists
+        — a 100 TB index absorbs a day's embeddings at delta cost,
+        centroids untouched), ``compact`` re-indexes the rewritten
+        files against the same centroids (identical data must keep an
+        identical quantizer), and ``overwrite`` retrains (the corpus
+        was re-stated). Pass ``centroids`` to adopt a quantizer
+        verbatim (the compact/clone rebuild path).
+
+        Same lifecycle and concurrency contract as the Bloom/text
+        indexes: per-generation on bucketed MERGE tables (live set via
+        the generation manifest, dead generations' rows ignored by the
+        probe, dropped on rebuild), no lock held across the Spark
+        build, duplicate rows from racing recorders identical, markers
+        land with their membership rows in one output file
+        (``_write_index``), and a torn build only costs pruning power —
+        ``read_nearest`` reads unindexed files conservatively."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        live = self._live_data_files(table)
+        prior = self.ann_meta(table)
+        mode = "overwrite"
+        scan: list[str] | None = None
+        new_rel = set(live)
+        if (
+            incremental
+            and prior
+            and prior["col"] == col
+            and prior["id_col"] == id_col
+            and prior["n_lists"] == n_lists
+        ):
+            meta = prior  # frozen quantizer
+            indexed = self.ann_indexed_files(table)
+            new_rel = {rel for rel in live if rel not in indexed}
+            if not new_rel:
+                return
+            scan = [live[r] for r in sorted(new_rel)]
+            mode = "append"
+        else:
+            if centroids is None:
+                src = self.read(table).filter(F.col(col).isNotNull())
+                centroids = (
+                    ANN.seed_centroids(
+                        src, id_col=id_col, vec_col=col, k=n_lists
+                    )
+                    if kmeans_iters == 0
+                    else ANN.kmeans_fit(
+                        src, id_col=id_col, vec_col=col,
+                        k=n_lists, iters=kmeans_iters,
+                    )
+                )
+            if not centroids:
+                raise WarehouseError(
+                    f"cannot record ANN index on {table}.{col}: no "
+                    "non-null vectors to seed the quantizer from"
+                )
+            meta = {
+                "col": col,
+                "id_col": id_col,
+                "n_lists": n_lists,
+                "iters": kmeans_iters,
+                "centroids": centroids,
+            }
+        rows, indexable = (
+            self._ann_build(table, meta, scan) if new_rel else (None, False)
+        )
+        schema = "f string, list_id int"
+        markers = [(rel, -1) for rel in sorted(new_rel)] if indexable else []
+        out = self.spark.createDataFrame(markers, schema)
+        if rows is not None:
+            out = rows.unionByName(out)
+        self._write_index(
+            out, mode=mode, n_files=len(new_rel),
+            dest=self._ann_index_dir(table),
+        )
+        if mode == "append":
+            self._maybe_compact_index(self._ann_index_dir(table), live)
+        import json
+
+        os.makedirs(self._ann_dir(table), exist_ok=True)
+        dst = self._ann_meta_path(table)
+        tmp = dst + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, dst)
+
+    def _refresh_ann_if_recorded(
+        self, table: str, *, incremental: bool,
+        keep_centroids: bool = True,
+    ) -> None:
+        meta = self.ann_meta(table)
+        if not meta:
+            return
+        self.record_ann(
+            table,
+            meta["col"],
+            id_col=meta["id_col"],
+            n_lists=meta["n_lists"],
+            kmeans_iters=meta["iters"],
+            incremental=incremental,
+            centroids=meta["centroids"] if keep_centroids else None,
+        )
+
+    @staticmethod
+    def _ann_probe_lists(
+        query_vec: list[float], centroids: list[list[float]], n_probe: int
+    ) -> list[int]:
+        """The ``n_probe`` list ids nearest to the query — pure-python
+        twin of operators/ann.py::assign_list's quantized integer
+        distance (floor(x*QD + 0.5) per element, exact int arithmetic),
+        ties to the lowest id. Driver-scale: n_lists x dim work."""
+        import math
+
+        from kafka_connect_bigquery_spark.operators.ann import QD
+
+        qv = [math.floor(float(x) * QD + 0.5) for x in query_vec]
+        dists = []
+        for i, c in enumerate(centroids):
+            cq = [math.floor(float(x) * QD + 0.5) for x in c]
+            dists.append((sum((a - b) * (a - b) for a, b in zip(qv, cq)), i))
+        return [i for _, i in sorted(dists)[:n_probe]]
+
+    def read_nearest(
+        self,
+        table: str,
+        col: str,
+        query_vec: list[float],
+        *,
+        k: int = 10,
+        n_probe: int = 2,
+    ) -> DataFrame:
+        """The ``k`` nearest rows to ``query_vec`` by cosine, exact
+        within the ``n_probe`` inverted lists nearest to the query
+        (IVF probe semantics — ``n_probe = n_lists`` degrades to exact
+        brute force over the table). Returns
+        ``(neighbor_id, cosine, rank)``, ties broken by ascending id.
+
+        Requires a recorded index (the centroids DEFINE the list
+        semantics), raising like ``approx_distinct`` when missing —
+        but index *staleness* only costs pruning: files provably
+        lacking probed-list vectors are skipped via the per-file
+        membership rows; unindexed live files are conservatively read;
+        dead rows (superseded generations, compacted-away files) are
+        harmless because only live files are considered. Surviving
+        rows are re-assigned with the same quantized expressions and
+        exactly re-ranked, so the result is hash-stable against a SQL
+        oracle and independent of index freshness."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        meta = self.ann_meta(table)
+        if not meta or meta["col"] != col:
+            raise WarehouseError(
+                f"no ANN index recorded for {table}.{col}; call "
+                "record_ann first"
+            )
+        cents = meta["centroids"]
+        n_probe = min(n_probe, len(cents))
+        probes = self._ann_probe_lists(query_vec, cents, n_probe)
+        keep, _ = self._ann_candidate_files(table, probes)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        qn = ANN.quantized_norm_sq(qlit)
+        layout = self.layout_meta(table)
+        if keep is None:
+            sub = self.read(table)
+        elif not keep:
+            sub = self.read(table).limit(0)
+        elif layout.get("generations") is not None:
+            sub = self._conform_to_stored(
+                self.spark.read.option("mergeSchema", "true").parquet(*keep),
+                layout,
+            )
+        else:
+            sub = self._read_files_with_deletes(table, keep, layout)
+        vec = F.col(col)
+        cand = sub.filter(vec.isNotNull()).filter(
+            ANN.assign_list(vec, cents).isin(probes)
+        )
+        scored = cand.select(
+            F.col(meta["id_col"]).alias("neighbor_id"),
+            ANN.cosine_from_quantized(
+                ANN.quantized_dot(qlit, vec), qn, ANN.quantized_norm_sq(vec)
+            ).alias("cosine"),
+        )
+        # distributed top-k (TakeOrderedAndProject — per-partition heads
+        # merged on the driver, never a global sort shuffle), THEN rank
+        # over the <= k survivors: the only unpartitioned window in this
+        # path is constant-bounded by k
+        from pyspark.sql import Window
+
+        top = scored.orderBy(F.desc("cosine"), F.asc("neighbor_id")).limit(k)
+        w = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def _ann_candidate_files(
+        self, table: str, probes: list[int]
+    ) -> tuple[list[str] | None, int]:
+        """Live files that may hold probed-list vectors: a scanned file
+        (marker present) none of whose membership rows hits ``probes``
+        is provably skippable; unindexed live files are kept. Returns
+        ``(paths, n_skipped)`` — ``(None, 0)`` when there is no index
+        table yet (read everything through read()). The pyarrow probe
+        loads ONLY the probed lists' rows plus the markers via parquet
+        predicate pushdown — never the whole index."""
+        idx = self._ann_index_dir(table)
+        if not os.path.isdir(idx):
+            return None, 0
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(idx, format="parquet")
+        expr = pads.field("list_id").isin([*probes, -1])
+        scanned: set[str] = set()
+        hit: set[str] = set()
+        for batch in ds.to_batches(columns=["f", "list_id"], filter=expr):
+            for f_, l_ in zip(
+                batch.column("f").to_pylist(),
+                batch.column("list_id").to_pylist(),
+            ):
+                if l_ == -1:
+                    scanned.add(f_)
+                else:
+                    hit.add(f_)
+        keep, skipped = [], 0
+        for rel, p in self._live_data_files(table).items():
+            if rel in scanned and rel not in hit:
+                skipped += 1
+            else:
+                keep.append(p)
+        return keep, skipped
+
     def read_pruned(
         self,
         table: str,
@@ -2796,6 +3142,7 @@ class Warehouse:
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
         self._refresh_text_if_recorded(table, incremental=True)
+        self._refresh_ann_if_recorded(table, incremental=True)
 
     def overwrite(self, df: DataFrame, table: str, spec: TableSpec | None = None) -> None:
         spec = spec or TableSpec()
@@ -2829,6 +3176,7 @@ class Warehouse:
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
         text = self.text_meta(table)
+        ann = self.ann_meta(table)
         # the swap runs under the table's commit lock: append holds the
         # same lock across its move-files+record section, so a racing
         # append serializes to entirely-before (its files are listed,
@@ -2871,6 +3219,23 @@ class Warehouse:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
         if text:
             self.record_text_index(table, text["cols"])
+        if ann:
+            # retrain the quantizer: an overwrite re-states the corpus,
+            # so centroids seeded from the old rows no longer describe
+            # it. A re-statement WITHOUT the vector column (or with no
+            # non-null vectors) cannot carry an ANN index — drop the
+            # recording so read_nearest raises its loud missing-index
+            # error rather than probing a quantizer of a dead corpus.
+            if ann["col"] in out.columns and ann["id_col"] in out.columns:
+                try:
+                    self.record_ann(
+                        table, ann["col"], id_col=ann["id_col"],
+                        n_lists=ann["n_lists"], kmeans_iters=ann["iters"],
+                    )
+                except WarehouseError:  # no non-null vectors to seed from
+                    shutil.rmtree(self._ann_dir(table), ignore_errors=True)
+            else:
+                shutil.rmtree(self._ann_dir(table), ignore_errors=True)
         self._log_op(
             table, "overwrite", n_columns=len(out.columns), checkpoint=True
         )
@@ -3152,6 +3517,7 @@ class Warehouse:
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
         self._refresh_text_if_recorded(table, incremental=True)
+        self._refresh_ann_if_recorded(table, incremental=True)
 
     def _gc_stale(self, table: str, gens: dict[str, object]) -> int:
         """Remove generation dirs that neither the live manifest nor any
@@ -3461,6 +3827,7 @@ class Warehouse:
         bloom = self.bloom_meta(table)
         sketch = self.sketch_meta(table)
         text = self.text_meta(table)
+        ann = self.ann_meta(table)
         # optimistic concurrency for the flat rewrite (the flat twin of
         # _commit_bucket_generations' base-generation check): compact's
         # contract is PRESERVE ALL DATA, so if any commit landed after
@@ -3517,6 +3884,15 @@ class Warehouse:
             self.record_sketch(table, sketch["cols"], p=sketch["p"])
         if text:
             self.record_text_index(table, text["cols"])
+        if ann:
+            # same rows, new files: keep the frozen quantizer (identical
+            # data must keep an identical list semantics) and re-index
+            # the rewritten files against it
+            self.record_ann(
+                table, ann["col"], id_col=ann["id_col"],
+                n_lists=ann["n_lists"], kmeans_iters=ann["iters"],
+                centroids=ann["centroids"],
+            )
         self._log_op(
             table, "compact", files_before=len(files), files_after=n_out,
             checkpoint=True,
@@ -3646,6 +4022,7 @@ class Warehouse:
         self._refresh_bloom_if_recorded(table, incremental=True)
         self._refresh_sketch_if_recorded(table, incremental=True)
         self._refresh_text_if_recorded(table, incremental=True)
+        self._refresh_ann_if_recorded(table, incremental=True)
         return len(old)
 
     def plan_compaction(

@@ -1,0 +1,286 @@
+"""Warehouse-native IVF ANN index (r09): ``record_ann`` /
+``read_nearest`` complete the table-attached data-skipping index family
+(bloom = equality, zone maps = range, HLL = distinct, text = CONTAINS,
+ann = vector similarity).
+
+Contracts pinned here, mirroring the family's (tests/test_bucketed_
+indexes.py, test_warehouse_bloom.py):
+
+- probe == exact brute force within the probed lists over the LIVE row
+  set, regardless of index state (pruning is an optimization, never a
+  correctness dependency);
+- appends/merges refresh incrementally against the FROZEN quantizer;
+  compact re-indexes against the same centroids; overwrite retrains;
+- a list-clustered layout actually skips files (the 100-TB shape);
+- loud when missing (the centroids define the semantics), conservative
+  when stale.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_spark.operators import ann as ANN
+from kafka_connect_bigquery_spark.sinks.warehouse import (
+    TableSpec,
+    Warehouse,
+    WarehouseError,
+)
+
+DIM = 4
+
+
+def _vec(xs):
+    return [float(x) for x in xs]
+
+
+def _corner(i: int, jitter: float = 0.0) -> list[float]:
+    """A vector near corner i of the 4-cube — corners are far apart, so
+    seeded centroids at distinct corners give a perfectly clusterable
+    corpus (each corner's points assign to its seed)."""
+    base = [1.0 if (i >> d) & 1 else -1.0 for d in range(DIM)]
+    return [b + jitter for b in base]
+
+
+def _corpus(spark, ids_and_vecs):
+    return spark.createDataFrame(
+        [(int(i), _vec(v)) for i, v in ids_and_vecs],
+        "vec_id: long, embedding: array<float>",
+    )
+
+
+def _brute(wh, table, meta, qv, k, n_probe):
+    """The probe's definition, computed without the index: assign every
+    live row to the frozen centroids, keep the n_probe lists nearest to
+    the query, exact cosine top-k (ties by id)."""
+    probes = wh._ann_probe_lists(qv, meta["centroids"], n_probe)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rows = (
+        wh.read(table)
+        .filter(F.col(meta["col"]).isNotNull())
+        .filter(ANN.assign_list(F.col(meta["col"]), meta["centroids"]).isin(probes))
+        .select(
+            F.col(meta["id_col"]).alias("neighbor_id"),
+            ANN.cosine_from_quantized(
+                ANN.quantized_dot(qlit, F.col(meta["col"])),
+                ANN.quantized_norm_sq(qlit),
+                ANN.quantized_norm_sq(F.col(meta["col"])),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(r["neighbor_id"], r["cosine"]) for r in rows]
+
+
+def _probe(wh, table, qv, k, n_probe):
+    rows = wh.read_nearest(table, "embedding", qv, k=k, n_probe=n_probe).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    return [(r["neighbor_id"], r["cosine"]) for r in rows]
+
+
+def test_flat_lifecycle_incremental_matches_brute_force(spark, tmp_path):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=8)
+    pre_centroids = wh.ann_meta("vecs")["centroids"]
+    # append triggers the incremental refresh hook; quantizer frozen
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    meta = wh.ann_meta("vecs")
+    assert meta["centroids"] == pre_centroids
+    live = wh._live_data_files("vecs")
+    assert set(live) == wh.ann_indexed_files("vecs")  # fully fresh
+    qv = _vec(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    for n_probe in (1, 2, 8):
+        assert _probe(wh, "vecs", qv, 5, n_probe) == _brute(
+            wh, "vecs", meta, qv, 5, n_probe
+        )
+
+
+def test_list_clustered_layout_actually_skips_files(spark, tmp_path):
+    """The 100-TB shape: data written clustered by list assignment —
+    each append holds one corner's points — must let the probe skip
+    every file of an unprobed list."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    # seeds first: ids 0..7 at the 8 corners land in the first append,
+    # so seed_centroids picks exactly one per corner
+    wh.append(
+        _corpus(spark, [(i, _corner(i)) for i in range(8)]).coalesce(1),
+        "vecs",
+        spec,
+    )
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=8)
+    # one append per corner: 8 more single-list files
+    for c in range(8):
+        wh.append(
+            _corpus(
+                spark, [(100 + 10 * c + j, _corner(c, 0.01 * (j + 1))) for j in range(3)]
+            ).coalesce(1),
+            "vecs",
+            spec,
+        )
+    meta = wh.ann_meta("vecs")
+    qv = _corner(3, 0.005)
+    probes = wh._ann_probe_lists(qv, meta["centroids"], 1)
+    keep, skipped = wh._ann_candidate_files("vecs", probes)
+    assert skipped >= 7  # the other corners' single-list files skipped
+    assert _probe(wh, "vecs", qv, 4, 1) == _brute(wh, "vecs", meta, qv, 4, 1)
+    # the nearest neighbors really are corner 3's points
+    got_ids = [i for i, _ in _probe(wh, "vecs", qv, 4, 1)]
+    assert set(got_ids) <= {3, 130, 131, 132}
+
+
+def test_compact_reindexes_with_frozen_quantizer(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    rows = [(i, _corner(i % 8, 0.002 * i)) for i in range(40)]
+    for lo in range(0, 40, 10):
+        wh.append(_corpus(spark, rows[lo : lo + 10]).coalesce(1), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    meta0 = wh.ann_meta("vecs")
+    qv = _corner(2, 0.001)
+    before = _probe(wh, "vecs", qv, 6, 2)
+    assert wh.compact("vecs", spec) > 0
+    meta1 = wh.ann_meta("vecs")
+    assert meta1["centroids"] == meta0["centroids"]  # frozen across compact
+    # index covers exactly the rewritten live files, results unchanged
+    assert set(wh._live_data_files("vecs")) == wh.ann_indexed_files("vecs")
+    assert _probe(wh, "vecs", qv, 6, 2) == before
+
+
+def test_overwrite_retrains_quantizer(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(_corpus(spark, [(i, _corner(i % 4, 0.01)) for i in range(12)]), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    old_cents = wh.ann_meta("vecs")["centroids"]
+    # re-state the corpus with entirely different vectors/ids
+    wh.overwrite(
+        _corpus(spark, [(1000 + i, _corner(7 - i % 8, 0.02)) for i in range(16)]),
+        "vecs",
+        spec,
+    )
+    meta = wh.ann_meta("vecs")
+    assert meta["centroids"] != old_cents  # retrained on the new corpus
+    qv = _corner(5, 0.01)
+    assert _probe(wh, "vecs", qv, 5, 2) == _brute(wh, "vecs", meta, qv, 5, 2)
+
+
+def test_overwrite_without_vector_column_drops_recording(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(_corpus(spark, [(i, _corner(i % 4)) for i in range(8)]), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    wh.overwrite(
+        spark.createDataFrame([(1, "x")], "vec_id: long, label: string"),
+        "vecs",
+        spec,
+    )
+    assert wh.ann_meta("vecs") is None
+    with pytest.raises(WarehouseError, match="no ANN index"):
+        wh.read_nearest("vecs", "embedding", _corner(0), k=3)
+
+
+def test_probe_is_loud_when_missing_and_ignores_null_vectors(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    df = _corpus(spark, [(i, _corner(i % 4)) for i in range(8)]).unionByName(
+        spark.createDataFrame(
+            [(99, None)], "vec_id: long, embedding: array<float>"
+        )
+    )
+    wh.append(df, "vecs", spec)
+    with pytest.raises(WarehouseError, match="no ANN index"):
+        wh.read_nearest("vecs", "embedding", _corner(0), k=3)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    got = _probe(wh, "vecs", _corner(0), 8, 4)
+    assert 99 not in [i for i, _ in got]  # NULL vector joins no list
+
+
+def test_record_ann_on_empty_corpus_raises(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(
+        spark.createDataFrame([], "vec_id: long, embedding: array<float>"),
+        "vecs",
+        spec,
+    )
+    with pytest.raises(WarehouseError, match="no non-null vectors"):
+        wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+
+
+def test_bucketed_merge_lifecycle(spark, tmp_path):
+    """The bucketed twin: the live set resolves through the generation
+    manifest, merge commits refresh incrementally, superseded
+    generations' index rows go dead harmlessly, and the probe equals
+    brute force over the POST-merge live rows (updates included)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    base = [(i, _corner(i % 8, 0.001 * i)) for i in range(24)]
+    delta = [(i, _corner((i + 1) % 8, 0.03)) for i in range(0, 24, 3)] + [
+        (100 + i, _corner(i % 8, 0.02)) for i in range(6)
+    ]
+
+    def merged(rows):
+        return _corpus(spark, rows).withColumn("i", F.col("vec_id"))
+
+    wh.merge(merged(base), "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    cents0 = wh.ann_meta("vecs")["centroids"]
+    wh.merge(merged(delta), "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec)
+    meta = wh.ann_meta("vecs")
+    assert meta["centroids"] == cents0  # frozen across merges
+    # fully fresh: every live (manifest-resolved) file indexed
+    assert set(wh._live_data_files("vecs")) <= wh.ann_indexed_files("vecs")
+    qv = _corner(1, 0.005)
+    for n_probe in (1, 2, 4):
+        assert _probe(wh, "vecs", qv, 6, n_probe) == _brute(
+            wh, "vecs", meta, qv, 6, n_probe
+        )
+
+
+def test_fuzz_probe_equals_brute_force_across_lifecycle(spark, tmp_path):
+    """Randomized lifecycle fuzz (seeded): interleave appends, deferred
+    deletes, and compactions; after every op the probe must equal the
+    brute-force definition over the live rows — the family's invariant
+    (skipping is an optimization, never a correctness dependency)."""
+    import random
+
+    rng = random.Random(90210)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            c = rng.randrange(8)
+            rows.append((next_id, _corner(c, rng.random() * 0.05)))
+            next_id += 1
+        return _corpus(spark, rows)
+
+    wh.append(batch(12).coalesce(1), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=8)
+    qv = _corner(4, 0.01)
+    for step in range(6):
+        op = rng.choice(["append", "append", "delete", "compact"])
+        if op == "append":
+            wh.append(batch(rng.randrange(3, 9)).coalesce(1), "vecs", spec)
+        elif op == "delete":
+            victim = rng.randrange(max(next_id, 1))
+            wh.delete_where("vecs", f"vec_id = {victim}")
+        else:
+            wh.compact("vecs", spec)
+        meta = wh.ann_meta("vecs")
+        n_probe = rng.choice([1, 2, 8])
+        got = _probe(wh, "vecs", qv, 5, n_probe)
+        want = _brute(wh, "vecs", meta, qv, 5, n_probe)
+        assert got == want, (step, op, n_probe, got, want)
