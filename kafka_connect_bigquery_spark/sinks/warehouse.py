@@ -2384,31 +2384,43 @@ class Warehouse:
             or not os.path.isdir(idx)
         ):
             return self.read(table).filter(pred)
-        import pyarrow.dataset as pads
-
-        hits: dict[str, set[str]] = {t: set() for t in terms}
-        scanned: set[str] = set()
-        ds = pads.dataset(idx, format="parquet")
-        expr = (pads.field("c") == col) & pads.field("tok").isin([*terms, ""])
-        for batch in ds.to_batches(columns=["f", "tok"], filter=expr):
-            for f_, t_ in zip(
-                batch.column("f").to_pylist(), batch.column("tok").to_pylist()
-            ):
-                if t_ == "":
-                    scanned.add(f_)
-                else:
-                    hits[t_].add(f_)
-        # the live enumeration resolves bucketed tables through the
+        # the probe's set logic runs EXECUTOR-side (r09: the old pyarrow
+        # loop materialized every scanned (file, col) marker plus
+        # per-term hit sets into driver Python — O(live files x terms)):
+        # one aggregation over just the terms' posting rows + markers
+        # (parquet predicate pushdown still applies through the filter),
+        # anti-joined against the live-files frame. Only the KEEP list
+        # reaches the driver — the same file list the parquet read needs
+        # materialized anyway. A scanned file is skippable iff it misses
+        # at least one term (per-file postings are complete).
+        #
+        # The live enumeration resolves bucketed tables through the
         # generation manifest, so a dead posting (superseded generation
         # still on disk for a retained snapshot) can never pull a stale
         # file into the read — and an unindexed live file (manifest
-        # moved since the last refresh) is conservatively read
+        # moved since the last refresh) is conservatively read.
         layout = self.layout_meta(table)
-        keep = [
-            p
-            for rel, p in self._live_data_files(table, layout).items()
-            if rel not in scanned or all(rel in hits[t] for t in terms)
+        live = self._live_data_files(table, layout)
+        skip_df = (
+            self.spark.read.parquet(idx)
+            .filter((F.col("c") == col) & F.col("tok").isin([*terms, ""]))
+            .groupBy("f")
+            .agg(
+                F.max((F.col("tok") == "").cast("int")).alias("scanned"),
+                F.count_distinct(
+                    F.when(F.col("tok") != "", F.col("tok"))
+                ).alias("n_hit"),
+            )
+            .filter((F.col("scanned") == 1) & (F.col("n_hit") < len(terms)))
+            .select("f")
+        )
+        live_df = self.spark.createDataFrame(
+            [(r,) for r in sorted(live)], "f string"
+        )
+        kept_rel = [
+            r["f"] for r in live_df.join(skip_df, "f", "left_anti").collect()
         ]
+        keep = [live[r] for r in kept_rel]
         if not keep:
             return self.read(table).limit(0).filter(pred)
         if layout.get("generations") is not None:
@@ -2447,24 +2459,34 @@ class Warehouse:
                 "record_sketch first"
             )
         live = set(self._live_data_files(table))
-        missing = live - self.sketch_indexed_files(table)
-        if missing:
+        if not os.path.isdir(self._sketch_index_dir(table)):
             raise WarehouseError(
-                f"HLL sketch for {table} lags the data: {len(missing)} "
+                f"HLL sketch for {table} lags the data: {len(live)} "
                 "unindexed file(s); run record_sketch(incremental=True)"
             )
-        regs = self.spark.read.parquet(self._sketch_index_dir(table)).filter(
-            (F.col("c") == col) & (F.col("register") >= 0)
-        )
-        # registers merge over the LIVE file set only: rows for dead
-        # files — superseded bucket generations, expired partitions —
-        # stay in the index until a full rebuild, and HLL cannot unsee,
-        # so merging them would silently OVER-estimate. The live list is
-        # the same driver-side enumeration the staleness check above
-        # already did; the join is index-metadata-scale.
         live_df = self.spark.createDataFrame(
             [(r,) for r in sorted(live)], "f string"
         )
+        idx = self.spark.read.parquet(self._sketch_index_dir(table))
+        # staleness check EXECUTOR-side (r09: previously a pyarrow loop
+        # pulled every indexed file name into a driver set): live files
+        # with no index row at all, counted via anti-join — only the
+        # one count reaches the driver
+        n_missing = live_df.join(
+            idx.select("f").distinct(), "f", "left_anti"
+        ).count()
+        if n_missing:
+            raise WarehouseError(
+                f"HLL sketch for {table} lags the data: {n_missing} "
+                "unindexed file(s); run record_sketch(incremental=True)"
+            )
+        regs = idx.filter((F.col("c") == col) & (F.col("register") >= 0))
+        # registers merge over the LIVE file set only: rows for dead
+        # files — superseded bucket generations, expired partitions —
+        # stay in the index until a full rebuild, and HLL cannot unsee,
+        # so merging them would silently OVER-estimate. The live frame
+        # derives from the same enumeration every read already does;
+        # the join is index-metadata-scale and stays in Spark.
         regs = regs.join(live_df, "f", "left_semi")
         if partition is not None:
             name, value = partition
@@ -2792,34 +2814,34 @@ class Warehouse:
         (marker present) none of whose membership rows hits ``probes``
         is provably skippable; unindexed live files are kept. Returns
         ``(paths, n_skipped)`` — ``(None, 0)`` when there is no index
-        table yet (read everything through read()). The pyarrow probe
-        loads ONLY the probed lists' rows plus the markers via parquet
-        predicate pushdown — never the whole index."""
+        table yet (read everything through read()). The set logic runs
+        executor-side (one aggregation over just the probed lists' rows
+        + markers, parquet predicate pushdown intact, anti-joined
+        against the live frame — the family's probe shape since r09);
+        only the keep list, which the parquet read materializes anyway,
+        reaches the driver."""
         idx = self._ann_index_dir(table)
         if not os.path.isdir(idx):
             return None, 0
-        import pyarrow.dataset as pads
-
-        ds = pads.dataset(idx, format="parquet")
-        expr = pads.field("list_id").isin([*probes, -1])
-        scanned: set[str] = set()
-        hit: set[str] = set()
-        for batch in ds.to_batches(columns=["f", "list_id"], filter=expr):
-            for f_, l_ in zip(
-                batch.column("f").to_pylist(),
-                batch.column("list_id").to_pylist(),
-            ):
-                if l_ == -1:
-                    scanned.add(f_)
-                else:
-                    hit.add(f_)
-        keep, skipped = [], 0
-        for rel, p in self._live_data_files(table).items():
-            if rel in scanned and rel not in hit:
-                skipped += 1
-            else:
-                keep.append(p)
-        return keep, skipped
+        live = self._live_data_files(table)
+        skip_df = (
+            self.spark.read.parquet(idx)
+            .filter(F.col("list_id").isin([*probes, -1]))
+            .groupBy("f")
+            .agg(
+                F.max((F.col("list_id") == -1).cast("int")).alias("scanned"),
+                F.max((F.col("list_id") != -1).cast("int")).alias("hit"),
+            )
+            .filter((F.col("scanned") == 1) & (F.col("hit") == 0))
+            .select("f")
+        )
+        live_df = self.spark.createDataFrame(
+            [(r,) for r in sorted(live)], "f string"
+        )
+        kept_rel = [
+            r["f"] for r in live_df.join(skip_df, "f", "left_anti").collect()
+        ]
+        return [live[r] for r in kept_rel], len(live) - len(kept_rel)
 
     def read_pruned(
         self,
