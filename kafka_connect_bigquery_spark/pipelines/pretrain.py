@@ -153,3 +153,155 @@ def build_corpus(
         "train": train,
         "packed": packed,
     }
+
+
+# ---------------------------------------------------------------------------
+# Incremental mode: the per-ingest tick (r09)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PretrainTickTables:
+    """The persistent state of the incremental corpus pipeline — three
+    warehouse tables plus the source cursor the caller stores between
+    ticks (alongside its checkpoint, like any streaming consumer).
+
+    - ``fingerprints``: (fp, doc) — one row per distinct exact-content
+      fingerprint already accepted, with its keeper id
+    - ``postings``: (doc, bucket) — the LSH band-postings INDEX of every
+      doc that passed gate + exact dedup (near-dup losers INCLUDED:
+      the batch policy drops any doc colliding with any exact-survivor,
+      so the index must hold exactly the exact-survivor population or
+      incremental would resurrect docs whose older twin was itself
+      dropped)
+    - ``survivors``: the accumulated output corpus (gate + exact +
+      near-dup survivors)
+    """
+
+    fingerprints: str = "pretrain_fingerprints"
+    postings: str = "pretrain_postings"
+    survivors: str = "pretrain_survivors"
+
+
+def incremental_tick(
+    wh,
+    corpus_table: str,
+    cursor: int | None,
+    *,
+    tables: PretrainTickTables = PretrainTickTables(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CorpusConfig = CorpusConfig(),
+    tokens_per_shard: int | None = None,
+) -> dict:
+    """One incremental ingest tick — the 100 TB operating shape the
+    batch pipeline's operators were built for: process ONLY the rows
+    appended to ``corpus_table`` since ``cursor`` (``None`` = first
+    tick, process everything), dedup them against the accumulated
+    corpus via the LSH probe index (the corpus-sized index is never
+    self-joined or rebuilt — per-tick cost follows the delta), and
+    append the new survivors + index rows to the state tables.
+
+    Equality contract (pinned by tests/test_pretrain_pipeline.py):
+    with ingest-monotonic ids (each append's ids exceed all earlier
+    ones — the realistic ingest shape, and the precondition under
+    which "first arrival wins" coincides with the batch "smallest id
+    wins"), the accumulated ``survivors`` table after any number of
+    ticks equals ``build_corpus`` run from scratch on the unioned
+    corpus, near-dup greedy policy included. The decomposition leans
+    on the oracle-checked probe invariant (operators/dedup.py::
+    lsh_probe_index): pairs(index ∪ new) = pairs(index) ∪
+    probe(new, index).
+
+    Per-tick stages (each the oracled operator, composed):
+    1. ``read_appended(corpus_table, cursor)`` — the delta;
+    2. quality gate (functions/text.py::quality_score);
+    3. exact dedup: new content fingerprints anti-joined against the
+       fingerprint table (old twins win), then min-id per fp within
+       the delta (new twins resolve);
+    4. near dedup: band postings for the delta, ``lsh_probe_index``
+       against the postings table — a new doc colliding with ANY
+       indexed doc (or a smaller-id delta doc) is dropped;
+    5. state appends: fingerprints, postings (ALL exact survivors),
+       survivors (near survivors);
+    6. optionally a fresh ``shard_plan`` over the accumulated corpus
+       (deterministic in the survivor set: same corpus => same shards
+       whether reached incrementally or in one batch).
+
+    Returns the artifacts dict: ``new_rows``, ``gated``, ``exact_new``,
+    ``near_new``, ``survivors`` (accumulated, post-append), ``shards``
+    (or None), and ``cursor`` — the corpus version this tick consumed
+    through, to store for the next tick.
+    """
+    from kafka_connect_bigquery_spark.functions.text import token_count
+    from kafka_connect_bigquery_spark.operators.dedup import fingerprint
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    spec = TableSpec(partition_grain="NONE")
+    # pin the span end BEFORE reading: appends racing the tick land in
+    # the next span instead of being half-seen
+    to_version = wh.current_version(corpus_table)
+    if cursor is None:
+        # first tick: the whole corpus at the pinned version (spans
+        # start EXCLUSIVE, so version 0's own rows need the full read)
+        new = wh.read(corpus_table, version=to_version)
+    else:
+        new = wh.read_appended(corpus_table, cursor, to_version)
+    new = new.select(id_col, text_col)
+
+    gated = new.filter(quality_score(F.col(text_col)) >= cfg.min_quality)
+
+    # -- exact dedup against the accumulated fingerprint set ------------
+    fp = gated.withColumn("fp", fingerprint(F.col(text_col)))
+    try:
+        seen_fp = wh.read(tables.fingerprints).select("fp")
+    except Exception:  # first tick: no state yet
+        seen_fp = None
+    fresh = fp.join(seen_fp, "fp", "left_anti") if seen_fp is not None else fp
+    keepers = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    exact_new = fresh.join(
+        keepers, [ "fp", id_col ], "left_semi"
+    ).localCheckpoint(eager=False)
+
+    # -- near dedup: probe the corpus index with the delta's postings ---
+    sig = dedup.minhash_signature(
+        exact_new, id_col, text_col, num_hashes=cfg.minhash_hashes, n=cfg.shingle_n
+    )
+    new_posts = dedup.lsh_band_postings(
+        sig, id_col, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
+    ).localCheckpoint(eager=False)
+    try:
+        index_posts = wh.read(tables.postings)
+    except Exception:
+        index_posts = None
+    pairs = (
+        dedup.lsh_probe_index(new_posts, index_posts)
+        if index_posts is not None
+        else dedup.lsh_pairs_from_postings(new_posts)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near_new = exact_new.join(losers, id_col, "left_anti").drop("fp")
+
+    # -- commit state (idempotence: re-running a crashed tick re-reads
+    #    the same span; the appends below are the only writes) ----------
+    wh.append(exact_new.select("fp", id_col), tables.fingerprints, spec)
+    wh.append(new_posts, tables.postings, spec)
+    wh.append(near_new, tables.survivors, spec)
+
+    survivors = wh.read(tables.survivors)
+    shards = None
+    if tokens_per_shard is not None:
+        shards = packing.shard_plan(
+            survivors.withColumn("n_tok", token_count(F.col(text_col))),
+            id_col,
+            "n_tok",
+            tokens_per_shard=tokens_per_shard,
+        )
+    return {
+        "new_rows": new,
+        "gated": gated,
+        "exact_new": exact_new.drop("fp"),
+        "near_new": near_new,
+        "survivors": survivors,
+        "shards": shards,
+        "cursor": to_version,
+    }

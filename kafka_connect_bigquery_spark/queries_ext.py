@@ -1476,6 +1476,125 @@ SELECT neighbor_id, cosine, rank FROM (
 """
 
 
+def q_pretrain_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed incremental pretraining tick
+    (pipelines/pretrain.py::incremental_tick) — the 100 TB operating
+    shape the individually-oracled operators were built for: documents
+    land in THREE appends (ascending doc_id terciles — the
+    ingest-monotonic shape); each tick reads ONLY its delta via
+    ``read_appended``, quality-gates it, exact-dedups it against the
+    accumulated fingerprint table, near-dedups it by PROBING the
+    accumulated LSH band-postings index (``lsh_probe_index`` — the
+    corpus is never re-signed or self-joined), and appends survivors +
+    index rows. The oracle is the one-shot batch over the full corpus:
+    gate → min-id-per-fingerprint → LSH pairs → drop every id_b — so
+    the tick decomposition provably loses and invents nothing."""
+    from kafka_connect_bigquery_spark.functions.text import token_count
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        CorpusConfig,
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ascending terciles: two bounded 1-row collects for the cut points
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = hi // 3, 2 * hi // 3
+    wh = _scratch_wh(spark, "pretrain")
+    spec = TableSpec(partition_grain="NONE")
+    cfg = CorpusConfig(
+        min_quality=0.2,
+        minhash_hashes=_PRETRAIN_MH,
+        minhash_bands=_PRETRAIN_BANDS,
+    )
+    tables = PretrainTickTables()
+    cursor = None
+    art = None
+    for pred in (
+        F.col("doc_id") <= c1,
+        (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+        F.col("doc_id") > c2,
+    ):
+        wh.append(docs.filter(pred), "corpus", spec)
+        art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=cfg)
+        cursor = art["cursor"]
+    return art["survivors"].select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+
+
+# stricter banding than the dedup entries (r = 4 rows/band): the
+# template-heavy synthetic corpus collapses almost entirely under the
+# permissive 8/4 scheme, leaving too thin a witness
+_PRETRAIN_MH, _PRETRAIN_BANDS = 16, 4
+
+
+def _pretrain_inc_sql() -> str:
+    mh = ",\n       ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(_PRETRAIN_MH)
+    )
+    r = _PRETRAIN_MH // _PRETRAIN_BANDS
+    bands = ",\n       ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        + f")) AS band{b}"
+        for b in range(_PRETRAIN_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(_PRETRAIN_BANDS))
+    stops = ", ".join(f"'{m}'" for m in text_fns.LANG_MARKERS["en"])
+    quality = (
+        "0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+        " + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        " AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+        f" + 0.25 * least((CAST(len(list_filter(toks, t -> t IN ({stops})))"
+        " AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)) * 5, 1.0)"
+        " + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE)"
+        " / CAST(greatest(len(toks), 1) AS DOUBLE))"
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, text, {_CANON} AS c, {_TOKS} AS toks FROM documents
+),
+gated AS (
+  SELECT doc_id, text, c, toks FROM toked WHERE {quality} >= 0.2
+),
+fp AS (SELECT doc_id, c, toks, md5(c) AS fp FROM gated),
+exact AS (
+  SELECT f.doc_id, f.c, f.toks FROM fp f
+  JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
+    ON f.fp = k.fp AND f.doc_id = k.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(c, CAST(i AS INT), 3)
+                 for i in range(1, greatest(length(c) - 2, 1) + 1)])) AS sh
+  FROM exact
+),
+mh AS (
+  SELECT doc_id,
+       {mh}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {bands}
+  FROM mh
+),
+stacked AS (SELECT doc_id, unnest([{band_list}]) AS bucket FROM bands),
+losers AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT e.doc_id, CAST(len(e.toks) AS BIGINT) AS n_tok
+FROM exact e
+WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+Q_PRETRAIN_INC_SQL = _pretrain_inc_sql()
+
+
 _RRF_TOP_N = 20  # per-retriever depth
 _RRF_TOP_K = 10  # fused depth
 
@@ -4101,6 +4220,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
+    "pretrain_incremental": (q_pretrain_incremental, Q_PRETRAIN_INC_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_bucketed": (
         q_warehouse_ann_bucketed,

@@ -937,6 +937,18 @@ class Warehouse:
             "source_version": v,
         }
 
+    def current_version(self, table: str) -> int:
+        """The table's latest committed op-log version (the cursor an
+        incremental consumer records before calling
+        :meth:`read_appended` / :meth:`read_changes` next tick)."""
+        n = self._oplog_len(table)
+        if n == 0:
+            raise WarehouseError(
+                f"table {table} has no op log; incremental reads need "
+                "commits made by this engine version"
+            )
+        return n - 1
+
     def version_at(self, table: str, ts: float) -> int:
         """Latest committed version at wall-clock ``ts`` — the AS OF
         <timestamp> resolution rule (Delta/Iceberg semantics: the

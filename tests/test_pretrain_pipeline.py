@@ -101,3 +101,141 @@ def test_semantic_stage_drops_embedding_dups(spark, sf_dir):
 def test_without_embeddings_sem_stage_is_identity(spark, artifacts):
     _, a = artifacts
     assert _ids(a["sem_survivors"]) == _ids(a["near_survivors"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental mode (r09): incremental_tick == batch rebuild
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+@pytest.fixture(scope="module")
+def tick_run(spark, sf_dir, tmp_path_factory):
+    """Three append ticks over a corpus with cross-tick exact AND near
+    duplicates plus a junk doc, run through incremental_tick; the batch
+    rebuild on the unioned corpus is the reference."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in base.filter(F.col("doc_id") < 30).collect()
+    }
+    # controlled sentinels: long unique sentences so the cross-tick
+    # exact/near hits do not depend on the organic corpus's own dups
+    import random
+
+    rng = random.Random(42)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(120)]
+    c1 = "the quick pelican " + " ".join(words[:60]) + " finally lands"
+    c2 = "another heron story " + " ".join(words[60:]) + " and ends here"
+    t1 = [(int(i), texts[i]) for i in sorted(texts) if i < 10]
+    t1 += [(90, c1)]
+    # tick 2: fresh docs + an exact twin and a near twin (one word
+    # appended to a 50+-word text: high-Jaccard shingles) of tick-1's c1
+    t2 = [(int(i) + 100, texts[i]) for i in sorted(texts) if 10 <= i < 20]
+    t2 += [(190, c2), (293, c1), (295, c1 + " appended")]
+    # tick 3: fresh docs + an exact twin of TICK-2's c2, another near
+    # twin of tick-1's c1, an intra-tick exact pair, and a junk doc the
+    # quality gate must drop
+    t3 = [(int(i) + 300, texts[i]) for i in sorted(texts) if 20 <= i < 30]
+    t3 += [
+        (391, c2),                   # exact dup of tick-2's id 190
+        (392, c1 + " otherwise"),    # near dup of tick-1's id 90
+        (393, "unique alpha beta gamma delta words here we go now ok"),
+        (394, "unique alpha beta gamma delta words here we go now ok"),
+        (395, " ".join(["12345"] * 50)),  # junk (score 0.13): gated out
+    ]
+    all_rows = t1 + t2 + t3
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("pretrain_inc")))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    cursor = None
+    arts = []
+    for rows in (t1, t2, t3):
+        wh.append(_mk_docs(spark, rows), "corpus", spec)
+        art = incremental_tick(
+            wh, "corpus", cursor, tables=tables, cfg=CFG, tokens_per_shard=200
+        )
+        cursor = art["cursor"]
+        arts.append(art)
+    batch = build_corpus(_mk_docs(spark, all_rows), cfg=CFG)
+    return wh, tables, arts, batch, all_rows
+
+
+def test_incremental_ticks_equal_batch_rebuild(spark, tick_run):
+    wh, tables, arts, batch, all_rows = tick_run
+    inc_ids = _ids(arts[-1]["survivors"])
+    batch_ids = _ids(batch["near_survivors"])
+    assert inc_ids == batch_ids
+    # the accumulated rows match too (not just ids)
+    inc_rows = {
+        (r["doc_id"], r["text"])
+        for r in arts[-1]["survivors"].select("doc_id", "text").collect()
+    }
+    batch_rows = {
+        (r["doc_id"], r["text"])
+        for r in batch["near_survivors"].select("doc_id", "text").collect()
+    }
+    assert inc_rows == batch_rows
+
+
+def test_cross_tick_dedup_hits_actually_happened(spark, tick_run):
+    """The equality proof must not be vacuous: the injected old<->new
+    twins were really dropped by the fingerprint table / probe index,
+    in the tick that saw them."""
+    wh, tables, arts, batch, all_rows = tick_run
+    final = _ids(arts[-1]["survivors"])
+    assert 90 in final and 293 not in final       # exact dup, tick1<->tick2
+    assert 190 in final and 391 not in final      # exact dup, tick2<->tick3
+    assert 295 not in final                       # near dup, tick1<->tick2
+    assert 392 not in final                       # near dup, tick1<->tick3
+    assert 393 in final and 394 not in final      # intra-tick exact pair
+    assert 395 not in final                       # junk gated out
+    # and the drops happened in the arriving tick (delta-sized work)
+    assert 293 not in _ids(arts[1]["near_new"])
+    assert 295 not in _ids(arts[1]["near_new"])
+
+
+def test_incremental_shard_plan_matches_batch(spark, tick_run):
+    """shard_plan over the accumulated survivors is a deterministic
+    function of the survivor set: incremental and batch corpora yield
+    identical shard assignments."""
+    from kafka_connect_bigquery_spark.functions.text import token_count
+    from kafka_connect_bigquery_spark.operators import packing
+
+    wh, tables, arts, batch, all_rows = tick_run
+    inc = {
+        (r["doc_id"], r["shard_id"], r["cum_tokens"])
+        for r in arts[-1]["shards"].select("doc_id", "shard_id", "cum_tokens").collect()
+    }
+    ref = packing.shard_plan(
+        batch["near_survivors"].withColumn("n_tok", token_count(F.col("text"))),
+        "doc_id",
+        "n_tok",
+        tokens_per_shard=200,
+    )
+    want = {
+        (r["doc_id"], r["shard_id"], r["cum_tokens"])
+        for r in ref.select("doc_id", "shard_id", "cum_tokens").collect()
+    }
+    assert inc == want
+
+
+def test_tick_with_no_new_rows_is_a_noop(spark, tick_run):
+    from kafka_connect_bigquery_spark.pipelines.pretrain import incremental_tick
+
+    wh, tables, arts, batch, all_rows = tick_run
+    before = _ids(arts[-1]["survivors"])
+    art = incremental_tick(
+        wh, "corpus", arts[-1]["cursor"], tables=tables, cfg=CFG
+    )
+    assert art["new_rows"].count() == 0
+    assert _ids(art["survivors"]) == before
