@@ -4152,6 +4152,72 @@ class Warehouse:
             out.append({**entry, "files_rewritten": n})
         return out
 
+    def compact_buckets(
+        self,
+        table: str,
+        spec: TableSpec,
+        *,
+        min_files: int = 4,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        max_buckets: int | None = None,
+    ) -> list[int]:
+        """Small-generation coalescing for bucketed MERGE tables — the
+        bucketed analog of :meth:`auto_compact`: rewrite ONLY the
+        buckets whose live generation is fragmented (>= ``min_files``
+        files with mean size below ``small_file_bytes``), capped at
+        ``max_buckets`` per call for the steady-state cron shape.
+        Each selected bucket's rows republish as one new generation
+        through the same OCC commit every merge uses
+        (:meth:`_commit_bucket_generations` — a racing merge aborts
+        this compaction loudly rather than losing its updates, and the
+        post-commit hook refreshes every recorded index incrementally).
+        Untouched buckets keep their generation pointers: cost is
+        O(selected buckets), never O(table). Returns the bucket ids
+        rewritten."""
+        meta = self.layout_meta(table)
+        gens = meta.get("generations")
+        if gens is None:
+            raise WarehouseError(
+                f"{table} is a flat table: compact_buckets targets "
+                "bucketed MERGE layouts (use compact / compact_partition)"
+            )
+        plan: list[int] = []
+        for b in sorted(gens, key=int):
+            files = self._data_files(self._bucket_gen_dir(table, b, gens[b]))
+            if len(files) < min_files:
+                continue
+            mean = sum(os.path.getsize(p) for p in files) / len(files)
+            if mean < small_file_bytes:
+                plan.append(int(b))
+        if max_buckets is not None:
+            plan = plan[:max_buckets]
+        if not plan:
+            return []
+        key_cols = list(meta["key_cols"])
+        n_buckets = int(meta["key_bucket_count"])
+        base_gen = int(meta.get("generation", -1))
+        paths = [self._bucket_gen_dir(table, str(b), gens[str(b)]) for b in plan]
+        df = self._conform_to_stored(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths), meta
+        )
+        bucket_expr = F.pmod(
+            F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+        )
+        # one task per selected bucket (repartition on the bucket id):
+        # each bucket's generation coalesces to a single file
+        out = df.withColumn("__bucket", bucket_expr).repartition(
+            max(len(plan), 1), "__bucket"
+        )
+        tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
+        self._sorted_within(out, spec).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(tmp)
+        self._commit_bucket_generations(
+            table, tmp, plan, n_buckets=n_buckets, key_cols=key_cols,
+            base_gen=base_gen,
+        )
+        return plan
+
     def maintenance_tick(
         self,
         table: str,
@@ -4175,10 +4241,21 @@ class Warehouse:
         incrementally); (3) :meth:`vacuum_retained` to age out
         rewritten-era layers beyond the time-travel window; and
         (4) :meth:`vacuum` for snapshot retention + crashed-writer
-        staging orphans. Flat Hive-partitioned tables get all four;
-        non-Hive-partitioned or bucketed tables skip the partition
-        steps (compaction for those is :meth:`compact` / the bucketed
-        merge path). Returns a summary dict — the cron's log line."""
+        staging orphans. ONE call is sufficient upkeep for BOTH
+        layouts:
+
+        - flat Hive-partitioned tables get all four;
+        - bucketed MERGE tables substitute :meth:`compact_buckets`
+          (capped at ``max_partitions`` buckets/tick, same OCC commit
+          as a merge) for the partition compaction, and legitimately
+          skip the two steps with no bucketed analog: partition
+          expiration (no Hive partition dirs exist — retention on a
+          MERGE table is tombstones through the merge path, D3) and
+          retained-layer aging (``_retained/`` is flat-rewrite
+          machinery; superseded GENERATIONS are GC'd inside every
+          merge/compaction commit, and snapshot retention is step 4).
+
+        Returns a summary dict — the cron's log line."""
         out: dict = {"table": table}
         is_bucketed = self.layout_meta(table).get("generations") is not None
         if expire_older_than_days is not None and spec.partition_col:
@@ -4193,6 +4270,14 @@ class Warehouse:
                 small_file_bytes=small_file_bytes,
                 target_file_rows=target_file_rows,
                 max_partitions=max_partitions,
+            )
+        if is_bucketed:
+            out["compacted_buckets"] = self.compact_buckets(
+                table,
+                spec,
+                min_files=min_files,
+                small_file_bytes=small_file_bytes,
+                max_buckets=max_partitions,
             )
         if not is_bucketed:
             out["retained_layers_removed"] = self.vacuum_retained(

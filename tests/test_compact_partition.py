@@ -207,3 +207,130 @@ def test_plan_compaction_rejects_unpartitioned_and_bucketed(spark, tmp_path):
         wh.plan_compaction(
             "bt", TableSpec(partition_grain="DAY", timestamp_field="ts")
         )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed analog (r09): compact_buckets + maintenance_tick parity
+# ---------------------------------------------------------------------------
+
+BSPEC = TableSpec(partition_grain="NONE", key_bucket_count=4)
+
+
+def _bdf(spark, lo, hi):
+    rows = [(i, float(i)) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, ["k", "v"]).withColumn("i", F.col("k"))
+
+
+def _fragmenting_merge(spark, wh, df, table):
+    """Merge, then republish every bucket from an 8-task write through
+    the SAME generation commit a merge uses — the multi-file-generation
+    shape a multi-task merge produces at scale (at test scale the
+    planner collapses the merge write to one task per bucket, so the
+    fragmentation is staged explicitly through identical machinery)."""
+    import uuid as _uuid
+
+    wh.merge(df, table, ["k"], mode="upsert", order_col="i", spec=BSPEC)
+    meta = wh.layout_meta(table)
+    gens = meta["generations"]
+    n_buckets = int(meta["key_bucket_count"])
+    paths = [wh._bucket_gen_dir(table, b, g) for b, g in gens.items()]
+    out = (
+        spark.read.parquet(*paths)
+        .repartition(8)  # explicit N: AQE never coalesces it
+        .withColumn("__bucket", F.pmod(F.hash("k"), F.lit(n_buckets)))
+    )
+    tmp = wh.path(f".tmp_{table}_{_uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    wh._commit_bucket_generations(
+        table, tmp, sorted(int(b) for b in gens),
+        n_buckets=n_buckets, key_cols=list(meta["key_cols"]),
+        base_gen=int(meta["generation"]),
+    )
+
+
+def _bucket_files(wh, table):
+    gens = wh.layout_meta(table)["generations"]
+    return {
+        int(b): len(wh._data_files(wh._bucket_gen_dir(table, b, g)))
+        for b, g in gens.items()
+    }
+
+
+def test_compact_buckets_coalesces_capped_and_preserves_rows(spark, tmp_path):
+    """Small-generation coalescing: fragmented buckets (merges write one
+    file per shuffle task) rewrite capped-per-tick through the same OCC
+    generation commit, rows byte-identical, untouched buckets keep
+    their generation pointers."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _fragmenting_merge(spark, wh, _bdf(spark, 0, 200), "t")
+    before_rows = {(r["k"], r["v"]) for r in wh.read("t").collect()}
+    frag = _bucket_files(wh, "t")
+    assert any(n >= 2 for n in frag.values()), frag  # multi-task merges fragment
+    gens0 = dict(wh.layout_meta("t")["generations"])
+    done = wh.compact_buckets("t", BSPEC, min_files=2, max_buckets=2)
+    assert len(done) == 2  # cap honored
+    after = _bucket_files(wh, "t")
+    for b in done:
+        assert after[b] == 1  # coalesced to one file
+    gens1 = wh.layout_meta("t")["generations"]
+    for b in frag:
+        if b not in done:
+            assert gens1[str(b)] == gens0[str(b)]  # untouched pointer
+    assert {(r["k"], r["v"]) for r in wh.read("t").collect()} == before_rows
+
+
+def test_maintenance_tick_is_sufficient_for_bucketed_tables(spark, tmp_path):
+    """ONE maintenance_tick call per layout: on a bucketed table the
+    tick substitutes compact_buckets (capped at max_partitions) and
+    reaches steady state — a coalesced (single-file) bucket is never
+    reselected."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _fragmenting_merge(spark, wh, _bdf(spark, 0, 200), "t")
+    before_rows = {(r["k"], r["v"]) for r in wh.read("t").collect()}
+    frag = [b for b, n in _bucket_files(wh, "t").items() if n >= 2]
+    out1 = wh.maintenance_tick("t", BSPEC, min_files=2, max_partitions=2)
+    assert out1["compacted_buckets"] == sorted(frag)[:2]
+    assert "compacted" not in out1  # the flat partition pass is n/a
+    assert "retained_layers_removed" not in out1  # generations GC'd per commit
+    assert "vacuumed_paths" in out1
+    # drain the rest, then steady state
+    while True:
+        out = wh.maintenance_tick("t", BSPEC, min_files=2, max_partitions=2)
+        if not out["compacted_buckets"]:
+            break
+    assert all(n == 1 for n in _bucket_files(wh, "t").values())
+    assert {(r["k"], r["v"]) for r in wh.read("t").collect()} == before_rows
+
+
+def test_compact_buckets_occ_abort_on_concurrent_merge(spark, tmp_path, monkeypatch):
+    """A merge landing between compact_buckets' read and its commit
+    must abort the compaction loudly (same OCC contract as a merge)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge(_bdf(spark, 0, 120), "t", ["k"], mode="upsert", order_col="i", spec=BSPEC)
+
+    real_commit = wh._commit_bucket_generations
+    state = {"raced": False}
+
+    def racing_commit(table, tmp, buckets, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            wh2 = Warehouse(spark, wh.root)
+            wh2.merge(
+                _bdf(spark, 200, 220), "t", ["k"],
+                mode="upsert", order_col="i", spec=BSPEC,
+            )
+        return real_commit(table, tmp, buckets, **kw)
+
+    monkeypatch.setattr(wh, "_commit_bucket_generations", racing_commit)
+    with pytest.raises(WarehouseError, match="concurrent MERGE commit"):
+        wh.compact_buckets("t", BSPEC, min_files=1)
+    # the racing merge's rows are intact
+    ks = {r["k"] for r in wh.read("t").collect()}
+    assert set(range(200, 220)) <= ks
+
+
+def test_compact_buckets_rejects_flat_tables(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(_bdf(spark, 0, 10).drop("i"), "t", TableSpec(partition_grain="NONE"))
+    with pytest.raises(WarehouseError, match="flat table"):
+        wh.compact_buckets("t", TableSpec(partition_grain="NONE"))
