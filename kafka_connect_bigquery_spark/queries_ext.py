@@ -1373,6 +1373,103 @@ SELECT neighbor_id, cosine, rank FROM (
 """
 
 
+def q_warehouse_ann_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch form of the warehouse ANN probe
+    (sinks/warehouse.py::read_nearest_many) — a FRAME of query vectors
+    (the first 10 embeddings, the retrieval-request shape) answered in
+    one job against the table-attached index: per query, exact top-5
+    within its 2 nearest frozen-quantizer lists, self-matches excluded
+    (the dedup shape). Same staging as warehouse_ann_read (two appends,
+    the second refreshing the index incrementally); the oracle is the
+    closed-form IVF SQL with seeds = the 8 smallest EVEN vec_ids (the
+    record-time corpus)."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annmany")
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=_IVF_LISTS)
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)  # incremental
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return wh.read_nearest_many(
+        "vecs", "embedding", queries,
+        k=_ANN_K, n_probe=_IVF_PROBE, exclude_self=True,
+    )
+
+
+Q_WAREHOUSE_ANN_MANY_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+dists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists WHERE vec_id < {_ANN_NQ}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el q ON q.vec_id = c.query_id
+  JOIN el n ON n.vec_id = c.neighbor_id AND n.d = q.d
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         (d.dq / {_QE}.0) /
+         (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) AS cosine,
+         CAST(row_number() OVER (PARTITION BY d.query_id
+              ORDER BY (d.dq / {_QE}.0) /
+                       (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) DESC,
+                       d.neighbor_id) AS INT) AS rank
+  FROM dots d
+  JOIN norms nq1 ON nq1.vec_id = d.query_id
+  JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+
+
 def q_warehouse_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index's bucketed-MERGE twin: the corpus lands as base
     MERGE (vec_id % 10 != 0) + delta MERGE (every 10th vector) into a
@@ -4222,6 +4319,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "pretrain_incremental": (q_pretrain_incremental, Q_PRETRAIN_INC_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
+    "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),
     "warehouse_ann_bucketed": (
         q_warehouse_ann_bucketed,
         Q_WAREHOUSE_ANN_BUCKETED_SQL,

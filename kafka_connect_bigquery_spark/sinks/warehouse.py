@@ -2819,6 +2819,90 @@ class Warehouse:
         w = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         return top.withColumn("rank", F.row_number().over(w))
 
+    def read_nearest_many(
+        self,
+        table: str,
+        col: str,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        k: int = 10,
+        n_probe: int = 2,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Batch form of :meth:`read_nearest` — the production probe
+        shape (a frame of query vectors, e.g. a day's retrieval
+        requests or a dedup candidate set): each query gets exact
+        top-``k`` within ITS ``n_probe`` nearest inverted lists.
+        Returns ``(query_id, neighbor_id, cosine, rank)``.
+
+        File pruning uses the UNION of all queries' probed lists (one
+        bounded collect of <= n_lists ids — queries hitting every list
+        degrade gracefully to a full scan, results unchanged); the
+        per-query list restriction and ranking then run entirely in
+        Spark via operators/ann.py::ivf_topk with the FROZEN recorded
+        centroids — identical semantics to calling read_nearest per
+        query, at one job. ``exclude_self`` drops neighbor_id ==
+        query_id rows (the dedup shape, where queries ARE corpus
+        rows)."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        meta = self.ann_meta(table)
+        if not meta or meta["col"] != col:
+            raise WarehouseError(
+                f"no ANN index recorded for {table}.{col}; call "
+                "record_ann first"
+            )
+        cents = meta["centroids"]
+        n_probe = min(n_probe, len(cents))
+        q = queries.select(
+            F.col(query_id_col).alias("vec_id"),
+            F.col(query_vec_col).alias("embedding"),
+        )
+        # union of probed lists across queries: n_lists-bounded collect
+        n_lists = len(cents)
+        dists = F.array(*[ANN._sq_dist_to(F.col("embedding"), c) for c in cents])
+        ranked = F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        )
+        probes = sorted(
+            r["list_id"]
+            for r in q.select(
+                F.explode(F.slice(ranked, 1, n_probe)).alias("list_id")
+            )
+            .distinct()
+            .collect()
+        )
+        keep, _ = self._ann_candidate_files(table, probes)
+        layout = self.layout_meta(table)
+        if keep is None:
+            sub = self.read(table)
+        elif not keep:
+            sub = self.read(table).limit(0)
+        elif layout.get("generations") is not None:
+            sub = self._conform_to_stored(
+                self.spark.read.option("mergeSchema", "true").parquet(*keep),
+                layout,
+            )
+        else:
+            sub = self._read_files_with_deletes(table, keep, layout)
+        corpus = sub.filter(F.col(col).isNotNull()).select(
+            F.col(meta["id_col"]).alias("vec_id"),
+            F.col(col).alias("embedding"),
+        )
+        out = ANN.ivf_topk(
+            q, corpus, cents, k=k, n_probe=n_probe, exclude_self=exclude_self
+        )
+        return out
+
     def _ann_candidate_files(
         self, table: str, probes: list[int]
     ) -> tuple[list[str] | None, int]:

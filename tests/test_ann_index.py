@@ -284,3 +284,43 @@ def test_fuzz_probe_equals_brute_force_across_lifecycle(spark, tmp_path):
         got = _probe(wh, "vecs", qv, 5, n_probe)
         want = _brute(wh, "vecs", meta, qv, 5, n_probe)
         assert got == want, (step, op, n_probe, got, want)
+
+
+def test_read_nearest_many_matches_per_query_probes(spark, tmp_path):
+    """The batch probe equals read_nearest called per query — same
+    frozen quantizer, same probe semantics — and exclude_self drops
+    exactly the query's own row when queries are corpus rows."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=8)
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    many = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in wh.read_nearest_many(
+            "vecs", "embedding", queries, k=4, n_probe=2
+        ).collect()
+    }
+    single = set()
+    for q in queries.collect():
+        for r in wh.read_nearest(
+            "vecs", "embedding", [float(x) for x in q["query_vec"]],
+            k=4, n_probe=2,
+        ).collect():
+            single.add((q["query_id"], r["neighbor_id"], r["cosine"], r["rank"]))
+    assert many == single
+    # exclude_self: each query loses exactly its own row (cosine 1 rank 1)
+    excl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in wh.read_nearest_many(
+            "vecs", "embedding", queries, k=4, n_probe=2, exclude_self=True
+        ).collect()
+    }
+    assert all(q != n for q, n in excl)
