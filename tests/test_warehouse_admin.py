@@ -300,3 +300,26 @@ def test_tick_cli_without_max_partitions_stays_capped(spark, tmp_path, capsys):
         "--min-files", "2", "--max-partitions", "0",
     )
     assert len(out2["compacted"]) == 2  # 0 -> unbounded: the rest
+
+
+def test_ann_cli_record_and_probe(spark, tmp_path, capsys):
+    root = str(tmp_path / "whann")
+    wh = Warehouse(spark, root)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    wh.append(emb, "vecs", TableSpec(partition_grain="NONE"))
+    out = _run(capsys, "ann", root, "vecs", "--ann-col", "embedding")
+    assert out["meta"]["col"] == "embedding"
+    assert out["n_lists"] == 8
+    assert out["n_files"] >= 1
+    qv = ",".join(str(float(x)) for x in emb.first()["embedding"])
+    out2 = _run(
+        capsys, "ann", root, "vecs", f"--nearest={qv}", "--k", "3",
+        "--n-probe", "2",
+    )
+    assert len(out2["neighbors"]) == 3
+    assert out2["neighbors"][0]["rank"] == 1
+    assert abs(out2["neighbors"][0]["cosine"] - 1.0) < 1e-9  # self first

@@ -11,6 +11,10 @@ Spark code:
     python tools/warehouse_admin.py bloom    <root> <table> [--bloom-cols a,b]
     python tools/warehouse_admin.py text     <root> <table> [--text-cols a,b]
                                      [--contains "col:term1,term2"]
+    python tools/warehouse_admin.py ann      <root> <table> [--ann-col c]
+                                     [--id-col vec_id] [--n-lists N]
+                                     [--nearest "0.1,0.2,..."] [--k N]
+                                     [--n-probe N]
     python tools/warehouse_admin.py restore  <root> <table> --version N
     python tools/warehouse_admin.py autocompact <root> <table> --partition-col c
                                      [--min-files N] [--small-file-bytes N]
@@ -30,7 +34,11 @@ schedules at fleet scale). `bloom` with --bloom-cols records per-file Bloom filt
 Spark pass); without it, it reports the recorded bloom state. `text`
 works the same way for the per-file full-text token index; with
 --contains "col:term1,term2" it runs a conjunctive indexed grep and
-reports the match count plus how many files the probe opened.
+reports the match count plus how many files the probe opened. `ann`
+with --ann-col records the IVF vector index (frozen seeded quantizer +
+per-file list memberships); with --nearest "x,y,..." it probes the
+index and reports the top-k (neighbor id, cosine) plus how many files
+the probe opened; without either it reports the recorded state.
 """
 
 from __future__ import annotations
@@ -50,7 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "describe", "vacuum", "compact", "history", "snapshots",
-            "bloom", "text", "restore", "autocompact", "clone", "tick",
+            "bloom", "text", "ann", "restore", "autocompact", "clone",
+            "tick",
         ],
     )
     p.add_argument("root")
@@ -59,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
     p.add_argument("--bloom-cols", default=None, help="comma-separated columns")
     p.add_argument("--text-cols", default=None, help="comma-separated columns")
+    p.add_argument("--ann-col", default=None, help="vector column to index")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--n-lists", type=int, default=8)
+    p.add_argument("--nearest", default=None, help="query vector: comma-separated floats")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-probe", type=int, default=2)
     p.add_argument(
         "--contains", default=None,
         help='indexed grep: "col:term1,term2" (AND of whole tokens)',
@@ -251,6 +266,41 @@ def main(argv: list[str] | None = None) -> int:
                 "table": args.table,
                 "meta": meta,
                 "n_files": len(tw.text_indexed_files(args.table)) if meta else 0,
+            }
+    elif args.command == "ann":
+        if args.ann_col:
+            wh().record_ann(
+                args.table, args.ann_col,
+                id_col=args.id_col, n_lists=args.n_lists,
+            )
+        aw = Warehouse(None, args.root)
+        meta = aw.ann_meta(args.table)
+        if args.nearest:
+            if not meta:
+                print("no ANN index recorded; pass --ann-col first", file=sys.stderr)
+                return 2
+            qv = [float(x) for x in args.nearest.split(",")]
+            hitdf = wh().read_nearest(
+                args.table, meta["col"], qv, k=args.k, n_probe=args.n_probe
+            )
+            rows = hitdf.collect()
+            out = {
+                "table": args.table,
+                "k": args.k,
+                "n_probe": args.n_probe,
+                "neighbors": [
+                    {"neighbor_id": r["neighbor_id"], "cosine": r["cosine"],
+                     "rank": r["rank"]}
+                    for r in rows
+                ],
+                "n_files_opened": len(hitdf.inputFiles()),
+            }
+        else:
+            out = {
+                "table": args.table,
+                "meta": {k: v for k, v in (meta or {}).items() if k != "centroids"},
+                "n_lists": len((meta or {}).get("centroids", [])),
+                "n_files": len(aw.ann_indexed_files(args.table)) if meta else 0,
             }
     else:  # history
         w = wh()
