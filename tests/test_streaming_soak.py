@@ -45,8 +45,16 @@ VALUE_SCHEMA = T.StructType(
         T.StructField("row", T.LongType()),
         T.StructField("name", T.StringType()),
         T.StructField("body", T.StringType()),
+        T.StructField("emb", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+def _emb(i):
+    """A deterministic 4-dim vector per row id (drives the ANN index
+    through the soak: appends/merges refresh it via the post-commit
+    hooks, restarts must not lose it)."""
+    return [float(i % 7), float(i % 5), float(i % 3), 1.0]
 
 
 def _body(i):
@@ -130,7 +138,11 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
 
     def ev_feed(lo, hi):
         rows = [
-            (f"k{i}", {"row": i, "name": f"n{i % 7}", "body": _body(i)}, "ev", 0, i)
+            (
+                f"k{i}",
+                {"row": i, "name": f"n{i % 7}", "body": _body(i), "emb": _emb(i)},
+                "ev", 0, i,
+            )
             for i in range(lo, hi)
         ]
         ev_rows.extend((i, f"n{i % 7}", _body(i)) for i in range(lo, hi))
@@ -140,7 +152,11 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
         """ops: (key, row_or_None_for_delete, name)"""
         rows = []
         for j, (k, row, name) in enumerate(ops):
-            val = None if row is None else {"row": row, "name": name, "body": _body(row)}
+            val = (
+                None
+                if row is None
+                else {"row": row, "name": name, "body": _body(row), "emb": _emb(row)}
+            )
             rows.append((k, val, "st", 0, off + j))
             if row is None:
                 st_state.pop(k, None)
@@ -159,6 +175,8 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
     wh.record_text_index("ev", ["body"])
     wh.record_sketch("st", ["name"])
     wh.record_text_index("st", ["body"])
+    wh.record_ann("ev", "emb", id_col="row", n_lists=4)
+    wh.record_ann("st", "emb", id_col="row", n_lists=4)
 
     # ---- phase 2 (restart #1): appends + update/delete/insert merge --
     ev_feed(12, 20)
@@ -258,6 +276,39 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
         ).collect()
     }
     assert cm_maintained == cm_direct
+
+    # ANN indexes rode the soak: fully fresh on both layouts after two
+    # restarts, and the probe equals exact brute force within the
+    # probed lists over the final live rows
+    from kafka_connect_bigquery_spark.operators import ann as ANN
+
+    for table in ("ev", "st"):
+        meta = wh.ann_meta(table)
+        assert set(wh._live_data_files(table)) <= wh.ann_indexed_files(table)
+        qv = _emb(3)
+        got = [
+            (r["neighbor_id"], r["cosine"])
+            for r in wh.read_nearest(table, "emb", qv, k=5, n_probe=2).collect()
+        ]
+        probes = wh._ann_probe_lists(qv, meta["centroids"], 2)
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        want = [
+            (r["neighbor_id"], r["cosine"])
+            for r in wh.read(table)
+            .filter(ANN.assign_list(F.col("emb"), meta["centroids"]).isin(probes))
+            .select(
+                F.col("row").alias("neighbor_id"),
+                ANN.cosine_from_quantized(
+                    ANN.quantized_dot(qlit, F.col("emb")),
+                    ANN.quantized_norm_sq(qlit),
+                    ANN.quantized_norm_sq(F.col("emb")),
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            .limit(5)
+            .collect()
+        ]
+        assert got == want, table
 
     # history stayed coherent through restarts: every bucketed commit
     # retained in the window still time-travels
