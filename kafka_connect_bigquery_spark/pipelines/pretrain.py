@@ -180,6 +180,16 @@ class PretrainTickTables:
     fingerprints: str = "pretrain_fingerprints"
     postings: str = "pretrain_postings"
     survivors: str = "pretrain_survivors"
+    # semantic-stage state (used only when the tick gets embeddings):
+    # - ``sem_centroids``: the FROZEN coarse quantizer, one row per
+    #   (list_id, centroid) — seeded from the first tick's survivors
+    # - ``sem_vectors``: (id, embedding, list_id) of every doc that
+    #   REACHED the sem stage (sem losers included — the batch policy
+    #   drops any doc with a smaller-id same-cluster near-twin whether
+    #   or not that twin was itself kept, so the probe population must
+    #   be the full near-survivor set)
+    sem_centroids: str = "pretrain_sem_centroids"
+    sem_vectors: str = "pretrain_sem_vectors"
 
 
 def incremental_tick(
@@ -192,6 +202,9 @@ def incremental_tick(
     text_col: str = "text",
     cfg: CorpusConfig = CorpusConfig(),
     tokens_per_shard: int | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> dict:
     """One incremental ingest tick — the 100 TB operating shape the
     batch pipeline's operators were built for: process ONLY the rows
@@ -281,11 +294,99 @@ def incremental_tick(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     near_new = exact_new.join(losers, id_col, "left_anti").drop("fp")
 
+    # -- semantic dedup against the accumulated embedding index --------
+    # (only when an aligned embeddings frame is supplied — the SemDeDup
+    # stage of build_corpus, made incremental with the same
+    # probe-the-index decomposition as the LSH stage; equality with the
+    # batch holds under the same ingest-monotonic-id precondition,
+    # provided the quantizer's seed rows all land in the first tick,
+    # which monotonic ids guarantee)
+    sem_new = near_new
+    assigned_new = None
+    if embeddings is not None:
+        sem_new = near_new.localCheckpoint(eager=False)
+        emb_new = embeddings.join(
+            sem_new.select(F.col(id_col).alias(emb_id_col)),
+            emb_id_col,
+            "left_semi",
+        )
+        try:
+            cent_rows = wh.read(tables.sem_centroids).orderBy("list_id").collect()
+            cents = [[float(x) for x in r["centroid"]] for r in cent_rows]
+        except Exception:  # first tick: freeze the quantizer
+            cents = ann.seed_centroids(
+                emb_new, id_col=emb_id_col, vec_col=emb_vec_col,
+                k=cfg.sem_clusters,
+            )
+            wh.append(
+                wh.spark.createDataFrame(
+                    [(i, c) for i, c in enumerate(cents)],
+                    "list_id: int, centroid: array<double>",
+                ),
+                tables.sem_centroids,
+                spec,
+            )
+        assigned_new = emb_new.select(
+            F.col(emb_id_col),
+            F.col(emb_vec_col).alias("embedding"),
+            ann.assign_list(F.col(emb_vec_col), cents).alias("list_id"),
+        ).localCheckpoint(eager=False)
+        try:
+            sem_index = wh.read(tables.sem_vectors)
+        except Exception:
+            sem_index = None
+        n = ann.with_norm(assigned_new, "embedding").select(
+            "list_id",
+            F.col(emb_id_col).alias("id_n"),
+            F.col("embedding").alias("vn"),
+            F.col("__norm_q").alias("nn"),
+        )
+
+        def _pairs(side):
+            joined = side.join(n, "list_id").filter(F.col("id_a") < F.col("id_n"))
+            return (
+                joined.withColumn(
+                    "cosine",
+                    ann.cosine_from_quantized(
+                        ann.quantized_dot(F.col("va"), F.col("vn")),
+                        F.col("na"),
+                        F.col("nn"),
+                    ),
+                )
+                .filter(F.col("cosine") >= cfg.sem_min_cosine)
+                .select(F.col("id_n").alias(id_col))
+            )
+
+        sem_losers = _pairs(
+            ann.with_norm(assigned_new, "embedding").select(
+                "list_id",
+                F.col(emb_id_col).alias("id_a"),
+                F.col("embedding").alias("va"),
+                F.col("__norm_q").alias("na"),
+            )
+        )
+        if sem_index is not None:
+            sem_losers = sem_losers.unionByName(
+                _pairs(
+                    ann.with_norm(sem_index, "embedding").select(
+                        "list_id",
+                        F.col(emb_id_col).alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        F.col("__norm_q").alias("na"),
+                    )
+                )
+            )
+        sem_new = sem_new.join(
+            sem_losers.distinct(), id_col, "left_anti"
+        )
+
     # -- commit state (idempotence: re-running a crashed tick re-reads
     #    the same span; the appends below are the only writes) ----------
     wh.append(exact_new.select("fp", id_col), tables.fingerprints, spec)
     wh.append(new_posts, tables.postings, spec)
-    wh.append(near_new, tables.survivors, spec)
+    if assigned_new is not None:
+        wh.append(assigned_new, tables.sem_vectors, spec)
+    wh.append(sem_new, tables.survivors, spec)
 
     survivors = wh.read(tables.survivors)
     shards = None
@@ -301,6 +402,7 @@ def incremental_tick(
         "gated": gated,
         "exact_new": exact_new.drop("fp"),
         "near_new": near_new,
+        "sem_new": sem_new,
         "survivors": survivors,
         "shards": shards,
         "cursor": to_version,

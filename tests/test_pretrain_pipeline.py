@@ -239,3 +239,65 @@ def test_tick_with_no_new_rows_is_a_noop(spark, tick_run):
     )
     assert art["new_rows"].count() == 0
     assert _ids(art["survivors"]) == before
+
+
+def test_incremental_tick_with_semantic_stage_equals_batch(spark, sf_dir, tmp_path):
+    """The embeddings-enabled tick: the SemDeDup stage runs
+    incrementally against the accumulated (id, embedding, list_id)
+    index with the quantizer frozen at tick 1, and the accumulated
+    survivors equal build_corpus(embeddings=...)'s sem_survivors on the
+    unioned corpus — including a cross-tick semantic hit between docs
+    whose TEXTS are unrelated (only the vectors are twins)."""
+    import random
+
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    rng = random.Random(7)
+
+    def words(n):
+        return " ".join(f"q{rng.randrange(10**6)}" for _ in range(n))
+
+    # fully synthetic corpus: unique 40-word texts (no lexical dups), so
+    # the semantic stage is the only dedup with any losers
+    t1 = [(i, f"tick one doc {words(40)}") for i in range(8)]
+    t2 = [(100 + i, f"tick two doc {words(40)}") for i in range(6)]
+    t3 = [(300 + i, f"tick three doc {words(40)}") for i in range(6)]
+    t3 += [(396, f"vector twin doc {words(40)}")]
+    all_rows = t1 + t2 + t3
+
+    def emb_of(i):
+        r = random.Random(1000 + i)
+        return [r.uniform(-1.0, 1.0) for _ in range(4)]
+
+    embs = {i: emb_of(i) for i, _ in all_rows}
+    embs[396] = [x * 1.01 for x in embs[3]]  # cross-tick semantic twin of doc 3
+    emb_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in embs.items()],
+        "vec_id: long, embedding: array<double>",
+    )
+
+    cfg = CorpusConfig(min_quality=0.0, sem_clusters=4, sem_min_cosine=0.95)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    cursor = None
+    art = None
+    for rows in (t1, t2, t3):
+        wh.append(_mk_docs(spark, rows), "corpus", spec)
+        art = incremental_tick(
+            wh, "corpus", cursor, tables=tables, cfg=cfg, embeddings=emb_df
+        )
+        cursor = art["cursor"]
+    batch = build_corpus(_mk_docs(spark, all_rows), cfg=cfg, embeddings=emb_df)
+    inc_ids = _ids(art["survivors"])
+    assert inc_ids == _ids(batch["sem_survivors"])
+    # the vector twin was dropped ACROSS ticks (doc 3 arrived tick 1,
+    # its twin 396 in tick 3), despite unrelated texts
+    assert 3 in inc_ids and 396 not in inc_ids
+    # and the drop happened in the arriving tick, delta-sized
+    assert 396 not in _ids(art["sem_new"])
+    assert 396 in _ids(art["near_new"])  # it passed the lexical stages
