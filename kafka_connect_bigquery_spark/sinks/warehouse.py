@@ -2756,6 +2756,7 @@ class Warehouse:
         *,
         k: int = 10,
         n_probe: int = 2,
+        where: str | Column | None = None,
     ) -> DataFrame:
         """The ``k`` nearest rows to ``query_vec`` by cosine, exact
         within the ``n_probe`` inverted lists nearest to the query
@@ -2772,7 +2773,14 @@ class Warehouse:
         harmless because only live files are considered. Surviving
         rows are re-assigned with the same quantized expressions and
         exactly re-ranked, so the result is hash-stable against a SQL
-        oracle and independent of index freshness."""
+        oracle and independent of index freshness.
+
+        ``where`` (SQL string or Column) is the filtered-ANN form (the
+        RAG-standard "nearest English documents" shape): the predicate
+        applies to candidate ROWS before ranking — top-k OF the
+        matching rows within the probed lists, not a post-filter of an
+        unfiltered top-k (which could return fewer than k). It rides
+        the same scan, so parquet pushdown applies."""
         from kafka_connect_bigquery_spark.operators import ann as ANN
 
         meta = self.ann_meta(table)
@@ -2799,6 +2807,8 @@ class Warehouse:
             )
         else:
             sub = self._read_files_with_deletes(table, keep, layout)
+        if where is not None:
+            sub = sub.filter(where)
         vec = F.col(col)
         cand = sub.filter(vec.isNotNull()).filter(
             ANN.assign_list(vec, cents).isin(probes)
@@ -2830,6 +2840,7 @@ class Warehouse:
         k: int = 10,
         n_probe: int = 2,
         exclude_self: bool = False,
+        where: str | Column | None = None,
     ) -> DataFrame:
         """Batch form of :meth:`read_nearest` — the production probe
         shape (a frame of query vectors, e.g. a day's retrieval
@@ -2845,7 +2856,8 @@ class Warehouse:
         centroids — identical semantics to calling read_nearest per
         query, at one job. ``exclude_self`` drops neighbor_id ==
         query_id rows (the dedup shape, where queries ARE corpus
-        rows)."""
+        rows); ``where`` restricts candidate rows before ranking, as in
+        :meth:`read_nearest`."""
         from kafka_connect_bigquery_spark.operators import ann as ANN
 
         meta = self.ann_meta(table)
@@ -2894,6 +2906,8 @@ class Warehouse:
             )
         else:
             sub = self._read_files_with_deletes(table, keep, layout)
+        if where is not None:
+            sub = sub.filter(where)
         corpus = sub.filter(F.col(col).isNotNull()).select(
             F.col(meta["id_col"]).alias("vec_id"),
             F.col(col).alias("embedding"),
@@ -2902,6 +2916,47 @@ class Warehouse:
             q, corpus, cents, k=k, n_probe=n_probe, exclude_self=exclude_self
         )
         return out
+
+    def optimize_ann(
+        self,
+        table: str,
+        spec: TableSpec | None = None,
+        *,
+        target_file_rows: int = 1_000_000,
+    ) -> int:
+        """Rewrite a FLAT table clustered by its recorded ANN list
+        assignment — the layout that makes :meth:`read_nearest` prune:
+        each inverted list's rows co-locate in (mostly) their own
+        files, so a probe touches ~n_probe/n_lists of the data instead
+        of every file. One :meth:`compact` pass with the list id as the
+        co-location key (same OCC/swap/commit contract; the post-swap
+        index rebuild re-records memberships against the FROZEN
+        quantizer, so probe results are identical before and after —
+        only the skip rate changes). Run it after bulk ingest or on a
+        compaction cadence; incremental appends between runs are still
+        correct, just unpruned until the next pass. Returns the file
+        count before the rewrite (0 = skipped/no index)."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        meta = self.ann_meta(table)
+        if not meta:
+            raise WarehouseError(
+                f"no ANN index recorded for {table}; call record_ann first"
+            )
+        return self.compact(
+            table,
+            spec or TableSpec(partition_grain="NONE"),
+            target_file_rows=target_file_rows,
+            min_files=1,
+            # at least one output file per inverted list, so each list
+            # isolates even when the table is smaller than one target
+            # file — hash-partitioning on the list id then puts every
+            # list's rows in files holding (almost always) one list
+            min_output_files=len(meta["centroids"]),
+            repartition_expr=ANN.assign_list(
+                F.col(meta["col"]), meta["centroids"]
+            ),
+        )
 
     def _ann_candidate_files(
         self, table: str, probes: list[int]
@@ -3860,6 +3915,8 @@ class Warehouse:
         *,
         target_file_rows: int = 1_000_000,
         min_files: int = 2,
+        repartition_expr: Column | None = None,
+        min_output_files: int = 1,
     ) -> int:
         """Small-file compaction (the OPTIMIZE analog): streaming
         appends leave one file per micro-batch per partition; rewrite
@@ -3903,7 +3960,11 @@ class Warehouse:
         else:
             df = self.read(table)
         n_rows = df.count()
-        n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+        n_out = max(
+            min_output_files,
+            (n_rows + target_file_rows - 1) // target_file_rows,
+            1,
+        )
         if meta.get("generations") is not None:
             # bucketed layout: recompute the bucket id from the persisted
             # key columns and republish every bucket as a new generation
@@ -3927,7 +3988,14 @@ class Warehouse:
         # write directly (not via overwrite(), which would recompute
         # partition columns) so stored values stay byte-stable
         tmp = self.path(f".tmp_{table}_{uuid.uuid4().hex[:8]}")
-        if spec.clustering:
+        if repartition_expr is not None:
+            # caller-supplied co-location key (e.g. optimize_ann's list
+            # assignment): RANGE-partitioned so each distinct key maps
+            # to (almost always) its own contiguous partition — hash
+            # would collide ~1/e of a small key domain into shared
+            # files. No derived column is persisted.
+            out = df.repartitionByRange(n_out, repartition_expr)
+        elif spec.clustering:
             out = self._clustered(df, spec, n_out)  # re-cluster on compact
         elif part_cols:
             out = df.repartition(n_out, *part_cols)

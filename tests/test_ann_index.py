@@ -324,3 +324,63 @@ def test_read_nearest_many_matches_per_query_probes(spark, tmp_path):
         ).collect()
     }
     assert all(q != n for q, n in excl)
+
+
+def test_optimize_ann_makes_unclustered_data_prunable(spark, tmp_path):
+    """The layout pass: an ingest-ordered table (every file holds every
+    list) prunes nothing; after optimize_ann the same probes skip most
+    files and return byte-identical results."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    # four ingest-ordered appends: list membership is uncorrelated with
+    # file boundaries
+    for m in range(4):
+        wh.append(emb.filter(F.col("vec_id") % 4 == m).coalesce(1), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=8)
+    meta = wh.ann_meta("vecs")
+    qv = _vec(emb.filter(F.col("vec_id") == 2).first()["embedding"])
+    probes = wh._ann_probe_lists(qv, meta["centroids"], 1)
+    before = _probe(wh, "vecs", qv, 5, 1)
+    _, skipped_before = wh._ann_candidate_files("vecs", probes)
+    assert skipped_before == 0  # every file holds every list
+    assert wh.optimize_ann("vecs") > 0
+    meta2 = wh.ann_meta("vecs")
+    assert meta2["centroids"] == meta["centroids"]  # quantizer frozen
+    keep, skipped = wh._ann_candidate_files("vecs", probes)
+    assert skipped >= 4  # most files now provably skippable
+    assert len(keep) <= 3
+    assert _probe(wh, "vecs", qv, 5, 1) == before  # results identical
+
+
+def test_filtered_probe_ranks_within_predicate(spark, tmp_path):
+    """where= applies BEFORE ranking: top-k OF the matching rows, not a
+    post-filter of an unfiltered top-k."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    rows = [(i, _corner(i % 4, 0.001 * (i + 1)), "en" if i % 2 == 0 else "de")
+            for i in range(24)]
+    df = spark.createDataFrame(
+        [(i, v, lang) for i, v, lang in rows],
+        "vec_id: long, embedding: array<float>, lang: string",
+    )
+    wh.append(df, "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    qv = _corner(1, 0.0005)
+    got = wh.read_nearest(
+        "vecs", "embedding", qv, k=4, n_probe=1, where="lang = 'de'"
+    ).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert len(ids) == 4 and all(i % 2 == 1 for i in ids)
+    # the batch form agrees
+    queries = spark.createDataFrame(
+        [(0, qv)], "query_id: long, query_vec: array<float>"
+    )
+    many = wh.read_nearest_many(
+        "vecs", "embedding", queries, k=4, n_probe=1,
+        where=F.col("lang") == "de",
+    ).collect()
+    assert [r["neighbor_id"] for r in many] == ids
