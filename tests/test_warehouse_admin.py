@@ -323,3 +323,13 @@ def test_ann_cli_record_and_probe(spark, tmp_path, capsys):
     assert len(out2["neighbors"]) == 3
     assert out2["neighbors"][0]["rank"] == 1
     assert abs(out2["neighbors"][0]["cosine"] - 1.0) < 1e-9  # self first
+    # --optimize rewrites co-located by list; probe results unchanged
+    out3 = _run(capsys, "ann", root, "vecs", "--optimize")
+    assert out3["n_files"] >= 1
+    out4 = _run(
+        capsys, "ann", root, "vecs", f"--nearest={qv}", "--k", "3",
+        "--n-probe", "2",
+    )
+    assert [n["neighbor_id"] for n in out4["neighbors"]] == [
+        n["neighbor_id"] for n in out2["neighbors"]
+    ]

@@ -14,7 +14,7 @@ Spark code:
     python tools/warehouse_admin.py ann      <root> <table> [--ann-col c]
                                      [--id-col vec_id] [--n-lists N]
                                      [--nearest "0.1,0.2,..."] [--k N]
-                                     [--n-probe N]
+                                     [--n-probe N] [--optimize]
     python tools/warehouse_admin.py restore  <root> <table> --version N
     python tools/warehouse_admin.py autocompact <root> <table> --partition-col c
                                      [--min-files N] [--small-file-bytes N]
@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--nearest", default=None, help="query vector: comma-separated floats")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-probe", type=int, default=2)
+    p.add_argument(
+        "--optimize", action="store_true",
+        help="ann: rewrite the table co-located by list assignment "
+        "(maximizes probe file-skipping; same commit contract as compact)",
+    )
     p.add_argument(
         "--contains", default=None,
         help='indexed grep: "col:term1,term2" (AND of whole tokens)',
@@ -273,6 +278,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.table, args.ann_col,
                 id_col=args.id_col, n_lists=args.n_lists,
             )
+        if args.optimize:
+            wh().optimize_ann(args.table)
         aw = Warehouse(None, args.root)
         meta = aw.ann_meta(args.table)
         if args.nearest:
