@@ -4965,9 +4965,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # incremental pretrain tick), the r09-changed-path entry
 # (avro_wire_roundtrip — the decode seam gained the NULL-on-failure
 # malformed contract, both JVM and python paths; the three NEW entries
-# are the ANN index flat+bucketed+batch-probe entries and the composed
-# incremental pretrain tick), the pinned
-# tolerance-contract entry, and backfill with 21 of the 43 r06-stale
+# are the ANN index flat+bucketed+batch-probe entries, the composed
+# incremental pretrain tick, and the Lloyd-refined k-means clustering
+# oracle), the pinned
+# tolerance-contract entry, and backfill with 20 of the 43 r06-stale
 # rows — warehouse reads and the streaming-semantics window family
 # first, then the multimodal/sketch/dedup/docs representatives. The 20
 # r06 rows that do not fit (text_* diagnostics, events_attribution/
@@ -4975,7 +4976,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # ann_ivfpq_topk, dedup_minhash_recall, docs_length_histogram/
 # quality_filter/vocab_growth, embedding_label_centroids,
 # sample_k_per_group, sketch_kmv_overlap, text_pii_scrub,
-# docs_sequence_pack) are pre-registered to LEAD the r10 window.
+# docs_sequence_pack, docs_dsir_weights) are pre-registered to LEAD
+# the r10 window.
 _PRIORITY_ORDER: list[str] = [
     # -- the 22 r05-stale rows (displaced from the r08 window) --------
     "weighted_sample",
@@ -5005,6 +5007,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_ann_bucketed",
     "warehouse_ann_many",
     "pretrain_incremental",
+    "embedding_kmeans",
     # -- r09-changed-path: Avro decode seam's malformed contract ------
     "avro_wire_roundtrip",
     # -- tolerance-contract entry: pinned in-window every round -------
@@ -5031,7 +5034,6 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_winnow",
     "dedup_substring_runs",
     "docs_decontaminate",
-    "docs_dsir_weights",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r06, r07 or r08 ==================================
 ]

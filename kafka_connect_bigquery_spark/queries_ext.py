@@ -1692,6 +1692,78 @@ WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
 Q_PRETRAIN_INC_SQL = _pretrain_inc_sql()
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering with a LLOYD-REFINED quantizer — the oracle
+    that was missing from the k-means story (seeded IVF entries avoid
+    iterations entirely; ``kmeans_fit`` was unit-tested only): one
+    deterministic Lloyd iteration (init = 8 smallest vec_ids,
+    per-dimension means from quantized integer sums, empty clusters
+    keep their seed) then the final assignment. Every arithmetic step
+    is IEEE-pinned (int sums -> one true division -> one /QD -> the
+    assignment's floor(c*QD + 0.5)), so DuckDB reproduces the
+    partition bit-exactly by mirroring the op order."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ann.kmeans_fit(emb, k=_IVF_LISTS, iters=1)
+    return emb.select(
+        "vec_id",
+        ann.assign_list(F.col("embedding"), cents).alias("list_id"),
+    )
+
+
+Q_EMBEDDING_KMEANS_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+s0 AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+d0 AS (
+  SELECT e.vec_id, s.list_id, SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN s0 s ON e.d = s.d GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+-- the Lloyd step, op-order-identical to operators/ann.py::kmeans_fit:
+-- integer sums of quantized elements, ONE true division by the count,
+-- /QD to the float centroid, then the assignment's floor(c*QD + 0.5)
+m1 AS (
+  SELECT a.list_id, e.d,
+         CAST(FLOOR(((CAST(SUM(e.vq) AS DOUBLE) / COUNT(*)) / {_QD}.0)
+                    * {_QD} + 0.5) AS BIGINT) AS cq
+  FROM a0 a JOIN elq e USING (vec_id)
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT s0.list_id, s0.d, COALESCE(m1.cq, s0.sq) AS sq
+  FROM s0 LEFT JOIN m1 ON m1.list_id = s0.list_id AND m1.d = s0.d
+),
+d1 AS (
+  SELECT e.vec_id, s.list_id, SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN s1 s ON e.d = s.d GROUP BY 1, 2
+)
+SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+  FROM d1
+) WHERE rn = 1
+"""
+
+
 _RRF_TOP_N = 20  # per-retriever depth
 _RRF_TOP_K = 10  # fused depth
 
@@ -4318,6 +4390,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "pretrain_incremental": (q_pretrain_incremental, Q_PRETRAIN_INC_SQL),
+    "embedding_kmeans": (q_embedding_kmeans, Q_EMBEDDING_KMEANS_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),
     "warehouse_ann_bucketed": (
