@@ -4966,9 +4966,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # (avro_wire_roundtrip — the decode seam gained the NULL-on-failure
 # malformed contract, both JVM and python paths; the three NEW entries
 # are the ANN index flat+bucketed+batch-probe entries, the composed
-# incremental pretrain tick, and the Lloyd-refined k-means clustering
-# oracle), the pinned
-# tolerance-contract entry, and backfill with 20 of the 43 r06-stale
+# incremental pretrain tick, the Lloyd-refined k-means clustering
+# oracle, and the refined-quantizer warehouse ANN witness), the pinned
+# tolerance-contract entry, and backfill with 19 of the 43 r06-stale
 # rows — warehouse reads and the streaming-semantics window family
 # first, then the multimodal/sketch/dedup/docs representatives. The 20
 # r06 rows that do not fit (text_* diagnostics, events_attribution/
@@ -4976,8 +4976,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # ann_ivfpq_topk, dedup_minhash_recall, docs_length_histogram/
 # quality_filter/vocab_growth, embedding_label_centroids,
 # sample_k_per_group, sketch_kmv_overlap, text_pii_scrub,
-# docs_sequence_pack, docs_dsir_weights) are pre-registered to LEAD
-# the r10 window.
+# docs_sequence_pack, docs_dsir_weights, docs_decontaminate) are
+# pre-registered to LEAD the r10 window.
 _PRIORITY_ORDER: list[str] = [
     # -- the 22 r05-stale rows (displaced from the r08 window) --------
     "weighted_sample",
@@ -5008,6 +5008,7 @@ _PRIORITY_ORDER: list[str] = [
     "warehouse_ann_many",
     "pretrain_incremental",
     "embedding_kmeans",
+    "warehouse_ann_refined",
     # -- r09-changed-path: Avro decode seam's malformed contract ------
     "avro_wire_roundtrip",
     # -- tolerance-contract entry: pinned in-window every round -------
@@ -5033,7 +5034,6 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_passages",
     "dedup_winnow",
     "dedup_substring_runs",
-    "docs_decontaminate",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r06, r07 or r08 ==================================
 ]

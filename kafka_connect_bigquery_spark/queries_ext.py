@@ -1470,6 +1470,128 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_warehouse_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse ANN index with a Lloyd-REFINED quantizer
+    (``record_ann(kmeans_iters=1)``) — the production configuration,
+    proven oracle-checkable end-to-end: the quantizer trains on the
+    record-time corpus (the even-vec_id first append: seeds = its 8
+    smallest ids, one deterministic Lloyd iteration over it), FREEZES,
+    the odd-id append refreshes the index incrementally against it,
+    and the probe answers top-5 for vec 1's embedding within 2 lists.
+    The oracle composes the kmeans-iteration CTEs (op-order-identical
+    IEEE arithmetic) with the IVF probe CTEs."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annref")
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id",
+        n_lists=_IVF_LISTS, kmeans_iters=1,
+    )
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)  # incremental
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    return wh.read_nearest(
+        "vecs", "embedding", qv, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+
+
+Q_WAREHOUSE_ANN_REFINED_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+-- quantizer training corpus = the record-time (even-id) append
+s0 AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+d0 AS (
+  SELECT e.vec_id, s.list_id, SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN s0 s ON e.d = s.d
+  WHERE e.vec_id % 2 = 0
+  GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a.list_id, e.d,
+         CAST(FLOOR(((CAST(SUM(e.vq) AS DOUBLE) / COUNT(*)) / {_QD}.0)
+                    * {_QD} + 0.5) AS BIGINT) AS cq
+  FROM a0 a JOIN elq e USING (vec_id)
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT s0.list_id, s0.d, COALESCE(m1.cq, s0.sq) AS sq
+  FROM s0 LEFT JOIN m1 ON m1.list_id = s0.list_id AND m1.d = s0.d
+),
+-- frozen refined quantizer: assignment of the FULL corpus + the probe
+dists AS (
+  SELECT e.vec_id, s.list_id, SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN s1 s ON e.d = s.d GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT list_id FROM (
+    SELECT list_id, row_number() OVER (ORDER BY dist, list_id) AS rn
+    FROM dists WHERE vec_id = 1
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS neighbor_id
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+),
+dots AS (
+  SELECT c.neighbor_id,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM cand c
+  JOIN el n ON n.vec_id = c.neighbor_id
+  JOIN el q ON q.vec_id = 1 AND q.d = n.d
+  GROUP BY 1
+)
+SELECT neighbor_id, cosine, rank FROM (
+  SELECT d.neighbor_id,
+         (d.dq / {_QE}.0) /
+         (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) AS cosine,
+         CAST(row_number() OVER (
+              ORDER BY (d.dq / {_QE}.0) /
+                       (sqrt(nq.nq / {_QE}.0) * sqrt(nn.nq / {_QE}.0)) DESC,
+                       d.neighbor_id) AS INT) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = 1
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+
+
 def q_warehouse_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index's bucketed-MERGE twin: the corpus lands as base
     MERGE (vec_id % 10 != 0) + delta MERGE (every 10th vector) into a
@@ -4393,6 +4515,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_kmeans": (q_embedding_kmeans, Q_EMBEDDING_KMEANS_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),
+    "warehouse_ann_refined": (
+        q_warehouse_ann_refined,
+        Q_WAREHOUSE_ANN_REFINED_SQL,
+    ),
     "warehouse_ann_bucketed": (
         q_warehouse_ann_bucketed,
         Q_WAREHOUSE_ANN_BUCKETED_SQL,
