@@ -1041,15 +1041,22 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
-    l1 = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+    # `late` feeds BOTH the probe side (l1) and the NOT-EXISTS side
+    # (late_others); without materialization Spark plans the
+    # lineitem ⨝ orders(F) join twice — neither ReuseExchange nor AQE
+    # dedups the branches. Same one-shot-checkpoint discipline as q15's
+    # rev / q2's pair (queries.py:446,577). `late` is one row per late
+    # line on a finished order — a small fraction of lineitem at any SF.
+    late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate")
-    ).select("l_orderkey", "l_suppkey")
+    ).select("l_orderkey", "l_suppkey").localCheckpoint(eager=False)
+    l1 = late
     others = l.select(
         F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
     )
-    late_others = l.join(o, l.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate")
-    ).select(F.col("l_orderkey").alias("lo_okey"), F.col("l_suppkey").alias("lo_skey"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_okey"), F.col("l_suppkey").alias("lo_skey")
+    )
     cand = (
         l1.join(
             others,
