@@ -1041,16 +1041,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
-    # `late` feeds BOTH the probe side (l1) and the NOT-EXISTS side
+    # `late` feeds BOTH the probe side and the NOT-EXISTS side
     # (late_others); without materialization Spark plans the
     # lineitem ⨝ orders(F) join twice — neither ReuseExchange nor AQE
-    # dedups the branches. Same one-shot-checkpoint discipline as q15's
-    # rev / q2's pair (queries.py:446,577). `late` is one row per late
-    # line on a finished order — a small fraction of lineitem at any SF.
+    # dedups the branches. Same one-shot-checkpoint discipline as
+    # q_tpch_q15's `rev` and q_tpch_q2's min-cost pair. `late` is one
+    # row per late line on a finished order — a small fraction of
+    # lineitem at any SF.
     late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate")
     ).select("l_orderkey", "l_suppkey").localCheckpoint(eager=False)
-    l1 = late
     others = l.select(
         F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
     )
@@ -1058,15 +1058,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("lo_okey"), F.col("l_suppkey").alias("lo_skey")
     )
     cand = (
-        l1.join(
+        late.join(
             others,
-            (l1.l_orderkey == others.o_okey) & (l1.l_suppkey != others.o_skey),
+            (late.l_orderkey == others.o_okey) & (late.l_suppkey != others.o_skey),
             "left_semi",
         )
         .join(
             late_others,
-            (l1.l_orderkey == late_others.lo_okey)
-            & (l1.l_suppkey != late_others.lo_skey),
+            (late.l_orderkey == late_others.lo_okey)
+            & (late.l_suppkey != late_others.lo_skey),
             "left_anti",
         )
     )
@@ -4964,85 +4964,88 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 9 window (50 slots), executed exactly as pre-registered in the
-# r08 verdict / SURVEY §7 "Round-9 pre-registration": lead with the 22
-# r05-stale rows the r08 window displaced, then the NEW r09
-# first-witness entries (the warehouse-native ANN index completing the
-# table-attached index family: flat + bucketed twins, and the
-# incremental pretrain tick), the r09-changed-path entry
-# (avro_wire_roundtrip — the decode seam gained the NULL-on-failure
-# malformed contract, both JVM and python paths; the three NEW entries
-# are the ANN index flat+bucketed+batch-probe entries, the composed
-# incremental pretrain tick, the Lloyd-refined k-means clustering
-# oracle, and the refined-quantizer warehouse ANN witness), the pinned
-# tolerance-contract entry, and backfill with 19 of the 43 r06-stale
-# rows — warehouse reads and the streaming-semantics window family
-# first, then the multimodal/sketch/dedup/docs representatives. The 20
-# r06 rows that do not fit (text_* diagnostics, events_attribution/
-# cohort/funnel/transitions/daily_anomalies/value_quantiles,
-# ann_ivfpq_topk, dedup_minhash_recall, docs_length_histogram/
-# quality_filter/vocab_growth, embedding_label_centroids,
-# sample_k_per_group, sketch_kmv_overlap, text_pii_scrub,
-# docs_sequence_pack, docs_dsir_weights, docs_decontaminate) are
-# pre-registered to LEAD the r10 window.
+# Round 11 window (50 slots), executed exactly as pre-registered in
+# the r10 verdict ("Next round: do this" #1, carried from SURVEY §7's
+# round-10 pre-registration that round 10 died before executing): lead
+# with the 23 r06-stale rows (the entries whose last driver witness is
+# oldest — all 23 re-verified EXACT by the r10 judge on that HEAD, so
+# the rotation is risk-free), then the r10-changed path
+# (tpch_q21_waiting_suppliers — the `late` subtree gained the
+# localCheckpoint dedup in r10 without a driver witness), the NEW r11
+# first-witness entry (warehouse_ann_pq — PQ codes persisted in the
+# `_ann` warehouse index, ADC candidate generation + exact re-rank;
+# lands later this round, the registry skips unknown names until it
+# does), the pinned tolerance-contract entry, and backfill with 24 of
+# the 47 r07-stale rows — the TPC-H headline family first (q3–q22 sans
+# q21 which already leads), then the core dedup representatives,
+# graph_pagerank and ann_cosine_topk. The 22 r07 rows that do not fit
+# (ann_lsh_topk, bq_shape_projection, cobucketed_join, dataset_split,
+# dedup_edit_distance/embedding_cosine/ngram_jaccard/simhash,
+# embedding_dim_stats, embedding_gram, events_moment_stats,
+# events_rollup_pyramid, rollup_incremental, session_paths,
+# sketch_count_min, sketch_hll_incremental, stratified_sample,
+# table_profile, text_hashed_tf, text_sparse_cosine,
+# tpch_q10_returned_items, user_value_distribution) are pre-registered
+# to LEAD the r12 window.
 _PRIORITY_ORDER: list[str] = [
-    # -- the 22 r05-stale rows (displaced from the r08 window) --------
-    "weighted_sample",
-    "pairs_contrastive",
-    "mixture_entropy",
-    "docs_chi_square",
-    "events_welch_t",
-    "events_benford",
-    "events_gap_fill",
-    "events_asof_tolerance",
-    "events_ewma",
-    "events_streaks",
-    "events_mad_outliers",
-    "events_rolling_7d",
-    "events_salted_agg",
-    "orders_salted_join",
-    "integrity_audit",
-    "dedup_semantic",
-    "dedup_simhash_pairs",
-    "text_bm25",
-    "bm25_incremental",
-    "search_hybrid_rrf",
-    "ann_incremental",
-    "embedding_projection",
-    # -- NEW r09 entries (first-witness) -------------------------------
-    "warehouse_ann_read",
-    "warehouse_ann_bucketed",
-    "warehouse_ann_many",
-    "pretrain_incremental",
-    "embedding_kmeans",
-    "warehouse_ann_refined",
-    # -- r09-changed-path: Avro decode seam's malformed contract ------
-    "avro_wire_roundtrip",
-    # -- tolerance-contract entry: pinned in-window every round -------
+    # -- the 23 r06-stale rows (oldest driver witnesses) ---------------
+    "ann_ivfpq_topk",
+    "dedup_minhash_recall",
+    "docs_decontaminate",
+    "docs_dsir_weights",
+    "docs_length_histogram",
+    "docs_quality_filter",
+    "docs_sequence_pack",
+    "docs_vocab_growth",
+    "embedding_label_centroids",
+    "events_attribution",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_funnel",
+    "events_transitions",
+    "events_value_quantiles",
+    "sample_k_per_group",
+    "sketch_kmv_overlap",
+    "text_bigram_fluency",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_subword_stats",
+    "text_token_stats",
+    "text_top_terms",
+    # -- r10-changed path: q21's localCheckpoint'd `late` subtree ------
+    "tpch_q21_waiting_suppliers",
+    # -- NEW r11 entry (first-witness): PQ-coded warehouse ANN ---------
+    # "warehouse_ann_pq" is inserted here by the commit that lands the
+    # entry (the hygiene test rejects dangling names).
+    # -- tolerance-contract entry: pinned in-window every round --------
     "events_approx_stats",
-    # -- backfill: stalest (r06) rows ----------------------------------
-    "warehouse_evolution_read",
-    "warehouse_zonemap_read",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_session_window",
-    "events_asof_join",
-    "events_interval_join",
-    "multimodal_image_meta",
-    "multimodal_frame_features",
-    "multimodal_audio_chunks",
-    "sketch_hll_distinct",
-    "sketch_hll_daily",
-    "sketch_kmv_distinct",
-    "dedup_containment",
-    "dedup_passages",
-    "dedup_winnow",
-    "dedup_substring_runs",
+    # -- backfill: 24 of the 47 r07-stale rows -------------------------
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q22_idle_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_components",
+    "graph_pagerank",
+    "ann_cosine_topk",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r06, r07 or r08 ==================================
+    # == green in r07, r08 or r10 ==================================
 ]
 
 
