@@ -89,6 +89,20 @@ class SinkConfig:
                 )
             if self.enable_batch_load_topics:
                 raise ConfigError("upsert/delete is incompatible with GCS batch loading")
+        # Delete mode + permissive tolerance is a data-loss hazard, not a
+        # preference: a value that fails conversion flows as NULL, and in
+        # delete mode a NULL value IS a tombstone, so one corrupt record
+        # silently DELETEs the keyed row. The reference deployment
+        # defaults to fail-fast (Connect's errors.tolerance=none), so a
+        # delete-enabled sink must opt into 'none' (fail the batch) or
+        # 'all' (route to dead_letter_table) explicitly.
+        if self.delete_enabled and self.errors_tolerance == "permissive":
+            raise ConfigError(
+                "errors_tolerance='permissive' is unsafe with delete_enabled: "
+                "a conversion failure becomes a NULL value, which delete mode "
+                "treats as a tombstone (silent DELETE of the keyed row). "
+                "Use errors_tolerance='none' or 'all'."
+            )
         if self.merge_interval_ms == 0 or self.merge_records_threshold == 0:
             raise ConfigError("merge interval/threshold must be positive or -1")
 

@@ -190,6 +190,63 @@ class PretrainTickTables:
     #   be the full near-survivor set)
     sem_centroids: str = "pretrain_sem_centroids"
     sem_vectors: str = "pretrain_sem_vectors"
+    # the per-tick commit log: one row per (tick, state table) written
+    # as the LAST act of a tick. Its absence for a tick whose appends
+    # are already on disk is how a torn tick is detected (see
+    # _recover_torn_tick).
+    tick_log: str = "pretrain_tick_log"
+
+    def state_tables(self) -> list[str]:
+        """Every table the tick appends to (the rollback scope)."""
+        return [
+            self.fingerprints,
+            self.postings,
+            self.sem_centroids,
+            self.sem_vectors,
+            self.survivors,
+        ]
+
+
+# Column stamped onto every state-table append with the tick's id (the
+# corpus version the tick consumed through) — the handle the recovery
+# path uses to excise a torn tick's partial appends.
+TICK_COL = "__tick"
+
+
+def _recover_torn_tick(wh, tables: PretrainTickTables) -> int:
+    """Detect and roll back a torn tick, returning the last committed
+    tick id (-1 if none).
+
+    A tick's state commit spans several tables; only the tick-log row
+    written LAST makes it durable. Detection is O(1) metadata: the log
+    records each state table's version as of the last committed tick,
+    so ``current_version > committed version`` means appends landed
+    that no committed tick owns. Rollback excises exactly those rows
+    via ``delete_where(TICK_COL > last_committed)`` — sound because
+    tick ids are corpus versions (monotonic), so every committed row's
+    stamp is <= the last committed tick id and every torn row's stamp
+    is greater. The recovery is itself idempotent: a crash mid-recovery
+    leaves ``current_version`` above the committed version, so the next
+    run re-issues the (now no-op) deletes.
+    """
+    try:
+        log_rows = wh.read(tables.tick_log).collect()  # tiny: O(ticks)
+    except Exception:  # first ever tick: no log yet
+        log_rows = []
+    last = max((int(r["tick"]) for r in log_rows), default=-1)
+    committed: dict[str, int] = {}
+    for r in log_rows:
+        committed[r["state_table"]] = max(
+            committed.get(r["state_table"], -1), int(r["version"])
+        )
+    for t in tables.state_tables():
+        try:
+            cur = wh.current_version(t)
+        except Exception:  # state table not created yet — nothing torn
+            continue
+        if cur > committed.get(t, -1):
+            wh.delete_where(t, f"{TICK_COL} > {last}")
+    return last
 
 
 def incremental_tick(
@@ -235,7 +292,11 @@ def incremental_tick(
        against the postings table — a new doc colliding with ANY
        indexed doc (or a smaller-id delta doc) is dropped;
     5. state appends: fingerprints, postings (ALL exact survivors),
-       survivors (near survivors);
+       survivors (near survivors) — each stamped with the tick id, made
+       atomic AS A GROUP by the tick-log marker written last: a crash
+       between appends is detected on the next run and the torn tick's
+       rows are excised before reprocessing (no document loss, no
+       duplication — see ``_recover_torn_tick``);
     6. optionally a fresh ``shard_plan`` over the accumulated corpus
        (deterministic in the survivor set: same corpus => same shards
        whether reached incrementally or in one batch).
@@ -250,9 +311,17 @@ def incremental_tick(
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
 
     spec = TableSpec(partition_grain="NONE")
+    # torn-tick recovery FIRST: if a prior tick crashed between state
+    # appends, excise its partial writes before reading any state (the
+    # state tables are pipeline-owned — single ticker discipline, like
+    # any streaming checkpoint owner)
+    _recover_torn_tick(wh, tables)
     # pin the span end BEFORE reading: appends racing the tick land in
     # the next span instead of being half-seen
     to_version = wh.current_version(corpus_table)
+
+    def _stamp(df: DataFrame) -> DataFrame:
+        return df.withColumn(TICK_COL, F.lit(int(to_version)).cast("long"))
     if cursor is None:
         # first tick: the whole corpus at the pinned version (spans
         # start EXCLUSIVE, so version 0's own rows need the full read)
@@ -283,7 +352,7 @@ def incremental_tick(
         sig, id_col, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
     ).localCheckpoint(eager=False)
     try:
-        index_posts = wh.read(tables.postings)
+        index_posts = wh.read(tables.postings).drop(TICK_COL)
     except Exception:
         index_posts = None
     pairs = (
@@ -319,9 +388,11 @@ def incremental_tick(
                 k=cfg.sem_clusters,
             )
             wh.append(
-                wh.spark.createDataFrame(
-                    [(i, c) for i, c in enumerate(cents)],
-                    "list_id: int, centroid: array<double>",
+                _stamp(
+                    wh.spark.createDataFrame(
+                        [(i, c) for i, c in enumerate(cents)],
+                        "list_id: int, centroid: array<double>",
+                    )
                 ),
                 tables.sem_centroids,
                 spec,
@@ -332,7 +403,7 @@ def incremental_tick(
             ann.assign_list(F.col(emb_vec_col), cents).alias("list_id"),
         ).localCheckpoint(eager=False)
         try:
-            sem_index = wh.read(tables.sem_vectors)
+            sem_index = wh.read(tables.sem_vectors).drop(TICK_COL)
         except Exception:
             sem_index = None
         n = ann.with_norm(assigned_new, "embedding").select(
@@ -380,15 +451,33 @@ def incremental_tick(
             sem_losers.distinct(), id_col, "left_anti"
         )
 
-    # -- commit state (idempotence: re-running a crashed tick re-reads
-    #    the same span; the appends below are the only writes) ----------
-    wh.append(exact_new.select("fp", id_col), tables.fingerprints, spec)
-    wh.append(new_posts, tables.postings, spec)
+    # -- commit state: stamped appends + the tick-log marker LAST ------
+    # Idempotence: a rerun of a crashed tick first rolls back these
+    # stamped appends (_recover_torn_tick), then re-reads the same span
+    # and re-appends — no document is lost or duplicated whichever
+    # append the crash interrupted.
+    wh.append(_stamp(exact_new.select("fp", id_col)), tables.fingerprints, spec)
+    wh.append(_stamp(new_posts), tables.postings, spec)
     if assigned_new is not None:
-        wh.append(assigned_new, tables.sem_vectors, spec)
-    wh.append(sem_new, tables.survivors, spec)
+        wh.append(_stamp(assigned_new), tables.sem_vectors, spec)
+    wh.append(_stamp(sem_new), tables.survivors, spec)
+    # the COMMIT: one tick-log row per state table, written last. A
+    # crash anywhere above leaves the log without this tick, and the
+    # next run's _recover_torn_tick rolls the stamped appends back.
+    wh.append(
+        wh.spark.createDataFrame(
+            [
+                (int(to_version), t, int(wh.current_version(t)))
+                for t in tables.state_tables()
+                if wh.exists(t)
+            ],
+            "tick: long, state_table: string, version: long",
+        ),
+        tables.tick_log,
+        spec,
+    )
 
-    survivors = wh.read(tables.survivors)
+    survivors = wh.read(tables.survivors).drop(TICK_COL)
     shards = None
     if tokens_per_shard is not None:
         shards = packing.shard_plan(

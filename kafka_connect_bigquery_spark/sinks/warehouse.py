@@ -2943,6 +2943,19 @@ class Warehouse:
             raise WarehouseError(
                 f"no ANN index recorded for {table}; call record_ann first"
             )
+        if self.layout_meta(table).get("generations") is not None:
+            # compact() on a bucketed table re-clusters by bucket id and
+            # ignores repartition_expr — the promised list co-location
+            # would silently never materialize. Refuse loudly (the same
+            # posture as compact_buckets on a flat table): a bucketed
+            # table's physical key is the MERGE bucket; its ANN pruning
+            # comes from the per-generation index, not file clustering.
+            raise WarehouseError(
+                f"{table} is a bucketed-MERGE table: optimize_ann's "
+                "list-clustered rewrite applies to flat tables only "
+                "(bucketed ANN probes prune via the per-generation "
+                "index; the bucket layout is owned by MERGE)"
+            )
         return self.compact(
             table,
             spec or TableSpec(partition_grain="NONE"),

@@ -195,9 +195,10 @@ class SinkPipeline:
         This matters most in delete_enabled mode, where a NULL value is
         a TOMBSTONE: with a NULL-marker parser under ``permissive``
         tolerance, a decode failure is indistinguishable from a
-        tombstone downstream — configure ``none`` or ``all`` when
-        deletes are enabled. In append mode PERMISSIVE JSON parsing
-        silently writes all-NULL rows.
+        tombstone downstream — ``SinkConfig.validate()`` therefore
+        REJECTS ``permissive`` when deletes are enabled (``none`` and
+        ``all`` are the valid delete-mode tolerances). In append mode
+        PERMISSIVE JSON parsing silently writes all-NULL rows.
 
         - ``permissive`` (default): historical behavior, zero extra
           cost — malformed rows flow as PERMISSIVE leaves them.

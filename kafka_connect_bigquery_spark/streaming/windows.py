@@ -382,6 +382,7 @@ HEAVY_HITTERS_SCHEMA = T.StructType(
         T.StructField("count_est", T.LongType()),
         T.StructField("error", T.LongType()),
         T.StructField("n_seen", T.LongType()),
+        T.StructField("retracted", T.BooleanType()),
     ]
 )
 
@@ -413,13 +414,16 @@ def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataF
     new item's ``error``), which preserves sum(counts) == n_seen — the
     invariant the guarantees rest on. Each micro-batch emits the
     group's full current summary (update mode; downstream keeps the
-    latest row per (group, item)) PLUS a retraction row (``count_est``
-    and ``error`` NULL, ``n_seen`` current) for every item evicted
-    from the summary this batch — without it, a latest-row-per-
-    (group, item) view would accumulate stale rows whose estimates
-    froze at eviction time and could hold more than k items per group.
-    Consumers drop rows with NULL ``count_est`` (the item is no longer
-    tracked; its true count may keep growing unobserved).
+    latest row per (group, item)) PLUS a retraction row
+    (``retracted=True``; ``count_est`` and ``error`` NULL, ``n_seen``
+    current) for every item evicted from the summary this batch —
+    without it, a latest-row-per-(group, item) view would accumulate
+    stale rows whose estimates froze at eviction time and could hold
+    more than k items per group. Consumers drop rows where
+    ``retracted`` is true (the item is no longer tracked; its true
+    count may keep growing unobserved) — the explicit boolean IS the
+    contract; the NULL estimate columns are a consequence, not the
+    marker.
 
     ``grouped_stream`` is ``df.groupBy(<group col>)``; ``item_col``
     values are stringified into state — the caller casts back if the
@@ -482,6 +486,7 @@ def heavy_hitters_stream(grouped_stream, item_col: str, *, k: int = 16) -> DataF
                     dtype="Int64",
                 ),
                 "n_seen": [n] * (len(items) + len(evicted)),
+                "retracted": [False] * len(items) + [True] * len(evicted),
             }
         )
 

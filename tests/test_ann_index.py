@@ -384,3 +384,22 @@ def test_filtered_probe_ranks_within_predicate(spark, tmp_path):
         where=F.col("lang") == "de",
     ).collect()
     assert [r["neighbor_id"] for r in many] == ids
+
+
+def test_optimize_ann_refuses_bucketed_tables(spark, tmp_path):
+    """optimize_ann's list-clustered rewrite only exists for flat
+    tables: compact() on a bucketed table re-clusters by MERGE bucket
+    and would silently ignore the list-id repartition expression. The
+    call must refuse loudly, not no-op (ADVICE r10)."""
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_spark.sinks.warehouse import WarehouseError
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    rows = [(i, _corner(i % 4, 0.001 * i)) for i in range(16)]
+    df = _corpus(spark, rows).withColumn("i", F.col("vec_id"))
+    wh.merge(df, "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    with _pytest.raises(WarehouseError, match="bucketed-MERGE"):
+        wh.optimize_ann("vecs")

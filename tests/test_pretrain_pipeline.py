@@ -301,3 +301,123 @@ def test_incremental_tick_with_semantic_stage_equals_batch(spark, sf_dir, tmp_pa
     # and the drop happened in the arriving tick, delta-sized
     assert 396 not in _ids(art["sem_new"])
     assert 396 in _ids(art["near_new"])  # it passed the lexical stages
+
+
+# ---------------------------------------------------------------------------
+# Torn-tick recovery (r11): the state commit is atomic as a group
+# ---------------------------------------------------------------------------
+
+def _tick_rows():
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(120)]
+    c1 = "the quick pelican " + " ".join(words[:60]) + " finally lands"
+    c2 = "another heron story " + " ".join(words[60:]) + " and ends here"
+    t1 = [(1, c1), (2, "a perfectly ordinary sentence about rivers and stones flowing daily")]
+    t2 = [
+        (101, c2),                      # fresh: MUST survive the crash
+        (102, c1),                      # exact dup of tick-1's 1: must drop
+        (103, c1 + " appended"),        # near dup of tick-1's 1: must drop
+        (104, "yet another normal document with enough plain words to pass the gate"),
+    ]
+    t3 = [(201, c2), (202, "final fresh document speaking of mountains and calm weather today")]
+    return t1, t2, t3
+
+
+def _crash_after_n_state_appends(wh, n):
+    """Monkeypatch wh.append to raise AFTER the n-th state-table append
+    commits — the worst case: the write is durable, the tick is not."""
+    real = wh.append
+    seen = {"n": 0}
+
+    def append(df, table, spec=None, **kw):
+        real(df, table, spec, **kw)
+        if table != "corpus":
+            seen["n"] += 1
+            if seen["n"] >= n:
+                raise RuntimeError("injected crash after state append")
+
+    wh.append = append
+    return lambda: setattr(wh, "append", real)
+
+
+@pytest.mark.parametrize("fail_after", [1, 2, 3])
+def test_torn_tick_recovers_without_loss_or_duplication(
+    spark, tmp_path, fail_after
+):
+    """Kill the tick after each state append in turn (fingerprints /
+    postings / survivors — the marker never lands); the rerun must
+    excise the torn writes and converge to the batch rebuild. The
+    pre-fix failure mode: a crash after the fingerprints append made
+    the rerun's anti-join treat the delta's docs as already ingested,
+    silently dropping them from the corpus forever."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, t3 = _tick_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    cursor = incremental_tick(wh, "corpus", None, tables=tables, cfg=CFG)["cursor"]
+
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    fp_rows_before = wh.read(tables.fingerprints).count()
+    restore = _crash_after_n_state_appends(wh, fail_after)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_tick(wh, "corpus", cursor, tables=tables, cfg=CFG)
+    restore()
+    # non-vacuous: the torn tick really left durable partial state
+    assert wh.read(tables.fingerprints).count() > fp_rows_before
+
+    # rerun the crashed tick with the SAME cursor, then one more tick
+    art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=CFG)
+    cursor = art["cursor"]
+    wh.append(_mk_docs(spark, t3), "corpus", spec)
+    art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=CFG)
+
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=CFG)
+    want = {
+        (r["doc_id"], r["text"])
+        for r in batch["near_survivors"].select("doc_id", "text").collect()
+    }
+    got_rows = art["survivors"].select("doc_id", "text").collect()
+    got = {(r["doc_id"], r["text"]) for r in got_rows}
+    assert got == want                      # no loss (101/104 present), no resurrections
+    assert len(got_rows) == len(got)        # no duplicated rows either
+    assert 101 in {d for d, _ in got} and 104 in {d for d, _ in got}
+    # internal state is dedup-consistent too: one row per fingerprint
+    fp = wh.read(tables.fingerprints)
+    assert fp.count() == fp.select("fp").distinct().count()
+
+
+def test_torn_first_tick_recovers(spark, tmp_path):
+    """A crash during the very first tick (no tick log exists yet)
+    rolls back to empty state: the rerun re-freezes from scratch."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, _ = _tick_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    restore = _crash_after_n_state_appends(wh, 1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_tick(wh, "corpus", None, tables=tables, cfg=CFG)
+    restore()
+
+    art = incremental_tick(wh, "corpus", None, tables=tables, cfg=CFG)
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    art = incremental_tick(wh, "corpus", art["cursor"], tables=tables, cfg=CFG)
+    batch = build_corpus(_mk_docs(spark, t1 + t2), cfg=CFG)
+    assert _ids(art["survivors"]) == _ids(batch["near_survivors"])

@@ -114,6 +114,7 @@ def test_upsert_delete_path(spark, tmp_path):
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="kkey",
         time_partitioning_type="NONE",
     )
@@ -139,6 +140,7 @@ def test_streaming_merges_compose_with_time_travel_and_cdc(spark, tmp_path):
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="kkey",
         time_partitioning_type="NONE",
     )
@@ -200,6 +202,7 @@ def test_streaming_merge_maintains_rollup(spark, tmp_path):
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="kkey",
         time_partitioning_type="NONE",
     )
@@ -282,6 +285,7 @@ def test_upsert_delete_with_bucketed_layout(spark, tmp_path):
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="kkey",
         time_partitioning_type="NONE",
     )
@@ -339,6 +343,7 @@ def test_tombstone_only_batch(spark, tmp_path):
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="kkey",
         time_partitioning_type="NONE",
     )
@@ -709,3 +714,31 @@ def test_dlq_config_validation():
         SinkConfig(topics=["a"], errors_tolerance="sometimes").validate()
     with pytest.raises(ConfigError, match="dead_letter_table"):
         SinkConfig(topics=["a"], dead_letter_table="dlq").validate()
+
+
+def test_delete_mode_rejects_permissive_tolerance():
+    """Delete mode + permissive tolerance is a silent-DELETE hazard: a
+    conversion failure becomes a NULL value, and delete mode treats a
+    NULL value as a tombstone. validate() must refuse the combination
+    (the reference deployment fails fast: Connect errors.tolerance=none
+    by default, BigQuerySinkConfig.java error-handling posture)."""
+    from kafka_connect_bigquery_spark.config import ConfigError
+
+    base = dict(
+        topics=["a"],
+        upsert_enabled=True,
+        delete_enabled=True,
+        kafka_key_field_name="kkey",
+    )
+    with pytest.raises(ConfigError, match="tombstone"):
+        SinkConfig(**base).validate()  # default tolerance is permissive
+    SinkConfig(**base, errors_tolerance="none").validate()
+    SinkConfig(
+        **base, errors_tolerance="all", dead_letter_table="dlq"
+    ).validate()
+    # permissive remains valid for append-only pipelines (historical
+    # default) and for upsert-without-delete (no tombstone semantics).
+    SinkConfig(topics=["a"]).validate()
+    SinkConfig(
+        topics=["a"], upsert_enabled=True, kafka_key_field_name="kkey"
+    ).validate()

@@ -110,6 +110,7 @@ def test_streaming_soak_all_maintained_artifacts_survive_restarts(spark, tmp_pat
                 topics=["st"],
                 upsert_enabled=True,
                 delete_enabled=True,
+                errors_tolerance="none",
                 kafka_key_field_name="kkey",
                 time_partitioning_type="NONE",
             ),

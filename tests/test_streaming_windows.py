@@ -413,10 +413,14 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
         q.stop()
 
     # the final emission is the complete summary for the one group,
-    # plus NULL-count_est retraction rows for items evicted this batch
-    # (the documented consumer contract: drop NULL count_est)
-    retracted = {r["item"] for r in rows if r["count_est"] is None}
-    rows = [r for r in rows if r["count_est"] is not None]
+    # plus retracted=True rows for items evicted this batch (the
+    # documented consumer contract: drop rows where retracted is true)
+    retracted = {r["item"] for r in rows if r["retracted"]}
+    # the explicit boolean and the NULL estimate columns must agree
+    for r in rows:
+        assert r["retracted"] == (r["count_est"] is None)
+        assert r["retracted"] == (r["error"] is None)
+    rows = [r for r in rows if not r["retracted"]]
     summary = {r["item"]: (r["count_est"], r["error"]) for r in rows}
     # retraction correctness: every item emitted in an earlier batch
     # but absent from the final summary got a retraction row, so a
@@ -424,7 +428,7 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     emitted_before = {
         r["item"]
         for r in all_rows
-        if r["n_seen"] != n_total and r["count_est"] is not None
+        if r["n_seen"] != n_total and not r["retracted"]
     }
     assert emitted_before - set(summary) == retracted
     assert len(summary) <= K  # bounded state

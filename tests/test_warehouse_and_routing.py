@@ -150,6 +150,7 @@ def test_config_valid_passes():
         topics=["t"],
         upsert_enabled=True,
         delete_enabled=True,
+        errors_tolerance="none",
         kafka_key_field_name="k",
         clustering_field_names=("a", "b"),
     ).validate()
