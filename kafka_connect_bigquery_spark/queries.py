@@ -5015,8 +5015,7 @@ _PRIORITY_ORDER: list[str] = [
     # -- r10-changed path: q21's localCheckpoint'd `late` subtree ------
     "tpch_q21_waiting_suppliers",
     # -- NEW r11 entry (first-witness): PQ-coded warehouse ANN ---------
-    # "warehouse_ann_pq" is inserted here by the commit that lands the
-    # entry (the hygiene test rejects dangling names).
+    "warehouse_ann_pq",
     # -- tolerance-contract entry: pinned in-window every round --------
     "events_approx_stats",
     # -- backfill: 24 of the 47 r07-stale rows -------------------------

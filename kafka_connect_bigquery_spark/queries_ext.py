@@ -1373,6 +1373,41 @@ SELECT neighbor_id, cosine, rank FROM (
 """
 
 
+def q_warehouse_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC through the warehouse: PQ codes PERSISTED in the table's
+    `_ann` index (sinks/warehouse.py::record_ann(pq_m=...) /
+    read_nearest_pq) — candidate generation + ADC scoring read m
+    stored ints per vector from `_ann/codes/`, and only the shortlist
+    survivors' raw embeddings are read for the exact re-rank. Staging
+    mirrors warehouse_ann_read (two appends; the second encodes its
+    files incrementally against the FROZEN seeded quantizer AND frozen
+    seeded codebooks), so centroids = the 8 smallest EVEN vec_ids and
+    codebook entry j = the quantized residual of the j-th smallest
+    EVEN vec_id — closed form end to end, letting the oracle reproduce
+    encoding, the driver-computed ADC tables, the shortlist, and the
+    re-rank bit-exactly. A wrong stored code, a wrongly skipped file,
+    or a shortlist perturbation all hash-mismatch."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annpq")
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=_IVF_LISTS,
+        pq_m=_PQ_M, pq_ksub=_PQ_KSUB,
+    )
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)  # incremental
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    return wh.read_nearest_pq(
+        "vecs", "embedding", qv,
+        k=_ANN_K, n_probe=_IVF_PROBE, shortlist=_PQ_SHORTLIST,
+    )
+
+
 def q_warehouse_ann_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch form of the warehouse ANN probe
     (sinks/warehouse.py::read_nearest_many) — a FRAME of query vectors
@@ -2176,6 +2211,129 @@ FROM (
   SELECT query_id, neighbor_id, adc_q, cosine,
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# warehouse IVFADC oracle: same pipeline as Q_ANN_IVFPQ_SQL, with the
+# record-time corpus = the EVEN vec_ids (first append): coarse seeds =
+# 8 smallest even ids, codebook entry j = residual of the j-th smallest
+# even id; ONE query (vec_id 1, an odd id encoded by the INCREMENTAL
+# second-append refresh), no self-exclusion (read_nearest probes a
+# literal vector, not a corpus row).
+Q_WAREHOUSE_ANN_PQ_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+cdists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, a.list_id, e.d, e.d // {_PQ_DSUB} AS s,
+         e.vq - sd.sq AS r
+  FROM elq e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN seeds sd ON sd.list_id = a.list_id AND sd.d = e.d
+),
+cbsel AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+cb AS (
+  SELECT c.code_id, r.s, r.d, r.r AS cr
+  FROM resid r JOIN cbsel c USING (vec_id)
+),
+codes AS (
+  SELECT vec_id, list_id, s, code_id FROM (
+    SELECT r.vec_id, r.list_id, r.s, c.code_id,
+           row_number() OVER (PARTITION BY r.vec_id, r.s
+                ORDER BY SUM((r.r - c.cr) * (r.r - c.cr)), c.code_id) AS rn
+    FROM resid r JOIN cb c ON c.s = r.s AND c.d = r.d
+    GROUP BY r.vec_id, r.list_id, r.s, c.code_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT list_id FROM (
+    SELECT list_id,
+           row_number() OVER (ORDER BY dist, list_id) AS rn
+    FROM cdists WHERE vec_id = 1
+  ) WHERE rn <= {_IVF_PROBE}
+),
+qresid AS (
+  SELECT p.list_id, e.d, e.d // {_PQ_DSUB} AS s, e.vq - sd.sq AS r
+  FROM probes p
+  JOIN elq e ON e.vec_id = 1
+  JOIN seeds sd ON sd.list_id = p.list_id AND sd.d = e.d
+),
+tabs AS (
+  SELECT q.list_id, q.s, c.code_id,
+         SUM((q.r - c.cr) * (q.r - c.cr)) AS t
+  FROM qresid q JOIN cb c ON c.s = q.s AND c.d = q.d
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT k.vec_id AS neighbor_id, SUM(t.t) AS adc_q
+  FROM codes k
+  JOIN tabs t ON t.list_id = k.list_id AND t.s = k.s AND t.code_id = k.code_id
+  GROUP BY 1
+),
+short AS (
+  SELECT neighbor_id, adc_q FROM (
+    SELECT neighbor_id, adc_q,
+           row_number() OVER (ORDER BY adc_q, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT s.neighbor_id, s.adc_q,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM short s
+  JOIN el q ON q.vec_id = 1
+  JOIN el n ON n.vec_id = s.neighbor_id AND n.d = q.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.neighbor_id, d.adc_q,
+         (d.dq / {_QE}.0) / (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) AS cosine
+  FROM dots d
+  JOIN norms nq1 ON nq1.vec_id = 1
+  JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+)
+SELECT neighbor_id, adc_q / 1000000000000.0 AS adc_dist, cosine, rank
+FROM (
+  SELECT neighbor_id, adc_q, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {_ANN_K}
 """
@@ -4515,6 +4673,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_kmeans": (q_embedding_kmeans, Q_EMBEDDING_KMEANS_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),
+    "warehouse_ann_pq": (q_warehouse_ann_pq, Q_WAREHOUSE_ANN_PQ_SQL),
     "warehouse_ann_refined": (
         q_warehouse_ann_refined,
         Q_WAREHOUSE_ANN_REFINED_SQL,

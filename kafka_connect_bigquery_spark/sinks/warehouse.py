@@ -2547,6 +2547,9 @@ class Warehouse:
     def _ann_index_dir(self, table: str) -> str:
         return os.path.join(self._ann_dir(table), "index")
 
+    def _ann_codes_dir(self, table: str) -> str:
+        return os.path.join(self._ann_dir(table), "codes")
+
     def ann_meta(self, table: str) -> dict | None:
         """The recorded ANN index parameters
         ({col, id_col, n_lists, iters, centroids}) or None."""
@@ -2571,6 +2574,82 @@ class Warehouse:
         for batch in pads.dataset(d, format="parquet").to_batches(columns=["f"]):
             names.update(pc.unique(batch.column("f")).to_pylist())
         return names
+
+    def ann_encoded_files(self, table: str) -> set[str]:
+        """Relative paths the PQ codes index covers (marker rows make an
+        encoded-but-vectorless file distinguishable from an unencoded
+        one). Empty when the index was recorded without PQ."""
+        d = self._ann_codes_dir(table)
+        if not os.path.isdir(d):
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        names: set[str] = set()
+        for batch in pads.dataset(d, format="parquet").to_batches(columns=["f"]):
+            names.update(pc.unique(batch.column("f")).to_pylist())
+        return names
+
+    def _ann_codes_build(
+        self, table: str, meta: dict, files: list[str] | None
+    ) -> tuple[DataFrame | None, bool]:
+        """One raw-file scan producing the PER-ROW PQ codes index:
+        (f, list_id, nid, codes) — ``codes`` is the m-int residual
+        product-quantization of the row's vector against the FROZEN
+        codebooks (operators/ann.py::_pq_codes, the same expressions
+        ivfpq_topk encodes with, so stored codes and a from-scratch
+        encode are bit-identical). This is the IVFADC storage story at
+        100 TB: a probe's candidate generation reads m ints per vector
+        from this index instead of the full embedding — the raw column
+        is only opened for the shortlist re-rank. NULL vectors get no
+        codes row (they can never match a probe)."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        tdir = self.path(table)
+        src = self._index_scan(table, files)
+        if src is None:
+            return None, False
+        col, id_col = meta["col"], meta["id_col"]
+        if col not in src.columns or id_col not in src.columns:
+            return None, False
+        m = meta["pq_m"]
+        dsub = len(meta["codebooks"][0][0])
+        cents_q_lit = F.array(
+            *[
+                F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
+                for cent in meta["centroids"]
+            ]
+        )
+        cb_lit = ANN._cb_literal(meta["codebooks"])
+        vec = F.col(col)
+        lid = ANN.assign_list(vec, meta["centroids"])
+        rows = (
+            src.select(
+                F.input_file_name().alias("f"),
+                F.col(id_col).cast("long").alias("nid"),
+                vec.alias("__v"),
+                lid.alias("list_id"),
+            )
+            .filter(F.col("list_id").isNotNull())
+            .withColumn(
+                "codes",
+                ANN._pq_codes(
+                    ANN._resid_col(F.col("__v"), cents_q_lit, F.col("list_id")),
+                    cb_lit,
+                    m,
+                    dsub,
+                ),
+            )
+            .drop("__v")
+            .withColumn(
+                "f",
+                F.expr(
+                    "substring(regexp_replace(f, '^file:(//)?', ''), "
+                    f"{len(tdir) + 2})"
+                ),
+            )
+        )
+        return rows, True
 
     def _ann_build(
         self, table: str, meta: dict, files: list[str] | None
@@ -2617,6 +2696,9 @@ class Warehouse:
         kmeans_iters: int = 0,
         incremental: bool = False,
         centroids: list[list[float]] | None = None,
+        pq_m: int | None = None,
+        pq_ksub: int = 16,
+        codebooks: list[list[list[int]]] | None = None,
     ) -> None:
         """Record the IVF ANN index for vector column ``col`` (an
         array<float/double> column; ``id_col`` orders ties and seeds
@@ -2642,7 +2724,21 @@ class Warehouse:
         build, duplicate rows from racing recorders identical, markers
         land with their membership rows in one output file
         (``_write_index``), and a torn build only costs pruning power —
-        ``read_nearest`` reads unindexed files conservatively."""
+        ``read_nearest`` reads unindexed files conservatively.
+
+        ``pq_m`` additionally persists a PER-ROW product-quantization
+        codes index (``_ann/codes/``: m 4-to-8-bit codes per vector —
+        operators/ann.py::pq_codebooks seeds ``pq_ksub`` entries per
+        subspace from the residuals of the ``pq_ksub`` smallest-id
+        vectors, closed-form like the coarse seeding, then the
+        codebooks FREEZE with the centroids). :meth:`read_nearest_pq`
+        then generates its ADC shortlist from stored codes — m ints per
+        candidate instead of the full embedding — and opens the raw
+        vector column only for the exact re-rank. Same incremental
+        lifecycle as the membership rows: appends encode new files
+        against the frozen codebooks, compaction re-encodes rewritten
+        files, overwrite retrains. Pass ``codebooks`` to adopt them
+        verbatim (the compact/clone rebuild path)."""
         from kafka_connect_bigquery_spark.operators import ann as ANN
 
         live = self._live_data_files(table)
@@ -2656,6 +2752,8 @@ class Warehouse:
             and prior["col"] == col
             and prior["id_col"] == id_col
             and prior["n_lists"] == n_lists
+            and prior.get("pq_m") == pq_m
+            and (pq_m is None or prior.get("pq_ksub") == pq_ksub)
         ):
             meta = prior  # frozen quantizer
             indexed = self.ann_indexed_files(table)
@@ -2665,8 +2763,8 @@ class Warehouse:
             scan = [live[r] for r in sorted(new_rel)]
             mode = "append"
         else:
+            src = self.read(table).filter(F.col(col).isNotNull())
             if centroids is None:
-                src = self.read(table).filter(F.col(col).isNotNull())
                 centroids = (
                     ANN.seed_centroids(
                         src, id_col=id_col, vec_col=col, k=n_lists
@@ -2689,6 +2787,15 @@ class Warehouse:
                 "iters": kmeans_iters,
                 "centroids": centroids,
             }
+            if pq_m is not None:
+                if codebooks is None:
+                    codebooks = ANN.pq_codebooks(
+                        src, centroids, id_col=id_col, vec_col=col,
+                        m=pq_m, ksub=pq_ksub,
+                    )
+                meta["pq_m"] = pq_m
+                meta["pq_ksub"] = pq_ksub
+                meta["codebooks"] = codebooks
         rows, indexable = (
             self._ann_build(table, meta, scan) if new_rel else (None, False)
         )
@@ -2703,6 +2810,34 @@ class Warehouse:
         )
         if mode == "append":
             self._maybe_compact_index(self._ann_index_dir(table), live)
+        if meta.get("pq_m") is not None:
+            crows, cindexable = (
+                self._ann_codes_build(table, meta, scan)
+                if new_rel
+                else (None, False)
+            )
+            cschema = "f string, list_id int, nid long, codes array<int>"
+            cmarkers = (
+                [(rel, -1, None, None) for rel in sorted(new_rel)]
+                if cindexable
+                else []
+            )
+            cout = self.spark.createDataFrame(cmarkers, cschema)
+            if crows is not None:
+                cout = crows.unionByName(cout)
+            self._write_index(
+                cout, mode=mode, n_files=len(new_rel),
+                dest=self._ann_codes_dir(table),
+            )
+            if mode == "append":
+                self._maybe_compact_index(self._ann_codes_dir(table), live)
+        elif mode == "overwrite" and os.path.isdir(self._ann_codes_dir(table)):
+            # re-recorded without PQ: a stale codes table must not
+            # survive under fresh meta (read_nearest_pq would raise on
+            # the missing pq keys anyway, but dead bytes invite misuse)
+            import shutil
+
+            shutil.rmtree(self._ann_codes_dir(table), ignore_errors=True)
         import json
 
         os.makedirs(self._ann_dir(table), exist_ok=True)
@@ -2727,6 +2862,11 @@ class Warehouse:
             kmeans_iters=meta["iters"],
             incremental=incremental,
             centroids=meta["centroids"] if keep_centroids else None,
+            pq_m=meta.get("pq_m"),
+            pq_ksub=meta.get("pq_ksub", 16),
+            # codebooks freeze with the centroids (compact: identical
+            # data keeps an identical encoder); overwrite retrains both
+            codebooks=meta.get("codebooks") if keep_centroids else None,
         )
 
     @staticmethod
@@ -2828,6 +2968,253 @@ class Warehouse:
         top = scored.orderBy(F.desc("cosine"), F.asc("neighbor_id")).limit(k)
         w = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         return top.withColumn("rank", F.row_number().over(w))
+
+    def read_nearest_pq(
+        self,
+        table: str,
+        col: str,
+        query_vec: list[float],
+        *,
+        k: int = 10,
+        n_probe: int = 2,
+        shortlist: int = 20,
+    ) -> DataFrame:
+        """IVFADC probe against the PQ codes index: the ``k`` nearest
+        rows to ``query_vec`` by exact cosine, re-ranked from an
+        asymmetric-distance shortlist generated ENTIRELY from stored
+        codes (``record_ann(..., pq_m=...)`` required). Returns
+        ``(neighbor_id, adc_dist, cosine, rank)``, ties by ascending
+        id — identical semantics to operators/ann.py::ivfpq_topk with
+        the recorded frozen quantizer + codebooks.
+
+        The 100 TB IO story, stage by stage: (1) file pruning via the
+        membership index (same as :meth:`read_nearest`); (2) candidate
+        generation + ADC scoring reads the CODES table — m small ints
+        per vector, ~64x narrower than a float64[64] embedding — with
+        the probed ``list_id``s pushed into the parquet scan; the
+        query-side lookup tables are m x ksub integers computed on the
+        driver in exact arithmetic (the same quantized residuals the
+        stored codes were encoded from); (3) only the <= ``shortlist``
+        survivors' raw vectors are read for the exact re-rank, with the
+        id shortlist pushed down so row-group stats skip everything
+        else. Candidate files not yet in the codes index (a torn or
+        racing build) are encoded on the fly from the raw column —
+        skipping is an optimization, never a correctness dependency.
+
+        Staleness nuance (documented, not hidden): stored codes for a
+        file persist until that file is rewritten, so rows excised by a
+        DEFERRED ``delete_where`` can still occupy shortlist slots;
+        they are dropped at re-rank (the raw read is delete-aware), so
+        they never REACH the result — the cost is shortlist recall, and
+        it disappears when ``compact()`` materializes the delete and
+        re-encodes. Row-level predicates (``where``) are deliberately
+        not offered here: codes rows carry no payload columns to filter
+        on — a filtered probe belongs on :meth:`read_nearest`."""
+        import itertools
+        import math
+
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+        from kafka_connect_bigquery_spark.operators.ann import QD
+
+        meta = self.ann_meta(table)
+        if not meta or meta["col"] != col:
+            raise WarehouseError(
+                f"no ANN index recorded for {table}.{col}; call "
+                "record_ann first"
+            )
+        if meta.get("pq_m") is None:
+            raise WarehouseError(
+                f"ANN index on {table}.{col} has no PQ codes; record_ann "
+                "with pq_m=... first (read_nearest serves the plain IVF "
+                "probe)"
+            )
+        cents = meta["centroids"]
+        books = meta["codebooks"]
+        m = meta["pq_m"]
+        dsub = len(books[0][0])
+        n_probe = min(n_probe, len(cents))
+        probes = self._ann_probe_lists(query_vec, cents, n_probe)
+        kept_rel, live = self._ann_candidate_rel(table, probes)
+        if kept_rel is None:
+            kept_rel = sorted(live)
+        layout = self.layout_meta(table)
+
+        # -- query-side ADC lookup tables: m x ksub exact integers per
+        # probed list, computed on the driver (n_probe * m * ksub * dsub
+        # integer ops — the classic IVFADC query cost, microscopic)
+        qv = [math.floor(float(x) * QD + 0.5) for x in query_vec]
+
+        def _tabs_for(list_id: int) -> list[list[int]]:
+            cq = [math.floor(float(x) * QD + 0.5) for x in cents[list_id]]
+            resid = [a - b for a, b in zip(qv, cq)]
+            out = []
+            for s in range(m):
+                sub = resid[s * dsub : (s + 1) * dsub]
+                out.append(
+                    [
+                        sum((r - c) * (r - c) for r, c in zip(sub, cv))
+                        for cv in books[s]
+                    ]
+                )
+            return out
+
+        tabmap = F.create_map(
+            *itertools.chain.from_iterable(
+                (
+                    F.lit(int(L)),
+                    F.array(
+                        *[
+                            # entries can exceed int32 (residual^2 * dsub):
+                            # force one long element type across the map
+                            F.array(
+                                *[F.lit(int(t)).cast("long") for t in srow]
+                            )
+                            for srow in _tabs_for(L)
+                        ]
+                    ),
+                )
+                for L in probes
+            )
+        )
+
+        # -- candidate generation from STORED codes (narrow scan);
+        # unencoded-but-live candidate files fall back to on-the-fly
+        # encoding of the raw column, same expressions as the build
+        enc = self.ann_encoded_files(table)
+        enc_rel = [r for r in kept_rel if r in enc]
+        unenc_rel = [r for r in kept_rel if r not in enc]
+        parts = []
+        if enc_rel:
+            enc_df = self.spark.createDataFrame(
+                [(r,) for r in sorted(enc_rel)], "f string"
+            )
+            parts.append(
+                self.spark.read.parquet(self._ann_codes_dir(table))
+                .filter(F.col("list_id").isin(probes))  # drops -1 markers
+                .join(enc_df, "f", "left_semi")
+                .select("nid", "list_id", "codes")
+            )
+        if unenc_rel:
+            raw = self._ann_read_files(
+                table, [live[r] for r in sorted(unenc_rel)], layout
+            )
+            vec = F.col(col)
+            cents_q_lit = F.array(
+                *[
+                    F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
+                    for cent in cents
+                ]
+            )
+            cb_lit = ANN._cb_literal(books)
+            parts.append(
+                raw.filter(vec.isNotNull())
+                .select(
+                    F.col(meta["id_col"]).cast("long").alias("nid"),
+                    ANN.assign_list(vec, cents).alias("list_id"),
+                    vec.alias("__v"),
+                )
+                .filter(F.col("list_id").isin(probes))
+                .select(
+                    "nid",
+                    "list_id",
+                    ANN._pq_codes(
+                        ANN._resid_col(
+                            F.col("__v"), cents_q_lit, F.col("list_id")
+                        ),
+                        cb_lit,
+                        m,
+                        dsub,
+                    ).alias("codes"),
+                )
+            )
+        if not parts:
+            empty = self.read(table).limit(0)
+            return empty.select(
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("adc_dist"),
+                F.lit(None).cast("double").alias("cosine"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.element_at(tabmap, F.col("list_id")),
+                lambda code, tab_s: F.element_at(tab_s, code + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        # distributed top-`shortlist` by ADC (TakeOrderedAndProject —
+        # never a global sort or an unpartitioned data-sized window)
+        short_rows = (
+            cand.select(F.col("nid"), adc.alias("adc_q"))
+            .orderBy(F.asc("adc_q"), F.asc("nid"))
+            .limit(shortlist)
+            .collect()
+        )
+        if not short_rows:
+            empty = self.read(table).limit(0)
+            return empty.select(
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("adc_dist"),
+                F.lit(None).cast("double").alias("cosine"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+
+        # -- exact re-rank: ONLY the shortlist ids' raw vectors are
+        # read — the In(id) filter pushes to parquet row-group stats
+        ids = [int(r["nid"]) for r in short_rows]
+        short_df = self.spark.createDataFrame(
+            [(int(r["nid"]), int(r["adc_q"])) for r in short_rows],
+            "neighbor_id long, adc_q long",
+        )
+        raw = self._ann_read_files(
+            table, [live[r] for r in sorted(kept_rel)], layout
+        )
+        vec = F.col(col)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        qn = ANN.quantized_norm_sq(qlit)
+        reranked = (
+            raw.filter(F.col(meta["id_col"]).isin(ids))
+            .filter(vec.isNotNull())
+            .select(
+                F.col(meta["id_col"]).cast("long").alias("neighbor_id"),
+                ANN.cosine_from_quantized(
+                    ANN.quantized_dot(qlit, vec),
+                    qn,
+                    ANN.quantized_norm_sq(vec),
+                ).alias("cosine"),
+            )
+            .join(F.broadcast(short_df), "neighbor_id")
+        )
+        from pyspark.sql import Window
+
+        top = reranked.orderBy(F.desc("cosine"), F.asc("neighbor_id")).limit(k)
+        w = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return top.select(
+            "neighbor_id",
+            (F.col("adc_q") / F.lit(float(QD) * QD)).alias("adc_dist"),
+            "cosine",
+        ).withColumn("rank", F.row_number().over(w))
+
+    def _ann_read_files(
+        self, table: str, keep: list[str], layout: dict
+    ) -> DataFrame:
+        """The raw-row read behind an ANN probe restricted to ``keep``
+        (absolute paths): generation-aware on bucketed-MERGE tables,
+        delete-aware on flat tables — the same branch read_nearest and
+        read_nearest_many inline."""
+        if not keep:
+            return self.read(table).limit(0)
+        if layout.get("generations") is not None:
+            return self._conform_to_stored(
+                self.spark.read.option("mergeSchema", "true").parquet(*keep),
+                layout,
+            )
+        return self._read_files_with_deletes(table, keep, layout)
 
     def read_nearest_many(
         self,
@@ -2978,16 +3365,26 @@ class Warehouse:
         (marker present) none of whose membership rows hits ``probes``
         is provably skippable; unindexed live files are kept. Returns
         ``(paths, n_skipped)`` — ``(None, 0)`` when there is no index
-        table yet (read everything through read()). The set logic runs
-        executor-side (one aggregation over just the probed lists' rows
-        + markers, parquet predicate pushdown intact, anti-joined
-        against the live frame — the family's probe shape since r09);
-        only the keep list, which the parquet read materializes anyway,
-        reaches the driver."""
+        table yet (read everything through read())."""
+        kept_rel, live = self._ann_candidate_rel(table, probes)
+        if kept_rel is None:
+            return None, 0
+        return [live[r] for r in kept_rel], len(live) - len(kept_rel)
+
+    def _ann_candidate_rel(
+        self, table: str, probes: list[int]
+    ) -> tuple[list[str] | None, dict[str, str]]:
+        """Relative-path form of the candidate-file computation, plus
+        the live rel->abs map — ``(None, live)`` when there is no index
+        table yet. The set logic runs executor-side (one aggregation
+        over just the probed lists' rows + markers, parquet predicate
+        pushdown intact, anti-joined against the live frame — the
+        family's probe shape since r09); only the keep list, which the
+        parquet read materializes anyway, reaches the driver."""
+        live = self._live_data_files(table)
         idx = self._ann_index_dir(table)
         if not os.path.isdir(idx):
-            return None, 0
-        live = self._live_data_files(table)
+            return None, live
         skip_df = (
             self.spark.read.parquet(idx)
             .filter(F.col("list_id").isin([*probes, -1]))
@@ -3005,7 +3402,7 @@ class Warehouse:
         kept_rel = [
             r["f"] for r in live_df.join(skip_df, "f", "left_anti").collect()
         ]
-        return [live[r] for r in kept_rel], len(live) - len(kept_rel)
+        return kept_rel, live
 
     def read_pruned(
         self,
@@ -3417,6 +3814,8 @@ class Warehouse:
                     self.record_ann(
                         table, ann["col"], id_col=ann["id_col"],
                         n_lists=ann["n_lists"], kmeans_iters=ann["iters"],
+                        pq_m=ann.get("pq_m"),
+                        pq_ksub=ann.get("pq_ksub", 16),
                     )
                 except WarehouseError:  # no non-null vectors to seed from
                     shutil.rmtree(self._ann_dir(table), ignore_errors=True)
@@ -4085,12 +4484,15 @@ class Warehouse:
             self.record_text_index(table, text["cols"])
         if ann:
             # same rows, new files: keep the frozen quantizer (identical
-            # data must keep an identical list semantics) and re-index
-            # the rewritten files against it
+            # data must keep an identical list semantics — and identical
+            # PQ codebooks) and re-index the rewritten files against it
             self.record_ann(
                 table, ann["col"], id_col=ann["id_col"],
                 n_lists=ann["n_lists"], kmeans_iters=ann["iters"],
                 centroids=ann["centroids"],
+                pq_m=ann.get("pq_m"),
+                pq_ksub=ann.get("pq_ksub", 16),
+                codebooks=ann.get("codebooks"),
             )
         self._log_op(
             table, "compact", files_before=len(files), files_after=n_out,

@@ -403,3 +403,211 @@ def test_optimize_ann_refuses_bucketed_tables(spark, tmp_path):
     wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
     with _pytest.raises(WarehouseError, match="bucketed-MERGE"):
         wh.optimize_ann("vecs")
+
+
+# ---------------------------------------------------------------------------
+# PQ codes persisted in the index (r11): record_ann(pq_m=...) /
+# read_nearest_pq — IVFADC where candidate generation + ADC scoring
+# read stored m-int codes and only the shortlist's raw vectors are
+# opened for the exact re-rank.
+# ---------------------------------------------------------------------------
+
+
+def _pq_ref(spark, wh, table, meta, qv, k, n_probe, shortlist):
+    """The probe's definition, computed WITHOUT the stored codes:
+    operators/ann.py::ivfpq_topk over the live rows with the same
+    frozen centroids + codebooks (query as a synthetic -1 id row,
+    no self-exclusion — read_nearest_pq probes a literal vector)."""
+    corpus = (
+        wh.read(table)
+        .filter(F.col(meta["col"]).isNotNull())
+        .select(F.col(meta["id_col"]).alias("vec_id"), F.col(meta["col"]).alias("embedding"))
+    )
+    q = spark.createDataFrame([(-1, _vec(qv))], "vec_id: long, embedding: array<double>")
+    rows = (
+        ANN.ivfpq_topk(
+            q, corpus, meta["centroids"], meta["codebooks"],
+            k=k, n_probe=n_probe, shortlist=shortlist, exclude_self=False,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    return [
+        (r["neighbor_id"], round(r["adc_dist"], 9), round(r["cosine"], 9), r["rank"])
+        for r in rows
+    ]
+
+
+def _pq_probe(wh, table, qv, k, n_probe, shortlist):
+    rows = (
+        wh.read_nearest_pq(table, "embedding", qv, k=k, n_probe=n_probe, shortlist=shortlist)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    return [
+        (r["neighbor_id"], round(r["adc_dist"], 9), round(r["cosine"], 9), r["rank"])
+        for r in rows
+    ]
+
+
+def test_pq_lifecycle_incremental_matches_operator(spark, tmp_path):
+    """Codes stored at record time + codes appended by the incremental
+    refresh (frozen codebooks) reproduce ivfpq_topk bit-exactly."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=8, pq_m=8, pq_ksub=16
+    )
+    meta0 = wh.ann_meta("vecs")
+    assert meta0["pq_m"] == 8 and len(meta0["codebooks"]) == 8
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    meta = wh.ann_meta("vecs")
+    assert meta["codebooks"] == meta0["codebooks"]  # frozen
+    live = wh._live_data_files("vecs")
+    assert set(live) == wh.ann_encoded_files("vecs")  # codes fully fresh
+    qv = _vec(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    for n_probe, shortlist in ((1, 10), (2, 20), (8, 30)):
+        assert _pq_probe(wh, "vecs", qv, 5, n_probe, shortlist) == _pq_ref(
+            spark, wh, "vecs", meta, qv, 5, n_probe, shortlist
+        )
+
+
+def test_pq_probe_skips_files(spark, tmp_path):
+    """File-skipping proof for the PQ probe: with the corpus written
+    one-list-per-file, a 1-probe query must prune every other list's
+    files (membership index) while the codes path returns the exact
+    IVFADC answer."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(
+        _corpus(spark, [(i, _corner(i)) for i in range(8)]).coalesce(1),
+        "vecs",
+        spec,
+    )
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=8, pq_m=2, pq_ksub=8
+    )
+    for c in range(8):
+        wh.append(
+            _corpus(
+                spark,
+                [(100 + 10 * c + j, _corner(c, 0.01 * (j + 1))) for j in range(3)],
+            ).coalesce(1),
+            "vecs",
+            spec,
+        )
+    meta = wh.ann_meta("vecs")
+    qv = _corner(3, 0.005)
+    probes = wh._ann_probe_lists(qv, meta["centroids"], 1)
+    _, skipped = wh._ann_candidate_files("vecs", probes)
+    assert skipped >= 7
+    got = _pq_probe(wh, "vecs", qv, 4, 1, 10)
+    assert got == _pq_ref(spark, wh, "vecs", meta, qv, 4, 1, 10)
+    assert {i for i, *_ in got} <= {3, 130, 131, 132}
+
+
+def test_pq_unencoded_file_falls_back_on_the_fly(spark, tmp_path):
+    """A torn codes build (file in the membership index but not the
+    codes table) costs IO, never correctness: the probe encodes the
+    unencoded candidate file from its raw column with the same frozen
+    codebooks."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=8, pq_m=8, pq_ksub=16
+    )
+    # simulate the torn build: the incremental refresh updates the
+    # membership rows but dies before the codes write
+    orig = Warehouse._ann_codes_build
+    Warehouse._ann_codes_build = lambda self, t, m, f: (None, False)
+    try:
+        wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    finally:
+        Warehouse._ann_codes_build = orig
+    live = wh._live_data_files("vecs")
+    enc = wh.ann_encoded_files("vecs")
+    assert enc < set(live)  # second append's file(s) unencoded
+    assert set(live) == wh.ann_indexed_files("vecs")  # membership fresh
+    meta = wh.ann_meta("vecs")
+    qv = _vec(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    assert _pq_probe(wh, "vecs", qv, 5, 2, 20) == _pq_ref(
+        spark, wh, "vecs", meta, qv, 5, 2, 20
+    )
+
+
+def test_pq_compact_and_optimize_keep_codebooks_and_results(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    rows = [(i, _corner(i % 8, 0.002 * (i + 1))) for i in range(40)]
+    for lo in range(0, 40, 10):
+        wh.append(_corpus(spark, rows[lo : lo + 10]).coalesce(1), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=4, pq_m=2, pq_ksub=8
+    )
+    meta0 = wh.ann_meta("vecs")
+    qv = _corner(2, 0.001)
+    before = _pq_probe(wh, "vecs", qv, 6, 2, 15)
+    assert wh.optimize_ann("vecs") > 0
+    meta1 = wh.ann_meta("vecs")
+    assert meta1["codebooks"] == meta0["codebooks"]  # frozen across compact
+    assert set(wh._live_data_files("vecs")) == wh.ann_encoded_files("vecs")
+    assert _pq_probe(wh, "vecs", qv, 6, 2, 15) == before
+    # and the clustered layout now prunes 1-probe queries
+    probes = wh._ann_probe_lists(qv, meta1["centroids"], 1)
+    _, skipped = wh._ann_candidate_files("vecs", probes)
+    assert skipped > 0
+
+
+def test_pq_deferred_delete_rows_never_surface(spark, tmp_path):
+    """Stored codes of a row excised by a deferred delete_where may
+    still occupy shortlist slots, but the delete-aware re-rank drops
+    them — the deleted row never reaches the result."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    rows = [(i, _corner(i % 4, 0.002 * (i + 1))) for i in range(24)]
+    wh.append(_corpus(spark, rows).coalesce(1), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=4, pq_m=2, pq_ksub=8
+    )
+    qv = _corner(2, 0.0019)  # vec_id 2 territory
+    top1 = _pq_probe(wh, "vecs", qv, 3, 4, 50)[0][0]
+    wh.delete_where("vecs", f"vec_id = {top1}")
+    meta = wh.ann_meta("vecs")
+    after = _pq_probe(wh, "vecs", qv, 3, 4, 50)
+    assert top1 not in [i for i, *_ in after]
+    # with the shortlist covering every candidate, the result equals
+    # the reference computed over the LIVE (post-delete) rows
+    assert after == _pq_ref(spark, wh, "vecs", meta, qv, 3, 4, 50)
+
+
+def test_pq_loud_when_missing_and_rerecord_without_pq_drops_codes(spark, tmp_path):
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    rows = [(i, _corner(i % 4, 0.002 * (i + 1))) for i in range(16)]
+    wh.append(_corpus(spark, rows).coalesce(1), "vecs", spec)
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    with pytest.raises(WarehouseError, match="no PQ codes"):
+        wh.read_nearest_pq("vecs", "embedding", _corner(1), k=3)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=4, pq_m=2, pq_ksub=8
+    )
+    assert _os.path.isdir(wh._ann_codes_dir("vecs"))
+    assert wh.read_nearest_pq("vecs", "embedding", _corner(1), k=3).count() == 3
+    # re-record WITHOUT pq: stale codes must not survive under new meta
+    wh.record_ann("vecs", "embedding", id_col="vec_id", n_lists=4)
+    assert not _os.path.isdir(wh._ann_codes_dir("vecs"))
+    with pytest.raises(WarehouseError, match="no PQ codes"):
+        wh.read_nearest_pq("vecs", "embedding", _corner(1), k=3)

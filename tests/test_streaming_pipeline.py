@@ -742,3 +742,161 @@ def test_delete_mode_rejects_permissive_tolerance():
     SinkConfig(
         topics=["a"], upsert_enabled=True, kafka_key_field_name="kkey"
     ).validate()
+
+
+# ---------------------------------------------------------------------------
+# Real-Kafka-shaped source witness (r11, from r09 ask #5): drive the
+# EXACT Kafka source column contract through kafka_stream_source
+# (sources/kafka.py:38) verbatim and on through SinkPipeline, so the
+# only untested delta vs a live broker is the socket itself. Mirrors
+# the reference IT (kcbq-test BigQuerySinkConnectorIT.java:238-252:
+# embedded Kafka + Schema Registry -> connector -> table assertion).
+# ---------------------------------------------------------------------------
+
+
+# what spark.readStream.format("kafka").load() REALLY emits: the 6
+# contract columns PLUS timestampType — kafka_stream_source's select
+# must prune it, so the stand-in load() serves all 7
+_KAFKA_WIRE_SCHEMA = T.StructType(
+    list(KAFKA_SCHEMA.fields)
+    + [T.StructField("timestampType", T.IntegerType(), True)]
+)
+
+
+class _RecordingReadStream:
+    """Stands in for ``spark.readStream``: records every format/option
+    call verbatim, then serves ``load()`` from a parquet dir carrying
+    Spark's real kafka-source shape. kafka_stream_source runs
+    UNMODIFIED — builder lines, option routing, and the projection are
+    all exercised; only the socket is faked."""
+
+    def __init__(self, spark, src):
+        self._spark = spark
+        self._src = src
+        self.fmt = None
+        self.options: dict[str, str] = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.options[str(k)] = str(v)
+        return self
+
+    def load(self):
+        assert self.fmt == "kafka", self.fmt
+        return (
+            self._spark.readStream.schema(_KAFKA_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", "10")
+            .parquet(self._src)
+        )
+
+
+_AVRO_VALUE_SCHEMA = {
+    "type": "record",
+    "name": "val",
+    "fields": [
+        {"name": "row", "type": "long"},
+        {"name": "name", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def test_kafka_source_contract_through_pipeline(spark, tmp_path):
+    """Binary keys, CONFLUENT-FRAMED Avro values, tombstones, absent
+    timestamps (a CreateTime of -1 surfaces as NULL), interleaved
+    partitions with gapped offsets, subscribePattern subscription, and
+    declarative backpressure — the full Kafka wire contract — flow
+    through kafka_stream_source verbatim into the upsert+delete
+    pipeline, landing the reference IT's expected table state."""
+    import datetime as dt
+    from types import SimpleNamespace
+
+    from kafka_connect_bigquery_spark.schema.avro import (
+        avro_value_parser,
+        make_encoder,
+    )
+    from kafka_connect_bigquery_spark.sources.kafka import kafka_stream_source
+
+    enc = make_encoder(json.dumps(_AVRO_VALUE_SCHEMA))
+
+    def framed(v):  # Confluent wire format: magic 0x00 + 4-byte schema id
+        return None if v is None else b"\x00\x00\x00\x00\x2a" + enc(v)
+
+    ts = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        # (key, value, topic, partition, offset, timestamp, timestampType)
+        (b"u1", framed({"row": 1, "name": "first"}), "tp.orders", 0, 3, ts, 0),
+        (b"u1", framed({"row": 2, "name": "second"}), "tp.orders", 0, 9, ts, 0),
+        (b"u2", framed({"row": 3, "name": "gone"}), "tp.orders", 1, 0, None, 1),
+        (b"u2", framed(None), "tp.orders", 1, 7, None, 1),  # tombstone
+        (b"u3", framed({"row": 4, "name": None}), "tp.orders", 0, 12, ts, 0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, _KAFKA_WIRE_SCHEMA).write.parquet(src)
+
+    cfg = SinkConfig(
+        topics_regex=r"tp\..*",
+        upsert_enabled=True,
+        delete_enabled=True,
+        errors_tolerance="none",
+        kafka_key_field_name="kkey",
+        sanitize_topics=True,
+        time_partitioning_type="NONE",
+    )
+    recorder = _RecordingReadStream(spark, src)
+    stream = kafka_stream_source(
+        SimpleNamespace(readStream=recorder),
+        cfg,
+        "broker1:9092,broker2:9092",
+        max_offsets_per_trigger=500,
+    )
+    # the subscription options the reference drives through consumer
+    # config (topics.regex, backpressure) were recorded verbatim
+    assert recorder.options["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert recorder.options["subscribePattern"] == r"tp\..*"
+    assert "subscribe" not in recorder.options
+    assert recorder.options["startingOffsets"] == "earliest"
+    assert recorder.options["failOnDataLoss"] == "false"
+    assert recorder.options["maxOffsetsPerTrigger"] == "500"
+    # the projection pruned timestampType and kept the 6-column contract
+    assert stream.columns == ["key", "value", "topic", "partition", "offset", "timestamp"]
+    assert isinstance(stream.schema["key"].dataType, T.BinaryType)
+    assert isinstance(stream.schema["value"].dataType, T.BinaryType)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = SinkPipeline(
+        warehouse=wh,
+        config=cfg,
+        value_parser=avro_value_parser(
+            spark, json.dumps(_AVRO_VALUE_SCHEMA), confluent_framed=True
+        ),
+        key_parser=lambda c: c.cast("string"),
+    )
+    q = pipe.start(stream, str(tmp_path / "ckpt"), key_cols=["kkey"])
+    q.processAllAvailable()
+    q.stop()
+    got = {r["kkey"]: (r["row"], r["name"]) for r in wh.read("tp_orders").collect()}
+    assert got == {"u1": (2, "second"), "u3": (4, None)}
+
+
+def test_kafka_source_subscribe_list_options(spark, tmp_path):
+    """The topics-list form of the subscription contract: comma-joined
+    `subscribe`, no pattern, and no backpressure option when the knob
+    is absent (reference: BigQuerySinkConfig topics vs topics.regex)."""
+    from types import SimpleNamespace
+
+    from kafka_connect_bigquery_spark.sources.kafka import kafka_stream_source
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], _KAFKA_WIRE_SCHEMA).write.parquet(src)
+    cfg = SinkConfig(topics=["alpha", "beta"], time_partitioning_type="NONE")
+    recorder = _RecordingReadStream(spark, src)
+    stream = kafka_stream_source(
+        SimpleNamespace(readStream=recorder), cfg, "b:9092"
+    )
+    assert recorder.options["subscribe"] == "alpha,beta"
+    assert "subscribePattern" not in recorder.options
+    assert "maxOffsetsPerTrigger" not in recorder.options
+    assert stream.columns == ["key", "value", "topic", "partition", "offset", "timestamp"]
