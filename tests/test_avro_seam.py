@@ -580,3 +580,147 @@ def test_jvm_and_python_paths_agree_when_jvm_available(spark):
         assert [r.asDict(True) for r in out["jvm"]] == [
             r.asDict(True) for r in out["python"]
         ], f"{case}: jvm/python decode divergence"
+
+
+# ---------------------------------------------------------------------------
+# Java-reference differential (r11, from r09 ask #4): the spark-avro
+# MODULE jar is absent from this image and there is no network to
+# fetch it (ivy/--packages attempted: no resolver reachable), so the
+# from_avro parity tests above remain self-skipping. The strongest
+# in-sandbox substitute: Spark's classpath DOES carry the canonical
+# Apache Avro *core* implementation (avro-1.12.x), i.e. the very
+# library spark-avro and the reference connector's Confluent
+# deserializer delegate to. Differentially testing our pure-Python
+# codec against it pins the wire format to the authoritative
+# implementation, independent of this repo's own test encoder.
+# ---------------------------------------------------------------------------
+
+_JAVA_DIFF_SCHEMA = {
+    "type": "record",
+    "name": "jref",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "count", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "ratio", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "maybe", "type": ["null", "string"], "default": None},
+        {"name": "nums", "type": {"type": "array", "items": "long"}},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "innerrec",
+                "fields": [{"name": "x", "type": "long"}],
+            },
+        },
+    ],
+}
+
+_JAVA_DIFF_ROWS = [
+    {
+        "id": 7, "count": -3, "name": "alpha", "ratio": 2.5, "flag": True,
+        "blob": b"\x00\xff\x10", "maybe": "present", "nums": [1, -2, 300],
+        "inner": {"x": 99},
+    },
+    {
+        "id": -(2**40), "count": 2**31 - 1, "name": "", "ratio": -0.0,
+        "flag": False, "blob": b"", "maybe": None, "nums": [],
+        "inner": {"x": 0},
+    },
+]
+
+
+def _java_encode(spark, schema_json: str, rows: list[dict]) -> list[bytes]:
+    """Encode rows with org.apache.avro's GenericDatumWriter — the
+    reference implementation, reached over the running session's py4j
+    gateway (no extra jars: avro core ships with Spark)."""
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    inner_schema = jschema.getField("inner").schema()
+    out = []
+    for row in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", jvm.java.lang.Long.valueOf(row["id"]))
+        rec.put("count", jvm.java.lang.Integer.valueOf(row["count"]))
+        rec.put("name", row["name"])
+        rec.put("ratio", jvm.java.lang.Double.valueOf(row["ratio"]))
+        rec.put("flag", jvm.java.lang.Boolean.valueOf(row["flag"]))
+        rec.put("blob", jvm.java.nio.ByteBuffer.wrap(bytearray(row["blob"])))
+        rec.put("maybe", row["maybe"])
+        arr = jvm.java.util.ArrayList()
+        for n in row["nums"]:
+            arr.add(jvm.java.lang.Long.valueOf(n))
+        rec.put("nums", arr)
+        inner = jvm.org.apache.avro.generic.GenericData.Record(inner_schema)
+        inner.put("x", jvm.java.lang.Long.valueOf(row["inner"]["x"]))
+        rec.put("inner", inner)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema).write(rec, enc)
+        enc.flush()
+        out.append(bytes(baos.toByteArray()))
+    return out
+
+
+def test_wire_format_matches_apache_avro_java_reference(spark):
+    """Byte-level differential against the canonical Java Avro codec:
+    our encoder must emit byte-identical wire data, our decoder must
+    invert Java-encoded payloads, and Java-encoded Confluent-framed
+    values must flow through the DataFrame parser seam."""
+    from kafka_connect_bigquery_spark.schema.avro import (
+        avro_value_parser,
+        make_decoder,
+        make_encoder,
+    )
+
+    schema_json = json.dumps(_JAVA_DIFF_SCHEMA)
+    java_raw = _java_encode(spark, schema_json, _JAVA_DIFF_ROWS)
+
+    encode = make_encoder(schema_json)
+    decode = make_decoder(schema_json)
+    for row, jraw in zip(_JAVA_DIFF_ROWS, java_raw):
+        assert encode(row) == jraw, "python encoder diverges from Java reference"
+        got = decode(jraw)
+        assert got == row, f"python decoder cannot invert Java bytes: {got}"
+
+    # the pipeline seam: Java-encoded, Confluent-framed values through
+    # the Arrow-batched parser (exactly what a Schema-Registry broker
+    # would deliver), plus a tombstone
+    framed = [b"\x00\x00\x00\x00\x07" + r for r in java_raw]
+    df = spark.createDataFrame(
+        [(0, bytearray(framed[0])), (1, bytearray(framed[1])), (2, None)],
+        "i: int, value: binary",
+    )
+    parser = avro_value_parser(
+        spark, schema_json, mode="python", confluent_framed=True
+    )
+    out = df.select("i", parser(F.col("value")).alias("v")).orderBy("i").collect()
+    assert out[0]["v"]["id"] == 7
+    assert out[0]["v"]["inner"]["x"] == 99
+    assert bytes(out[0]["v"]["blob"]) == b"\x00\xff\x10"
+    assert out[1]["v"]["maybe"] is None
+    assert out[1]["v"]["count"] == 2**31 - 1
+    assert out[2]["v"] is None  # tombstone stays NULL
+
+
+def test_java_reference_decodes_python_encoder_output(spark):
+    """The reverse direction: the Java GenericDatumReader must accept
+    our encoder's bytes — readability by the reference implementation
+    is the property a broker-side consumer actually depends on."""
+    from kafka_connect_bigquery_spark.schema.avro import make_encoder
+
+    jvm = spark._jvm
+    schema_json = json.dumps(_JAVA_DIFF_SCHEMA)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    encode = make_encoder(schema_json)
+    for row in _JAVA_DIFF_ROWS:
+        raw = encode(row)
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(raw))
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(bais, None)
+        rec = jvm.org.apache.avro.generic.GenericDatumReader(jschema).read(None, dec)
+        assert int(str(rec.get("id"))) == row["id"]
+        assert str(rec.get("name")) == row["name"]
+        assert [int(str(n)) for n in rec.get("nums")] == row["nums"]
+        assert int(str(rec.get("inner").get("x"))) == row["inner"]["x"]
