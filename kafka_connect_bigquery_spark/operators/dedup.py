@@ -169,18 +169,21 @@ def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) postings list — the inverted index."""
-    # parallelize shingling, and materialize the canonical text BEFORE
-    # the per-position substr lambda — an inline canonicalization
+    # parallelize the whole narrow stage (fan_out BEFORE the projection,
+    # so the canonicalization regexes run wide too, not just the
+    # shingling), and materialize the canonical text BEFORE the
+    # per-position substr lambda — an inline canonicalization
     # expression inside the HOF re-runs its two regexes len(text) times
     # per document. A bare exchange is not a barrier (Catalyst pushes
     # the projection below it); the checkpoint is, and the canon frame
     # is the smallest thing in the pipeline.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
     canon = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("_c")
         )
-        .repartition(par)
         .localCheckpoint(eager=True)
     )
     c = F.col("_c")

@@ -134,8 +134,12 @@ def decontaminate(
     # materialize the token array before the slice-per-gram lambda:
     # Catalyst collapses a bare projection, putting the tokenization
     # expression back inside the HOF body where it re-runs per gram
-    # (see dedup._shingle_postings); the checkpoint is a hard barrier
-    toked = df.select(
+    # (see dedup._shingle_postings); the checkpoint is a hard barrier.
+    # fan_out first: tokenization + gram hashing are the CPU of this
+    # operator and must not run at the input's row-group parallelism
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
+    toked = fan_out(df).select(
         F.col(id_col), F.col(split_col), tokens(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=True)
     posts = toked.select(

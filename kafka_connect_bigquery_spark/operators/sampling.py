@@ -269,8 +269,11 @@ def dsir_weights(
     rows; the LLR table broadcasts back. Returns one row per document:
     (doc_id, is_target, n_features, dsir_logw_q, target_like)."""
     from kafka_connect_bigquery_spark.functions.text import tokens
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
 
-    base = df.select(
+    # tokenize + feature-hash is the operator's CPU: run it at cluster
+    # parallelism, not the input's row-group count
+    base = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         is_target.alias("is_target"),
         tokens(F.col(text_col)).alias("_toks"),

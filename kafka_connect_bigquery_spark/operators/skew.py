@@ -27,6 +27,30 @@ def deterministic_salt(cols: list[str], buckets: int) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets))
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise SCAN parallelism before CPU-bound per-row work (regex
+    canonicalization, tokenization, per-gram hashing).
+
+    A parquet scan parallelizes at row-group granularity, so a corpus
+    landing in one or two row groups pins the expensive narrow stage to
+    as many cores while the rest idle — the shuffle stages downstream
+    run wide, so the single-threaded scan becomes the whole query's
+    critical path (measured: the token-bound document queries ran their
+    explode stage on 1-2 of 32 cores at sf0.1/sf1). Round-robin
+    repartition ONLY when the input arrives narrower than half the
+    configured parallelism: at 100 TB a corpus scan is thousands of
+    tasks and this is a no-op by construction; locally it moves a few
+    MB of raw text once, before the tokenize/explode that a barrier
+    typically checkpoints anyway. The condition also keeps it out of
+    the plan for already-shuffled inputs, unlike a bare repartition(),
+    which would force a pointless full exchange at scale."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -2820,10 +2820,13 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_spark.functions import text as text_fns
     from kafka_connect_bigquery_spark.functions.winutil import bounded_global
 
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
     d = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     counts = (
-        d.repartition(par)
+        # fan_out, not a bare repartition: a corpus already scanning
+        # wide (the 100 TB case) must not pay a full exchange here
+        fan_out(d)
         .select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
@@ -3833,6 +3836,10 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drop out — same on both engines."""
     from kafka_connect_bigquery_spark.operators.dedup import canonical_text
 
+    # NOT fan_out'd: interleaved A/B at sf0.1 AND sf1 showed the plain
+    # narrow build faster (the trigram concat explode is allocation-
+    # bound — widening it in a shared local heap adds GC contention,
+    # same finding as doc_bigrams/bm25_doc_lengths)
     d = _t(spark, sf_dir, "documents")
     toks = F.split(canonical_text(F.col("text")), " ")
     t2 = F.slice(toks, F.lit(2), F.size(toks))
@@ -3843,18 +3850,29 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.select("doc_id", F.explode(tris).alias("tri"))
         .distinct()  # trigram TYPES per doc
-        .localCheckpoint(eager=False)  # feeds df counts AND the join back
+        .localCheckpoint(eager=False)  # feeds BOTH aggregations below
     )
-    df_counts = pairs.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        pairs.join(df_counts, "tri")
-        .groupBy("doc_id")
+    # no join-back of df counts onto the corpus-sized pairs frame: a
+    # trigram with df == 1 has exactly ONE owner, so min(doc_id) in the
+    # df aggregation names it — unique-per-doc then reduces over <= one
+    # row per trigram TYPE, and the only join left is 50k-row per-doc
+    # frames instead of re-shuffling millions of (doc, tri) pairs.
+    # Two corpus-sized shuffles instead of three; results identical.
+    uniq_per_doc = (
+        pairs.groupBy("tri")
         .agg(
-            F.count(F.lit(1)).alias("n_distinct_tri"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
-                "n_unique_tri"
-            ),
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
         )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique_tri"))
+    )
+    per_doc = (
+        pairs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_tri"))
+        .join(uniq_per_doc, "doc_id", "left")
+        .withColumn("n_unique_tri", F.coalesce("n_unique_tri", F.lit(0)))
     )
     # integer division on BOTH engines (Spark DIV / DuckDB //): a
     # double-then-cast would round on DuckDB but truncate on Spark

@@ -79,3 +79,20 @@ def test_salt_is_deterministic(spark, skewed_df):
     s2 = skewed_df.select(deterministic_salt(["rid"], 8).alias("s")).collect()
     assert s1 == s2
     assert all(0 <= r["s"] < 8 for r in s1)
+
+
+def test_fan_out_widens_narrow_and_noops_on_wide(spark):
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, text string"
+    ).coalesce(1)
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == par
+    # identical rows, only the partitioning changes
+    assert sorted(r["id"] for r in widened.collect()) == list(range(100))
+    # already-wide input passes through UNTOUCHED (the 100 TB case:
+    # no exchange may be added to a corpus already scanning wide)
+    wide = narrow.repartition(par)
+    assert fan_out(wide) is wide
