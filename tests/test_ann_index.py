@@ -611,3 +611,36 @@ def test_pq_loud_when_missing_and_rerecord_without_pq_drops_codes(spark, tmp_pat
     assert not _os.path.isdir(wh._ann_codes_dir("vecs"))
     with pytest.raises(WarehouseError, match="no PQ codes"):
         wh.read_nearest_pq("vecs", "embedding", _corner(1), k=3)
+
+
+def test_pq_bucketed_merge_lifecycle(spark, tmp_path):
+    """PQ on a bucketed-MERGE table: codes live per generation like the
+    membership rows — merges refresh them incrementally against frozen
+    centroids AND codebooks, superseded generations' codes rows go dead
+    harmlessly (the probe's file semi-join ignores them), and the ADC
+    shortlist + exact re-rank equals ivfpq_topk over the POST-merge
+    live rows (updates included)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE", key_bucket_count=4)
+    base = [(i, _corner(i % 8, 0.001 * i)) for i in range(24)]
+    delta = [(i, _corner((i + 1) % 8, 0.03)) for i in range(0, 24, 3)] + [
+        (100 + i, _corner(i % 8, 0.02)) for i in range(6)
+    ]
+
+    def merged(rows):
+        return _corpus(spark, rows).withColumn("i", F.col("vec_id"))
+
+    wh.merge(merged(base), "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=4, pq_m=2, pq_ksub=8
+    )
+    meta0 = wh.ann_meta("vecs")
+    wh.merge(merged(delta), "vecs", ["vec_id"], mode="upsert", order_col="i", spec=spec)
+    meta = wh.ann_meta("vecs")
+    assert meta["codebooks"] == meta0["codebooks"]  # frozen across merges
+    assert set(wh._live_data_files("vecs")) <= wh.ann_encoded_files("vecs")
+    qv = _corner(1, 0.005)
+    for n_probe, shortlist in ((1, 8), (2, 12), (4, 40)):
+        assert _pq_probe(wh, "vecs", qv, 6, n_probe, shortlist) == _pq_ref(
+            spark, wh, "vecs", meta, qv, 6, n_probe, shortlist
+        )
