@@ -143,8 +143,8 @@ def doc_bigrams(df, id_col: str, text_col: str):
     """(doc, w1, w2) rows — one per consecutive token pair. The token
     array is referenced only at row scope (slice argument positions,
     not lambda bodies), so no checkpoint barrier is needed. NOT
-    fan_out'd: this explode is allocation-bound and widening it in a
-    shared local heap measured 1.24x slower (see bm25_doc_lengths)."""
+    fan_out'd: allocation-bound, measured slower widened in a shared
+    local heap (see bm25_doc_lengths)."""
     from pyspark.sql import functions as F
 
     toks = tokens(F.col(text_col))
@@ -232,11 +232,12 @@ def bm25_scores(
 
 def bm25_doc_lengths(df, id_col: str, text_col: str):
     """(doc, toks, dl) — the document-length half of the BM25 index.
-    Deliberately NOT fan_out'd: the tokenize+explode here is
-    allocation-bound, and widening it in a shared local heap measured
-    1.37x SLOWER at sf1 (GC contention), unlike the hash-CPU-bound
-    seams (decontaminate/DSIR) where fan_out wins 2.6-2.8x. On a real
-    multi-executor cluster the input arrives wide anyway."""
+    Deliberately NOT fan_out'd: the tokenize+explode is allocation-
+    bound and measured SLOWER widened at every tested corpus size in a
+    shared local heap (1.37x at sf1, 1.2x at sf10 — the isin filter
+    right after the explode keeps the narrow stage short, unlike the
+    trigram build in docs_ngram_novelty which crosses over at ~50 MB).
+    On a multi-executor cluster the input arrives wide anyway."""
     from pyspark.sql import functions as F
 
     return df.select(

@@ -27,7 +27,11 @@ def deterministic_salt(cols: list[str], buckets: int) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets))
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    when_bytes: int | None = None,
+) -> DataFrame:
     """Raise SCAN parallelism before CPU-bound per-row work (regex
     canonicalization, tokenization, per-gram hashing).
 
@@ -43,12 +47,34 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     MB of raw text once, before the tokenize/explode that a barrier
     typically checkpoints anyway. The condition also keeps it out of
     the plan for already-shuffled inputs, unlike a bare repartition(),
-    which would force a pointless full exchange at scale."""
+    which would force a pointless full exchange at scale.
+
+    ``when_bytes``: ALLOCATION-bound narrow work (string-building
+    explodes: bigrams, trigrams, shingles) behaves differently from
+    hash-CPU-bound work — widening it in a shared local heap adds GC
+    contention that only pays off once the narrow stage is long enough
+    to amortize. Measured crossover on 32 local cores: plain wins at a
+    5 MB corpus (sf1 documents, 1.1-1.2x), widening wins at 53 MB
+    (sf10, 0.78x). Pass the threshold for allocation-bound seams; the
+    widening then engages only when Catalyst's size estimate of the
+    input exceeds it. Hash-bound seams (md5 per gram: decontaminate,
+    DSIR) win from widening at every measured size — omit it there."""
+    if when_bytes is not None:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est < when_bytes:
+            return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)
+
+
+# measured crossover band for allocation-bound text explodes (see
+# fan_out docstring): plain still won at 5 MB, widening won at 53 MB
+FAN_OUT_TEXT_BYTES = 24 * 1024 * 1024
 
 
 def salted_join(

@@ -3835,12 +3835,17 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df counts and a join back. Docs with < 3 tokens carry no trigram
     and drop out — same on both engines."""
     from kafka_connect_bigquery_spark.operators.dedup import canonical_text
+    from kafka_connect_bigquery_spark.operators.skew import (
+        FAN_OUT_TEXT_BYTES,
+        fan_out,
+    )
 
-    # NOT fan_out'd: interleaved A/B at sf0.1 AND sf1 showed the plain
-    # narrow build faster (the trigram concat explode is allocation-
-    # bound — widening it in a shared local heap adds GC contention,
-    # same finding as doc_bigrams/bm25_doc_lengths)
-    d = _t(spark, sf_dir, "documents")
+    # the trigram concat explode is allocation-bound: widened only
+    # above the corpus-size crossover (A/B: plain wins at sf0.1/sf1,
+    # widening wins 0.78x at sf10 — see fan_out's docstring)
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), when_bytes=FAN_OUT_TEXT_BYTES
+    )
     toks = F.split(canonical_text(F.col("text")), " ")
     t2 = F.slice(toks, F.lit(2), F.size(toks))
     t3 = F.slice(toks, F.lit(3), F.size(toks))

@@ -96,3 +96,19 @@ def test_fan_out_widens_narrow_and_noops_on_wide(spark):
     # no exchange may be added to a corpus already scanning wide)
     wide = narrow.repartition(par)
     assert fan_out(wide) is wide
+
+
+def test_fan_out_when_bytes_gates_on_input_size(spark, tmp_path):
+    """The allocation-bound form: below the byte threshold the frame
+    passes through untouched (local-heap GC contention would eat the
+    parallelism win); above it, widening engages."""
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x" * 100) for i in range(1000)], "id long, text string"
+    ).coalesce(1).write.parquet(p)
+    small = spark.read.parquet(p)
+    assert fan_out(small, when_bytes=10 * 1024 * 1024) is small
+    widened = fan_out(small, when_bytes=1)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
