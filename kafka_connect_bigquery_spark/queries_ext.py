@@ -1408,6 +1408,38 @@ def q_warehouse_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warehouse_ann_pq_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFADC through the warehouse
+    (sinks/warehouse.py::read_nearest_pq_many): a FRAME of query
+    vectors (the first 10 embeddings, the retrieval-request shape)
+    answered in one job against the STORED PQ codes — per query, ADC
+    over its 2 nearest frozen lists reading m stored ints per
+    candidate, a 20-deep shortlist, exact cosine re-rank touching only
+    shortlisted raw vectors, self-matches excluded (the dedup shape).
+    Same closed-form staging as warehouse_ann_pq (even-id seeds and
+    codebooks, incremental second append), so the oracle reproduces
+    the whole pipeline bit-exactly per query."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wh = _scratch_wh(spark, "annpqmany")
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=_IVF_LISTS,
+        pq_m=_PQ_M, pq_ksub=_PQ_KSUB,
+    )
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)  # incremental
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return wh.read_nearest_pq_many(
+        "vecs", "embedding", queries,
+        k=_ANN_K, n_probe=_IVF_PROBE, shortlist=_PQ_SHORTLIST,
+        exclude_self=True,
+    )
+
+
 def q_warehouse_ann_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch form of the warehouse ANN probe
     (sinks/warehouse.py::read_nearest_many) — a FRAME of query vectors
@@ -2334,6 +2366,130 @@ SELECT neighbor_id, adc_q / 1000000000000.0 AS adc_dist, cosine, rank
 FROM (
   SELECT neighbor_id, adc_q, cosine,
          CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# batch form: per-query probes over vec_id < _ANN_NQ, self-matches
+# excluded — otherwise identical to Q_WAREHOUSE_ANN_PQ_SQL (even-id
+# seeds/codebooks = the warehouse record-time corpus)
+Q_WAREHOUSE_ANN_PQ_MANY_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+elq AS (
+  SELECT vec_id, d, v, CAST(FLOOR(v * {_QD} + 0.5) AS BIGINT) AS vq FROM el
+),
+seeds AS (
+  SELECT r.list_id, e.d, e.vq AS sq
+  FROM (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY vec_id LIMIT {_IVF_LISTS})
+  ) r JOIN elq e USING (vec_id)
+),
+cdists AS (
+  SELECT e.vec_id, s.list_id,
+         SUM((e.vq - s.sq) * (e.vq - s.sq)) AS dist
+  FROM elq e JOIN seeds s ON e.d = s.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, a.list_id, e.d, e.d // {_PQ_DSUB} AS s,
+         e.vq - sd.sq AS r
+  FROM elq e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN seeds sd ON sd.list_id = a.list_id AND sd.d = e.d
+),
+cbsel AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+cb AS (
+  SELECT c.code_id, r.s, r.d, r.r AS cr
+  FROM resid r JOIN cbsel c USING (vec_id)
+),
+codes AS (
+  SELECT vec_id, list_id, s, code_id FROM (
+    SELECT r.vec_id, r.list_id, r.s, c.code_id,
+           row_number() OVER (PARTITION BY r.vec_id, r.s
+                ORDER BY SUM((r.r - c.cr) * (r.r - c.cr)), c.code_id) AS rn
+    FROM resid r JOIN cb c ON c.s = r.s AND c.d = r.d
+    GROUP BY r.vec_id, r.list_id, r.s, c.code_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+    FROM cdists WHERE vec_id < {_ANN_NQ}
+  ) WHERE rn <= {_IVF_PROBE}
+),
+qresid AS (
+  SELECT p.query_id, p.list_id, e.d, e.d // {_PQ_DSUB} AS s,
+         e.vq - sd.sq AS r
+  FROM probes p
+  JOIN elq e ON e.vec_id = p.query_id
+  JOIN seeds sd ON sd.list_id = p.list_id AND sd.d = e.d
+),
+tabs AS (
+  SELECT q.query_id, q.list_id, q.s, c.code_id,
+         SUM((q.r - c.cr) * (q.r - c.cr)) AS t
+  FROM qresid q JOIN cb c ON c.s = q.s AND c.d = q.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id, SUM(t.t) AS adc_q
+  FROM codes k
+  JOIN tabs t ON t.list_id = k.list_id AND t.s = k.s AND t.code_id = k.code_id
+  WHERE k.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_q FROM (
+    SELECT query_id, neighbor_id, adc_q,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_q, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(FLOOR(v * v * {_QE} + 0.5) AS BIGINT)) AS nq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_q,
+         SUM(CAST(FLOOR(q.v * n.v * {_QE} + 0.5) AS BIGINT)) AS dq
+  FROM short s
+  JOIN el q ON q.vec_id = s.query_id
+  JOIN el n ON n.vec_id = s.neighbor_id AND n.d = q.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.adc_q,
+         (d.dq / {_QE}.0) / (sqrt(nq1.nq / {_QE}.0) * sqrt(nq2.nq / {_QE}.0)) AS cosine
+  FROM dots d
+  JOIN norms nq1 ON nq1.vec_id = d.query_id
+  JOIN norms nq2 ON nq2.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_q / 1000000000000.0 AS adc_dist, cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, adc_q, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {_ANN_K}
 """
@@ -4697,6 +4853,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),
     "warehouse_ann_pq": (q_warehouse_ann_pq, Q_WAREHOUSE_ANN_PQ_SQL),
+    "warehouse_ann_pq_many": (
+        q_warehouse_ann_pq_many,
+        Q_WAREHOUSE_ANN_PQ_MANY_SQL,
+    ),
     "warehouse_ann_refined": (
         q_warehouse_ann_refined,
         Q_WAREHOUSE_ANN_REFINED_SQL,

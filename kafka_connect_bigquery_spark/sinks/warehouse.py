@@ -3080,53 +3080,9 @@ class Warehouse:
         # -- candidate generation from STORED codes (narrow scan);
         # unencoded-but-live candidate files fall back to on-the-fly
         # encoding of the raw column, same expressions as the build
-        enc = self.ann_encoded_files(table)
-        enc_rel = [r for r in kept_rel if r in enc]
-        unenc_rel = [r for r in kept_rel if r not in enc]
-        parts = []
-        if enc_rel:
-            enc_df = self.spark.createDataFrame(
-                [(r,) for r in sorted(enc_rel)], "f string"
-            )
-            parts.append(
-                self.spark.read.parquet(self._ann_codes_dir(table))
-                .filter(F.col("list_id").isin(probes))  # drops -1 markers
-                .join(enc_df, "f", "left_semi")
-                .select("nid", "list_id", "codes")
-            )
-        if unenc_rel:
-            raw = self._ann_read_files(
-                table, [live[r] for r in sorted(unenc_rel)], layout
-            )
-            vec = F.col(col)
-            cents_q_lit = F.array(
-                *[
-                    F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
-                    for cent in cents
-                ]
-            )
-            cb_lit = ANN._cb_literal(books)
-            parts.append(
-                raw.filter(vec.isNotNull())
-                .select(
-                    F.col(meta["id_col"]).cast("long").alias("nid"),
-                    ANN.assign_list(vec, cents).alias("list_id"),
-                    vec.alias("__v"),
-                )
-                .filter(F.col("list_id").isin(probes))
-                .select(
-                    "nid",
-                    "list_id",
-                    ANN._pq_codes(
-                        ANN._resid_col(
-                            F.col("__v"), cents_q_lit, F.col("list_id")
-                        ),
-                        cb_lit,
-                        m,
-                        dsub,
-                    ).alias("codes"),
-                )
-            )
+        parts = self._ann_pq_candidates(
+            table, meta, probes, kept_rel, live, layout
+        )
         if not parts:
             empty = self.read(table).limit(0)
             return empty.select(
@@ -3199,6 +3155,256 @@ class Warehouse:
             (F.col("adc_q") / F.lit(float(QD) * QD)).alias("adc_dist"),
             "cosine",
         ).withColumn("rank", F.row_number().over(w))
+
+    def _ann_pq_candidates(
+        self,
+        table: str,
+        meta: dict,
+        probes: list[int],
+        kept_rel: list[str],
+        live: dict[str, str],
+        layout: dict,
+    ) -> list[DataFrame]:
+        """(nid, list_id, codes) candidate frames for a PQ probe:
+        stored codes for encoded candidate files (probed list_ids
+        pushed into the parquet scan; -1 markers drop with the same
+        filter), plus on-the-fly encoding — identical expressions to
+        the build — for live candidate files a torn or racing codes
+        build left unencoded. Returns [] when no candidates exist."""
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+
+        col = meta["col"]
+        cents = meta["centroids"]
+        books = meta["codebooks"]
+        m = meta["pq_m"]
+        dsub = len(books[0][0])
+        enc = self.ann_encoded_files(table)
+        enc_rel = [r for r in kept_rel if r in enc]
+        unenc_rel = [r for r in kept_rel if r not in enc]
+        parts = []
+        if enc_rel:
+            enc_df = self.spark.createDataFrame(
+                [(r,) for r in sorted(enc_rel)], "f string"
+            )
+            parts.append(
+                self.spark.read.parquet(self._ann_codes_dir(table))
+                .filter(F.col("list_id").isin(probes))  # drops -1 markers
+                .join(enc_df, "f", "left_semi")
+                .select("nid", "list_id", "codes")
+            )
+        if unenc_rel:
+            raw = self._ann_read_files(
+                table, [live[r] for r in sorted(unenc_rel)], layout
+            )
+            vec = F.col(col)
+            cents_q_lit = F.array(
+                *[
+                    F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
+                    for cent in cents
+                ]
+            )
+            cb_lit = ANN._cb_literal(books)
+            parts.append(
+                raw.filter(vec.isNotNull())
+                .select(
+                    F.col(meta["id_col"]).cast("long").alias("nid"),
+                    ANN.assign_list(vec, cents).alias("list_id"),
+                    vec.alias("__v"),
+                )
+                .filter(F.col("list_id").isin(probes))
+                .select(
+                    "nid",
+                    "list_id",
+                    ANN._pq_codes(
+                        ANN._resid_col(
+                            F.col("__v"), cents_q_lit, F.col("list_id")
+                        ),
+                        cb_lit,
+                        m,
+                        dsub,
+                    ).alias("codes"),
+                )
+            )
+        return parts
+
+    def read_nearest_pq_many(
+        self,
+        table: str,
+        col: str,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        k: int = 10,
+        n_probe: int = 2,
+        shortlist: int = 20,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Batch form of :meth:`read_nearest_pq` — a FRAME of query
+        vectors answered in one job against the stored PQ codes:
+        per query, ADC over its ``n_probe`` nearest frozen lists from
+        stored m-int codes, a per-query ``shortlist``, then exact
+        cosine re-rank reading ONLY the shortlisted raw vectors.
+        Returns ``(query_id, neighbor_id, adc_dist, cosine, rank)`` —
+        identical semantics to operators/ann.py::ivfpq_topk with the
+        recorded frozen quantizer + codebooks.
+
+        File pruning uses the UNION of all queries' probed lists (one
+        n_lists-bounded collect, like :meth:`read_nearest_many`); the
+        per-query list restriction, ADC lookup tables, shortlists, and
+        ranking all run in Spark. ``exclude_self`` drops neighbor_id ==
+        query_id rows (the dedup shape). Same staleness contract as the
+        single-query probe: unencoded candidate files encode on the
+        fly; rows excised by a deferred delete may occupy shortlist
+        slots but drop at the delete-aware re-rank."""
+        from pyspark.sql import Window
+
+        from kafka_connect_bigquery_spark.operators import ann as ANN
+        from kafka_connect_bigquery_spark.operators.ann import QD
+
+        meta = self.ann_meta(table)
+        if not meta or meta["col"] != col:
+            raise WarehouseError(
+                f"no ANN index recorded for {table}.{col}; call "
+                "record_ann first"
+            )
+        if meta.get("pq_m") is None:
+            raise WarehouseError(
+                f"ANN index on {table}.{col} has no PQ codes; record_ann "
+                "with pq_m=... first (read_nearest_many serves the plain "
+                "IVF probe)"
+            )
+        cents = meta["centroids"]
+        books = meta["codebooks"]
+        m = meta["pq_m"]
+        dsub = len(books[0][0])
+        n_lists = len(cents)
+        n_probe = min(n_probe, n_lists)
+        cents_q_lit = F.array(
+            *[
+                F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
+                for cent in cents
+            ]
+        )
+        cb_lit = ANN._cb_literal(books)
+
+        # -- query side: per-query probed lists + ADC lookup tables
+        # (same expressions as ivfpq_topk's query half)
+        q0 = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        dists_all = F.array(
+            *[ANN._sq_dist_to(F.col("qv"), cent) for cent in cents]
+        )
+        ranked = F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists_all,
+                    F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                    lambda dd, i: F.struct(dd.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda st: st["i"],
+        )
+        q_probe = ANN.with_norm(q0, "qv", "qn").select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+        )
+        q_resid = ANN._resid_col(F.col("qv"), cents_q_lit, F.col("list_id"))
+        q = q_probe.withColumn(
+            "tabs", ANN._pq_tabs(q_resid, cb_lit, m, dsub)
+        ).localCheckpoint(eager=True)
+
+        # union of probed lists: n_lists-bounded collect, prunes files
+        probes = sorted(
+            r["list_id"] for r in q.select("list_id").distinct().collect()
+        )
+        kept_rel, live = self._ann_candidate_rel(table, probes)
+        if kept_rel is None:
+            kept_rel = sorted(live)
+        layout = self.layout_meta(table)
+        parts = self._ann_pq_candidates(
+            table, meta, probes, kept_rel, live, layout
+        )
+        empty = self.read(table).limit(0).select(
+            F.lit(None).cast("long").alias("query_id"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        if not parts:
+            return empty
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+
+        # -- ADC within probed lists, per-query shortlist
+        joined = cand.join(F.broadcast(q), "list_id")
+        if exclude_self:
+            joined = joined.filter(F.col("query_id") != F.col("nid"))
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("tabs"),
+                lambda code, tab_s: F.element_at(tab_s, code + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_q"), F.asc("nid")
+        )
+        short = (
+            joined.withColumn("adc_q", adc)
+            .withColumn("adc_rank", F.row_number().over(w_adc))
+            .filter(F.col("adc_rank") <= shortlist)
+            .select("query_id", "qv", "qn", "nid", "adc_q")
+        )
+
+        # -- exact re-rank: only shortlisted raw vectors are read (the
+        # shortlist semi-joins the raw scan before the vector column is
+        # touched row-wise)
+        raw = self._ann_read_files(
+            table, [live[r] for r in sorted(kept_rel)], layout
+        )
+        vec = F.col(col)
+        nvecs = (
+            raw.filter(vec.isNotNull())
+            .select(
+                F.col(meta["id_col"]).cast("long").alias("nid"),
+                vec.alias("cv"),
+                ANN.quantized_norm_sq(vec).alias("cn"),
+            )
+            .join(
+                F.broadcast(short.select("nid").distinct()), "nid", "left_semi"
+            )
+        )
+        reranked = short.join(nvecs, "nid").withColumn(
+            "cosine",
+            ANN.cosine_from_quantized(
+                ANN.quantized_dot(F.col("qv"), F.col("cv")),
+                F.col("qn"),
+                F.col("cn"),
+            ),
+        )
+        w_cos = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("nid")
+        )
+        return (
+            reranked.withColumn("rank", F.row_number().over(w_cos))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("nid").alias("neighbor_id"),
+                (F.col("adc_q") / F.lit(float(QD) * QD)).alias("adc_dist"),
+                "cosine",
+                "rank",
+            )
+        )
 
     def _ann_read_files(
         self, table: str, keep: list[str], layout: dict

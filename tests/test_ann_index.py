@@ -644,3 +644,45 @@ def test_pq_bucketed_merge_lifecycle(spark, tmp_path):
         assert _pq_probe(wh, "vecs", qv, 6, n_probe, shortlist) == _pq_ref(
             spark, wh, "vecs", meta, qv, 6, n_probe, shortlist
         )
+
+
+def test_pq_many_matches_per_query_probes(spark, tmp_path):
+    """The batch PQ probe equals the single-query probe per query (and
+    both equal the operator-level IVFADC), with exclude_self dropping
+    corpus-row queries' self-matches."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=8, pq_m=8, pq_ksub=16
+    )
+    wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    meta = wh.ann_meta("vecs")
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (
+            r["neighbor_id"], round(r["adc_dist"], 9), round(r["cosine"], 9)
+        )
+        for r in wh.read_nearest_pq_many(
+            "vecs", "embedding", qdf, k=4, n_probe=2, shortlist=15,
+            exclude_self=False,
+        ).collect()
+    }
+    for row in qdf.collect():
+        qv = [float(x) for x in row["query_vec"]]
+        single = _pq_probe(wh, "vecs", qv, 4, 2, 15)
+        for nid, adc, cos, rank in single:
+            assert got[(row["query_id"], rank)] == (nid, adc, cos)
+    # exclude_self: a corpus-row query never returns itself
+    ex = wh.read_nearest_pq_many(
+        "vecs", "embedding", qdf, k=4, n_probe=2, shortlist=15,
+        exclude_self=True,
+    ).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in ex)
+    assert ex  # still returns neighbors
