@@ -333,3 +333,35 @@ def test_ann_cli_record_and_probe(spark, tmp_path, capsys):
     assert [n["neighbor_id"] for n in out4["neighbors"]] == [
         n["neighbor_id"] for n in out2["neighbors"]
     ]
+
+
+def test_ann_cli_pq_record_and_probe(spark, tmp_path, capsys):
+    root = str(tmp_path / "whpq")
+    wh = Warehouse(spark, root)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    wh.append(emb, "vecs", TableSpec(partition_grain="NONE"))
+    out = _run(
+        capsys, "ann", root, "vecs", "--ann-col", "embedding",
+        "--pq-m", "8", "--pq-ksub", "16",
+    )
+    assert out["meta"]["pq_m"] == 8
+    assert "codebooks" not in out["meta"]  # report stays compact
+    assert out["n_files_encoded"] >= 1
+    qv = ",".join(str(float(x)) for x in emb.first()["embedding"])
+    pq = _run(
+        capsys, "ann", root, "vecs", f"--nearest={qv}", "--k", "3",
+        "--n-probe", "2", "--pq", "--shortlist", "10",
+    )
+    assert pq["pq"] is True
+    assert len(pq["neighbors"]) == 3
+    assert abs(pq["neighbors"][0]["cosine"] - 1.0) < 1e-9  # self first
+    # the exact IVF probe agrees on the re-ranked ids
+    ivf = _run(
+        capsys, "ann", root, "vecs", f"--nearest={qv}", "--k", "3",
+        "--n-probe", "2",
+    )
+    assert pq["neighbors"][0]["neighbor_id"] == ivf["neighbors"][0]["neighbor_id"]

@@ -71,9 +71,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ann-col", default=None, help="vector column to index")
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--n-lists", type=int, default=8)
+    p.add_argument(
+        "--pq-m", type=int, default=None,
+        help="ann: also persist residual-PQ codes with this many "
+        "subspaces (probes can then use --pq ADC candidate generation)",
+    )
+    p.add_argument("--pq-ksub", type=int, default=16)
     p.add_argument("--nearest", default=None, help="query vector: comma-separated floats")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-probe", type=int, default=2)
+    p.add_argument(
+        "--pq", action="store_true",
+        help="ann --nearest: probe via the stored PQ codes (ADC "
+        "shortlist + exact re-rank) instead of the raw-vector scan",
+    )
+    p.add_argument("--shortlist", type=int, default=20)
     p.add_argument(
         "--optimize", action="store_true",
         help="ann: rewrite the table co-located by list assignment "
@@ -277,6 +289,7 @@ def main(argv: list[str] | None = None) -> int:
             wh().record_ann(
                 args.table, args.ann_col,
                 id_col=args.id_col, n_lists=args.n_lists,
+                pq_m=args.pq_m, pq_ksub=args.pq_ksub,
             )
         if args.optimize:
             wh().optimize_ann(args.table)
@@ -287,14 +300,21 @@ def main(argv: list[str] | None = None) -> int:
                 print("no ANN index recorded; pass --ann-col first", file=sys.stderr)
                 return 2
             qv = [float(x) for x in args.nearest.split(",")]
-            hitdf = wh().read_nearest(
-                args.table, meta["col"], qv, k=args.k, n_probe=args.n_probe
-            )
+            if args.pq:
+                hitdf = wh().read_nearest_pq(
+                    args.table, meta["col"], qv,
+                    k=args.k, n_probe=args.n_probe, shortlist=args.shortlist,
+                )
+            else:
+                hitdf = wh().read_nearest(
+                    args.table, meta["col"], qv, k=args.k, n_probe=args.n_probe
+                )
             rows = hitdf.collect()
             out = {
                 "table": args.table,
                 "k": args.k,
                 "n_probe": args.n_probe,
+                "pq": bool(args.pq),
                 "neighbors": [
                     {"neighbor_id": r["neighbor_id"], "cosine": r["cosine"],
                      "rank": r["rank"]}
@@ -305,9 +325,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = {
                 "table": args.table,
-                "meta": {k: v for k, v in (meta or {}).items() if k != "centroids"},
+                "meta": {
+                    k: v for k, v in (meta or {}).items()
+                    if k not in ("centroids", "codebooks")
+                },
                 "n_lists": len((meta or {}).get("centroids", [])),
                 "n_files": len(aw.ann_indexed_files(args.table)) if meta else 0,
+                "n_files_encoded": (
+                    len(aw.ann_encoded_files(args.table)) if meta else 0
+                ),
             }
     else:  # history
         w = wh()
