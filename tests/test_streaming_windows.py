@@ -422,15 +422,28 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
         assert r["retracted"] == (r["error"] is None)
     rows = [r for r in rows if not r["retracted"]]
     summary = {r["item"]: (r["count_est"], r["error"]) for r in rows}
-    # retraction correctness: every item emitted in an earlier batch
-    # but absent from the final summary got a retraction row, so a
-    # latest-row-per-(group,item) view holds exactly the live summary
+    # retraction correctness, stated as the documented consumer
+    # contract: the latest-row-per-(group,item) view holds exactly the
+    # live summary. Asserted over ALL emissions rather than assuming
+    # exactly two micro-batches: the running stream polls the source
+    # directory while the test's second parquet append is committing
+    # part files, so under host load a trigger can legally pick up a
+    # PARTIAL batch — an item evicted in that intermediate trigger
+    # carries its retraction row with an intermediate n_seen (the
+    # final-batch-only set equality this replaces flaked exactly
+    # there, ~1/20 loaded runs).
+    latest: dict = {}
+    for r in sorted(all_rows, key=lambda r: r["n_seen"]):
+        latest[r["item"]] = r
+    live_view = {i for i, r in latest.items() if not r["retracted"]}
+    assert live_view == set(summary), (live_view, summary, retracted)
+    # and every final-batch retraction names a previously-live item
     emitted_before = {
         r["item"]
         for r in all_rows
         if r["n_seen"] != n_total and not r["retracted"]
     }
-    assert emitted_before - set(summary) == retracted
+    assert retracted <= emitted_before, (retracted, emitted_before)
     assert len(summary) <= K  # bounded state
     assert all(r["group"] == "click" for r in rows)
     # guarantee 1: every item with true count > n/k is present
