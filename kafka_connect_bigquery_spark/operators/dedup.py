@@ -169,23 +169,39 @@ def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) postings list — the inverted index."""
-    # parallelize the whole narrow stage (fan_out BEFORE the projection,
-    # so the canonicalization regexes run wide too, not just the
-    # shingling), and materialize the canonical text BEFORE the
-    # per-position substr lambda — an inline canonicalization
-    # expression inside the HOF re-runs its two regexes len(text) times
-    # per document. A bare exchange is not a barrier (Catalyst pushes
-    # the projection below it); the checkpoint is, and the canon frame
-    # is the smallest thing in the pipeline.
-    from kafka_connect_bigquery_spark.operators.skew import fan_out
-
-    canon = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("doc"), canonical_text(F.col(text_col)).alias("_c")
-        )
-        .localCheckpoint(eager=True)
+    # parallelize the whole narrow stage, and materialize the canonical
+    # text BEFORE the per-position substr lambda — an inline
+    # canonicalization expression inside the HOF re-runs its two
+    # regexes len(text) times per document. A bare exchange is not a
+    # barrier (Catalyst pushes the projection below it); the checkpoint
+    # is, and the canon frame is the smallest thing in the pipeline.
+    #
+    # Two input shapes (the r12 settlement of the r11 search_hybrid_rrf
+    # watch item — 7-run interleaved A/B, BASELINE.md Round 12):
+    # - raw scan lineage: fan_out BEFORE the projection, so the
+    #   canonicalization regexes run wide too (the r11 win:
+    #   decontaminate 0.38x, DSIR 0.36x at sf1);
+    # - exchanged lineage (search's union+distinct): fan_out's AQE
+    #   probe would EXECUTE the upstream shuffle just to read the
+    #   partition count, and AQE may coalesce the small canon frame to
+    #   1 partition, starving the CPU-bound shingling — keep the
+    #   pre-r11 shape: project, then an explicit repartition of the
+    #   (small) canon text guarantees width with no probe. Measured
+    #   1.08x faster min-over-min on search_hybrid_rrf at sf0.1.
+    from kafka_connect_bigquery_spark.operators.skew import (
+        fan_out,
+        has_shuffle_lineage,
     )
+
+    proj = [
+        F.col(id_col).alias("doc"),
+        canonical_text(F.col(text_col)).alias("_c"),
+    ]
+    if has_shuffle_lineage(df):
+        par = df.sparkSession.sparkContext.defaultParallelism
+        canon = df.select(*proj).repartition(par).localCheckpoint(eager=True)
+    else:
+        canon = fan_out(df).select(*proj).localCheckpoint(eager=True)
     c = F.col("_c")
     shingles = F.array_distinct(
         F.transform(

@@ -18,6 +18,9 @@ exactly-once sinks break.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +28,103 @@ from pyspark.sql import functions as F
 def deterministic_salt(cols: list[str], buckets: int) -> Column:
     """Salt in [0, buckets) from a hash of stable row columns."""
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets))
+
+
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Actual on-disk bytes of the frame's input files, or ``None``
+    when the frame has no file source (streams, checkpointed or
+    in-memory frames) or a file cannot be stat'd.
+
+    This is the size signal ``fan_out(when_bytes=)`` gates on: file
+    bytes are a property of the DATA, where Catalyst's
+    ``optimizedPlan().stats().sizeInBytes()`` is a property of the
+    SESSION (compression-factor conf, CBO flags, column pruning above
+    the scan) — the same query must make the same widening decision
+    under any harness's session. Driver-side metadata only: the file
+    list is what the scan already planned over, no job runs."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            try:
+                total += os.path.getsize(unquote(parsed.path))
+                continue
+            except OSError:
+                return None
+        try:
+            # non-local FS (hdfs/s3a/...): stat through Hadoop's cached
+            # FileSystem handles — still pure driver metadata
+            sess = df.sparkSession
+            jpath = sess._jvm.org.apache.hadoop.fs.Path(uri)
+            fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+            total += fs.getFileStatus(jpath).getLen()
+        except Exception:
+            return None
+    return total
+
+
+# logical operators that put an exchange in the frame's lineage: their
+# output partitioning is runtime-decided (AQE), so a frame downstream of
+# any of these is never the single-row-group narrow scan fan_out exists
+# to widen
+_SHUFFLE_NODES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Sort",
+        "Window",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+    }
+)
+
+
+def has_shuffle_lineage(df: DataFrame) -> bool:
+    """True when the frame's optimized logical plan contains a
+    shuffle-producing operator.
+
+    Why this matters: under AQE, probing a post-shuffle frame's
+    partition count (``df.rdd``) FINALIZES the adaptive plan, which
+    EXECUTES the upstream shuffle stages — a whole extra run of the
+    query up to that point (measured 2.5 s on a union+distinct at
+    sf0.1, vs 0.09 s plan-only on a raw scan). Callers use this to
+    route exchanged frames away from the probe. Unknown plans count as
+    exchanged (the conservative answer: no probe, no widening)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return True
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name in _SHUFFLE_NODES:
+            return True
+        if name == "Repartition":
+            # repartition(n) shuffles; coalesce(n) is the SAME logical
+            # node with shuffle=false — and a coalesced narrow scan is
+            # exactly what fan_out exists to widen
+            try:
+                if node.shuffle():
+                    return True
+            except Exception:
+                return True
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return False
 
 
 def fan_out(
@@ -54,26 +154,48 @@ def fan_out(
     hash-CPU-bound work — widening it in a shared local heap adds GC
     contention that only pays off once the narrow stage is long enough
     to amortize. Measured crossover on 32 local cores: plain wins at a
-    5 MB corpus (sf1 documents, 1.1-1.2x), widening wins at 53 MB
+    6 MB corpus (sf1 documents, 1.1-1.2x), widening wins at 59 MB
     (sf10, 0.78x). Pass the threshold for allocation-bound seams; the
-    widening then engages only when Catalyst's size estimate of the
-    input exceeds it. Hash-bound seams (md5 per gram: decontaminate,
-    DSIR) win from widening at every measured size — omit it there."""
+    widening then engages only when the input's actual file bytes
+    (``scan_input_bytes`` — session-independent, unlike the Catalyst
+    size estimate this gate used to read) exceed it. Frames with no
+    file source (streams, checkpointed/in-memory) stay plain: unknown
+    size must not silently force a full exchange. Hash-bound seams
+    (md5 per gram: decontaminate, DSIR) win from widening at every
+    measured size — omit it there.
+
+    Cost note: the narrow-input probe compiles the physical plan once
+    (JVM-side ``rdd().getNumPartitions()`` — no Python RDD conversion);
+    fan_out sits once per query before a corpus scan, never inside a
+    per-batch or per-row path."""
     if when_bytes is not None:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if est < when_bytes:
+        size = scan_input_bytes(df)
+        if size is None or size < when_bytes:
             return df
+    if has_shuffle_lineage(df):
+        # post-shuffle frames are wide by construction at scale, and
+        # probing their partition count under AQE would execute the
+        # upstream stages (the r11 search_hybrid_rrf regression) — the
+        # settled behavior is hands-off; callers that need GUARANTEED
+        # width on an exchanged frame repartition explicitly (see
+        # dedup._shingle_postings)
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= target:
+    try:
+        parts = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        parts = df.rdd.getNumPartitions()
+    if parts * 2 >= target:
         return df
     return df.repartition(target)
 
 
 # measured crossover band for allocation-bound text explodes (see
-# fan_out docstring): plain still won at 5 MB, widening won at 53 MB
+# fan_out docstring): plain still won at 6 MB of input parquet (sf1
+# documents, 5.98 MB), widening won at 59 MB (sf10, 58.9 MB) — the
+# threshold sits mid-band, so moving the gate from Catalyst estimates
+# to actual file bytes changes no decision at the measured points
 FAN_OUT_TEXT_BYTES = 24 * 1024 * 1024
 
 

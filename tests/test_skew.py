@@ -112,3 +112,105 @@ def test_fan_out_when_bytes_gates_on_input_size(spark, tmp_path):
     assert fan_out(small, when_bytes=10 * 1024 * 1024) is small
     widened = fan_out(small, when_bytes=1)
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_when_bytes_decision_pinned_to_file_bytes(spark, tmp_path):
+    """The when_bytes gate reads ACTUAL input file bytes, not Catalyst's
+    session-dependent size estimate: the decision flips exactly at the
+    on-disk parquet size and ignores spark.sql.sources.fileCompressionFactor
+    (the conf that used to scale the estimate and could flip the widening
+    decision between two harnesses' sessions running the same query)."""
+    import glob
+    import os
+
+    from kafka_connect_bigquery_spark.operators.skew import (
+        fan_out,
+        scan_input_bytes,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x" * 100) for i in range(1000)], "id long, text string"
+    ).coalesce(1).write.parquet(p)
+    disk = sum(
+        os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+    )
+    df = spark.read.parquet(p)
+    assert scan_input_bytes(df) == disk
+    old = spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0")
+    try:
+        for factor in ("1.0", "100.0"):
+            spark.conf.set("spark.sql.sources.fileCompressionFactor", factor)
+            frame = spark.read.parquet(p)
+            # threshold one byte above the file size: never widens,
+            # under ANY session conf
+            assert fan_out(frame, when_bytes=disk + 1) is frame
+            # threshold at the file size: always widens
+            assert (
+                fan_out(frame, when_bytes=disk).rdd.getNumPartitions()
+                == spark.sparkContext.defaultParallelism
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.fileCompressionFactor", old)
+
+
+def test_has_shuffle_lineage_routes_probe_correctly(spark, tmp_path):
+    """fan_out must never probe a post-shuffle frame's partition count:
+    under AQE the probe finalizes the plan, which EXECUTES the upstream
+    shuffle stages (the r11 search_hybrid_rrf regression — a union+
+    distinct ran once for the probe and again for the checkpoint).
+    Narrow lineage (scan/project/filter/union) probes plan-only."""
+    from kafka_connect_bigquery_spark.operators.skew import (
+        fan_out,
+        has_shuffle_lineage,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, text string"
+    ).coalesce(1).write.parquet(p)
+    raw = spark.read.parquet(p)
+    assert not has_shuffle_lineage(raw)
+    assert not has_shuffle_lineage(raw.select("id"))
+    assert not has_shuffle_lineage(raw.filter("id > 3").select("text"))
+    assert not has_shuffle_lineage(raw.unionByName(raw))
+    assert has_shuffle_lineage(raw.distinct())
+    assert has_shuffle_lineage(raw.unionByName(raw).distinct())
+    assert has_shuffle_lineage(raw.groupBy("id").count())
+    assert has_shuffle_lineage(raw.join(raw.select("id"), "id"))
+    assert has_shuffle_lineage(raw.orderBy("id"))
+    assert has_shuffle_lineage(raw.repartition(4))
+    # exchanged frames pass through fan_out UNTOUCHED — no probe, no
+    # added exchange
+    d = raw.unionByName(raw).distinct()
+    assert fan_out(d) is d
+    # narrow frames still widen
+    assert (
+        fan_out(raw).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_fan_out_when_bytes_skips_fileless_frames(spark):
+    """Frames with no file source (in-memory, checkpointed) have no
+    byte size to gate on — the conservative answer is NO widening (the
+    old Catalyst-estimate gate defaulted to a huge sentinel here and
+    silently always widened)."""
+    from kafka_connect_bigquery_spark.operators.skew import (
+        fan_out,
+        scan_input_bytes,
+    )
+
+    mem = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(1000)], "id long, text string"
+    ).coalesce(1)
+    assert scan_input_bytes(mem) is None
+    assert fan_out(mem, when_bytes=1) is mem
+    ckpt = mem.localCheckpoint(eager=True)
+    assert scan_input_bytes(ckpt) is None
+    assert fan_out(ckpt, when_bytes=1) is ckpt
+    # without the byte gate the narrow-input widening still applies
+    assert (
+        fan_out(mem).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
