@@ -2758,7 +2758,18 @@ class Warehouse:
             meta = prior  # frozen quantizer
             indexed = self.ann_indexed_files(table)
             new_rel = {rel for rel in live if rel not in indexed}
-            if not new_rel:
+            # codes freshness is tracked SEPARATELY from membership: a
+            # torn codes build (membership rows landed, codes write
+            # died) leaves files in `indexed` but not in the codes
+            # table, so keying the codes scan on new_rel would never
+            # backfill them — every probe would re-encode those files
+            # from the raw column forever. Derive the codes scan set
+            # from live - encoded so the next refresh heals the tear.
+            codes_rel: set[str] = set()
+            if pq_m is not None:
+                encoded = self.ann_encoded_files(table)
+                codes_rel = {rel for rel in live if rel not in encoded}
+            if not new_rel and not codes_rel:
                 return
             scan = [live[r] for r in sorted(new_rel)]
             mode = "append"
@@ -2796,29 +2807,39 @@ class Warehouse:
                 meta["pq_m"] = pq_m
                 meta["pq_ksub"] = pq_ksub
                 meta["codebooks"] = codebooks
-        rows, indexable = (
-            self._ann_build(table, meta, scan) if new_rel else (None, False)
-        )
-        schema = "f string, list_id int"
-        markers = [(rel, -1) for rel in sorted(new_rel)] if indexable else []
-        out = self.spark.createDataFrame(markers, schema)
-        if rows is not None:
-            out = rows.unionByName(out)
-        self._write_index(
-            out, mode=mode, n_files=len(new_rel),
-            dest=self._ann_index_dir(table),
-        )
-        if mode == "append":
-            self._maybe_compact_index(self._ann_index_dir(table), live)
+        if mode == "overwrite" or new_rel:
+            rows, indexable = (
+                self._ann_build(table, meta, scan) if new_rel else (None, False)
+            )
+            schema = "f string, list_id int"
+            markers = (
+                [(rel, -1) for rel in sorted(new_rel)] if indexable else []
+            )
+            out = self.spark.createDataFrame(markers, schema)
+            if rows is not None:
+                out = rows.unionByName(out)
+            self._write_index(
+                out, mode=mode, n_files=len(new_rel),
+                dest=self._ann_index_dir(table),
+            )
+            if mode == "append":
+                self._maybe_compact_index(self._ann_index_dir(table), live)
         if meta.get("pq_m") is not None:
+            if mode == "overwrite":
+                codes_rel = set(new_rel)
+            codes_scan = (
+                [live[r] for r in sorted(codes_rel)]
+                if mode == "append"
+                else scan
+            )
             crows, cindexable = (
-                self._ann_codes_build(table, meta, scan)
-                if new_rel
+                self._ann_codes_build(table, meta, codes_scan)
+                if codes_rel
                 else (None, False)
             )
             cschema = "f string, list_id int, nid long, codes array<int>"
             cmarkers = (
-                [(rel, -1, None, None) for rel in sorted(new_rel)]
+                [(rel, -1, None, None) for rel in sorted(codes_rel)]
                 if cindexable
                 else []
             )
@@ -2826,7 +2847,7 @@ class Warehouse:
             if crows is not None:
                 cout = crows.unionByName(cout)
             self._write_index(
-                cout, mode=mode, n_files=len(new_rel),
+                cout, mode=mode, n_files=len(codes_rel),
                 dest=self._ann_codes_dir(table),
             )
             if mode == "append":

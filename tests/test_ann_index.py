@@ -546,6 +546,63 @@ def test_pq_unencoded_file_falls_back_on_the_fly(spark, tmp_path):
     )
 
 
+def test_pq_torn_codes_build_heals_on_next_refresh(spark, tmp_path):
+    """The torn-codes IO penalty is TRANSIENT, not permanent: the codes
+    scan set derives from live - encoded (not from the membership
+    index's new-file set), so the next incremental record_ann backfills
+    the unencoded files — even when no new data arrived to create new
+    membership work."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    wh.append(emb.filter(F.col("vec_id") % 2 == 0), "vecs", spec)
+    wh.record_ann(
+        "vecs", "embedding", id_col="vec_id", n_lists=8, pq_m=8, pq_ksub=16
+    )
+    orig = Warehouse._ann_codes_build
+    Warehouse._ann_codes_build = lambda self, t, m, f: (None, False)
+    try:
+        wh.append(emb.filter(F.col("vec_id") % 2 == 1), "vecs", spec)
+    finally:
+        Warehouse._ann_codes_build = orig
+    live = wh._live_data_files("vecs")
+    assert wh.ann_encoded_files("vecs") < set(live)  # the tear
+    assert wh.ann_indexed_files("vecs") == set(live)  # membership fresh
+    # the heal tick: membership has NOTHING new, codes do
+    wh.record_ann(
+        "vecs",
+        "embedding",
+        id_col="vec_id",
+        n_lists=8,
+        pq_m=8,
+        pq_ksub=16,
+        incremental=True,
+    )
+    assert wh.ann_encoded_files("vecs") == set(live)
+    meta = wh.ann_meta("vecs")
+    qv = _vec(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    assert _pq_probe(wh, "vecs", qv, 5, 2, 20) == _pq_ref(
+        spark, wh, "vecs", meta, qv, 5, 2, 20
+    )
+    # and the healed state is stable: another tick is a no-op
+    import os as _os
+
+    before = sorted(_os.listdir(wh._ann_codes_dir("vecs")))
+    wh.record_ann(
+        "vecs",
+        "embedding",
+        id_col="vec_id",
+        n_lists=8,
+        pq_m=8,
+        pq_ksub=16,
+        incremental=True,
+    )
+    assert sorted(_os.listdir(wh._ann_codes_dir("vecs"))) == before
+
+
 def test_pq_compact_and_optimize_keep_codebooks_and_results(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     spec = TableSpec(partition_grain="NONE")

@@ -63,13 +63,16 @@ def _ts_us(int64_us: np.ndarray) -> pa.Array:
 def gen(sf: float, out: str) -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
-    n_cust = int(150_000 * sf)
-    n_supp = int(10_000 * sf)
-    n_part = int(200_000 * sf)
-    n_ord = int(1_500_000 * sf)
-    n_evt = int(1_000_000 * sf)
-    n_doc = int(50_000 * sf)
-    n_emb = int(20_000 * sf)
+    # clamp every count to >= 1: a tiny sf (e.g. 1e-5) would otherwise
+    # zero out the key tables and rng.integers(0, 0, ...) raises in the
+    # orders/lineitem generators that sample those keyspaces
+    n_cust = max(1, int(150_000 * sf))
+    n_supp = max(1, int(10_000 * sf))
+    n_part = max(1, int(200_000 * sf))
+    n_ord = max(1, int(1_500_000 * sf))
+    n_evt = max(1, int(1_000_000 * sf))
+    n_doc = max(1, int(50_000 * sf))
+    n_emb = max(1, int(20_000 * sf))
 
     def write(name, table):
         pq.write_table(
