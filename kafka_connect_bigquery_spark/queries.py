@@ -4964,87 +4964,90 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 11 window (50 slots), executed exactly as pre-registered in
-# the r10 verdict ("Next round: do this" #1, carried from SURVEY §7's
-# round-10 pre-registration that round 10 died before executing): lead
-# with the 23 r06-stale rows (the entries whose last driver witness is
-# oldest — all 23 re-verified EXACT by the r10 judge on that HEAD, so
-# the rotation is risk-free), then the r10-changed path
-# (tpch_q21_waiting_suppliers — the `late` subtree gained the
-# localCheckpoint dedup in r10 without a driver witness), the NEW r11
-# first-witness entry (warehouse_ann_pq — PQ codes persisted in the
-# `_ann` warehouse index, ADC candidate generation + exact re-rank;
-# lands later this round, the registry skips unknown names until it
-# does), the pinned tolerance-contract entry, and backfill with 24 of
-# the 47 r07-stale rows — the TPC-H headline family first (q3–q22 sans
-# q21 which already leads), then the core dedup representatives,
-# graph_pagerank and ann_cosine_topk. The 22 r07 rows that do not fit
-# (ann_lsh_topk, bq_shape_projection, cobucketed_join, dataset_split,
-# dedup_edit_distance/embedding_cosine/ngram_jaccard/simhash,
-# embedding_dim_stats, embedding_gram, events_moment_stats,
-# events_rollup_pyramid, rollup_incremental, session_paths,
-# sketch_count_min, sketch_hll_incremental, stratified_sample,
-# table_profile, text_hashed_tf, text_sparse_cosine,
-# tpch_q10_returned_items, user_value_distribution) are pre-registered
-# to LEAD the r12 window.
+# Round 12 window (50 slots), executed exactly as pre-registered in
+# the r11 verdict ("Next round: do this" #1) / SURVEY's round-12
+# pre-registration: LEAD with the never-witnessed r11 landing
+# (warehouse_ann_pq_many — entered the registry after the r11 window
+# froze; judge-verified EXACT on the r11 HEAD), then the 22 r07-stale
+# rows (all 22 judge-re-verified EXACT on the r11 HEAD, so the
+# rotation is risk-free), then the r12-changed paths:
+# search_hybrid_rrf (the r11 _shingle_postings fan_out change is its
+# one unsettled perf path; also re-shaped this round by the
+# settlement) and warehouse_ann_pq (record_ann's codes scan set now
+# derives from live - encoded so torn codes builds heal — the PQ
+# write path changed), then the pinned tolerance-contract entry, and
+# backfill with 24 of the 48 r08-stale rows — docs_ngram_novelty
+# first (its fan_out(when_bytes=) gate moved from Catalyst estimates
+# to file bytes this round), then the MERGE family, the sink
+# roundtrips, the warehouse read/index family, and the incremental
+# sketch family. The 24 r08 rows that do not fit (ann_ivf_topk,
+# bpe_top_pairs, corpus_shard_plan, customer_ltv_deciles,
+# dedup_prefix_filter, docs_chunk_windows, events_cube,
+# events_json_agg, events_ks_test, events_mannwhitney, events_pivot,
+# events_set_ops, mixture_rebalance, orders_market_basket,
+# text_collocations, text_language_id, text_quality_scores,
+# text_zipf_fit, top_orders_per_segment, user_value_ranks,
+# warehouse_bloom_bucketed, warehouse_clone_bucketed,
+# warehouse_sketch_bucketed, warehouse_text_bucketed) are
+# pre-registered to LEAD the r13 window.
 _PRIORITY_ORDER: list[str] = [
-    # -- the 23 r06-stale rows (oldest driver witnesses) ---------------
-    "ann_ivfpq_topk",
-    "dedup_minhash_recall",
-    "docs_decontaminate",
-    "docs_dsir_weights",
-    "docs_length_histogram",
-    "docs_quality_filter",
-    "docs_sequence_pack",
-    "docs_vocab_growth",
-    "embedding_label_centroids",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_funnel",
-    "events_transitions",
-    "events_value_quantiles",
-    "sample_k_per_group",
-    "sketch_kmv_overlap",
-    "text_bigram_fluency",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_subword_stats",
-    "text_token_stats",
-    "text_top_terms",
-    # -- r10-changed path: q21's localCheckpoint'd `late` subtree ------
-    "tpch_q21_waiting_suppliers",
-    # -- NEW r11 entry (first-witness): PQ-coded warehouse ANN ---------
+    # -- never-witnessed r11 landing (leads, per pre-registration) -----
+    "warehouse_ann_pq_many",
+    # -- the 22 r07-stale rows (oldest driver witnesses) ---------------
+    "ann_lsh_topk",
+    "bq_shape_projection",
+    "cobucketed_join",
+    "dataset_split",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_gram",
+    "events_moment_stats",
+    "events_rollup_pyramid",
+    "rollup_incremental",
+    "session_paths",
+    "sketch_count_min",
+    "sketch_hll_incremental",
+    "stratified_sample",
+    "table_profile",
+    "text_hashed_tf",
+    "text_sparse_cosine",
+    "tpch_q10_returned_items",
+    "user_value_distribution",
+    # -- r12-changed paths ---------------------------------------------
+    "search_hybrid_rrf",
     "warehouse_ann_pq",
     # -- tolerance-contract entry: pinned in-window every round --------
     "events_approx_stats",
-    # -- backfill: 24 of the 47 r07-stale rows -------------------------
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q22_idle_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_components",
-    "graph_pagerank",
-    "ann_cosine_topk",
+    # -- backfill: 24 of the 48 r08-stale rows -------------------------
+    "docs_ngram_novelty",
+    "merge_upsert",
+    "merge_upsert_delete",
+    "merge_delete_only",
+    "merge_upsert_bucketed",
+    "routed_write_roundtrip",
+    "staged_load_roundtrip",
+    "hourly_partition_rollup",
+    "logical_types_wire",
+    "sanitized_projection",
+    "last_event_per_user",
+    "warehouse_time_travel_read",
+    "warehouse_delete_read",
+    "warehouse_incremental_read",
+    "warehouse_bloom_read",
+    "warehouse_text_search",
+    "warehouse_sketch_distinct",
+    "warehouse_clone_read",
+    "warehouse_partition_compact_read",
+    "sketch_ams_f2",
+    "sketch_cm_incremental",
+    "sketch_hist_incremental",
+    "sketch_kmv_incremental",
+    "graph_triangles",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r07, r08 or r10 ==================================
+    # == green in r08, r10 or r11 ==================================
 ]
 
 
