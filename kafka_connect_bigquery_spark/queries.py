@@ -4976,20 +4976,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # settlement) and warehouse_ann_pq (record_ann's codes scan set now
 # derives from live - encoded so torn codes builds heal — the PQ
 # write path changed), then the pinned tolerance-contract entry, and
-# backfill with 24 of the 48 r08-stale rows — docs_ngram_novelty
-# first (its fan_out(when_bytes=) gate moved from Catalyst estimates
-# to file bytes this round), then the MERGE family, the sink
-# roundtrips, the warehouse read/index family, and the incremental
-# sketch family. The 24 r08 rows that do not fit (ann_ivf_topk,
-# bpe_top_pairs, corpus_shard_plan, customer_ltv_deciles,
-# dedup_prefix_filter, docs_chunk_windows, events_cube,
-# events_json_agg, events_ks_test, events_mannwhitney, events_pivot,
-# events_set_ops, mixture_rebalance, orders_market_basket,
-# text_collocations, text_language_id, text_quality_scores,
-# text_zipf_fit, top_orders_per_segment, user_value_ranks,
-# warehouse_bloom_bucketed, warehouse_clone_bucketed,
-# warehouse_sketch_bucketed, warehouse_text_bucketed) are
-# pre-registered to LEAD the r13 window.
+# the two NEW r12 entries (first-witness, the r11 warehouse_ann_pq
+# precedent: bpe_encode — tokenizer application against a pinned
+# char-disjoint merge list; dedup_keep_best — quality-argmax survivor
+# selection per duplicate cluster), then backfill with 22 of the 48
+# r08-stale rows — docs_ngram_novelty first (its fan_out(when_bytes=)
+# gate moved from Catalyst estimates to file bytes this round), then
+# the MERGE family, the sink roundtrips, the warehouse read/index
+# family, and the incremental sketch family. The 26 r08 rows that do
+# not fit (ann_ivf_topk, bpe_top_pairs, corpus_shard_plan,
+# customer_ltv_deciles, dedup_prefix_filter, docs_chunk_windows,
+# events_cube, events_json_agg, events_ks_test, events_mannwhitney,
+# events_pivot, events_set_ops, graph_triangles, mixture_rebalance,
+# orders_market_basket, sketch_kmv_incremental, text_collocations,
+# text_language_id, text_quality_scores, text_zipf_fit,
+# top_orders_per_segment, user_value_ranks, warehouse_bloom_bucketed,
+# warehouse_clone_bucketed, warehouse_sketch_bucketed,
+# warehouse_text_bucketed) are pre-registered to LEAD the r13 window.
 _PRIORITY_ORDER: list[str] = [
     # -- never-witnessed r11 landing (leads, per pre-registration) -----
     "warehouse_ann_pq_many",
@@ -5019,9 +5022,12 @@ _PRIORITY_ORDER: list[str] = [
     # -- r12-changed paths ---------------------------------------------
     "search_hybrid_rrf",
     "warehouse_ann_pq",
+    # -- NEW r12 entries (first-witness) --------------------------------
+    "bpe_encode",
+    "dedup_keep_best",
     # -- tolerance-contract entry: pinned in-window every round --------
     "events_approx_stats",
-    # -- backfill: 24 of the 48 r08-stale rows -------------------------
+    # -- backfill: 22 of the 48 r08-stale rows -------------------------
     "docs_ngram_novelty",
     "merge_upsert",
     "merge_upsert_delete",
@@ -5044,8 +5050,6 @@ _PRIORITY_ORDER: list[str] = [
     "sketch_ams_f2",
     "sketch_cm_incremental",
     "sketch_hist_incremental",
-    "sketch_kmv_incremental",
-    "graph_triangles",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r08, r10 or r11 ==================================
 ]

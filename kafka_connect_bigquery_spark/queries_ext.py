@@ -634,6 +634,91 @@ FROM reach GROUP BY node
 
 Q_DEDUP_COMPONENTS_SQL = _components_sql()
 
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor SELECTION — the policy step after near-dup detection +
+    clustering: per duplicate cluster (connected components over the
+    MinHash/LSH pair graph, same machinery as `dedup_components`) keep
+    the highest-quality document, quality = token count with ties to
+    the smallest doc_id. `dedup_components`' min-id survivor is the
+    arbitrary-but-deterministic baseline; real corpus curation keeps
+    the best copy (longest, least truncated), not the first-seen one.
+
+    Returns (component, cluster_size, survivor_id, survivor_tokens).
+    Scale: the argmax is ONE struct-max aggregation on component (no
+    window, no second shuffle) riding the same key partitioning as the
+    cluster-size count; components/pairs are the LSH-blocked machinery
+    that never goes O(n^2)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, n=3
+    )
+    cc = dedup.connected_components(
+        docs.select(F.col("doc_id").alias("node")), pairs
+    )
+    quality = docs.select(
+        F.col("doc_id").alias("node"),
+        text_fns.token_count(F.col("text")).cast("long").alias("q"),
+    )
+    j = cc.join(quality, "node")
+    # lexicographic struct max = argmax(q, then smallest node): exact,
+    # deterministic, and a plain partial-aggregable agg
+    best = F.max(
+        F.struct(
+            F.col("q").alias("q"),
+            (-F.col("node")).alias("neg_node"),
+            F.col("node").alias("node"),
+        )
+    )
+    return (
+        j.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            best.alias("_b"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            F.col("_b.node").alias("survivor_id"),
+            F.col("_b.q").alias("survivor_tokens"),
+        )
+    )
+
+
+Q_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.node = und.v
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS q FROM documents
+),
+sel AS (
+  SELECT cc.component, cc.node, qual.q
+  FROM cc JOIN qual ON qual.doc_id = cc.node
+),
+ranked AS (
+  SELECT component, node, q,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q DESC, node ASC) AS rk
+  FROM sel
+)
+SELECT s.component,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       r.node AS survivor_id,
+       r.q AS survivor_tokens
+FROM (SELECT component, COUNT(*) AS cluster_size FROM sel GROUP BY 1) s
+JOIN ranked r ON r.component = s.component AND r.rk = 1
+"""
+
 # ---------------------------------------------------------------------------
 # dedup: embedding cosine
 # ---------------------------------------------------------------------------
@@ -4755,6 +4840,81 @@ SELECT a, b, cnt, rnk FROM r WHERE rnk <= {_BPE_K}
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer application (the inference half)
+# ---------------------------------------------------------------------------
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — encode every document against a learned
+    merge list (operators/bpe.py::apply_merges_words, the inference
+    half of BPE; training is `bpe_top_pairs`/learn_merges_words). The
+    merge list is PINNED [(t,h), (a,n), (e,</w>)] and chosen
+    char-DISJOINT, which makes the merges provably independent (one
+    merge can neither create nor destroy another's adjacency — the
+    fused symbol is never a single char), so each word's subword count
+    reduces to exact substring arithmetic the SQL oracle can compute;
+    the Spark side still replays the REAL symbol-by-symbol fold over
+    chars+</w>. Returns per-doc subword count, base symbol count and
+    the x100 compression ratio — all integers.
+
+    Scale: the 100 TB tokenize job is embarrassingly parallel — one
+    narrow pass, zero shuffles, entirely JVM-side (higher-order
+    functions, no UDF), merges folded per row."""
+    from kafka_connect_bigquery_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("a", "n"), ("e", bpe.WORD_END)]
+    enc = bpe.apply_merges_words(d, "text", merges)
+    words = F.filter(
+        text_fns.tokens(F.col("text")), lambda w: w != F.lit("")
+    )
+    enc = enc.withColumn(
+        "n_base_symbols",
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w) + 1
+        ),
+    )
+    enc = enc.withColumn("n_subwords", F.size("subwords").cast("long"))
+    return enc.select(
+        "doc_id",
+        "n_subwords",
+        "n_base_symbols",
+        # integer DIV on both engines — a double divide + truncate can
+        # land one below the exact quotient
+        F.when(
+            F.col("n_base_symbols") > 0,
+            F.expr("(100 * n_subwords) div n_base_symbols"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("compression_x100"),
+    )
+
+
+Q_BPE_ENCODE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter({_TOKS}, t -> t != '')) AS tok
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         SUM(len(tok) + 1) AS base,
+         SUM(len(tok) + 1
+             - (len(tok) - len(replace(tok, 'th', ''))) // 2
+             - (len(tok) - len(replace(tok, 'an', ''))) // 2
+             - CASE WHEN tok LIKE '%e' THEN 1 ELSE 0 END) AS subw
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.subw, 0) AS BIGINT) AS n_subwords,
+       CAST(COALESCE(per.base, 0) AS BIGINT) AS n_base_symbols,
+       CAST(CASE WHEN COALESCE(per.base, 0) > 0
+                 THEN (100 * per.subw) // per.base ELSE 0 END AS BIGINT)
+         AS compression_x100
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4821,6 +4981,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
     "pairs_contrastive": (q_pairs_contrastive, Q_PAIRS_CONTRASTIVE_SQL),
     "dedup_components": (q_dedup_components, Q_DEDUP_COMPONENTS_SQL),
+    "dedup_keep_best": (q_dedup_keep_best, Q_DEDUP_KEEP_BEST_SQL),
     "dedup_edit_distance": (q_dedup_edit_distance, Q_DEDUP_EDIT_SQL),
     "dedup_substring_runs": (q_dedup_substring_runs, Q_DEDUP_SUBSTRING_RUNS_SQL),
     "docs_dsir_weights": (q_docs_dsir_weights, Q_DOCS_DSIR_SQL),
@@ -4890,4 +5051,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_sparse_cosine": (q_text_sparse_cosine, Q_TEXT_SPARSE_COSINE_SQL),
     "embedding_gram": (q_embedding_gram, Q_EMBEDDING_GRAM_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, Q_BPE_TOP_PAIRS_SQL),
+    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
 }
