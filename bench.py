@@ -118,6 +118,11 @@ HEADLINE = [
     # docs_ngram_novelty are pure scans+aggs and join the headline.
     "sketch_ams_f2",
     "docs_ngram_novelty",
+    # bpe_encode stays OUT of the headline: it is a pure per-row
+    # projection, so the harness's .count() action column-prunes the
+    # entire subword fold away and would time a bare row-count scan
+    # (its real throughput is measured with a forcing aggregate in
+    # BASELINE.md Round 12)
 ]
 
 # The frozen r01 headline set (BENCH_r01.json): round-over-round and
