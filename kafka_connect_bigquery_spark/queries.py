@@ -3337,6 +3337,13 @@ def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     kw = dict(depth=_AMS_DEPTH, width=_AMS_WIDTH)
+    # Deliberately SIX pushed-down 2-column scans, not a shared
+    # checkpointed cell table: an r12 rewrite that built both halves
+    # from one parity-keyed scan + lazy checkpoints measured SLOWER at
+    # BOTH sf0.1 (2.26 vs 1.70 s) and sf10 (15.4 vs 9.1 s, interleaved
+    # A/B) — the md5 tug-of-war pipeline is compute-bound inside
+    # whole-stage codegen, and the checkpoint's RDD boundary costs more
+    # than the repeated cheap scans save (BASELINE.md Round 12).
     a = SK.ams_build(e.filter(F.col("event_id") % 2 == 0), "user_id", **kw)
     b = SK.ams_build(e.filter(F.col("event_id") % 2 == 1), "user_id", **kw)
     merged = SK.ams_merge(a, b)
