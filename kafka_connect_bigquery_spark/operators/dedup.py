@@ -717,6 +717,37 @@ def lsh_probe_index(
     return cross.unionByName(nn).distinct()
 
 
+def orient_pairs_by_quality(
+    pairs: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "doc",
+    q_col: str = "q",
+) -> DataFrame:
+    """Per candidate pair, the LOSER under the keep-best survivor
+    policy: the side with the lexicographically smaller ``(quality,
+    -id)`` — i.e. lower quality loses, and a quality TIE keeps the
+    smaller id (so equal-quality twins, e.g. exact copies, degenerate
+    to the min-id greedy policy the pipeline uses by default).
+
+    ``pairs`` is any (id_a, id_b) candidate frame (LSH output — id_a <
+    id_b, though the rule doesn't rely on it); ``quality`` maps
+    ``id_col`` -> ``q_col`` for every id appearing in pairs. Returns
+    DISTINCT loser ids as ``id_col``.
+
+    Scale: two equi-joins of the (small, pair-sized) candidate frame
+    against the quality map — same blocked/bucketed candidate machinery
+    as the min-id policy, never O(n²)."""
+    qa = quality.select(F.col(id_col).alias("id_a"), F.col(q_col).alias("_qa"))
+    qb = quality.select(F.col(id_col).alias("id_b"), F.col(q_col).alias("_qb"))
+    j = pairs.join(qa, "id_a").join(qb, "id_b")
+    b_loses = (F.col("_qa") > F.col("_qb")) | (
+        (F.col("_qa") == F.col("_qb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    loser = F.when(b_loses, F.col("id_b")).otherwise(F.col("id_a"))
+    return j.select(loser.alias(id_col)).distinct()
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -41,7 +41,13 @@ def scan_input_bytes(df: DataFrame) -> int | None:
     SESSION (compression-factor conf, CBO flags, column pruning above
     the scan) — the same query must make the same widening decision
     under any harness's session. Driver-side metadata only: the file
-    list is what the scan already planned over, no job runs."""
+    list is what the scan already planned over, no job runs.
+
+    Single-scan assumption: ``inputFiles()`` DEDUPES paths, so a
+    self-union/self-join frame reports the bytes of ONE scan while the
+    query reads the data N times. Every current ``when_bytes`` caller
+    gates a single-table scan; a multi-scan caller must multiply by its
+    scan multiplicity or the widening gate under-triggers."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -101,7 +107,18 @@ def has_shuffle_lineage(df: DataFrame) -> bool:
     query up to that point (measured 2.5 s on a union+distinct at
     sf0.1, vs 0.09 s plan-only on a raw scan). Callers use this to
     route exchanged frames away from the probe. Unknown plans count as
-    exchanged (the conservative answer: no probe, no widening)."""
+    exchanged (the conservative answer: no probe, no widening).
+
+    Two layers: the logical allowlist (_SHUFFLE_NODES) catches the
+    operators repo code produces; the physical backstop below catches
+    shuffle-producing logical nodes NOT in the set (e.g.
+    FlatMapCoGroupsInPandas, [Flat]MapGroupsWithState, Offset) by
+    scanning the COMPILED — never executed — physical plan string for
+    Exchange nodes. It must be executedPlan() (sparkPlan() precedes
+    EnsureRequirements, so exchanges aren't inserted yet); executedPlan
+    is still lazy — under AQE its toString prints the INITIAL plan with
+    its exchanges, and only .execute()/.rdd materializes stages — so
+    the backstop stays a driver-side metadata read."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception:
@@ -124,7 +141,13 @@ def has_shuffle_lineage(df: DataFrame) -> bool:
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
-    return False
+    # physical backstop: compile (don't execute) the plan and look for
+    # Exchange operators the logical allowlist missed
+    try:
+        physical = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return True
+    return "Exchange" in physical
 
 
 def fan_out(

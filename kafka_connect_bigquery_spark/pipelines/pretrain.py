@@ -48,6 +48,15 @@ class CorpusConfig:
     pack_shards: int = 64
     sem_clusters: int = 8
     sem_min_cosine: float = 0.95
+    # near-dup survivor policy: "min_id" (first-seen/smallest id wins —
+    # arbitrary but deterministic) or "best" (highest token count wins,
+    # quality ties to the smallest id — the dedup_keep_best policy:
+    # reference-grade corpus curation keeps the best copy, not the
+    # first-seen one). Scoped to the NEAR-DUP stage: the exact stage is
+    # policy-independent (identical text => identical quality => the
+    # tie-break IS min-id), and the semantic stage keeps its own
+    # cluster policy.
+    survivor: str = "min_id"
 
 
 def build_corpus(
@@ -64,10 +73,13 @@ def build_corpus(
     - ``gated``: docs passing the quality gate
     - ``exact_survivors``: one doc per exact-content fingerprint
       (smallest id survives)
-    - ``near_survivors``: minus near-duplicates — any doc appearing as
-      the larger id of an LSH candidate pair is dropped (the standard
-      greedy policy; swap in connected_components + min-per-cluster
-      when cluster-exact survivorship matters)
+    - ``near_survivors``: minus near-duplicates — under the default
+      ``cfg.survivor="min_id"`` any doc appearing as the larger id of
+      an LSH candidate pair is dropped (the standard greedy policy;
+      swap in connected_components + min-per-cluster when cluster-exact
+      survivorship matters); under ``cfg.survivor="best"`` each pair's
+      LOWER-quality side loses (quality = token count, ties to the
+      smaller id — the ``dedup_keep_best`` policy)
     - ``sem_survivors``: minus SemDeDup semantic duplicates, when an
       aligned ``embeddings`` frame is passed (ids shared with docs);
       identical to ``near_survivors`` otherwise
@@ -77,6 +89,8 @@ def build_corpus(
     - ``packed``: per-doc packed-layout coordinates for ``train``
     """
     did = F.col(id_col)
+    if cfg.survivor not in ("min_id", "best"):
+        raise ValueError(f"unknown survivor policy: {cfg.survivor!r}")
 
     gated = docs.filter(quality_score(F.col(text_col)) >= cfg.min_quality)
 
@@ -93,9 +107,21 @@ def build_corpus(
         bands=cfg.minhash_bands,
         n=cfg.shingle_n,
     )
-    near_survivors = exact_survivors.join(
-        pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
-    )
+    if cfg.survivor == "best":
+        from kafka_connect_bigquery_spark.functions.text import token_count
+
+        qual = exact_survivors.select(
+            F.col(id_col).alias("doc"),
+            token_count(F.col(text_col)).cast("long").alias("q"),
+        )
+        losers = dedup.orient_pairs_by_quality(pairs, qual)
+        near_survivors = exact_survivors.join(
+            losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+        )
+    else:
+        near_survivors = exact_survivors.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
 
     sem_survivors = near_survivors
     if embeddings is not None:
@@ -175,11 +201,22 @@ class PretrainTickTables:
       dropped)
     - ``survivors``: the accumulated output corpus (gate + exact +
       near-dup survivors)
+    - ``evicted``: under ``cfg.survivor="best"``, ids of ALREADY-
+      ACCEPTED survivors later beaten by a higher-quality new twin.
+      Retroactive eviction is merge-on-read: the tick APPENDS loser
+      ids here (so it rides the same stamped-append atomicity as every
+      other state table — no in-place mutation the torn-tick rollback
+      couldn't excise) and the accumulated corpus is
+      ``survivors ANTI JOIN evicted``. At 100 TB the eviction set is a
+      small fraction of the corpus, the anti-join broadcasts; a
+      periodic materialize (anti-join + overwrite + truncate evicted)
+      is ordinary compaction hygiene.
     """
 
     fingerprints: str = "pretrain_fingerprints"
     postings: str = "pretrain_postings"
     survivors: str = "pretrain_survivors"
+    evicted: str = "pretrain_evicted"
     # semantic-stage state (used only when the tick gets embeddings):
     # - ``sem_centroids``: the FROZEN coarse quantizer, one row per
     #   (list_id, centroid) — seeded from the first tick's survivors
@@ -204,6 +241,7 @@ class PretrainTickTables:
             self.sem_centroids,
             self.sem_vectors,
             self.survivors,
+            self.evicted,
         ]
 
 
@@ -282,6 +320,16 @@ def incremental_tick(
     lsh_probe_index): pairs(index ∪ new) = pairs(index) ∪
     probe(new, index).
 
+    Under ``cfg.survivor="best"`` the same contract holds (same probe
+    invariant; the per-pair loser rule is a pure function of the two
+    sides' (quality, -id), independent of arrival order) with one new
+    mechanism: a new doc can BEAT an already-accepted survivor, which
+    is then retroactively evicted — recorded as an APPEND to the
+    ``evicted`` state table (so eviction rides the tick's stamped-
+    append atomicity; the corpus read is survivors ANTI JOIN evicted).
+    Exact-stage ties are quality ties (identical text), so the exact
+    stage is policy-independent given monotonic ids.
+
     Per-tick stages (each the oracled operator, composed):
     1. ``read_appended(corpus_table, cursor)`` — the delta;
     2. quality gate (functions/text.py::quality_score);
@@ -348,9 +396,21 @@ def incremental_tick(
     sig = dedup.minhash_signature(
         exact_new, id_col, text_col, num_hashes=cfg.minhash_hashes, n=cfg.shingle_n
     )
-    new_posts = dedup.lsh_band_postings(
-        sig, id_col, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
-    ).localCheckpoint(eager=False)
+    # postings carry each doc's quality (token count): the "best"
+    # survivor policy orients probe pairs by the INDEX side's quality,
+    # which therefore must persist with the index (near-dup losers'
+    # text never reaches the survivors table, so it can't be re-read)
+    q_new = exact_new.select(
+        F.col(id_col).alias("doc"),
+        token_count(F.col(text_col)).cast("long").alias("q"),
+    )
+    new_posts = (
+        dedup.lsh_band_postings(
+            sig, id_col, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
+        )
+        .join(q_new, "doc")
+        .localCheckpoint(eager=False)
+    )
     try:
         index_posts = wh.read(tables.postings).drop(TICK_COL)
     except Exception:
@@ -360,7 +420,34 @@ def incremental_tick(
         if index_posts is not None
         else dedup.lsh_pairs_from_postings(new_posts)
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    old_losers = None
+    if cfg.survivor == "best":
+        # quality map over every id a probe pair can mention: this
+        # tick's exact survivors + the indexed population
+        if index_posts is not None:
+            if "q" not in index_posts.columns:
+                raise ValueError(
+                    "survivor='best' needs a quality-bearing postings "
+                    "index (doc, bucket, q); the stored index predates "
+                    "it — rebuild the state tables"
+                )
+            qmap = q_new.unionByName(
+                index_posts.select("doc", "q").distinct()
+            )
+        else:
+            qmap = q_new
+        all_losers = dedup.orient_pairs_by_quality(pairs, qmap)
+        losers = all_losers.select(F.col("doc").alias(id_col))
+        # losers not in this tick's delta are ALREADY-ACCEPTED docs a
+        # higher-quality new twin just beat: evict them retroactively
+        # (append-only — see PretrainTickTables.evicted)
+        old_losers = all_losers.join(
+            q_new.select("doc"), "doc", "left_anti"
+        ).select(F.col("doc").alias(id_col))
+    else:
+        if cfg.survivor != "min_id":
+            raise ValueError(f"unknown survivor policy: {cfg.survivor!r}")
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     near_new = exact_new.join(losers, id_col, "left_anti").drop("fp")
 
     # -- semantic dedup against the accumulated embedding index --------
@@ -460,6 +547,8 @@ def incremental_tick(
     wh.append(_stamp(new_posts), tables.postings, spec)
     if assigned_new is not None:
         wh.append(_stamp(assigned_new), tables.sem_vectors, spec)
+    if old_losers is not None:
+        wh.append(_stamp(old_losers), tables.evicted, spec)
     wh.append(_stamp(sem_new), tables.survivors, spec)
     # the COMMIT: one tick-log row per state table, written last. A
     # crash anywhere above leaves the log without this tick, and the
@@ -478,6 +567,12 @@ def incremental_tick(
     )
 
     survivors = wh.read(tables.survivors).drop(TICK_COL)
+    try:
+        ev = wh.read(tables.evicted).select(id_col)
+        # merge-on-read: accepted-then-beaten docs leave the corpus here
+        survivors = survivors.join(ev, id_col, "left_anti")
+    except Exception:  # no evictions recorded (min_id policy, or none yet)
+        pass
     shards = None
     if tokens_per_shard is not None:
         shards = packing.shard_plan(

@@ -1966,6 +1966,78 @@ WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
 Q_PRETRAIN_INC_SQL = _pretrain_inc_sql()
 
 
+def q_pretrain_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental tick under the ``survivor="best"`` policy (r13):
+    same tercile-append drive as ``pretrain_incremental``, but each
+    near-dup candidate pair's LOWER-quality side loses (quality = token
+    count, ties to the smaller id — the ``dedup_keep_best`` policy). The
+    new mechanism this witnesses is RETROACTIVE EVICTION: a later tick's
+    higher-quality twin beats an already-accepted survivor, which leaves
+    the corpus via the append-only ``evicted`` state table (merge-on-
+    read anti-join — rides the tick's stamped-append atomicity). Oracle
+    = the one-shot batch with quality-oriented losers, so tick
+    decomposition + eviction provably reproduce the batch policy."""
+    from kafka_connect_bigquery_spark.functions.text import token_count
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        CorpusConfig,
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = hi // 3, 2 * hi // 3
+    wh = _scratch_wh(spark, "pretrain_best")
+    spec = TableSpec(partition_grain="NONE")
+    cfg = CorpusConfig(
+        min_quality=0.2,
+        minhash_hashes=_PRETRAIN_MH,
+        minhash_bands=_PRETRAIN_BANDS,
+        survivor="best",
+    )
+    tables = PretrainTickTables()
+    cursor = None
+    art = None
+    for pred in (
+        F.col("doc_id") <= c1,
+        (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+        F.col("doc_id") > c2,
+    ):
+        wh.append(docs.filter(pred), "corpus", spec)
+        art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=cfg)
+        cursor = art["cursor"]
+    return art["survivors"].select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+
+
+def _pretrain_keep_best_sql() -> str:
+    """Batch oracle with the quality-oriented loser rule: shares every
+    CTE with the min-id oracle except ``losers`` — per bucket-collision
+    pair (a < b), the loser is b when q_a >= q_b (quality ties keep the
+    smaller id), else a."""
+    base = _pretrain_inc_sql()
+    min_id_losers = """losers AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+    best_losers = """qual AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS q FROM exact
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN qa.q >= qb.q THEN b.doc_id ELSE a.doc_id END AS doc_id
+  FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN qual qa ON qa.doc_id = a.doc_id
+  JOIN qual qb ON qb.doc_id = b.doc_id
+)"""
+    assert min_id_losers in base
+    return base.replace(min_id_losers, best_losers)
+
+
+Q_PRETRAIN_KEEP_BEST_SQL = _pretrain_keep_best_sql()
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document clustering with a LLOYD-REFINED quantizer — the oracle
     that was missing from the k-means story (seeded IVF entries avoid
@@ -5042,6 +5114,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
     "ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "pretrain_incremental": (q_pretrain_incremental, Q_PRETRAIN_INC_SQL),
+    "pretrain_keep_best": (q_pretrain_keep_best, Q_PRETRAIN_KEEP_BEST_SQL),
     "embedding_kmeans": (q_embedding_kmeans, Q_EMBEDDING_KMEANS_SQL),
     "warehouse_ann_read": (q_warehouse_ann_read, Q_WAREHOUSE_ANN_SQL),
     "warehouse_ann_many": (q_warehouse_ann_many, Q_WAREHOUSE_ANN_MANY_SQL),

@@ -421,3 +421,157 @@ def test_torn_first_tick_recovers(spark, tmp_path):
     art = incremental_tick(wh, "corpus", art["cursor"], tables=tables, cfg=CFG)
     batch = build_corpus(_mk_docs(spark, t1 + t2), cfg=CFG)
     assert _ids(art["survivors"]) == _ids(batch["near_survivors"])
+
+
+# ---------------------------------------------------------------------------
+# survivor="best" policy (r13): keep the highest-quality copy
+# ---------------------------------------------------------------------------
+
+BEST_CFG = CorpusConfig(
+    min_quality=0.2, pack_budget=256, pack_shards=8, survivor="best"
+)
+
+
+def _best_rows():
+    """Three ticks where LATER, larger-id near-twins are LONGER (higher
+    token count): min_id keeps the early copy, best keeps the late one
+    — so the policies observably diverge, and the incremental path must
+    retroactively EVICT an already-accepted survivor."""
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(120)]
+    c1 = "the quick pelican " + " ".join(words[:60]) + " finally lands"
+    c2 = "another heron story " + " ".join(words[60:]) + " and ends here"
+    t1 = [
+        (1, c1),
+        (2, "a perfectly ordinary sentence about rivers and stones flowing daily"),
+    ]
+    t2 = [
+        (101, c2),
+        # near twin of tick-1's doc 1, LONGER: beats it under "best"
+        (102, c1 + " appended richer tail"),
+    ]
+    t3 = [
+        # near twin of tick-2's doc 101, longer: evicts 101 too
+        (201, c2 + " expanded"),
+        (202, "final fresh document speaking of mountains and calm weather today"),
+    ]
+    return t1, t2, t3
+
+
+def test_orient_pairs_by_quality_rule(spark):
+    """Per-pair loser = lexicographically smaller (q, -id): lower
+    quality loses; a quality TIE drops the LARGER id (degenerates to
+    the min-id policy)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a: long, id_b: long"
+    )
+    quality = spark.createDataFrame(
+        # pair (1,2): b better -> 1 loses; (3,4): a better -> 4 loses;
+        # (5,6): tie -> 6 loses
+        [(1, 10), (2, 20), (3, 20), (4, 10), (5, 7), (6, 7)],
+        "doc: long, q: long",
+    )
+    losers = _ids(dedup.orient_pairs_by_quality(pairs, quality), "doc")
+    assert losers == {1, 4, 6}
+
+
+def test_build_corpus_keep_best_diverges_from_min_id(spark):
+    t1, t2, t3 = _best_rows()
+    docs = _mk_docs(spark, t1 + t2 + t3)
+    min_ids = _ids(build_corpus(docs, cfg=CFG)["near_survivors"])
+    best_ids = _ids(build_corpus(docs, cfg=BEST_CFG)["near_survivors"])
+    # min_id: first/smallest copy survives each near-dup cluster
+    assert 1 in min_ids and 102 not in min_ids
+    assert 101 in min_ids and 201 not in min_ids
+    # best: the longer late copy survives instead
+    assert 102 in best_ids and 1 not in best_ids
+    assert 201 in best_ids and 101 not in best_ids
+    # docs with no near-twin are policy-independent
+    assert {2, 202} <= min_ids and {2, 202} <= best_ids
+
+
+def test_build_corpus_rejects_unknown_survivor_policy(spark):
+    docs = _mk_docs(spark, [(1, "hello world")])
+    with pytest.raises(ValueError, match="survivor"):
+        build_corpus(docs, cfg=CorpusConfig(survivor="newest"))
+
+
+def test_incremental_keep_best_equals_batch_with_eviction(spark, tmp_path):
+    """The tick-vs-batch equality contract under survivor='best',
+    including the new mechanism: doc 1 is ACCEPTED in tick 1, then
+    beaten by tick-2's longer twin 102 and retroactively evicted (via
+    the append-only evicted table, not an in-place rewrite); same for
+    101 -> 201 across ticks 2 -> 3."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, t3 = _best_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    a1 = incremental_tick(wh, "corpus", None, tables=tables, cfg=BEST_CFG)
+    assert 1 in _ids(a1["survivors"])  # accepted at arrival
+
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    a2 = incremental_tick(wh, "corpus", a1["cursor"], tables=tables, cfg=BEST_CFG)
+    s2 = _ids(a2["survivors"])
+    assert 102 in s2 and 1 not in s2  # retroactive eviction happened
+    assert 1 in _ids(wh.read(tables.evicted))  # ...through the evicted table
+
+    wh.append(_mk_docs(spark, t3), "corpus", spec)
+    a3 = incremental_tick(wh, "corpus", a2["cursor"], tables=tables, cfg=BEST_CFG)
+
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
+    want = {
+        (r["doc_id"], r["text"])
+        for r in batch["near_survivors"].select("doc_id", "text").collect()
+    }
+    got_rows = a3["survivors"].select("doc_id", "text").collect()
+    got = {(r["doc_id"], r["text"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # no duplicated rows
+    assert {102, 201, 2, 202} == {d for d, _ in got}
+
+
+def test_torn_tick_with_eviction_recovers(spark, tmp_path):
+    """A crash AFTER the evicted append but before the survivors append
+    + marker: recovery excises the stamped evicted/postings rows, and
+    the rerun re-issues the same eviction — converging to batch."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, t3 = _best_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    cursor = incremental_tick(wh, "corpus", None, tables=tables, cfg=BEST_CFG)["cursor"]
+
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    # best-policy tick appends: fingerprints, postings, evicted,
+    # survivors — crash right after the evicted append (the new one)
+    restore = _crash_after_n_state_appends(wh, 3)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_tick(wh, "corpus", cursor, tables=tables, cfg=BEST_CFG)
+    restore()
+
+    art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=BEST_CFG)
+    wh.append(_mk_docs(spark, t3), "corpus", spec)
+    art = incremental_tick(wh, "corpus", art["cursor"], tables=tables, cfg=BEST_CFG)
+
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
+    assert _ids(art["survivors"]) == _ids(batch["near_survivors"])
+    # the eviction wasn't double-recorded by the rerun
+    ev = wh.read(tables.evicted).select("doc_id").collect()
+    assert len(ev) == len({r["doc_id"] for r in ev})

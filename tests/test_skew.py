@@ -191,6 +191,34 @@ def test_has_shuffle_lineage_routes_probe_correctly(spark, tmp_path):
     )
 
 
+def test_has_shuffle_lineage_physical_backstop(spark, tmp_path):
+    """Shuffle-producing logical nodes NOT in the allowlist (e.g.
+    FlatMapCoGroupsInPandas from cogroup().applyInPandas) must still be
+    caught — by the compiled-physical-plan Exchange backstop — or
+    fan_out re-introduces the AQE double-execution probe on them."""
+    from kafka_connect_bigquery_spark.operators.skew import has_shuffle_lineage
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(100)], "k long, v double"
+    ).coalesce(1).write.parquet(p)
+    raw = spark.read.parquet(p)
+
+    def merge(left, right):
+        return left
+
+    cg = (
+        raw.groupBy("k")
+        .cogroup(raw.groupBy("k"))
+        .applyInPandas(merge, schema="k long, v double")
+    )
+    # the logical node is FlatMapCoGroupsInPandas — not in
+    # _SHUFFLE_NODES — so only the physical backstop can flag it
+    assert has_shuffle_lineage(cg)
+    # and the backstop must not regress narrow frames into "exchanged"
+    assert not has_shuffle_lineage(raw.filter("k > 1").select("v"))
+
+
 def test_fan_out_when_bytes_skips_fileless_frames(spark):
     """Frames with no file source (in-memory, checkpointed) have no
     byte size to gate on — the conservative answer is NO widening (the

@@ -40,6 +40,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import Window as W  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
@@ -62,6 +63,12 @@ def _stage_source(spark, events_path: str, src_dir: str, n_batches: int, rows_pe
         spark.read.parquet(events_path)
         .orderBy("event_id")
         .limit(n_batches * rows_per_batch)
+        # dense 0-based row index: event_ids may be sparse or offset, so
+        # deriving __b from the raw id would skew batch count/sizes
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.orderBy("event_id")) - 1,
+        )
     )
     total = ev.count()
     wire = ev.select(
@@ -79,7 +86,7 @@ def _stage_source(spark, events_path: str, src_dir: str, n_batches: int, rows_pe
         F.lit(0).cast("int").alias("partition"),
         F.col("event_id").cast("long").alias("offset"),
         F.col("ts").alias("timestamp"),
-        (F.col("event_id") / rows_per_batch).cast("long").alias("__b"),
+        (F.col("__rn") / rows_per_batch).cast("long").alias("__b"),
     )
     # one file per micro-batch, staged BEFORE the clock starts
     wire.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(
