@@ -4971,94 +4971,99 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 12 window (50 slots), executed exactly as pre-registered in
-# the r11 verdict ("Next round: do this" #1) / SURVEY's round-12
-# pre-registration: LEAD with the never-witnessed r11 landing
-# (warehouse_ann_pq_many — entered the registry after the r11 window
-# froze; judge-verified EXACT on the r11 HEAD), then the 22 r07-stale
-# rows (all 22 judge-re-verified EXACT on the r11 HEAD, so the
-# rotation is risk-free), then the r12-changed paths:
-# search_hybrid_rrf (the r11 _shingle_postings fan_out change is its
-# one unsettled perf path; also re-shaped this round by the
-# settlement) and warehouse_ann_pq (record_ann's codes scan set now
-# derives from live - encoded so torn codes builds heal — the PQ
-# write path changed), then the pinned tolerance-contract entry, and
-# the two NEW r12 entries (first-witness, the r11 warehouse_ann_pq
-# precedent: bpe_encode — tokenizer application against a pinned
-# char-disjoint merge list; dedup_keep_best — quality-argmax survivor
-# selection per duplicate cluster), then backfill with 22 of the 48
-# r08-stale rows — docs_ngram_novelty first (its fan_out(when_bytes=)
-# gate moved from Catalyst estimates to file bytes this round), then
-# the MERGE family, the sink roundtrips, the warehouse read/index
-# family, and the incremental sketch family. The 26 r08 rows that do
-# not fit (ann_ivf_topk, bpe_top_pairs, corpus_shard_plan,
-# customer_ltv_deciles, dedup_prefix_filter, docs_chunk_windows,
-# events_cube, events_json_agg, events_ks_test, events_mannwhitney,
-# events_pivot, events_set_ops, graph_triangles, mixture_rebalance,
-# orders_market_basket, sketch_kmv_incremental, text_collocations,
-# text_language_id, text_quality_scores, text_zipf_fit,
-# top_orders_per_segment, user_value_ranks, warehouse_bloom_bucketed,
-# warehouse_clone_bucketed, warehouse_sketch_bucketed,
-# warehouse_text_bucketed) are pre-registered to LEAD the r13 window.
+# Round 13 window (50 slots), executed exactly as pre-registered in
+# the r12 verdict ("Next round: do this" #1) / SURVEY's round-13
+# pre-registration: LEAD with the 26 r08-stale rows that did not fit
+# the r12 window (all 26 judge-re-verified EXACT on the r12 HEAD, so
+# the rotation is risk-free), then the r13-changed path
+# (pretrain_incremental — the tick's postings index now carries each
+# doc's quality column for the survivor="best" probe orientation, so
+# its plan changed) and the NEW r13 first-witness entry
+# (pretrain_keep_best — the incremental tick under the keep-best
+# survivor policy, including retroactive eviction through the
+# append-only evicted table), then the CORE SET (adopted this round,
+# SURVEY "Witness-staleness budget": a small every-round set — the
+# pinned tolerance-contract entry plus one flagship per load-bearing
+# family — while everything else rotates under a ≤6-round budget),
+# then backfill with 18 of the 48 r10-stale rows — events_interval_join
+# first (flagged in two consecutive driver benches; noise-settled
+# locally this round, and a fresh driver witness retires it), then the
+# warehouse-ANN read family, the incremental-index family, the dedup
+# verification family, and the embedding family. The 28 r10 rows that
+# do not fit (docs_chi_square, events_asof_join, events_asof_tolerance,
+# events_benford, events_ewma, events_gap_fill, events_mad_outliers,
+# events_rolling_7d, events_salted_agg, events_session_window,
+# events_sessionize, events_sliding_window, events_streaks,
+# events_tumbling_window, events_welch_t, integrity_audit,
+# mixture_entropy, multimodal_audio_chunks, multimodal_frame_features,
+# multimodal_image_meta, orders_salted_join, pairs_contrastive,
+# sketch_hll_daily, sketch_hll_distinct, sketch_kmv_distinct, text_bm25,
+# tpch_q2_min_cost_supplier, weighted_sample) are pre-registered to
+# LEAD the r14 window.
+_CORE_SET: list[str] = [
+    # witnessed EVERY round (SURVEY budget: core/rotation split) —
+    # the tolerance-contract entry + one flagship per family whose
+    # breakage would invalidate the most downstream consumers
+    "events_approx_stats",       # the tolerance-contract oracle
+    "tpch_q1_pricing_summary",   # scan+agg flagship (also the entry() query)
+    "merge_upsert",              # MERGE family core (the reference's D1)
+    "dedup_minhash_recall",      # LLM-dedup family flagship
+]
 _PRIORITY_ORDER: list[str] = [
-    # -- never-witnessed r11 landing (leads, per pre-registration) -----
-    "warehouse_ann_pq_many",
-    # -- the 22 r07-stale rows (oldest driver witnesses) ---------------
-    "ann_lsh_topk",
-    "bq_shape_projection",
-    "cobucketed_join",
-    "dataset_split",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "embedding_gram",
-    "events_moment_stats",
-    "events_rollup_pyramid",
-    "rollup_incremental",
-    "session_paths",
-    "sketch_count_min",
-    "sketch_hll_incremental",
-    "stratified_sample",
-    "table_profile",
-    "text_hashed_tf",
-    "text_sparse_cosine",
-    "tpch_q10_returned_items",
-    "user_value_distribution",
-    # -- r12-changed paths ---------------------------------------------
-    "search_hybrid_rrf",
-    "warehouse_ann_pq",
-    # -- NEW r12 entries (first-witness) --------------------------------
-    "bpe_encode",
-    "dedup_keep_best",
-    # -- tolerance-contract entry: pinned in-window every round --------
-    "events_approx_stats",
-    # -- backfill: 22 of the 48 r08-stale rows -------------------------
-    "docs_ngram_novelty",
-    "merge_upsert",
-    "merge_upsert_delete",
-    "merge_delete_only",
-    "merge_upsert_bucketed",
-    "routed_write_roundtrip",
-    "staged_load_roundtrip",
-    "hourly_partition_rollup",
-    "logical_types_wire",
-    "sanitized_projection",
-    "last_event_per_user",
-    "warehouse_time_travel_read",
-    "warehouse_delete_read",
-    "warehouse_incremental_read",
-    "warehouse_bloom_read",
-    "warehouse_text_search",
-    "warehouse_sketch_distinct",
-    "warehouse_clone_read",
-    "warehouse_partition_compact_read",
-    "sketch_ams_f2",
-    "sketch_cm_incremental",
-    "sketch_hist_incremental",
+    # -- the 26 r08-stale rows (oldest driver witnesses; lead) ----------
+    "ann_ivf_topk",
+    "bpe_top_pairs",
+    "corpus_shard_plan",
+    "customer_ltv_deciles",
+    "dedup_prefix_filter",
+    "docs_chunk_windows",
+    "events_cube",
+    "events_json_agg",
+    "events_ks_test",
+    "events_mannwhitney",
+    "events_pivot",
+    "events_set_ops",
+    "graph_triangles",
+    "mixture_rebalance",
+    "orders_market_basket",
+    "sketch_kmv_incremental",
+    "text_collocations",
+    "text_language_id",
+    "text_quality_scores",
+    "text_zipf_fit",
+    "top_orders_per_segment",
+    "user_value_ranks",
+    "warehouse_bloom_bucketed",
+    "warehouse_clone_bucketed",
+    "warehouse_sketch_bucketed",
+    "warehouse_text_bucketed",
+    # -- r13-changed path ------------------------------------------------
+    "pretrain_incremental",
+    # -- NEW r13 entry (first-witness) ------------------------------------
+    "pretrain_keep_best",
+    # -- core set: witnessed every round ----------------------------------
+    *_CORE_SET,
+    # -- backfill: 18 of the 48 r10-stale rows ----------------------------
+    "events_interval_join",
+    "avro_wire_roundtrip",
+    "warehouse_ann_read",
+    "warehouse_ann_bucketed",
+    "warehouse_ann_many",
+    "warehouse_ann_refined",
+    "warehouse_evolution_read",
+    "warehouse_zonemap_read",
+    "ann_incremental",
+    "bm25_incremental",
+    "dedup_semantic",
+    "dedup_passages",
+    "dedup_containment",
+    "dedup_substring_runs",
+    "dedup_winnow",
+    "dedup_simhash_pairs",
+    "embedding_kmeans",
+    "embedding_projection",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r08, r10 or r11 ==================================
+    # == green in r10, r11 or r12 ==================================
 ]
 
 
