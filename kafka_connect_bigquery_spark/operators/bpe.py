@@ -173,18 +173,28 @@ def _weighted_pair_counts(dict_df: DataFrame) -> DataFrame:
     )
 
 
-def learn_merges_words(
-    df: DataFrame, text_col: str, *, n_merges: int = 8
-) -> list[tuple[str, str]]:
-    """Classic within-word BPE training: one corpus pass builds the
-    word-frequency dict, then each round counts frequency-weighted
-    adjacent pairs over the DICT, merges the winner (count desc, pair
-    text asc — fully deterministic), and repeats. Stops early when no
-    pair's weighted count reaches 2. Merge semantics differ from
-    ``learn_merges`` exactly as classic BPE differs from a stream
-    tokenizer: pairs never span whitespace, and suffix units carry the
-    ``</w>`` marker."""
-    d = word_freq_dict(df, text_col)
+def learn_merges_from_dict(
+    dict_df: DataFrame, *, n_merges: int = 8, return_dict: bool = False
+):
+    """The dict-BPE training loop over an existing ``(tk, cnt)``
+    word-frequency dict (``word_freq_dict``'s output shape): each round
+    counts frequency-weighted adjacent pairs over the DICT, merges the
+    winner (count desc, pair text asc — fully deterministic), repeats.
+    Stops early when no pair's weighted count reaches 2.
+
+    This is the O(vocab)-per-merge shape the 100 TB claim rests on: a
+    round never touches the corpus, only the dict frame — so a 30k-
+    merge vocabulary costs 30k vocab-sized passes after ONE corpus
+    scan. Per-round hygiene for long merge sequences: the dict is
+    localCheckpoint'ed each round (materialized by the next round's
+    top-1 collect), truncating lineage so round N's plan never replays
+    rounds 1..N-1.
+
+    ``return_dict=True`` returns ``(merges, final_dict)`` so a caller
+    continuing training (e.g. the cost-curve bench, checkpoint by
+    checkpoint) resumes from the merged state instead of replaying the
+    whole prefix."""
+    d = dict_df
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -210,7 +220,74 @@ def learn_merges_words(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         d = d.select(merged.alias("tk"), "cnt").localCheckpoint(eager=False)
+    if return_dict:
+        return merges, d
     return merges
+
+
+def learn_merges_words(
+    df: DataFrame, text_col: str, *, n_merges: int = 8
+) -> list[tuple[str, str]]:
+    """Classic within-word BPE training: one corpus pass builds the
+    word-frequency dict (``word_freq_dict``), then
+    ``learn_merges_from_dict`` runs the vocabulary-bounded merge loop.
+    Merge semantics differ from ``learn_merges`` exactly as classic BPE
+    differs from a stream tokenizer: pairs never span whitespace, and
+    suffix units carry the ``</w>`` marker."""
+    return learn_merges_from_dict(word_freq_dict(df, text_col), n_merges=n_merges)
+
+
+def segment_words(
+    words: DataFrame,
+    word_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    merges_per_pass: int = 16,
+) -> DataFrame:
+    """Segment a frame of (distinct) WORDS against a learned merge
+    list, returning the input plus a ``subwords`` array column — the
+    vocab-side half of the dictionary-encoded tokenize (corpus tokens
+    then broadcast-join onto this map).
+
+    Why not ``apply_merges_words`` directly: that builds ONE expression
+    nesting every merge's fold — fine at a handful of merges, but a
+    real vocabulary is 1k-30k merges and a single expression with
+    thousands of nested higher-order aggregates blows Catalyst's
+    analysis/codegen budget. Here the merge list is replayed in
+    ``merges_per_pass``-sized expression batches with a localCheckpoint
+    between passes: each pass is one linear scan of the vocab-sized
+    frame with a bounded expression tree, so cost is
+    O(n_merges × vocab) rows TOTAL — corpus-size-independent — and
+    expression depth never grows past one batch. Batch boundaries are
+    semantics-free (merges apply strictly in list order either way;
+    pinned by the pytest twin against ``apply_merges_words``)."""
+
+    def fold(a: str, b: str):
+        def step(acc: Column, x: Column) -> Column:
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(F.col(word_col), i.cast("int"), 1),
+    )
+    out = words.withColumn(
+        "subwords", F.concat(chars, F.array(F.lit(WORD_END)))
+    )
+    for lo in range(0, len(merges), merges_per_pass):
+        tk = F.col("subwords")
+        for a, b in merges[lo : lo + merges_per_pass]:
+            tk = F.aggregate(tk, F.array().cast("array<string>"), fold(a, b))
+        out = out.withColumn("subwords", tk).localCheckpoint(eager=False)
+    return out
 
 
 def apply_merges_words(

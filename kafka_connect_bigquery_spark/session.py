@@ -72,6 +72,15 @@ def _ns_timestamp_columns(path: str) -> tuple[str, ...]:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
+        if os.path.isdir(path):
+            # multi-file table (name.parquet/part-*.parquet): all parts
+            # share a schema, so the first file's footer answers
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return ()
+            path = os.path.join(path, parts[0])
         sch = pq.read_schema(path)
         return tuple(
             f.name

@@ -67,14 +67,18 @@ def file_stream_source(
     spark: SparkSession,
     path: str,
     schema: T.StructType = KAFKA_SCHEMA,
-    max_files_per_trigger: int = 10,
+    max_files_per_trigger: int | None = 10,
 ) -> DataFrame:
     """Kafka stand-in for tests: a parquet-directory stream presenting
     the same column contract. ``maxFilesPerTrigger`` plays the
-    backpressure role of maxOffsetsPerTrigger."""
+    backpressure role of maxOffsetsPerTrigger; ``None`` leaves it unset
+    so a trigger drains the WHOLE available backlog in one micro-batch
+    — the shape of an interval-amortized sink (the reference's 60 s
+    mergeIntervalMs: accumulate, then merge once)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
+        reader.parquet(path)
         .select(*[F.col(c) for c in schema.fieldNames()])
     )

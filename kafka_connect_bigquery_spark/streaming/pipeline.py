@@ -504,10 +504,24 @@ class SinkPipeline:
         return loaded
 
     # -- stream wiring ---------------------------------------------------
-    def start(self, source: DataFrame, checkpoint_dir: str, key_cols: list[str] | None = None):
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint_dir: str,
+        key_cols: list[str] | None = None,
+        trigger_sec: float = 0.0,
+    ):
         """Attach the right foreachBatch handler and start the query.
         Offsets commit via the checkpoint after each handler returns —
-        the reference's preCommit/flush barrier semantics for free."""
+        the reference's preCommit/flush barrier semantics for free.
+
+        ``trigger_sec`` maps the reference's merge-amortization knob
+        (BigQuerySinkConfig mergeIntervalMs, :353-374) onto Structured
+        Streaming's processing-time trigger: a production upsert sink
+        sets it to ``config.merge_interval_ms / 1000`` so each
+        micro-batch accumulates an interval's worth of input and pays
+        ONE MERGE for it; 0 (the default, and the test posture) fires
+        as fast as data arrives."""
         if self.config.upsert_enabled or self.config.delete_enabled:
             handler = lambda b, i: self.merge_batch(b, i, key_cols or ["key"])  # noqa: E731
         elif self.config.enable_batch_load_topics:
@@ -519,7 +533,7 @@ class SinkPipeline:
         return (
             source.writeStream.foreachBatch(handler)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime="0 seconds")
+            .trigger(processingTime=f"{trigger_sec} seconds")
             .start()
         )
 

@@ -154,3 +154,100 @@ def test_word_dict_bpe_never_crosses_word_boundary(spark):
     # the stream variant DOES see the cross-word pair — the semantic
     # difference between the two trainers, pinned
     assert ("b", "a") in bpe.learn_merges(df, "text", n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# r13: dict-input training + batched segmentation (the >=1k-merge path)
+# ---------------------------------------------------------------------------
+
+def _zipf_dict(n_words=300, seed=7):
+    """Synthetic Zipf (word, count) dict — the input shape of dict-BPE
+    (a real corpus reaches the trainer only through word_freq_dict)."""
+    import random
+
+    rng = random.Random(seed)
+    letters = "abcdefghijklmnop"
+    words = set()
+    while len(words) < n_words:
+        words.add(
+            "".join(rng.choice(letters) for _ in range(rng.randint(2, 10)))
+        )
+    ws = sorted(words)
+    return {w: max(1, int(1000 / (i + 1))) + rng.randint(0, 3) for i, w in enumerate(ws)}
+
+
+def _ref_learn_dict(freqs, n_merges):
+    """Pure-Python Sennrich loop over an explicit frequency dict."""
+    from collections import Counter
+
+    vocab = {w: list(w) + [bpe.WORD_END] for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, toks in vocab.items():
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] += freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        vocab = {w: _ref_merge(t, a, b) for w, t in vocab.items()}
+    return merges
+
+
+def _dict_df(spark, freqs):
+    rows = [(list(w) + [bpe.WORD_END], int(c)) for w, c in sorted(freqs.items())]
+    return spark.createDataFrame(rows, "tk: array<string>, cnt: long")
+
+
+def test_learn_merges_from_dict_matches_python_replay(spark):
+    """The dict-input trainer (the O(vocab)-per-merge loop the >=1k-
+    merge vocabulary rung runs) must learn the identical merge sequence
+    as the pure-Python Sennrich replay over the same dict — 64 merges
+    deep, so the equality covers long-horizon state, not just the first
+    few winners."""
+    freqs = _zipf_dict()
+    got = bpe.learn_merges_from_dict(_dict_df(spark, freqs), n_merges=64)
+    want = _ref_learn_dict(freqs, 64)
+    assert got == want
+    assert len(got) == 64  # the dict genuinely sustains 64 merges
+
+
+def test_learn_merges_words_delegates_to_dict_loop(spark):
+    df = _df(spark)
+    via_words = bpe.learn_merges_words(df, "text", n_merges=6)
+    via_dict = bpe.learn_merges_from_dict(
+        bpe.word_freq_dict(df, "text"), n_merges=6
+    )
+    assert via_words == via_dict
+
+
+def test_segment_words_equals_apply_merges_words(spark):
+    """Batched segmentation (merges_per_pass expression batches with
+    checkpoints between) must produce byte-identical subwords to the
+    single-expression apply_merges_words — especially across batch
+    boundaries (41 merges at 16/pass exercises two boundaries and a
+    partial final batch)."""
+    freqs = _zipf_dict(n_words=120, seed=11)
+    merges = _ref_learn_dict(freqs, 41)
+    assert len(merges) == 41
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(freqs)], "word: string"
+    )
+    seg = {
+        r["word"]: list(r["subwords"])
+        for r in bpe.segment_words(words, "word", merges, merges_per_pass=16).collect()
+    }
+    ref = {
+        r["word"]: list(r["subwords"])
+        for r in bpe.apply_merges_words(words, "word", merges).collect()
+    }
+    assert seg == ref
+    # and batching is semantics-free: a different batch size agrees
+    seg7 = {
+        r["word"]: list(r["subwords"])
+        for r in bpe.segment_words(words, "word", merges, merges_per_pass=7).collect()
+    }
+    assert seg7 == ref

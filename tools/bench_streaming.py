@@ -1,7 +1,7 @@
 """Streaming ingest throughput bench (r11 verdict ask #6).
 
 The correctness story for the streaming engine is the soak + wire
-witnesses; this measures the one missing axis: ROWS/SEC. Three
+witnesses; this measures the one missing axis: ROWS/SEC. Five
 configurations over the same sf0.1 events payload (100k rows, JSON
 wire format, Kafka column contract via the file-source stand-in):
 
@@ -13,13 +13,20 @@ wire format, Kafka column contract via the file-source stand-in):
                    SketchMaintainer so every batch also pays the
                    index/IVM refresh through the CDC feed — the
                    marginal cost of keeping query artifacts fresh.
+4. ``upsert_delete_amortized`` (r13) — the reference's DESIGN POINT:
+                   BigQuerySinkConfig defaults mergeIntervalMs to 60 s
+                   (:353-374), i.e. merges amortize over an interval's
+                   accumulated rows. Here the trigger drains the whole
+                   staged backlog as ONE micro-batch and pays ONE
+                   MERGE — the apples-to-apples rows/s vs the
+                   reference, where rows 2-3 deliberately pay a MERGE
+                   per arriving file (worst-case latency posture).
+5. ``upsert_delete_ivm_amortized`` — 4 plus the IVM maintainers.
 
 Reference envelope for context (no published rows/sec exists): a
 10-thread writer pool with queue-based backpressure
-(kcbq/config/BigQuerySinkConfig.java:399-407) and a 60 s default merge
-flush interval (:353-374) — i.e. the reference AMORTIZES merges over
-minutes; we merge EVERY micro-batch and still report per-batch
-latency.
+(kcbq/config/BigQuerySinkConfig.java:399-407) and the 60 s default
+merge flush interval above.
 
 Per-batch latencies come from the query's own progress events
 (StreamingQueryProgress.batchDuration), wall-clock from start to
@@ -106,7 +113,17 @@ def _stage_source(spark, events_path: str, src_dir: str, n_batches: int, rows_pe
     return total
 
 
-def _drive(spark, wh_dir: str, src: str, ckpt: str, *, mode: str, ivm: bool, staged_rows: int):
+def _drive(
+    spark,
+    wh_dir: str,
+    src: str,
+    ckpt: str,
+    *,
+    mode: str,
+    ivm: bool,
+    staged_rows: int,
+    amortized: bool = False,
+):
     from kafka_connect_bigquery_spark.config import SinkConfig
     from kafka_connect_bigquery_spark.operators import rollup as R
     from kafka_connect_bigquery_spark.operators import sketch as SK
@@ -147,7 +164,15 @@ def _drive(spark, wh_dir: str, src: str, ckpt: str, *, mode: str, ivm: bool, sta
     )
     t0 = time.time()
     q = pipe.start(
-        file_stream_source(spark, src, max_files_per_trigger=1),
+        # amortized = the reference's mergeIntervalMs design point: the
+        # trigger drains the WHOLE staged backlog (an interval's worth
+        # of accumulated input) and pays ONE MERGE for it, instead of a
+        # MERGE per arriving file. trigger_sec stays 0 so the bench
+        # measures processing cost, not idle trigger waits — the
+        # accumulation is represented by the backlog, not wall time.
+        file_stream_source(
+            spark, src, max_files_per_trigger=None if amortized else 1
+        ),
         ckpt,
         key_cols=["ukey"] if upsert else None,
     )
@@ -191,10 +216,15 @@ def main() -> None:
             spark, os.path.join(sf_dir, "events.parquet"), src, n_batches, rows_per_batch
         )
         results = {}
-        for label, mode, ivm in [
-            ("append", "append", False),
-            ("upsert_delete", "upsert", False),
-            ("upsert_delete_ivm", "upsert", True),
+        for label, mode, ivm, amortized in [
+            ("append", "append", False, False),
+            ("upsert_delete", "upsert", False, False),
+            ("upsert_delete_ivm", "upsert", True, False),
+            # the apples-to-apples row vs the reference's 60 s
+            # mergeIntervalMs default: one MERGE over the accumulated
+            # interval instead of one per arriving file
+            ("upsert_delete_amortized", "upsert", False, True),
+            ("upsert_delete_ivm_amortized", "upsert", True, True),
         ]:
             results[label] = _drive(
                 spark,
@@ -204,6 +234,7 @@ def main() -> None:
                 mode=mode,
                 ivm=ivm,
                 staged_rows=staged,
+                amortized=amortized,
             )
         payload = {
             "metric": "streaming_ingest",

@@ -12,12 +12,23 @@ never for cross-checking against driver-recorded sf0.1 hashes — the
 DuckDB oracle runs on the SAME generated files, so correctness
 comparisons stay meaningful at any sf.
 
-Usage: python tools/gen_scale.py <sf> <out_dir>   (e.g. 1 /root/repo/.scale/sf1)
+Usage: python tools/gen_scale.py <sf> <out_dir> [files_per_table]
+       (e.g. 1 /root/repo/.scale/sf1 32)
 
 Rows at sf=1 (10x the sf0.1 counts): customer 150k, supplier 10k,
 part 200k, orders 1.5M, lineitem ~6.1M, events 1M, documents 50k,
-embeddings 20k. Writes one parquet per table, streaming row-group
-batches so peak memory stays bounded at large sf.
+embeddings 20k.
+
+files_per_table (default 1, r13): >1 writes each table as a DIRECTORY
+``name.parquet/part-NNNNN.parquet`` of that many row-sliced files —
+the realistic 100 TB layout (a real corpus lands in thousands of
+files, so scans parallelize at file granularity and every per-file
+index/pruning structure sees real file boundaries). Tables too small
+to slice meaningfully (< 10k rows/file) get fewer files; the fixed
+dims stay single-file. Slicing happens AFTER generation from the same
+seed, so a multi-file rung holds EXACTLY the same rows in the same
+order as the single-file rung — any query result difference between
+layouts is a file-boundary bug, not data drift.
 """
 
 from __future__ import annotations
@@ -60,7 +71,7 @@ def _ts_us(int64_us: np.ndarray) -> pa.Array:
     return pa.array(int64_us, type=pa.timestamp("us"))
 
 
-def gen(sf: float, out: str) -> None:
+def gen(sf: float, out: str, files_per_table: int = 1) -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
     # clamp every count to >= 1: a tiny sf (e.g. 1e-5) would otherwise
@@ -75,12 +86,32 @@ def gen(sf: float, out: str) -> None:
     n_emb = max(1, int(20_000 * sf))
 
     def write(name, table):
-        pq.write_table(
-            table,
-            os.path.join(out, f"{name}.parquet"),
-            row_group_size=1 << 20,
-        )
-        print(f"{name}: {table.num_rows} rows", flush=True)
+        import shutil
+
+        rows = table.num_rows
+        # don't shard below ~10k rows/file: a 32-way split of a 25-row
+        # dim would measure file-listing overhead, not layout realism
+        n_files = max(1, min(int(files_per_table), rows // 10_000))
+        dest = os.path.join(out, f"{name}.parquet")
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        elif os.path.exists(dest):
+            os.remove(dest)
+        if n_files == 1:
+            pq.write_table(table, dest, row_group_size=1 << 20)
+        else:
+            os.makedirs(dest)
+            step = -(-rows // n_files)  # ceil division
+            for i in range(n_files):
+                chunk = table.slice(i * step, step)
+                if chunk.num_rows == 0:
+                    break
+                pq.write_table(
+                    chunk,
+                    os.path.join(dest, f"part-{i:05d}.parquet"),
+                    row_group_size=1 << 20,
+                )
+        print(f"{name}: {table.num_rows} rows in {n_files} file(s)", flush=True)
 
     # -- region / nation (fixed dimensions) ---------------------------
     write(
@@ -282,4 +313,5 @@ def gen(sf: float, out: str) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1])
     out = sys.argv[2]
-    gen(sf, out)
+    files = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    gen(sf, out, files)
