@@ -99,17 +99,32 @@ def _stage_source(spark, events_path: str, src_dir: str, n_batches: int, rows_pe
     wire.repartition("__b").write.partitionBy("__b").mode("overwrite").parquet(
         src_dir + "_staged"
     )
-    for d in sorted(os.listdir(src_dir + "_staged")):
-        if not d.startswith("__b="):
-            continue
+    # zero-padded batch ids: the file source picks files in LEXICAL
+    # order (path + near-equal modtimes), and "batch_10" < "batch_2"
+    # lexically — unpadded names replayed offsets OUT of order, which a
+    # real Kafka partition never does (observed as a final_rows drift
+    # between per-file and amortized runs: a key's newest event landed
+    # in a batch processed before an older one)
+    staged_dirs = sorted(
+        (d for d in os.listdir(src_dir + "_staged") if d.startswith("__b=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    base_mtime = time.time() - 3600
+    for i, d in enumerate(staged_dirs):
         bdir = os.path.join(src_dir + "_staged", d)
         for f in os.listdir(bdir):
             if f.endswith(".parquet"):
                 os.makedirs(src_dir, exist_ok=True)
-                shutil.copy(
-                    os.path.join(bdir, f),
-                    os.path.join(src_dir, f"batch_{d.split('=')[1]}_{f}"),
+                dst = os.path.join(
+                    src_dir, f"batch_{int(d.split('=')[1]):05d}_{f}"
                 )
+                shutil.copy(os.path.join(bdir, f), dst)
+                # FileStreamSource orders candidate files by MODTIME;
+                # sequential copies can land in the same clock tick and
+                # tie-break arbitrarily, replaying offsets out of order
+                # (a real Kafka partition never does) — pin strictly
+                # increasing mtimes so batch order == offset order
+                os.utime(dst, (base_mtime + i, base_mtime + i))
     return total
 
 
