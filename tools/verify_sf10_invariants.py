@@ -22,10 +22,19 @@ checked exactly (frame equality, not estimates):
             inverted-index Jaccard join on a sf10 document slice (the
             no-recall-loss guarantee); plus the LSH probe invariant
             pairs(index ∪ new) == pairs(index) ∪ probe(new, index)
-            over the FULL 500k-doc sf10 corpus, 80/20 split.
+            on a capped slice, 80/20 split.
+
+Why the dedup slices are capped — OUTPUT size, not machinery: the
+synthetic corpus draws every document from a 31-word vocabulary, so
+its pair DENSITY is pathological (~9% of all doc pairs LSH-collide:
+11,420 pairs among 500 docs at sf0.001). Materializing the invariant's
+pair sets over all 500k sf10 docs is ~10^10 OUTPUT rows — infeasible
+for any engine and unrepresentative of a real corpus (density ~1e-6).
+The caps bound the quadratic pair output; the operators themselves are
+the same blocked/bucketed machinery the 30/30 sf10 sweep's inputs ran.
 
 Usage: python tools/verify_sf10_invariants.py [--sf-dir .scale/sf10_mf]
-       [--slice-docs 20000]
+       [--slice-docs 5000] [--lsh-docs 20000]
 Prints one JSON line with per-invariant verdicts.
 """
 
@@ -143,7 +152,7 @@ def sketch_invariant(spark, sf_dir: str) -> dict:
     return out
 
 
-def dedup_invariant(spark, sf_dir: str, slice_docs: int) -> dict:
+def dedup_invariant(spark, sf_dir: str, slice_docs: int, lsh_docs: int) -> dict:
     from kafka_connect_bigquery_spark.operators import dedup
     from kafka_connect_bigquery_spark.session import read_table
 
@@ -193,11 +202,12 @@ def dedup_invariant(spark, sf_dir: str, slice_docs: int) -> dict:
         "sec_inverted_index_twin": round(t_twin, 1),
     }
 
-    # -- LSH probe invariant over the FULL sf10 corpus ------------------
-    hi = docs.agg(F.max("doc_id")).first()[0]
-    cut = (hi * 4) // 5
+    # -- LSH probe invariant on a capped slice (output-bound; see
+    # module docstring), 80/20 split by id ------------------------------
+    lsl = docs.filter(F.col("doc_id") < lsh_docs)
+    cut = (lsh_docs * 4) // 5
     t0 = time.time()
-    sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=16, n=3)
+    sig = dedup.minhash_signature(lsl, "doc_id", "text", num_hashes=16, n=3)
     posts_all = dedup.lsh_band_postings(
         sig, "doc_id", num_hashes=16, bands=4
     ).localCheckpoint(eager=True)
@@ -208,8 +218,8 @@ def dedup_invariant(spark, sf_dir: str, slice_docs: int) -> dict:
         dedup.lsh_probe_index(new, idx)
     ).distinct()
     eq2 = _same_frame(full, decomposed, ["id_a", "id_b"])
-    out["lsh_probe_full_corpus"] = {
-        "docs": docs.count(),
+    out["lsh_probe_slice"] = {
+        "docs": lsl.count(),
         **eq2,
         "sec": round(time.time() - t0, 1),
     }
@@ -219,7 +229,8 @@ def dedup_invariant(spark, sf_dir: str, slice_docs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scale", "sf10_mf"))
-    ap.add_argument("--slice-docs", type=int, default=20_000)
+    ap.add_argument("--slice-docs", type=int, default=5_000)
+    ap.add_argument("--lsh-docs", type=int, default=20_000)
     ap.add_argument("--families", default="ann,sketch,dedup")
     args = ap.parse_args()
 
@@ -235,7 +246,9 @@ def main() -> None:
         out["sketch"] = sketch_invariant(spark, args.sf_dir)
         print(json.dumps({"sketch": out["sketch"]}), flush=True)
     if "dedup" in fams:
-        out["dedup"] = dedup_invariant(spark, args.sf_dir, args.slice_docs)
+        out["dedup"] = dedup_invariant(
+            spark, args.sf_dir, args.slice_docs, args.lsh_docs
+        )
         print(json.dumps({"dedup": out["dedup"]}), flush=True)
     spark.stop()
     print(json.dumps(out, separators=(",", ":")), flush=True)
