@@ -287,6 +287,41 @@ def _recover_torn_tick(wh, tables: PretrainTickTables) -> int:
     return last
 
 
+def materialize_survivors(
+    wh,
+    *,
+    tables: PretrainTickTables = PretrainTickTables(),
+    id_col: str = "doc_id",
+) -> int:
+    """Compaction hygiene for the keep-best eviction path: fold the
+    accumulated ``evicted`` ids into the ``survivors`` table (one
+    anti-join + overwrite) and truncate ``evicted``, so reads stop
+    paying the merge-on-read anti-join. Returns the number of evicted
+    rows folded in (0 = nothing to do, no write happens).
+
+    Run BETWEEN ticks, by the same single ticker that owns the state
+    tables (the overwrite + truncate pair is not atomic as a group;
+    crash between them re-applies an eviction already folded in — an
+    idempotent no-op, since the anti-join of an absent id changes
+    nothing — so recovery needs no special handling). Equality with
+    the un-compacted read is pinned by tests."""
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
+
+    try:
+        ev = wh.read(tables.evicted).select(id_col).localCheckpoint(eager=True)
+    except Exception:  # no evictions ever recorded
+        return 0
+    n = ev.count()
+    if n == 0:
+        return 0
+    spec = TableSpec(partition_grain="NONE")
+    surv = wh.read(tables.survivors).join(ev, id_col, "left_anti")
+    # materialize off the source files before the destructive swap
+    wh.overwrite(surv.localCheckpoint(eager=True), tables.survivors, spec)
+    wh.overwrite(ev.limit(0).withColumn(TICK_COL, F.lit(0).cast("long")), tables.evicted, spec)
+    return n
+
+
 def incremental_tick(
     wh,
     corpus_table: str,

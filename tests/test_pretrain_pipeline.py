@@ -575,3 +575,39 @@ def test_torn_tick_with_eviction_recovers(spark, tmp_path):
     # the eviction wasn't double-recorded by the rerun
     ev = wh.read(tables.evicted).select("doc_id").collect()
     assert len(ev) == len({r["doc_id"] for r in ev})
+
+
+def test_materialize_survivors_folds_evictions(spark, tmp_path):
+    """Compaction of the eviction log: after materialize_survivors the
+    un-compacted read (survivors ANTI JOIN evicted) and the compacted
+    table are identical, evicted is empty, further ticks keep working,
+    and a second materialize is a no-op."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+        materialize_survivors,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, t3 = _best_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    cursor = incremental_tick(wh, "corpus", None, tables=tables, cfg=BEST_CFG)["cursor"]
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    a2 = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=BEST_CFG)
+    before = _ids(a2["survivors"])
+
+    folded = materialize_survivors(wh, tables=tables)
+    assert folded >= 1  # doc 1's eviction really got compacted
+    assert _ids(wh.read(tables.survivors)) == before  # same corpus, now direct
+    assert wh.read(tables.evicted).count() == 0
+    assert materialize_survivors(wh, tables=tables) == 0  # idempotent no-op
+
+    # the pipeline continues across a compaction: tick 3 still equals batch
+    wh.append(_mk_docs(spark, t3), "corpus", spec)
+    a3 = incremental_tick(wh, "corpus", a2["cursor"], tables=tables, cfg=BEST_CFG)
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
+    assert _ids(a3["survivors"]) == _ids(batch["near_survivors"])
