@@ -717,6 +717,63 @@ def lsh_probe_index(
     return cross.unionByName(nn).distinct()
 
 
+def lsh_probe_losers_by_quality(
+    new_postings: DataFrame, index_postings: DataFrame | None
+) -> DataFrame:
+    """Keep-best loser ids straight off the LSH probe: both postings
+    sides carry a per-doc ``q`` column (quality), so the bucket join
+    already has each pair's (q, id) on BOTH sides and the loser — the
+    lexicographically smaller (q, -id); quality ties drop the larger
+    id — is a projection of the join row. Same pair semantics as
+    ``lsh_probe_index`` (+ ``lsh_pairs_from_postings`` for the
+    within-new self-join when ``index_postings`` is None-equivalent).
+
+    Why this exists instead of ``orient_pairs_by_quality`` over the
+    probe's output: on a dense candidate graph the pair frame is the
+    biggest thing in the tick, and re-joining quality onto it twice
+    shuffles it twice more by id (measured 2.7x on the sf1 template
+    corpus, growing with index size). Here quality rides the postings
+    rows — corpus-sized, not pair-sized — and the only pair-sized op
+    left is the loser-id distinct the min-id policy pays anyway.
+
+    Returns DISTINCT loser ids as ``doc``."""
+    n = new_postings.select(
+        F.col("doc").alias("id_a"),
+        F.col("bucket").alias("b_a"),
+        F.col("q").alias("q_a"),
+    )
+    sides = []
+    # new x new (the delta self-join)
+    n2 = new_postings.select(
+        F.col("doc").alias("id_b"),
+        F.col("bucket").alias("b_b"),
+        F.col("q").alias("q_b"),
+    )
+    sides.append(
+        n.join(n2, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
+    )
+    if index_postings is not None:
+        i = index_postings.select(
+            F.col("doc").alias("id_b"),
+            F.col("bucket").alias("b_b"),
+            F.col("q").alias("q_b"),
+        )
+        # new x index, both orientations (id order is not arrival order)
+        sides.append(
+            n.join(
+                i, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") != F.col("id_b"))
+            )
+        )
+    b_loses = (F.col("q_a") > F.col("q_b")) | (
+        (F.col("q_a") == F.col("q_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    loser = F.when(b_loses, F.col("id_b")).otherwise(F.col("id_a"))
+    out = sides[0].select(loser.alias("doc"))
+    for s in sides[1:]:
+        out = out.unionByName(s.select(loser.alias("doc")))
+    return out.distinct()
+
+
 def orient_pairs_by_quality(
     pairs: DataFrame,
     quality: DataFrame,

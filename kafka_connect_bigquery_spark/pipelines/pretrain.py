@@ -371,9 +371,13 @@ def incremental_tick(
     3. exact dedup: new content fingerprints anti-joined against the
        fingerprint table (old twins win), then min-id per fp within
        the delta (new twins resolve);
-    4. near dedup: band postings for the delta, ``lsh_probe_index``
-       against the postings table — a new doc colliding with ANY
-       indexed doc (or a smaller-id delta doc) is dropped;
+    4. near dedup: band postings for the delta, probed against the
+       postings table — a new doc colliding with ANY indexed doc (or a
+       smaller-id delta doc) is dropped. The probe pair semantics are
+       ``lsh_probe_index``'s (same bucket equi-joins), but losers are
+       computed INLINE on the probe join (``lsh_probe_losers_by_
+       quality``; min-id = the quality rule under constant quality) so
+       the pair-sized frame is distinct'd once, never re-joined;
     5. state appends: fingerprints, postings (ALL exact survivors),
        survivors (near survivors) — each stamped with the tick id, made
        atomic AS A GROUP by the tick-log marker written last: a crash
@@ -450,28 +454,21 @@ def incremental_tick(
         index_posts = wh.read(tables.postings).drop(TICK_COL)
     except Exception:
         index_posts = None
-    pairs = (
-        dedup.lsh_probe_index(new_posts, index_posts)
-        if index_posts is not None
-        else dedup.lsh_pairs_from_postings(new_posts)
-    )
     old_losers = None
     if cfg.survivor == "best":
-        # quality map over every id a probe pair can mention: this
-        # tick's exact survivors + the indexed population
-        if index_posts is not None:
-            if "q" not in index_posts.columns:
-                raise ValueError(
-                    "survivor='best' needs a quality-bearing postings "
-                    "index (doc, bucket, q); the stored index predates "
-                    "it — rebuild the state tables"
-                )
-            qmap = q_new.unionByName(
-                index_posts.select("doc", "q").distinct()
+        # quality rides the postings rows, so the probe join orients
+        # each pair inline — never re-joining quality onto the
+        # pair-sized frame (measured 2.7x and growing with index size
+        # on a dense candidate graph)
+        if index_posts is not None and "q" not in index_posts.columns:
+            raise ValueError(
+                "survivor='best' needs a quality-bearing postings "
+                "index (doc, bucket, q); the stored index predates "
+                "it — rebuild the state tables"
             )
-        else:
-            qmap = q_new
-        all_losers = dedup.orient_pairs_by_quality(pairs, qmap)
+        all_losers = dedup.lsh_probe_losers_by_quality(
+            new_posts, index_posts
+        ).localCheckpoint(eager=False)
         losers = all_losers.select(F.col("doc").alias(id_col))
         # losers not in this tick's delta are ALREADY-ACCEPTED docs a
         # higher-quality new twin just beat: evict them retroactively
@@ -482,7 +479,17 @@ def incremental_tick(
     else:
         if cfg.survivor != "min_id":
             raise ValueError(f"unknown survivor policy: {cfg.survivor!r}")
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # min-id greedy = the quality rule under CONSTANT quality (ties
+        # drop the larger id), so the same inline probe applies — one
+        # pair-sized distinct instead of lsh_probe_index's pair distinct
+        # plus a second one over the losers. Loser ids outside the delta
+        # (an index doc with a larger id than a colliding new doc) fall
+        # out of the anti-join below, exactly as before.
+        zero = F.lit(0).cast("long")
+        losers = dedup.lsh_probe_losers_by_quality(
+            new_posts.withColumn("q", zero),
+            index_posts.withColumn("q", zero) if index_posts is not None else None,
+        ).select(F.col("doc").alias(id_col))
     near_new = exact_new.join(losers, id_col, "left_anti").drop("fp")
 
     # -- semantic dedup against the accumulated embedding index --------
