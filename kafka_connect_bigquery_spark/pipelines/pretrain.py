@@ -99,13 +99,19 @@ def build_corpus(
         fps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     )
 
-    pairs = dedup.minhash_lsh_dedup_pairs(
+    # losers oriented INLINE on the LSH bucket self-join (quality rides
+    # the corpus-sized postings rows, never re-joined onto the
+    # pair-sized frame — see lsh_probe_losers_by_quality; min-id is the
+    # same rule under constant quality)
+    sig = dedup.minhash_signature(
         exact_survivors,
         id_col,
         text_col,
         num_hashes=cfg.minhash_hashes,
-        bands=cfg.minhash_bands,
         n=cfg.shingle_n,
+    )
+    posts = dedup.lsh_band_postings(
+        sig, id_col, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
     )
     if cfg.survivor == "best":
         from kafka_connect_bigquery_spark.functions.text import token_count
@@ -114,14 +120,13 @@ def build_corpus(
             F.col(id_col).alias("doc"),
             token_count(F.col(text_col)).cast("long").alias("q"),
         )
-        losers = dedup.orient_pairs_by_quality(pairs, qual)
-        near_survivors = exact_survivors.join(
-            losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
-        )
+        posts = posts.join(qual, "doc")
     else:
-        near_survivors = exact_survivors.join(
-            pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
-        )
+        posts = posts.withColumn("q", F.lit(0).cast("long"))
+    losers = dedup.lsh_probe_losers_by_quality(posts, None)
+    near_survivors = exact_survivors.join(
+        losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
 
     sem_survivors = near_survivors
     if embeddings is not None:
