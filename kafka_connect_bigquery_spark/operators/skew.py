@@ -142,12 +142,21 @@ def has_shuffle_lineage(df: DataFrame) -> bool:
         for i in range(kids.size()):
             stack.append(kids.apply(i))
     # physical backstop: compile (don't execute) the plan and look for
-    # Exchange operators the logical allowlist missed
+    # Exchange operators the logical allowlist missed. Anchored to the
+    # tree-prefix (line start + non-word tree characters) so the word
+    # "Exchange" inside a file path, column name, or filter literal —
+    # all of which plan strings print mid-line — can't false-positive a
+    # genuinely narrow frame out of widening.
+    import re
+
     try:
         physical = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return True
-    return "Exchange" in physical
+    return (
+        re.search(r"(?m)^[^\w]*(?:Broadcast|Reused)?Exchange[ (]", physical)
+        is not None
+    )
 
 
 def fan_out(

@@ -212,10 +212,13 @@ class PretrainTickTables:
       ids here (so it rides the same stamped-append atomicity as every
       other state table — no in-place mutation the torn-tick rollback
       couldn't excise) and the accumulated corpus is
-      ``survivors ANTI JOIN evicted``. At 100 TB the eviction set is a
-      small fraction of the corpus, the anti-join broadcasts; a
-      periodic materialize (anti-join + overwrite + truncate evicted)
-      is ordinary compaction hygiene.
+      ``survivors ANTI JOIN evicted``; the sem probe reads
+      ``sem_vectors`` through the same anti-join. Each id is appended
+      at its FIRST eviction only (the beaten doc's postings stay in
+      the index, so it can lose again later). At 100 TB the eviction
+      set is a small fraction of the corpus, the anti-join broadcasts;
+      a periodic ``materialize_survivors`` (anti-join + overwrite +
+      truncate evicted) is ordinary compaction hygiene.
     """
 
     fingerprints: str = "pretrain_fingerprints"
@@ -297,19 +300,31 @@ def materialize_survivors(
     *,
     tables: PretrainTickTables = PretrainTickTables(),
     id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
 ) -> int:
     """Compaction hygiene for the keep-best eviction path: fold the
     accumulated ``evicted`` ids into the ``survivors`` table (one
-    anti-join + overwrite) and truncate ``evicted``, so reads stop
-    paying the merge-on-read anti-join. Returns the number of evicted
-    rows folded in (0 = nothing to do, no write happens).
+    anti-join + overwrite) — and into ``sem_vectors`` when the sem
+    stage is in play, since the sem probe population is merge-on-read
+    against the same log (truncating ``evicted`` without compacting
+    the vectors would resurrect beaten docs as semantic vetoers) —
+    then truncate ``evicted``, so reads stop paying the anti-join.
+    Returns the number of evicted-log rows folded in (0 = nothing to
+    do, no write happens).
 
     Run BETWEEN ticks, by the same single ticker that owns the state
-    tables (the overwrite + truncate pair is not atomic as a group;
-    crash between them re-applies an eviction already folded in — an
+    tables (the overwrite group is not atomic; a crash between the
+    overwrites re-applies an eviction already folded in — an
     idempotent no-op, since the anti-join of an absent id changes
-    nothing — so recovery needs no special handling). Equality with
-    the un-compacted read is pinned by tests."""
+    nothing — so recovery needs no special handling). The final act
+    re-points the tick log at the post-compaction table versions:
+    without it the next tick's ``_recover_torn_tick`` would read the
+    bumped versions as a torn tick and answer with no-op (but
+    permanent, read-path-evaluated) deferred deletes. A crash before
+    that log append leaves exactly that once-per-crash no-op — the
+    recovery stays sound because compaction preserves the surviving
+    rows' original tick stamps (all <= the last committed tick).
+    Equality with the un-compacted read is pinned by tests."""
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
 
     try:
@@ -323,7 +338,28 @@ def materialize_survivors(
     surv = wh.read(tables.survivors).join(ev, id_col, "left_anti")
     # materialize off the source files before the destructive swap
     wh.overwrite(surv.localCheckpoint(eager=True), tables.survivors, spec)
+    touched = [tables.survivors, tables.evicted]
+    if wh.exists(tables.sem_vectors):
+        sem = wh.read(tables.sem_vectors).join(
+            ev.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_anti"
+        )
+        wh.overwrite(sem.localCheckpoint(eager=True), tables.sem_vectors, spec)
+        touched.append(tables.sem_vectors)
     wh.overwrite(ev.limit(0).withColumn(TICK_COL, F.lit(0).cast("long")), tables.evicted, spec)
+    try:
+        last = max(
+            int(r["tick"]) for r in wh.read(tables.tick_log).collect()
+        )
+    except Exception:  # unreachable in practice: evictions imply ticks
+        return n
+    wh.append(
+        wh.spark.createDataFrame(
+            [(last, t, int(wh.current_version(t))) for t in touched],
+            "tick: long, state_table: string, version: long",
+        ),
+        tables.tick_log,
+        spec,
+    )
     return n
 
 
@@ -366,9 +402,17 @@ def incremental_tick(
     mechanism: a new doc can BEAT an already-accepted survivor, which
     is then retroactively evicted — recorded as an APPEND to the
     ``evicted`` state table (so eviction rides the tick's stamped-
-    append atomicity; the corpus read is survivors ANTI JOIN evicted).
-    Exact-stage ties are quality ties (identical text), so the exact
-    stage is policy-independent given monotonic ids.
+    append atomicity; the corpus read is survivors ANTI JOIN evicted,
+    and the sem-stage probe population is sem_vectors ANTI JOIN the
+    same set — a beaten doc is absent from the batch's near_survivors,
+    so its vector must stop vetoing semantically-similar later
+    arrivals). Exact-stage ties are quality ties (identical text), so
+    the exact stage is policy-independent given monotonic ids. With
+    BOTH ``survivor="best"`` and ``embeddings``, equality additionally
+    requires that no quantizer seed row (the ``cfg.sem_clusters``
+    smallest-id near-survivors of tick 1) is later evicted — eviction
+    would change the batch side's seed set, and the frozen incremental
+    quantizer can't follow.
 
     Per-tick stages (each the oracled operator, composed):
     1. ``read_appended(corpus_table, cursor)`` — the delta;
@@ -471,6 +515,24 @@ def incremental_tick(
                 "index (doc, bucket, q); the stored index predates "
                 "it — rebuild the state tables"
             )
+        if index_posts is not None:
+            # column PRESENCE isn't NULL-safety: append-path schema
+            # evolution reads pre-q postings rows as q=NULL, and a NULL
+            # quality would silently invert the orientation (every
+            # comparison NULL => the otherwise() branch, so the NEW doc
+            # loses every pair against a pre-q index doc). Fail loudly
+            # at execution instead — the filter rides the probe's index
+            # scan, so it costs no extra pass.
+            index_posts = index_posts.filter(
+                F.assert_true(
+                    F.col("q").isNotNull(),
+                    F.lit(
+                        "survivor='best': stored postings index has "
+                        "NULL-q rows (pre-quality rows read through "
+                        "schema evolution) — rebuild the state tables"
+                    ),
+                ).isNull()
+            )
         all_losers = dedup.lsh_probe_losers_by_quality(
             new_posts, index_posts
         ).localCheckpoint(eager=False)
@@ -481,6 +543,16 @@ def incremental_tick(
         old_losers = all_losers.join(
             q_new.select("doc"), "doc", "left_anti"
         ).select(F.col("doc").alias(id_col))
+        # a beaten doc's postings STAY in the index (the population
+        # contract above), so it can lose again in any later tick —
+        # only its FIRST eviction is appended, or the append-only log
+        # would accumulate a duplicate id per re-loss
+        try:
+            old_losers = old_losers.join(
+                wh.read(tables.evicted).select(id_col), id_col, "left_anti"
+            )
+        except Exception:  # no evictions recorded yet
+            pass
     else:
         if cfg.survivor != "min_id":
             raise ValueError(f"unknown survivor policy: {cfg.survivor!r}")
@@ -540,6 +612,25 @@ def incremental_tick(
             sem_index = wh.read(tables.sem_vectors).drop(TICK_COL)
         except Exception:
             sem_index = None
+        if sem_index is not None:
+            # eviction reaches the sem probe population too: a beaten
+            # doc is absent from the batch's near_survivors, so its
+            # vector never vetoes there — keep the incremental probe's
+            # population identical by excluding (accumulated evicted ∪
+            # this tick's old losers). Merge-on-read like the corpus
+            # itself; materialize_survivors compacts it away.
+            gone = None
+            try:
+                gone = wh.read(tables.evicted).select(
+                    F.col(id_col).alias(emb_id_col)
+                )
+            except Exception:  # no evictions recorded yet
+                pass
+            if old_losers is not None:
+                mine = old_losers.select(F.col(id_col).alias(emb_id_col))
+                gone = mine if gone is None else gone.unionByName(mine)
+            if gone is not None:
+                sem_index = sem_index.join(gone, emb_id_col, "left_anti")
         n = ann.with_norm(assigned_new, "embedding").select(
             "list_id",
             F.col(emb_id_col).alias("id_n"),

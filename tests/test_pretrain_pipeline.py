@@ -611,3 +611,203 @@ def test_materialize_survivors_folds_evictions(spark, tmp_path):
     a3 = incremental_tick(wh, "corpus", a2["cursor"], tables=tables, cfg=BEST_CFG)
     batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
     assert _ids(a3["survivors"]) == _ids(batch["near_survivors"])
+
+
+def test_evicted_log_records_each_id_once(spark, tmp_path):
+    """A beaten doc's postings stay in the index, so a later still-better
+    twin makes it lose AGAIN — but only the first eviction may land in
+    the append-only log (the pre-fix behavior re-appended the id every
+    tick it lost in)."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(60)]
+    c1 = "the quick pelican " + " ".join(words) + " finally lands"
+    t1 = [(1, c1), (2, "a perfectly ordinary sentence about rivers and stones flowing daily")]
+    t2 = [(102, c1 + " appended richer tail")]          # evicts 1
+    t3 = [(301, c1 + " appended richer tail and an even longer closing passage")]
+    # 301 beats BOTH 1 (already evicted) and 102 (accepted) in one tick
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    cursor = None
+    art = None
+    for rows in (t1, t2, t3):
+        wh.append(_mk_docs(spark, rows), "corpus", spec)
+        art = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=BEST_CFG)
+        cursor = art["cursor"]
+
+    ev = [r["doc_id"] for r in wh.read(tables.evicted).select("doc_id").collect()]
+    assert sorted(ev) == [1, 102]  # 1 appears ONCE despite losing twice
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
+    assert _ids(art["survivors"]) == _ids(batch["near_survivors"]) == {2, 301}
+
+
+def test_best_policy_rejects_null_q_index_rows(spark, tmp_path):
+    """Schema-evolution hazard: a postings index created before the q
+    column reads its old rows as q=NULL once a q-bearing append evolves
+    the table. Column presence then passes the static guard, but a NULL
+    quality would silently invert the orientation — the tick must fail
+    loudly instead."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(60)]
+    c1 = "the quick pelican " + " ".join(words) + " finally lands"
+    t1 = [(1, c1)]
+    t2 = [(102, c1 + " appended richer tail")]
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    a1 = incremental_tick(wh, "corpus", None, tables=tables, cfg=BEST_CFG)
+
+    # simulate the pre-q index: rewrite the postings table WITHOUT q,
+    # then evolve it back in with a q-bearing append (old rows -> NULL)
+    posts = wh.read(tables.postings).localCheckpoint(eager=True)
+    wh.overwrite(posts.drop("q"), tables.postings, spec)
+    wh.append(
+        posts.limit(1).withColumn("doc", F.lit(999999).cast("long")),
+        tables.postings,
+        spec,
+    )
+    assert "q" in wh.read(tables.postings).columns  # presence check passes
+
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    with pytest.raises(Exception, match="rebuild the state tables"):
+        incremental_tick(
+            wh, "corpus", a1["cursor"], tables=tables, cfg=BEST_CFG
+        )
+
+
+def test_materialize_survivors_no_spurious_recovery(spark, tmp_path):
+    """Compaction re-points the tick log at the post-compaction table
+    versions, so the next tick's torn-tick recovery does NOT fire
+    delete_where on healthy state (pre-fix: every compaction left
+    permanent no-op deferred-delete predicates on both tables)."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+        materialize_survivors,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    t1, t2, t3 = _best_rows()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+
+    wh.append(_mk_docs(spark, t1), "corpus", spec)
+    cursor = incremental_tick(wh, "corpus", None, tables=tables, cfg=BEST_CFG)["cursor"]
+    wh.append(_mk_docs(spark, t2), "corpus", spec)
+    a2 = incremental_tick(wh, "corpus", cursor, tables=tables, cfg=BEST_CFG)
+    assert materialize_survivors(wh, tables=tables) >= 1
+
+    calls = []
+    real = wh.delete_where
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    wh.delete_where = spy
+    wh.append(_mk_docs(spark, t3), "corpus", spec)
+    a3 = incremental_tick(wh, "corpus", a2["cursor"], tables=tables, cfg=BEST_CFG)
+    wh.delete_where = real
+    assert calls == []  # healthy state: recovery stayed quiet
+    batch = build_corpus(_mk_docs(spark, t1 + t2 + t3), cfg=BEST_CFG)
+    assert _ids(a3["survivors"]) == _ids(batch["near_survivors"])
+
+
+def test_incremental_keep_best_with_embeddings_equals_batch(spark, tmp_path):
+    """survivor='best' composed with the semantic stage: evicting doc 5
+    must also retire its VECTOR from the sem probe population, or a
+    later semantically-similar doc (396, text unrelated) is vetoed by a
+    doc the batch pipeline never lets vote. Pre-fix: incremental drops
+    396 while build_corpus keeps it."""
+    import random
+
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+        materialize_survivors,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    rng = random.Random(7)
+
+    def words(n):
+        return " ".join(f"q{rng.randrange(10**6)}" for _ in range(n))
+
+    doc5_text = f"tick one doc {words(40)}"
+    t1 = [(i, f"tick one doc {words(40)}") for i in range(5)]
+    t1.append((5, doc5_text))
+    t1 += [(i, f"tick one doc {words(40)}") for i in (6, 7)]
+    # 105: LSH near-twin of doc 5, longer -> evicts it (doc 5 is NOT a
+    # quantizer seed: seeds are the 4 smallest tick-1 ids {0,1,2,3})
+    t2 = [(100 + i, f"tick two doc {words(40)}") for i in range(4)]
+    t2.append((105, doc5_text + " appended richer tail " + words(6)))
+    t3 = [(300 + i, f"tick three doc {words(40)}") for i in range(4)]
+    t3.append((396, f"vector twin doc {words(40)}"))
+    t4 = [(500, f"tick four doc {words(40)}")]
+    all_rows = t1 + t2 + t3 + t4
+
+    def emb_of(i):
+        r = random.Random(1000 + i)
+        return [r.uniform(-1.0, 1.0) for _ in range(4)]
+
+    embs = {i: emb_of(i) for i, _ in all_rows}
+    embs[396] = [x * 1.01 for x in embs[5]]  # semantic twin of EVICTED doc 5
+    emb_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in embs.items()],
+        "vec_id: long, embedding: array<double>",
+    )
+
+    cfg = CorpusConfig(
+        min_quality=0.0, sem_clusters=4, sem_min_cosine=0.95, survivor="best"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    cursor = None
+    art = None
+    for rows in (t1, t2, t3):
+        wh.append(_mk_docs(spark, rows), "corpus", spec)
+        art = incremental_tick(
+            wh, "corpus", cursor, tables=tables, cfg=cfg, embeddings=emb_df
+        )
+        cursor = art["cursor"]
+
+    batch = build_corpus(
+        _mk_docs(spark, t1 + t2 + t3), cfg=cfg, embeddings=emb_df
+    )
+    want = _ids(batch["sem_survivors"])
+    assert _ids(art["survivors"]) == want
+    # non-vacuous: the eviction happened AND the twin survived it
+    assert 5 not in want and 105 in want and 396 in want
+
+    # compaction also folds the vectors: after materialize, a rebuilt
+    # probe over a fresh tick still equals batch
+    assert materialize_survivors(wh, tables=tables) >= 1
+    wh.append(_mk_docs(spark, t4), "corpus", spec)
+    art = incremental_tick(
+        wh, "corpus", cursor, tables=tables, cfg=cfg, embeddings=emb_df
+    )
+    batch = build_corpus(_mk_docs(spark, all_rows), cfg=cfg, embeddings=emb_df)
+    assert _ids(art["survivors"]) == _ids(batch["sem_survivors"])
+    # doc 5's vector is physically gone, not just filtered
+    assert 5 not in _ids(wh.read(tables.sem_vectors), "vec_id")

@@ -147,7 +147,7 @@ def main() -> None:
         "tk: array<string>, cnt: long",
     ).repartition(32)
     checkpoints = [c for c in (16, 64, 256, 512, 1024, 2048, 4096) if c <= args.merges]
-    if checkpoints[-1] != args.merges:
+    if not checkpoints or checkpoints[-1] != args.merges:
         checkpoints.append(args.merges)
     curve = []
     merges_all: list = []
