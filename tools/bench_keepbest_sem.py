@@ -49,14 +49,21 @@ def main() -> None:
     ap.add_argument("sf_dir", nargs="?", default="/root/repo/.scale/sf1")
     ap.add_argument("--ticks", type=int, default=3)
     ap.add_argument("--clusters", type=int, default=32)
+    ap.add_argument(
+        "--no-emb",
+        action="store_true",
+        help="skip the semantic stage (A/B baseline: isolates its cost)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("bench-keepbest-sem")
     docs = read_table(spark, args.sf_dir, "documents").select("doc_id", "text")
-    emb = read_table(spark, args.sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    n_docs, n_vecs = docs.count(), emb.count()
+    emb = None
+    if not args.no_emb:
+        emb = read_table(spark, args.sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    n_docs, n_vecs = docs.count(), (emb.count() if emb is not None else 0)
     hi = docs.agg(F.max("doc_id")).first()[0]
     cuts = [hi * (i + 1) // args.ticks for i in range(args.ticks)]
     cfg = CorpusConfig(
@@ -106,10 +113,8 @@ def main() -> None:
         surv = {r["doc_id"] for r in art["survivors"].select("doc_id").collect()}
         t0 = time.monotonic()
         batch = build_corpus(docs, cfg=cfg, embeddings=emb)
-        want = {
-            r["doc_id"]
-            for r in batch["sem_survivors"].select("doc_id").collect()
-        }
+        b_out = batch["sem_survivors" if emb is not None else "near_survivors"]
+        want = {r["doc_id"] for r in b_out.select("doc_id").collect()}
         batch_s = time.monotonic() - t0
         print(
             f"docs={n_docs} vecs={n_vecs} ticks={[round(s,1) for s in tick_s]}"
