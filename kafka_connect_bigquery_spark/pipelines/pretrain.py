@@ -127,6 +127,14 @@ def build_corpus(
     near_survivors = exact_survivors.join(
         losers.select(F.col("doc").alias(id_col)), id_col, "left_anti"
     )
+    # Stage boundary: everything downstream runs its own actions over
+    # this frame (the sem stage's seed collect and the verdict's
+    # internal checkpoint, then split/decontaminate/pack), and without
+    # lineage truncation each action re-executes the full minhash/LSH
+    # pass — measured as 2 extra executions (+96 s) at sf1 with the
+    # sem stage on. Survivor-sized, and the same truncation the
+    # incremental tick already makes at this boundary.
+    near_survivors = near_survivors.localCheckpoint(eager=False)
 
     sem_survivors = near_survivors
     if embeddings is not None:
