@@ -732,46 +732,56 @@ def lsh_probe_losers_by_quality(
     probe's output: on a dense candidate graph the pair frame is the
     biggest thing in the tick, and re-joining quality onto it twice
     shuffles it twice more by id (measured 2.7x on the sf1 template
-    corpus, growing with index size). Here quality rides the postings
-    rows — corpus-sized, not pair-sized — and the only pair-sized op
-    left is the loser-id distinct the min-id policy pays anyway.
+    corpus, growing with index size).
+
+    Why it is an ARGMAX, not a pair join: the loser set never needed
+    pairs. A doc loses iff some bucket-mate outranks it under the
+    lexicographic ``(q, -id)`` order, i.e. iff it is not the argmax of
+    every bucket it appears in — so per bucket ONE struct-max suffices,
+    and each posting row then compares against its bucket's max. The
+    bucket self-join this replaces materialized m²/2 pair rows inside
+    the single task owning an m-doc bucket: on the dense sf10 template
+    corpus (500k docs collapsing to ~10² survivors, duplicate families
+    of 10⁴⁺ docs sharing buckets) that one task ran 20+ minutes while
+    31 cores idled. The aggregation form is linear in postings, its
+    partial (map-side) combine absorbs the hot bucket, and the join
+    back against the per-bucket max is one row per posting — no
+    pair-sized frame exists at any point.
+
+    Output parity with the pair form is exact, including the index
+    side: an index doc is marked only when the delta's best new doc in
+    a shared bucket outranks it (``best_new``) — index docs beaten
+    solely by other index docs were marked in the tick that ingested
+    the beating doc (bucket keys are pure functions of a doc's
+    signature), so re-deriving them here would be redundant, and the
+    pair form never did.
 
     Returns DISTINCT loser ids as ``doc``."""
-    n = new_postings.select(
-        F.col("doc").alias("id_a"),
-        F.col("bucket").alias("b_a"),
-        F.col("q").alias("q_a"),
-    )
-    sides = []
-    # new x new (the delta self-join)
-    n2 = new_postings.select(
-        F.col("doc").alias("id_b"),
-        F.col("bucket").alias("b_b"),
-        F.col("q").alias("q_b"),
-    )
-    sides.append(
-        n.join(n2, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
+    rank = F.struct(F.col("q").alias("q"), (-F.col("doc")).alias("nid"))
+    n = new_postings.select("doc", "bucket", "q")
+    if index_postings is None:
+        pop = n
+    else:
+        # only buckets probed by the delta orient anything this tick
+        i_hit = index_postings.select("doc", "bucket", "q").join(
+            n.select("bucket"), "bucket", "left_semi"
+        )
+        pop = n.unionByName(i_hit)
+    best_all = pop.groupBy("bucket").agg(F.max(rank).alias("__best"))
+    losers = (
+        n.join(best_all, "bucket")
+        .filter(rank < F.col("__best"))
+        .select("doc")
     )
     if index_postings is not None:
-        i = index_postings.select(
-            F.col("doc").alias("id_b"),
-            F.col("bucket").alias("b_b"),
-            F.col("q").alias("q_b"),
+        best_new = n.groupBy("bucket").agg(F.max(rank).alias("__bn"))
+        idx_losers = (
+            i_hit.join(best_new, "bucket")
+            .filter(rank < F.col("__bn"))
+            .select("doc")
         )
-        # new x index, both orientations (id order is not arrival order)
-        sides.append(
-            n.join(
-                i, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") != F.col("id_b"))
-            )
-        )
-    b_loses = (F.col("q_a") > F.col("q_b")) | (
-        (F.col("q_a") == F.col("q_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    loser = F.when(b_loses, F.col("id_b")).otherwise(F.col("id_a"))
-    out = sides[0].select(loser.alias("doc"))
-    for s in sides[1:]:
-        out = out.unionByName(s.select(loser.alias("doc")))
-    return out.distinct()
+        losers = losers.unionByName(idx_losers)
+    return losers.distinct()
 
 
 def orient_pairs_by_quality(

@@ -99,10 +99,11 @@ def build_corpus(
         fps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     )
 
-    # losers oriented INLINE on the LSH bucket self-join (quality rides
-    # the corpus-sized postings rows, never re-joined onto the
-    # pair-sized frame — see lsh_probe_losers_by_quality; min-id is the
-    # same rule under constant quality)
+    # losers via the per-bucket (q, -id) ARGMAX over the postings — no
+    # pair frame exists at any point, so a 10⁴-doc duplicate family
+    # sharing a bucket costs m postings rows, not m²/2 pairs in one
+    # task (see lsh_probe_losers_by_quality; min-id is the same rule
+    # under constant quality)
     sig = dedup.minhash_signature(
         exact_survivors,
         id_col,
@@ -431,10 +432,10 @@ def incremental_tick(
     4. near dedup: band postings for the delta, probed against the
        postings table — a new doc colliding with ANY indexed doc (or a
        smaller-id delta doc) is dropped. The probe pair semantics are
-       ``lsh_probe_index``'s (same bucket equi-joins), but losers are
-       computed INLINE on the probe join (``lsh_probe_losers_by_
+       ``lsh_probe_index``'s, but losers come from the per-bucket
+       (q, -id) argmax over the postings (``lsh_probe_losers_by_
        quality``; min-id = the quality rule under constant quality) so
-       the pair-sized frame is distinct'd once, never re-joined;
+       no pair-sized frame is ever materialized;
     5. state appends: fingerprints, postings (ALL exact survivors),
        survivors (near survivors) — each stamped with the tick id, made
        atomic AS A GROUP by the tick-log marker written last: a crash
@@ -565,11 +566,10 @@ def incremental_tick(
         if cfg.survivor != "min_id":
             raise ValueError(f"unknown survivor policy: {cfg.survivor!r}")
         # min-id greedy = the quality rule under CONSTANT quality (ties
-        # drop the larger id), so the same inline probe applies — one
-        # pair-sized distinct instead of lsh_probe_index's pair distinct
-        # plus a second one over the losers. Loser ids outside the delta
-        # (an index doc with a larger id than a colliding new doc) fall
-        # out of the anti-join below, exactly as before.
+        # drop the larger id), so the same argmax probe applies. Loser
+        # ids outside the delta (an index doc with a larger id than a
+        # colliding new doc) fall out of the anti-join below, exactly
+        # as before.
         zero = F.lit(0).cast("long")
         losers = dedup.lsh_probe_losers_by_quality(
             new_posts.withColumn("q", zero),

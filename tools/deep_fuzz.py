@@ -3,7 +3,7 @@ at a much larger budget than the per-commit suite (which stays small to
 keep `pytest tests/` fast). Results are recorded in BASELINE.md.
 
 Usage: python tools/deep_fuzz.py <machine> <max_examples> <steps>
-  machine ∈ {flat, bucketed, expiry}
+  machine ∈ {flat, bucketed, expiry, pretrain}
 """
 
 from __future__ import annotations
@@ -31,6 +31,8 @@ def main() -> int:
         from tests.test_flat_warehouse_stateful import PartitionedExpiryMachine as M
     elif machine == "bucketed":
         from tests.test_warehouse_stateful import WarehouseMachine as M
+    elif machine == "pretrain":
+        from tests.test_pretrain_stateful import PretrainTickMachine as M
     else:
         raise SystemExit(f"unknown machine {machine}")
     t0 = time.time()
