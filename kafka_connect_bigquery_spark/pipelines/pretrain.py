@@ -46,6 +46,12 @@ class CorpusConfig:
     decon_max_df: int = 50
     pack_budget: int = 2048
     pack_shards: int = 64
+    # SemDeDup's within-cluster verdict is inherently pairwise (the
+    # cosine threshold is a per-pair relation, not a total order, so
+    # no argmax shortcut exists) — its cost is Σ |cluster|² and the
+    # scale knob is k itself: size sem_clusters ∝ corpus vectors to
+    # bound the per-cluster population (the paper's regime; k=O(n/c)
+    # keeps per-cluster pair work O(n·c)).
     sem_clusters: int = 8
     sem_min_cosine: float = 0.95
     # near-dup survivor policy: "min_id" (first-seen/smallest id wins —
@@ -333,7 +339,13 @@ def materialize_survivors(
     that log append leaves exactly that once-per-crash no-op — the
     recovery stays sound because compaction preserves the surviving
     rows' original tick stamps (all <= the last committed tick).
-    Equality with the un-compacted read is pinned by tests."""
+    Equality with the un-compacted read is pinned by tests.
+
+    Like any warehouse ``overwrite``, the compaction destroys the
+    files behind the tables' earlier versions — lazy views returned by
+    earlier ``incremental_tick`` calls (``art["survivors"]`` etc.) are
+    pinned to those versions and must be re-read afterwards, exactly
+    as after a VACUUM in any snapshot table format."""
     from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec
 
     try:

@@ -44,6 +44,7 @@ from hypothesis.stateful import (
 )
 
 from kafka_connect_bigquery_spark.pipelines.pretrain import (
+    TICK_COL,
     CorpusConfig,
     PretrainTickTables,
     build_corpus,
@@ -176,11 +177,24 @@ class PretrainTickMachine(RuleBasedStateMachine):
     def ingest_tick(self, ops):
         self._tick(self._rows_for(ops))
 
+    def _corpus_view(self):
+        surv = self.wh.read(self.tables.survivors).drop(TICK_COL)
+        if self.wh.exists(self.tables.evicted):
+            ev = self.wh.read(self.tables.evicted).select("doc_id")
+            surv = surv.join(ev, "doc_id", "left_anti")
+        return surv
+
     @rule()
     def compact(self):
         # folds evicted ids into survivors (and sem_vectors when the
-        # sem stage is live); a no-op under min_id / before evictions
+        # sem stage is live); a no-op under min_id / before evictions.
+        # The overwrites destroy the files behind earlier table
+        # versions, so the held tick artifact — pinned to them — must
+        # be re-read (the documented materialize_survivors contract).
         materialize_survivors(self.wh, tables=self.tables)
+        if self.art is not None:
+            self.art = dict(self.art)
+            self.art["survivors"] = self._corpus_view()
 
     @rule(ops=_ops, fail_after=st.integers(min_value=1, max_value=3))
     def torn_tick(self, ops, fail_after):
