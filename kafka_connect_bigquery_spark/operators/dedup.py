@@ -1012,7 +1012,8 @@ def semantic_dedup(
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
-        ann.assign_list(F.col(vec_col), centroids).alias("list_id"),
+        # by NAME: one parsed expression, not k×dim py4j literals
+        ann.assign_list(vec_col, centroids).alias("list_id"),
     ).localCheckpoint(eager=False)  # assignment feeds both pair sides + output
     a = ann.with_norm(assigned, vec_col).select(
         F.col("list_id"),

@@ -51,8 +51,16 @@ def jaccard_rank(
     qposts = posts.join(F.broadcast(qids), "doc").select(
         F.col("doc").alias("qid"), "sh"
     )
+    # Broadcast the QUERY postings (|queries| ~ 10 docs, bounded by the
+    # caller) instead of equi-joining two derivations of the corpus
+    # index: the planner otherwise shuffles the ENTIRE postings frame
+    # by `sh` on both sides (profiled: the two dominant exchanges of
+    # search_hybrid_rrf at sf0.1). With the broadcast the corpus index
+    # is never exchanged — cost follows |queries|·postings with zero
+    # index movement, the right shape at any corpus scale (guide §3.1).
     inter = (
-        qposts.join(posts.select(F.col("doc").alias("did"), "sh"), "sh")
+        posts.select(F.col("doc").alias("did"), "sh")
+        .join(F.broadcast(qposts), "sh")
         .filter(F.col("qid") != F.col("did"))
         .groupBy("qid", "did")
         .agg(F.count(F.lit(1)).alias("inter_size"))

@@ -34,6 +34,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _wide(spark: SparkSession, sf_dir: str, name: str, cols: list[str]) -> DataFrame:
+    """Project a table to ``cols`` and raise scan parallelism for
+    hash-CPU-bound per-row work (md5 sketch builds: guide §2 "fewer
+    bytes, more width"). The projection keeps the widening exchange to
+    the key columns only; ``fan_out`` makes it a NO-OP once the scan
+    already arrives wide (at 100 TB every corpus scan does — measured
+    on the 32-file sf10 layout, BASELINE.md Round 13), so this buys
+    local/row-group-bound parallelism without adding a shuffle at
+    scale. Consumers deriving multiple subtrees from the SAME returned
+    frame share one scan+exchange via ReusedExchange."""
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
+
+    return fan_out(_t(spark, sf_dir, name).select(*cols))
+
+
 # DuckDB reads the events table's ts as TIMESTAMP_NS; Spark floors it to
 # microseconds (read_table). Oracle SQL must emit the same truncation.
 def _ts_us(col: str = "ts") -> str:
@@ -2390,7 +2405,8 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 slots mean the oracle rebuilds the identical sketch in SQL."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
-    e = _t(spark, sf_dir, "events")
+    # widen the hash-CPU-bound md5 slot computation (see _wide)
+    e = _wide(spark, sf_dir, "events", ["user_id"])
     kw = dict(depth=_CMS_DEPTH, width=_CMS_WIDTH)
     sk = SK.count_min_build(e, "user_id", **kw)
     est = SK.count_min_estimate(sk, e, "user_id", **kw)
@@ -2446,6 +2462,11 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
+    # NOTE (r13): _wide widening measured 2x SLOWER here — the register
+    # build is ~0.3 s of md5 at sf0.1 and the grouped/direct/exact
+    # subtrees already overlap as one job; per-subtree exchanges +
+    # AQE rounds cost more than the width buys (sketch_count_min, with
+    # one heavier shared frame, is where widening wins).
     e = _t(spark, sf_dir, "events")
     grouped = SK.hll_build_grouped(e, "event_id", ["event_type"], p=_HLL_P)
     merged = SK.hll_merge(grouped.select("register", "rho"))
@@ -2546,6 +2567,8 @@ def q_sketch_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows the sketch in its accurate regime)."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
+    # NOTE (r13): fan_out widening measured 2x SLOWER here (same
+    # mechanism as sketch_hll_distinct — see note there)
     e = _t(spark, sf_dir, "events").select(
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "event_id"
     )
@@ -3335,6 +3358,13 @@ def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-hashed against the oracle's from-scratch sketch."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
+    # NOTE (r13 negative result): widening this scan with _wide made it
+    # 1.3x SLOWER — the parity filters push below the round-robin
+    # exchange, so each of the three builds pays its own exchange + AQE
+    # round instead of sharing one, and the single-task md5 stages were
+    # already overlapping wall-clock as independent subtrees of one
+    # job. Matches the r12 finding that the 6-scan shape beats shared
+    # materialization here.
     e = _t(spark, sf_dir, "events")
     kw = dict(depth=_AMS_DEPTH, width=_AMS_WIDTH)
     # Deliberately SIX pushed-down 2-column scans, not a shared
@@ -3439,6 +3469,9 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
+    # NOTE (r13): _wide widening measured 1.8x SLOWER here (same
+    # mechanism as sketch_ams_f2 — parity filters push below the
+    # exchange, one exchange per build; see note there)
     e = _t(spark, sf_dir, "events")
     a = SK.kmv_build(e.filter(F.col("event_id") % 2 == 0), "event_id", k=_KMV_K)
     b = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=_KMV_K)
@@ -3525,6 +3558,8 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts; everything is bigint arithmetic."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
+    # NOTE (r13): _wide widening measured 1.75x SLOWER here (same
+    # mechanism as sketch_ams_f2/kmv_distinct; see notes there)
     e = _t(spark, sf_dir, "events")
     in_a = F.col("user_id") % 2 == 0
     in_b = F.col("user_id") % 3 == 0
@@ -3742,30 +3777,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes hubs close wedges instead of centering them."""
     from kafka_connect_bigquery_spark.operators import graph as G
 
-    # per-order supplier sets via ONE groupBy, pairs expanded locally by
-    # a HOF over the (≤7-element) set — no self-join, so the whole pair
-    # generation costs two shuffles total (set build + pair count)
-    # instead of four (distinct + 2×join repartition + count)
+    # pair generation as a co-partitioned self-join on the order key
+    # (fan-out bounded by lines-per-order, ≤7 in TPC-H — never
+    # quadratic in |lineitem|). An earlier round expanded pairs locally
+    # with a nested array HOF over per-order collect_set to save two
+    # exchanges, but higher-order functions evaluate INTERPRETED, not
+    # whole-stage-codegen: profiled 16.3 s CPU for ~1.2M pairs at sf0.1
+    # (~13 µs/pair) vs ~1 s through the codegen hash join — guide §1.2:
+    # per-task work beats shuffle count when the shuffled bytes are a
+    # few MB of keys. Both join inputs derive from the SAME distinct
+    # subtree, so the second side rides a ReusedExchange.
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = l.groupBy("l_orderkey").agg(
-        F.collect_set("l_suppkey").alias("ss")
-    )
-    # positional i<j over the set yields each unordered pair once;
-    # least/greatest canonicalizes regardless of collect_set order
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ss"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                ),
-            ),
-        )
-    )
+    ds = l.distinct()
+    p2 = ds.select("l_orderkey", F.col("l_suppkey").alias("s2"))
     pairs = (
-        sets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("l_suppkey"), F.col("p.b").alias("s2"))
+        ds.join(p2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
         .groupBy("l_suppkey", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -4068,45 +4095,68 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: one row per
     FK edge with total rows, distinct keys, and orphan count (left rows
     whose key misses the dimension) — the data-quality report a
-    warehouse runs after every load. Each edge is a broadcast anti-join
-    against the (small or aggregated-distinct) parent key set; edges
-    union into one frame so the report is a single job."""
+    warehouse runs after every load. Parent key sets broadcast onto
+    each child table as presence flags so every edge out of one child
+    rides a single scan+aggregate; edges union into one frame so the
+    report is a single job."""
     t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
 
-    def edge(name, child, fk, parent, pk):
-        keys = parent.select(F.col(pk).alias(fk)).distinct()
-        return child.select(fk).agg(
-            F.lit(name).alias("fk_edge"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count_distinct(F.col(fk)).cast("bigint").alias("n_keys"),
-        ).crossJoin(
-            F.broadcast(
-                child.select(fk)
-                .join(F.broadcast(keys), fk, "left_anti")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    # All edges out of one child table ride ONE scan+aggregation:
+    # parent key sets broadcast-join onto the child as presence flags,
+    # so each orphan count is a conditional sum in the SAME aggregate
+    # as the row/distinct-key counts — one pass per child table instead
+    # of (agg + anti-join agg) per edge. The pre-r13 per-edge shape
+    # profiled 56 stages / 28 exchanges at sf0.1 with stage-launch
+    # latency, not data, dominating the wall; this shape is also the
+    # right one at 100 TB (the fact table is scanned once, not six
+    # times). The wide 1-row aggregate explodes back into per-edge rows.
+    def audit(child, edges):
+        j = child
+        for i, (_, fk, parent, pk) in enumerate(edges):
+            keys = parent.select(F.col(pk).alias(fk)).distinct()
+            j = j.join(
+                F.broadcast(keys.withColumn(f"_p{i}", F.lit(1))), fk, "left"
             )
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for i, (_, fk, _, _) in enumerate(edges):
+            aggs.append(
+                F.count_distinct(F.col(fk)).cast("bigint").alias(f"_k{i}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col(f"_p{i}").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_o{i}")
+            )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("fk_edge"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"_k{i}").alias("n_keys"),
+                    F.col(f"_o{i}").alias("n_orphans"),
+                )
+                for i, (name, _, _, _) in enumerate(edges)
+            ]
         )
+        return j.agg(*aggs).select(F.explode(rows).alias("e")).select("e.*")
 
-    l, o, c, s, p, n, r = (
-        # lineitem feeds three edges x (agg + anti-join) = six scans;
-        # materialize the two projected columns once
-        t("lineitem").select(
-            "l_orderkey", "l_partkey", "l_suppkey"
-        ).localCheckpoint(eager=False),
-        t("orders"), t("customer"), t("supplier"),
-        t("part"), t("nation"), t("region"),
-    )
-    edges = [
-        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
-        edge("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
-        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
-        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
-        edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
-        edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    o, c, s, n = t("orders"), t("customer"), t("supplier"), t("nation")
+    parts = [
+        audit(
+            t("lineitem").select("l_orderkey", "l_partkey", "l_suppkey"),
+            [
+                ("lineitem->orders", "l_orderkey", o, "o_orderkey"),
+                ("lineitem->part", "l_partkey", t("part"), "p_partkey"),
+                ("lineitem->supplier", "l_suppkey", s, "s_suppkey"),
+            ],
+        ),
+        audit(o, [("orders->customer", "o_custkey", c, "c_custkey")]),
+        audit(c, [("customer->nation", "c_nationkey", n, "n_nationkey")]),
+        audit(s, [("supplier->nation", "s_nationkey", n, "n_nationkey")]),
+        audit(n, [("nation->region", "n_regionkey", t("region"), "r_regionkey")]),
     ]
-    out = edges[0]
-    for e in edges[1:]:
+    out = parts[0]
+    for e in parts[1:]:
         out = out.unionByName(e)
     return out
 

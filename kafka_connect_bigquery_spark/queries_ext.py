@@ -1299,7 +1299,7 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     assign = lambda d: d.select(  # noqa: E731
-        "vec_id", ann.assign_list(F.col("embedding"), cents).alias("list_id")
+        "vec_id", ann.assign_list("embedding", cents).alias("list_id")
     )
     return assign(base_vecs).unionByName(assign(delta_vecs))
 
@@ -3305,6 +3305,12 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_spark.functions.winutil import bounded_global
 
     li = _t(spark, sf_dir, "lineitem")
+    # NOTE (r13 negative result): repartition(par, "o") before the
+    # checkpoint does NOT buy the pair self-join its exchange back —
+    # localCheckpoint surfaces as a bare ExistingRDD scan with UNKNOWN
+    # partitioning in Spark 4.1, so consumers re-exchange anyway and
+    # the extra shuffle is pure cost (measured 1.19x; plan shows
+    # Exchange hashpartitioning AFTER the RDD scan).
     baskets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
@@ -3400,7 +3406,13 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the bigram explosion feeds FOUR aggregations (bi/u1/u2/n); without
     # a barrier each one re-tokenizes the corpus (the q15 double-scan
-    # class of defect) — checkpoint the gram frame once
+    # class of defect) — checkpoint the gram frame once.
+    # NOTE (r13 negative result): fan_out-widening the text before
+    # doc_bigrams measured 1.36x SLOWER on a quiet host — the bigram
+    # explode is allocation-bound (doc_bigrams docstring) and the four
+    # consumers overlap as one job, so the widening exchange + wide GC
+    # contention cost more than the width bought (contrast
+    # docs_ngram_novelty, where the hash-heavy distinct won from it).
     grams = doc_bigrams(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     ).localCheckpoint(eager=False)
@@ -4148,17 +4160,15 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df counts and a join back. Docs with < 3 tokens carry no trigram
     and drop out — same on both engines."""
     from kafka_connect_bigquery_spark.operators.dedup import canonical_text
-    from kafka_connect_bigquery_spark.operators.skew import (
-        FAN_OUT_TEXT_BYTES,
-        fan_out,
-    )
+    from kafka_connect_bigquery_spark.operators.skew import fan_out
 
-    # the trigram concat explode is allocation-bound: widened only
-    # above the corpus-size crossover (A/B: plain wins at sf0.1/sf1,
-    # widening wins 0.78x at sf10 — see fan_out's docstring)
-    d = fan_out(
-        _t(spark, sf_dir, "documents"), when_bytes=FAN_OUT_TEXT_BYTES
-    )
+    # widen unconditionally: the trigram explode + per-doc distinct
+    # feeds a SHARED lazy checkpoint, so a narrow scan serializes the
+    # materialization onto one core (profiled: 1.2 s single-task stage
+    # at sf0.1 = ~80% of the query) — unlike the pre-r13 when_bytes
+    # gate, which only paid off for non-checkpointed explodes. The
+    # exchange moves raw text once; no-op on wide scans at 100 TB.
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(canonical_text(F.col("text")), " ")
     t2 = F.slice(toks, F.lit(2), F.size(toks))
     t3 = F.slice(toks, F.lit(3), F.size(toks))
