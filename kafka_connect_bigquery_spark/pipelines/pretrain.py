@@ -696,6 +696,77 @@ def incremental_tick(
             sem_losers.distinct(), id_col, "left_anti"
         )
 
+        # -- sem resurrection on retroactive eviction ------------------
+        # The sem stage's veto population is the CURRENT near-survivor
+        # set (build_corpus re-derives it from scratch every run), and
+        # keep-best eviction SHRINKS that set retroactively: a past doc
+        # whose every smaller-id similar near-survivor has since been
+        # evicted is a sem SURVIVOR in the batch, so the tick must
+        # re-admit it (found by the r13 stateful fuzz: near-beaten doc
+        # E evicted in tick N+k resurrects the doc E had sem-vetoed in
+        # tick N). Exactly one level deep — no cascade — because the
+        # veto population is near_survivors, not sem survivors, and
+        # under the monotone-id precondition a NEW vector can never
+        # veto a PAST doc (veto needs the smaller id), so a past doc's
+        # sem status changes only when the population shrinks.
+        # Candidates = the stored population's non-survivors (past sem
+        # losers; `sem_index` is already evicted/old_losers-filtered),
+        # re-checked against that same remaining population; texts of
+        # the re-admitted ids are re-read from the pinned corpus span.
+        if old_losers is not None and sem_index is not None:
+            try:
+                surv_past = wh.read(tables.survivors).select(
+                    F.col(id_col).alias(emb_id_col)
+                )
+            except Exception:  # first tick: nothing to resurrect
+                surv_past = None
+            if surv_past is not None:
+                cand = sem_index.join(surv_past, emb_id_col, "left_anti")
+                p = ann.with_norm(sem_index, "embedding").select(
+                    "list_id",
+                    F.col(emb_id_col).alias("id_p"),
+                    F.col("embedding").alias("vp"),
+                    F.col("__norm_q").alias("np_"),
+                )
+                vetoed = (
+                    ann.with_norm(cand, "embedding")
+                    .select(
+                        "list_id",
+                        F.col(emb_id_col).alias("id_c"),
+                        F.col("embedding").alias("vc"),
+                        F.col("__norm_q").alias("nc"),
+                    )
+                    .join(p, "list_id")
+                    .filter(F.col("id_p") < F.col("id_c"))
+                    .withColumn(
+                        "cosine",
+                        ann.cosine_from_quantized(
+                            ann.quantized_dot(F.col("vc"), F.col("vp")),
+                            F.col("nc"),
+                            F.col("np_"),
+                        ),
+                    )
+                    .filter(F.col("cosine") >= cfg.sem_min_cosine)
+                    .select(F.col("id_c").alias(emb_id_col))
+                    .distinct()
+                )
+                res_ids = (
+                    cand.select(emb_id_col)
+                    .join(vetoed, emb_id_col, "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if res_ids.count() > 0:
+                    resurrected = (
+                        wh.read(corpus_table, version=to_version)
+                        .select(id_col, text_col)
+                        .join(
+                            res_ids.select(F.col(emb_id_col).alias(id_col)),
+                            id_col,
+                            "left_semi",
+                        )
+                    )
+                    sem_new = sem_new.unionByName(resurrected)
+
     # -- commit state: stamped appends + the tick-log marker LAST ------
     # Idempotence: a rerun of a crashed tick first rolls back these
     # stamped appends (_recover_torn_tick), then re-reads the same span

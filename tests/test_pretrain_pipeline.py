@@ -811,3 +811,62 @@ def test_incremental_keep_best_with_embeddings_equals_batch(spark, tmp_path):
     assert _ids(art["survivors"]) == _ids(batch["sem_survivors"])
     # doc 5's vector is physically gone, not just filtered
     assert 5 not in _ids(wh.read(tables.sem_vectors), "vec_id")
+
+
+def test_keep_best_eviction_resurrects_sem_losers(spark, tmp_path):
+    """r13 fuzz finding, pinned deterministically: the sem stage's veto
+    population is the CURRENT near-survivor set, so when keep-best
+    eviction retroactively removes a doc, every past doc whose ONLY
+    smaller-id semantic twin was that doc must re-enter the survivors —
+    exactly what build_corpus computes from scratch.
+
+    Script: tick 1 admits A (id 3) and sem-drops T (id 5, vector twin
+    of A); tick 2's B (id 7) is a higher-quality near-dup of A's text,
+    so A is evicted — and T must resurrect."""
+    from kafka_connect_bigquery_spark.pipelines.pretrain import (
+        PretrainTickTables,
+        incremental_tick,
+    )
+    from kafka_connect_bigquery_spark.sinks.warehouse import TableSpec, Warehouse
+
+    words = lambda a, n: " ".join(f"{a}{i}" for i in range(n))  # noqa: E731
+    a_text = words("alpha", 18)
+    rows1 = [
+        (0, words("anch", 30)),            # quantizer seed 0 (corpus-max q)
+        (1, words("bnch", 30)),            # quantizer seed 1
+        (3, a_text),                       # A
+        (5, words("tfresh", 18)),          # T: text unrelated, vector twins A
+    ]
+    rows2 = [(7, a_text + " zz")]          # B: near-dup of A, 19 > 18 tokens
+    embs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        3: [0.0, 0.0, 1.0, 0.0],
+        5: [0.0, 0.0, 1.01, 0.0],          # cos(T, A) = 1.0
+        7: [0.0, 0.0, 0.0, 1.0],           # orthogonal to everyone
+    }
+    emb_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in sorted(embs.items())],
+        "vec_id: long, embedding: array<double>",
+    )
+    cfg = CorpusConfig(
+        min_quality=0.0, sem_clusters=2, sem_min_cosine=0.95, survivor="best"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = TableSpec(partition_grain="NONE")
+    tables = PretrainTickTables()
+    cursor, art = None, None
+    for rows in (rows1, rows2):
+        wh.append(_mk_docs(spark, rows), "corpus", spec)
+        art = incremental_tick(
+            wh, "corpus", cursor, tables=tables, cfg=cfg, embeddings=emb_df
+        )
+        cursor = art["cursor"]
+    batch = build_corpus(
+        _mk_docs(spark, rows1 + rows2), cfg=cfg, embeddings=emb_df
+    )
+    got = _ids(art["survivors"])
+    assert got == _ids(batch["sem_survivors"])
+    assert 3 not in got      # A: evicted by the higher-quality near-dup B
+    assert 5 in got          # T: resurrected once its only twin left
+    assert 7 in got
