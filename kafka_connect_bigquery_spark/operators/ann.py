@@ -148,23 +148,32 @@ def assign_list(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     string path, which is exactly the constant folding Catalyst applies
     to the literal subtrees of the Column path."""
     if isinstance(vec_col, str):
-        import math
-
-        terms = []
-        for c in centroids:
-            cq = [int(math.floor(float(x) * QD + 0.5)) for x in c]
-            arr = f"array({','.join(f'{q}L' for q in cq)})"
-            terms.append(
-                f"aggregate(zip_with(`{vec_col}`, {arr}, "
-                f"(x, cq) -> CAST(FLOOR(CAST(x AS DOUBLE) * {QD} + 0.5D) AS BIGINT) - cq), "
-                f"CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"
-            )
-        dists_sql = f"array({','.join(terms)})"
+        dists_sql = _sq_dists_sql(vec_col, centroids)
         return F.expr(
             f"CAST(array_position({dists_sql}, array_min({dists_sql})) - 1 AS INT)"
         )
     dists = F.array(*[_sq_dist_to(vec_col, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _sq_dists_sql(vec_name: str, centroids: list[list[float]]) -> str:
+    """SQL text of the per-centroid quantized squared-distance array —
+    the shared builder behind assign_list's string fast path and the
+    probe-ranking paths. Semantics identical to
+    ``array(*[_sq_dist_to(col, c) ...])`` with the centroid
+    quantization pre-folded in Python (same IEEE ops Catalyst folds)."""
+    import math
+
+    terms = []
+    for c in centroids:
+        cq = [int(math.floor(float(x) * QD + 0.5)) for x in c]
+        arr = f"array({','.join(f'{q}L' for q in cq)})"
+        terms.append(
+            f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            f"(x, cq) -> CAST(FLOOR(CAST(x AS DOUBLE) * {QD} + 0.5D) AS BIGINT) - cq), "
+            f"CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"
+        )
+    return f"array({','.join(terms)})"
 
 
 def seed_centroids(
@@ -249,7 +258,7 @@ def ivf_topk(
     data. ``n_probe = len(centroids)`` degrades to exact brute force.
     """
     n_lists = len(centroids)
-    dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in centroids])
+    dists = F.expr(_sq_dists_sql(vec_col, centroids))
     # the n_probe nearest lists per query: argsort via (dist, idx) structs
     ranked = F.transform(
         F.array_sort(
@@ -350,15 +359,36 @@ def _resid_col(vec_col: Column, cents_q_lit: Column, list_col: Column) -> Column
     )
 
 
-def _cb_literal(codebooks: list[list[list[int]]]) -> Column:
-    """The full codebook as one array<array<array<long>>> literal
-    (m x ksub x dsub)."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(c)) for c in cv]) for cv in book])
-            for book in codebooks
-        ]
+def _int_sql(v: int) -> str:
+    """SQL integer literal with the same type F.lit(int) infers:
+    INT when it fits, BIGINT (L suffix) otherwise — so swapping the
+    py4j literal builders for parsed SQL never changes a schema."""
+    v = int(v)
+    return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+
+
+def _ilit_matrix(rows: list[list[int]]) -> Column:
+    """array<array<int>> literal in ONE py4j/SQL-parse round trip
+    (k x dim py4j calls otherwise — see _dlit_array)."""
+    body = ",".join(
+        "array(" + ",".join(_int_sql(v) for v in r) + ")" for r in rows
     )
+    return F.expr(f"array({body})")
+
+
+def _cb_literal(codebooks: list[list[list[int]]]) -> Column:
+    """The full codebook as one array<array<array<int>>> literal
+    (m x ksub x dsub), parsed in ONE round trip — the per-element
+    F.lit form was ~1,160 py4j calls at m=8, ksub=16, dsub=8."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_int_sql(c) for c in cv) + ")" for cv in book
+        )
+        + ")"
+        for book in codebooks
+    )
+    return F.expr(f"array({body})")
 
 
 def _sub_dists(resid: Column, cb_s: Column, s: Column, dsub: int) -> Column:
@@ -436,14 +466,12 @@ def ivfpq_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     n_lists = len(centroids)
-    cents_q_lit = F.array(
-        *[F.array(*[F.lit(int(c)) for c in _qvec(cent)]) for cent in centroids]
-    )
+    cents_q_lit = _ilit_matrix([_qvec(cent) for cent in centroids])
     cb_lit = _cb_literal(codebooks)
 
     # ---- corpus side: list assignment + PQ codes ----
     enc = with_norm(corpus, vec_col).withColumn(
-        "list_id", assign_list(F.col(vec_col), centroids)
+        "list_id", assign_list(vec_col, centroids)
     )
     resid = _resid_col(F.col(vec_col), cents_q_lit, F.col("list_id"))
     # materialize the encoded corpus once — it is THE index (at corpus
@@ -459,7 +487,7 @@ def ivfpq_topk(
     ).localCheckpoint(eager=True)
 
     # ---- query side: probe lists + per-list ADC lookup tables ----
-    dists_all = F.array(*[_sq_dist_to(F.col(vec_col), cent) for cent in centroids])
+    dists_all = F.expr(_sq_dists_sql(vec_col, centroids))
     ranked = F.transform(
         F.array_sort(
             F.zip_with(

@@ -57,6 +57,14 @@ def triangle_counts(
     centers. Three equi-joins + one groupBy, all broadcast-free and
     AQE-skew-splittable.
     """
+    # EAGER checkpoint: `e` feeds deg AND the orientation join (deg is
+    # itself derived from e), so without a barrier the upstream
+    # edge-dedup pipeline is re-executed per branch (ReuseExchange does
+    # not dedup these subtrees) AND every downstream Dataset op
+    # re-analyzes the full upstream plan — profiled 2.5 s of
+    # driver-side construction per graph_triangles build (guide §5:
+    # the driver should do almost no work; §3.3: materialise to
+    # truncate the plan).
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -64,6 +72,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -83,7 +92,10 @@ def triangle_counts(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        # eager for the same reason as `e`: three wedge-join consumers
+        # would each re-analyze (and the corners union re-analyze again)
+        # the full orientation plan
+        .localCheckpoint(eager=True)
     )
     e1 = oe.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))

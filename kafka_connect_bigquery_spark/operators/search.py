@@ -32,6 +32,7 @@ def jaccard_rank(
     n: int = 3,
     top_n: int = 20,
     max_doc_freq: int | None = 100,
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """Lexical retrieval: rank corpus documents for each query document
     by character-n-gram Jaccard overlap, via the same inverted-index
@@ -42,9 +43,20 @@ def jaccard_rank(
     excluded."""
     from kafka_connect_bigquery_spark.operators.dedup import _shingle_postings
 
-    union = queries.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
-    ).distinct()
+    # ``queries_in_corpus=True``: the caller asserts every query row is
+    # (id- and text-identical) a corpus row, so the index universe IS
+    # the corpus and the union+distinct — a full shuffle of the raw
+    # corpus TEXT just to dedup a handful of known members — is
+    # skipped. At scale that is a corpus-sized exchange an index build
+    # must not pay (guide §2.4); it also keeps the corpus frame on raw
+    # scan lineage, so _shingle_postings widens via fan_out instead of
+    # an explicit repartition.
+    if queries_in_corpus:
+        union = corpus.select(id_col, text_col)
+    else:
+        union = queries.select(id_col, text_col).unionByName(
+            corpus.select(id_col, text_col)
+        ).distinct()
     posts = _shingle_postings(union, id_col, text_col, n, max_doc_freq)
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     qids = queries.select(F.col(id_col).alias("doc")).distinct()

@@ -34,19 +34,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _wide(spark: SparkSession, sf_dir: str, name: str, cols: list[str]) -> DataFrame:
-    """Project a table to ``cols`` and raise scan parallelism for
-    hash-CPU-bound per-row work (md5 sketch builds: guide §2 "fewer
-    bytes, more width"). The projection keeps the widening exchange to
-    the key columns only; ``fan_out`` makes it a NO-OP once the scan
-    already arrives wide (at 100 TB every corpus scan does — measured
-    on the 32-file sf10 layout, BASELINE.md Round 13), so this buys
-    local/row-group-bound parallelism without adding a shuffle at
-    scale. Consumers deriving multiple subtrees from the SAME returned
-    frame share one scan+exchange via ReusedExchange."""
-    from kafka_connect_bigquery_spark.operators.skew import fan_out
-
-    return fan_out(_t(spark, sf_dir, name).select(*cols))
+# r13 NOTE: a `_wide` helper (project + fan_out before the md5 sketch
+# builds) was tried on the whole sketch family and measured SLOWER on
+# every member once steal-noise was settled by min-over-runs (each
+# build's filter pushes below the round-robin exchange, so every build
+# pays its own exchange + AQE round while the original single-task
+# stages already overlap as one job). Removed; per-query notes remain
+# at the call sites so round 14 doesn't retry it.
 
 
 # DuckDB reads the events table's ts as TIMESTAMP_NS; Spark floors it to
@@ -2405,8 +2399,13 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 slots mean the oracle rebuilds the identical sketch in SQL."""
     from kafka_connect_bigquery_spark.operators import sketch as SK
 
-    # widen the hash-CPU-bound md5 slot computation (see _wide)
-    e = _wide(spark, sf_dir, "events", ["user_id"])
+    # NOTE (r13 negative result): _wide widening looked like a 0.63x
+    # win against a steal-inflated baseline reading (1.69 s), but the
+    # min-over-runs settlement put the TRUE narrow-scan baseline at
+    # 0.41 s vs 0.74 s widened — the same per-build exchange + AQE
+    # round tax as the other sketch builds. Reverted; the whole family
+    # keeps the fused single-task scan shape.
+    e = _t(spark, sf_dir, "events")
     kw = dict(depth=_CMS_DEPTH, width=_CMS_WIDTH)
     sk = SK.count_min_build(e, "user_id", **kw)
     est = SK.count_min_estimate(sk, e, "user_id", **kw)

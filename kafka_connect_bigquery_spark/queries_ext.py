@@ -2133,6 +2133,9 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         top_n=_RRF_TOP_N,
         max_doc_freq=_JACCARD_MAX_DF,
+        # the query set IS rows of `docs`: skip the corpus-text
+        # union+distinct shuffle in the index build (r13)
+        queries_in_corpus=True,
     ).select("query_id", "doc_id", "rank")
     dense = (
         ann.cosine_topk(
@@ -3320,6 +3323,11 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = items.filter(F.col("n_item") >= _BASKET_MINSUP).localCheckpoint(
         eager=False
     )  # broadcast twice (prune + lift columns)
+    # (r13 also tried repartition(par, "o") AFTER the checkpoint: the
+    # planner kept the broadcast pair join, materialized BOTH
+    # repartition exchanges without reuse, and the wall was unchanged
+    # (1.63 vs 1.61 s min-of-5) — the pair explosion is not
+    # width-starved enough to pay two exchanges for. Left as-is.)
     fb = baskets.join(F.broadcast(freq.select("p")), "p", "left_semi")
     a = fb.select("o", F.col("p").alias("p1"))
     b = fb.select("o", F.col("p").alias("p2"))
@@ -4178,7 +4186,10 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.select("doc_id", F.explode(tris).alias("tri"))
         .distinct()  # trigram TYPES per doc
-        .localCheckpoint(eager=False)  # feeds BOTH aggregations below
+        # EAGER: both consumer aggregations (and their join) would
+        # otherwise re-analyze the full trigram-explode plan on every
+        # downstream Dataset op — profiled 1.8 s of driver construction
+        .localCheckpoint(eager=True)  # feeds BOTH aggregations below
     )
     # no join-back of df counts onto the corpus-sized pairs frame: a
     # trigram with df == 1 has exactly ONE owner, so min(doc_id) in the

@@ -2614,15 +2614,12 @@ class Warehouse:
             return None, False
         m = meta["pq_m"]
         dsub = len(meta["codebooks"][0][0])
-        cents_q_lit = F.array(
-            *[
-                F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
-                for cent in meta["centroids"]
-            ]
+        cents_q_lit = ANN._ilit_matrix(
+            [ANN._qvec(cent) for cent in meta["centroids"]]
         )
         cb_lit = ANN._cb_literal(meta["codebooks"])
         vec = F.col(col)
-        lid = ANN.assign_list(vec, meta["centroids"])
+        lid = ANN.assign_list(col, meta["centroids"])  # by NAME: one parsed expr
         rows = (
             src.select(
                 F.input_file_name().alias("f"),
@@ -2672,7 +2669,7 @@ class Warehouse:
         rows = (
             src.select(
                 F.input_file_name().alias("f"),
-                ANN.assign_list(F.col(col), meta["centroids"]).alias("list_id"),
+                ANN.assign_list(col, meta["centroids"]).alias("list_id"),
             )
             .filter(F.col("list_id").isNotNull())
             .distinct()
@@ -2972,7 +2969,7 @@ class Warehouse:
             sub = sub.filter(where)
         vec = F.col(col)
         cand = sub.filter(vec.isNotNull()).filter(
-            ANN.assign_list(vec, cents).isin(probes)
+            ANN.assign_list(col, cents).isin(probes)
         )
         scored = cand.select(
             F.col(meta["id_col"]).alias("neighbor_id"),
@@ -3218,18 +3215,13 @@ class Warehouse:
                 table, [live[r] for r in sorted(unenc_rel)], layout
             )
             vec = F.col(col)
-            cents_q_lit = F.array(
-                *[
-                    F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
-                    for cent in cents
-                ]
-            )
+            cents_q_lit = ANN._ilit_matrix([ANN._qvec(cent) for cent in cents])
             cb_lit = ANN._cb_literal(books)
             parts.append(
                 raw.filter(vec.isNotNull())
                 .select(
                     F.col(meta["id_col"]).cast("long").alias("nid"),
-                    ANN.assign_list(vec, cents).alias("list_id"),
+                    ANN.assign_list(col, cents).alias("list_id"),
                     vec.alias("__v"),
                 )
                 .filter(F.col("list_id").isin(probes))
@@ -3301,12 +3293,7 @@ class Warehouse:
         dsub = len(books[0][0])
         n_lists = len(cents)
         n_probe = min(n_probe, n_lists)
-        cents_q_lit = F.array(
-            *[
-                F.array(*[F.lit(int(c)) for c in ANN._qvec(cent)])
-                for cent in cents
-            ]
-        )
+        cents_q_lit = ANN._ilit_matrix([ANN._qvec(cent) for cent in cents])
         cb_lit = ANN._cb_literal(books)
 
         # -- query side: per-query probed lists + ADC lookup tables
@@ -3315,9 +3302,7 @@ class Warehouse:
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("qv"),
         )
-        dists_all = F.array(
-            *[ANN._sq_dist_to(F.col("qv"), cent) for cent in cents]
-        )
+        dists_all = F.expr(ANN._sq_dists_sql("qv", cents))
         ranked = F.transform(
             F.array_sort(
                 F.zip_with(
@@ -3488,7 +3473,7 @@ class Warehouse:
         )
         # union of probed lists across queries: n_lists-bounded collect
         n_lists = len(cents)
-        dists = F.array(*[ANN._sq_dist_to(F.col("embedding"), c) for c in cents])
+        dists = F.expr(ANN._sq_dists_sql("embedding", cents))
         ranked = F.transform(
             F.array_sort(
                 F.zip_with(
@@ -3581,7 +3566,7 @@ class Warehouse:
             # list's rows in files holding (almost always) one list
             min_output_files=len(meta["centroids"]),
             repartition_expr=ANN.assign_list(
-                F.col(meta["col"]), meta["centroids"]
+                meta["col"], meta["centroids"]
             ),
         )
 
