@@ -632,6 +632,7 @@ def incremental_tick(
             sem_index = wh.read(tables.sem_vectors).drop(TICK_COL)
         except Exception:
             sem_index = None
+        sem_index_raw = sem_index  # pre-exclusion view (resurrection seeds)
         if sem_index is not None:
             # eviction reaches the sem probe population too: a beaten
             # doc is absent from the batch's near_survivors, so its
@@ -721,34 +722,59 @@ def incremental_tick(
             except Exception:  # first tick: nothing to resurrect
                 surv_past = None
             if surv_past is not None:
-                cand = sem_index.join(surv_past, emb_id_col, "left_anti")
-                p = ann.with_norm(sem_index, "embedding").select(
-                    "list_id",
-                    F.col(emb_id_col).alias("id_p"),
-                    F.col("embedding").alias("vp"),
-                    F.col("__norm_q").alias("np_"),
-                )
-                vetoed = (
-                    ann.with_norm(cand, "embedding")
-                    .select(
+
+                def _sides(df, a, v, nq):
+                    return ann.with_norm(df, "embedding").select(
                         "list_id",
-                        F.col(emb_id_col).alias("id_c"),
-                        F.col("embedding").alias("vc"),
-                        F.col("__norm_q").alias("nc"),
+                        F.col(emb_id_col).alias(a),
+                        F.col("embedding").alias(v),
+                        F.col("__norm_q").alias(nq),
                     )
-                    .join(p, "list_id")
-                    .filter(F.col("id_p") < F.col("id_c"))
-                    .withColumn(
-                        "cosine",
-                        ann.cosine_from_quantized(
-                            ann.quantized_dot(F.col("vc"), F.col("vp")),
-                            F.col("nc"),
-                            F.col("np_"),
-                        ),
+
+                def _sim_pairs(left, right):
+                    # (id_l < id_r, same cluster, cos >= tau) -> id_r
+                    return (
+                        left.join(right, "list_id")
+                        .filter(F.col("id_l") < F.col("id_r"))
+                        .withColumn(
+                            "cosine",
+                            ann.cosine_from_quantized(
+                                ann.quantized_dot(F.col("vl"), F.col("vr")),
+                                F.col("nl"),
+                                F.col("nr"),
+                            ),
+                        )
+                        .filter(F.col("cosine") >= cfg.sem_min_cosine)
+                        .select(F.col("id_r").alias(emb_id_col))
+                        .distinct()
                     )
-                    .filter(F.col("cosine") >= cfg.sem_min_cosine)
-                    .select(F.col("id_c").alias(emb_id_col))
-                    .distinct()
+
+                # seed candidates from THIS tick's newly-gone vectors
+                # only: a past doc's sem status can change only when
+                # one of its vetoers leaves the population, and a
+                # vetoer leaves exactly once (old_losers is first-
+                # eviction-only) — so re-checking the docs the newly
+                # gone vectors had vetoed is complete across ticks,
+                # and the seed frame stays eviction-sized instead of
+                # population-sized (the full-candidate first cut grew
+                # per tick: 29/34/42 s at sf1 vs 23/21/18 recorded).
+                gone_vecs = sem_index_raw.join(
+                    old_losers.select(F.col(id_col).alias(emb_id_col)),
+                    emb_id_col,
+                    "left_semi",
+                )
+                touched = _sim_pairs(
+                    _sides(gone_vecs, "id_l", "vl", "nl"),
+                    _sides(sem_index, "id_r", "vr", "nr"),
+                )
+                cand = (
+                    sem_index.join(touched, emb_id_col, "left_semi")
+                    .join(surv_past, emb_id_col, "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                vetoed = _sim_pairs(
+                    _sides(sem_index, "id_l", "vl", "nl"),
+                    _sides(cand, "id_r", "vr", "nr"),
                 )
                 res_ids = (
                     cand.select(emb_id_col)
