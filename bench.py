@@ -264,11 +264,44 @@ def main() -> None:
             if "tpch_q6_forecast_revenue" in timings and sf_val == 0.1
             else None
         ),
-        # the frozen-r01 subset's per-query map (~1.3 KB: fits the tail
+        # the frozen-r01 subset's per-query map (~1.1 KB: fits the tail
         # whole) — the cross-round comparison set; the full map is on
         # the previous line and in BENCH_LOCAL.json
         "queries": {n: round(timings[n], 3) for n in r01_present},
     }
+    # r14: widen the parsed per-query map beyond the frozen-30 — the
+    # driver's tail capture is exactly 2000 chars (BENCH_r13.json) and
+    # the full 75-query summary is ~2.3 KB, so a complete map cannot
+    # survive whole; instead ADD extra entries (never remove/rename)
+    # in priority order — r13/r14-touched query paths first (the ones
+    # whose round-over-round comparison the 30-query cap kept forcing
+    # to total-only), then the slowest of the rest — while the line
+    # stays under a 1900-char budget. BENCH_LOCAL.json still carries
+    # the full map + per-run distributions.
+    _PRIORITY_EXTRA = [
+        "search_hybrid_rrf",
+        "docs_ngram_novelty",
+        "integrity_audit",
+        "dedup_containment",
+        "dedup_semantic",
+        "graph_triangles",
+        "text_bm25",
+        "sketch_ams_f2",
+        "orders_market_basket",
+        "text_collocations",
+    ]
+    _SUMMARY_BUDGET = 1900
+    extras = [n for n in _PRIORITY_EXTRA if n in timings] + sorted(
+        (n for n in timings if n not in r01_present and n not in _PRIORITY_EXTRA),
+        key=lambda n: -timings[n],
+    )
+    for n in extras:
+        if n in summary["queries"]:
+            continue
+        summary["queries"][n] = round(timings[n], 3)
+        if len(json.dumps(summary, separators=(",", ":"))) > _SUMMARY_BUDGET:
+            del summary["queries"][n]
+            break
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 

@@ -166,6 +166,15 @@ def _sq_dists_sql(vec_name: str, centroids: list[list[float]]) -> str:
 
     terms = []
     for c in centroids:
+        # Explicit precondition (the Column path silently yields
+        # NaN->null distances for degenerate centroids; the pre-fold
+        # would raise an opaque ValueError/OverflowError instead):
+        if not all(math.isfinite(float(x)) for x in c):
+            raise ValueError(
+                "non-finite centroid component in _sq_dists_sql; "
+                "degenerate kmeans centroid — fix the fit or use the "
+                "Column path"
+            )
         cq = [int(math.floor(float(x) * QD + 0.5)) for x in c]
         arr = f"array({','.join(f'{q}L' for q in cq)})"
         terms.append(

@@ -166,9 +166,29 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 
 def _shingle_postings(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    *,
+    pack: bool = False,
 ) -> DataFrame:
-    """(id, shingle) postings list — the inverted index."""
+    """(id, shingle) postings list — the inverted index.
+
+    ``pack=True`` replaces the n-char shingle STRING with an injective
+    BIGINT (base-128 digits of the chars' code points). Safe because
+    ``canonical_text`` restricts the alphabet to ASCII ``[a-z0-9 ]``, so
+    each char is one code point < 128 and the pack is a bijection onto
+    its image for any n <= 8 — equality joins, distinct counts and
+    document frequencies are IDENTICAL to the string form (guide §2.3:
+    narrower types — a 3-char string key costs 16+ bytes per UnsafeRow
+    field vs 8 for a long, and long hashing/comparison is cheaper in
+    every downstream exchange and join). Callers for which the shingle
+    VALUE is semantic must keep ``pack=False``: prefix_filter_pairs
+    (its global total order ties break on shingle text) and
+    minhash_signature (md5 of the shingle string).
+    """
     # parallelize the whole narrow stage, and materialize the canonical
     # text BEFORE the per-position substr lambda — an inline
     # canonicalization expression inside the HOF re-runs its two
@@ -210,6 +230,20 @@ def _shingle_postings(
         )
     )
     posts = canon.select("doc", F.explode(shingles).alias("sh"))
+    if pack and n <= 8:
+        # pack AFTER the explode so the ascii/substring ops run row-wise
+        # inside whole-stage codegen, not inside the (interpreted) HOF
+        # lambda above; one F.expr = one py4j parse (guide §5). Empty
+        # positions (shingles shorter than n near short-doc edges) pack
+        # as digit 0, which no canonical char occupies — injectivity
+        # holds across lengths too.
+        digits = " + ".join(
+            f"ascii(substring(sh, {i + 1}, 1)) * {128 ** (n - 1 - i)}L"
+            for i in range(n)
+        )
+        posts = posts.select(
+            "doc", F.expr(f"CAST({digits} AS BIGINT)").alias("sh")
+        )
     if max_doc_freq is not None:
         # Drop stop-shingles: they explode the candidate join and add no
         # discriminative signal (classic skew guard at corpus scale).
@@ -247,7 +281,7 @@ def ngram_jaccard_pairs(
     id_a < id_b and jaccard >= min_jaccard. Jaccard is computed from
     integer set sizes — exactly reproducible.
     """
-    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq, pack=True)
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("blk"))
         posts = posts.join(blocks, "doc")
@@ -437,7 +471,7 @@ def containment_pairs(
     ``containment_pct`` is engine-exact. Returns (id_a, id_b,
     inter_size, size_a, size_b, containment_pct, jaccard_pct) with
     id_a < id_b."""
-    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq)
+    posts = _shingle_postings(df, id_col, text_col, n, max_doc_freq, pack=True)
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("blk"))
         posts = posts.join(blocks, "doc")

@@ -142,11 +142,23 @@ def decontaminate(
     toked = fan_out(df).select(
         F.col(id_col), F.col(split_col), tokens(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=True)
-    posts = toked.select(
-        id_col,
-        split_col,
-        F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
-    ).localCheckpoint(eager=True)
+    # unhex AFTER the explode (row-wise, whole-stage codegen — inside
+    # the HOF it would evaluate interpreted): the gram key rides every
+    # downstream exchange/join/agg as BINARY(16) instead of a 32-char
+    # hex string (guide §2.3, narrower types — 24 vs 40 bytes per
+    # UnsafeRow field, cheaper equality/hash). Injective (fixed-format
+    # lowercase hex -> bytes), the gram never surfaces in results, and
+    # every consumer uses it only as an equality key, so distinct
+    # counts and join matches are identical.
+    posts = (
+        toked.select(
+            id_col,
+            split_col,
+            F.explode(F.array_distinct(_gram_hashes(n))).alias("gram"),
+        )
+        .select(id_col, split_col, F.unhex("gram").alias("gram"))
+        .localCheckpoint(eager=True)
+    )
     # Two-phase stop-gram guard (same shape as dedup._shingle_postings):
     # phase 1 is a COUNT-ONLY aggregate per gram — map-side combinable,
     # a few bytes per gram in the buffer no matter how hot the gram —

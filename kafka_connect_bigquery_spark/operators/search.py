@@ -40,7 +40,24 @@ def jaccard_rank(
     only postings of the query set join the corpus index, so cost
     follows |queries|·postings, never corpus². Returns
     (query_id, doc_id, jaccard, rank) with rank <= top_n, self-matches
-    excluded."""
+    excluded.
+
+    Contracts (caller-asserted, not checked at runtime):
+
+    - the QUERY SET must be broadcast-small: query postings
+      (|queries| × shingles-per-doc rows) are force-broadcast so the
+      corpus index is never exchanged; a query set of thousands of long
+      documents can exceed the broadcast limit, where the pre-r13
+      shuffle join merely degraded. This operator is built for the
+      few-queries-against-big-corpus shape.
+    - ``queries_in_corpus=True`` asserts every query row is id- AND
+      text-identical to a corpus row AND that corpus (id, text) rows
+      are unique: the pre-r13 union+``distinct`` also deduped
+      corpus-internal duplicate rows, so a corpus with duplicate
+      (id, text) rows would double its postings (and every Jaccard
+      intersection/size count) under the fast path. The engine's
+      corpora are id-unique by construction; an external caller who
+      cannot assert this must pass ``queries_in_corpus=False``."""
     from kafka_connect_bigquery_spark.operators.dedup import _shingle_postings
 
     # ``queries_in_corpus=True``: the caller asserts every query row is
@@ -57,7 +74,10 @@ def jaccard_rank(
         union = queries.select(id_col, text_col).unionByName(
             corpus.select(id_col, text_col)
         ).distinct()
-    posts = _shingle_postings(union, id_col, text_col, n, max_doc_freq)
+    # pack=True: shingles ride every downstream exchange/join of this
+    # index as BIGINTs instead of n-char strings (injective — see
+    # _shingle_postings; the shingle value never surfaces in results)
+    posts = _shingle_postings(union, id_col, text_col, n, max_doc_freq, pack=True)
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     qids = queries.select(F.col(id_col).alias("doc")).distinct()
     qposts = posts.join(F.broadcast(qids), "doc").select(

@@ -758,6 +758,16 @@ def incremental_tick(
                 # and the seed frame stays eviction-sized instead of
                 # population-sized (the full-candidate first cut grew
                 # per tick: 29/34/42 s at sf1 vs 23/21/18 recorded).
+                #
+                # UPGRADE NOTE: completeness holds from the first tick
+                # run with this code onward. A warehouse whose
+                # `evicted` table already contains evictions recorded
+                # by PRE-resurrection code keeps any sem survivors
+                # those old evictions should have resurrected until a
+                # full materialize/rebuild replays the corpus — there
+                # is deliberately no one-time backfill pass here (it
+                # would scan the full vector population on every
+                # upgrade detection; rebuild is the documented path).
                 gone_vecs = sem_index_raw.join(
                     old_losers.select(F.col(id_col).alias(emb_id_col)),
                     emb_id_col,

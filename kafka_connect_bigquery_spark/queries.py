@@ -3789,6 +3789,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     ds = l.distinct()
     p2 = ds.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    # NOTE (r14 negative result — do not retry without an sf1+
+    # measurement): both `sym` union branches re-run the final pair
+    # aggregation (ReuseExchange dedups only the EXCHANGE; profiled
+    # 2x reads of the pairs shuffle, ~1 M extra rows). An eager
+    # checkpoint here removes that re-read (profiled shuffle rows
+    # 3.35 M -> 2.37 M) but measured consistently SLOWER on wall
+    # (11 interleaved rounds: minima 2.24 vs 2.34, medians 2.6 vs
+    # 2.8): the duplicated final agg runs fully parallel and overlaps
+    # the window exchange, while the checkpoint inserts a synchronous
+    # job barrier the query then waits on. Revisit only at a scale
+    # where the duplicated agg pass dominates the barrier.
     pairs = (
         ds.join(p2, "l_orderkey")
         .filter(F.col("l_suppkey") < F.col("s2"))
@@ -4101,23 +4112,37 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
 
     # All edges out of one child table ride ONE scan+aggregation:
-    # parent key sets broadcast-join onto the child as presence flags,
-    # so each orphan count is a conditional sum in the SAME aggregate
-    # as the row/distinct-key counts — one pass per child table instead
-    # of (agg + anti-join agg) per edge. The pre-r13 per-edge shape
+    # parent key sets join onto the child as presence flags, so each
+    # orphan count is a conditional sum in the SAME aggregate as the
+    # row/distinct-key counts — one pass per child table instead of
+    # (agg + anti-join agg) per edge. The pre-r13 per-edge shape
     # profiled 56 stages / 28 exchanges at sf0.1 with stage-launch
     # latency, not data, dominating the wall; this shape is also the
     # right one at 100 TB (the fact table is scanned once, not six
     # times). The wide 1-row aggregate explodes back into per-edge rows.
+    #
+    # Join strategy per edge (guide §3.1/§3.2): DIMENSION-scale parents
+    # (part/supplier/customer/nation/region — bounded catalogs) are
+    # explicitly broadcast as before. FACT-scale parents (orders: the
+    # key set grows with the fact table — billions of keys at 100 TB)
+    # must never be broadcast: that edge uses a merge-hinted shuffled
+    # join, which spills gracefully at any key-set size and is
+    # AQE-skew-splittable; locally it costs two extra exchanges of
+    # key-only projections (~MBs). A Bloom pre-filter (§3.2) is the
+    # wrong tool here: orphans are the EXCEPTION, so the filter would
+    # pass ~every row and pay its build for nothing.
     def audit(child, edges):
         j = child
-        for i, (_, fk, parent, pk) in enumerate(edges):
+        for i, (_, fk, parent, pk, *flags) in enumerate(edges):
             keys = parent.select(F.col(pk).alias(fk)).distinct()
-            j = j.join(
-                F.broadcast(keys.withColumn(f"_p{i}", F.lit(1))), fk, "left"
-            )
+            keys = keys.withColumn(f"_p{i}", F.lit(1))
+            big_parent = bool(flags and flags[0])
+            if big_parent:
+                j = j.join(keys.hint("merge"), fk, "left")
+            else:
+                j = j.join(F.broadcast(keys), fk, "left")
         aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-        for i, (_, fk, _, _) in enumerate(edges):
+        for i, (_, fk, *_rest) in enumerate(edges):
             aggs.append(
                 F.count_distinct(F.col(fk)).cast("bigint").alias(f"_k{i}")
             )
@@ -4134,7 +4159,7 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(f"_k{i}").alias("n_keys"),
                     F.col(f"_o{i}").alias("n_orphans"),
                 )
-                for i, (name, _, _, _) in enumerate(edges)
+                for i, (name, *_rest) in enumerate(edges)
             ]
         )
         return j.agg(*aggs).select(F.explode(rows).alias("e")).select("e.*")
@@ -4144,7 +4169,9 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(
             t("lineitem").select("l_orderkey", "l_partkey", "l_suppkey"),
             [
-                ("lineitem->orders", "l_orderkey", o, "o_orderkey"),
+                # big_parent=True: orders keys scale with the fact
+                # table — shuffled merge join, never a broadcast
+                ("lineitem->orders", "l_orderkey", o, "o_orderkey", True),
                 ("lineitem->part", "l_partkey", t("part"), "p_partkey"),
                 ("lineitem->supplier", "l_suppkey", s, "s_suppkey"),
             ],

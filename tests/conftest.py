@@ -10,6 +10,39 @@ sys.path.insert(0, REPO)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# ---------------------------------------------------------------------------
+# Fast-by-default test gate (r14, VERDICT r13 "Next round" #2): the full
+# suite is ~700 tests / ~40 min and the driver's verify gate truncates it
+# (VERIFY_r13: tests_ok=false with zero failures — a timeout, not a
+# failure). Default runs SKIP tests marked `slow` (the long stateful-fuzz
+# / scale / throughput soakers) so `python -m pytest tests/ -x -q`
+# finishes inside the gate; the full suite stays one env var away:
+#
+#     SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -x -q
+#
+# Every `slow` test is a depth/endurance re-run of behavior that fast
+# tests already pin — the marker trades soak time, never coverage class.
+# ---------------------------------------------------------------------------
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long soak/fuzz/scale test; skipped unless "
+        "SPARK_GRAFT_FULL_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow-marked (soak); set SPARK_GRAFT_FULL_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

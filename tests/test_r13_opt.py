@@ -18,12 +18,10 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_spark.operators import ann
 
-
-@pytest.fixture(scope="module")
-def spark():
-    from kafka_connect_bigquery_spark.session import get_spark
-
-    return get_spark("test-r13-opt", master="local[2]")
+# spark fixture: the shared session-scoped conftest fixture — a
+# module-local get_spark(master=...) is a no-op under getOrCreate when
+# another module's session is already running, and never stopped its
+# session (ADVICE r13)
 
 
 # awkward doubles: shortest-repr subtleties, negatives, exponents,
