@@ -5047,35 +5047,30 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # insertion order. The window ALTERNATES round to round: lead with the
 # entries whose most recent driver row is oldest, park last round's fresh
 # greens at the tail.
-# Round 13 window (50 slots), executed exactly as pre-registered in
-# the r12 verdict ("Next round: do this" #1) / SURVEY's round-13
-# pre-registration: LEAD with the 26 r08-stale rows that did not fit
-# the r12 window (all 26 judge-re-verified EXACT on the r12 HEAD, so
-# the rotation is risk-free), then the r13-changed path
-# (pretrain_incremental — the tick's postings index now carries each
-# doc's quality column for the survivor="best" probe orientation, so
-# its plan changed) and the NEW r13 first-witness entry
-# (pretrain_keep_best — the incremental tick under the keep-best
-# survivor policy, including retroactive eviction through the
-# append-only evicted table), then the CORE SET (adopted this round,
-# SURVEY "Witness-staleness budget": a small every-round set — the
-# pinned tolerance-contract entry plus one flagship per load-bearing
-# family — while everything else rotates under a ≤6-round budget),
-# then backfill with 18 of the 48 r10-stale rows — events_interval_join
-# first (flagged in two consecutive driver benches; noise-settled
-# locally this round, and a fresh driver witness retires it), then the
-# warehouse-ANN read family, the incremental-index family, the dedup
-# verification family, and the embedding family. The 28 r10 rows that
-# do not fit (docs_chi_square, events_asof_join, events_asof_tolerance,
-# events_benford, events_ewma, events_gap_fill, events_mad_outliers,
-# events_rolling_7d, events_salted_agg, events_session_window,
-# events_sessionize, events_sliding_window, events_streaks,
-# events_tumbling_window, events_welch_t, integrity_audit,
-# mixture_entropy, multimodal_audio_chunks, multimodal_frame_features,
-# multimodal_image_meta, orders_salted_join, pairs_contrastive,
-# sketch_hll_daily, sketch_hll_distinct, sketch_kmv_distinct, text_bm25,
-# tpch_q2_min_cost_supplier, weighted_sample) are pre-registered to
-# LEAD the r14 window.
+# Round 14 window (50 slots), executed exactly as pre-registered in
+# SURVEY's round-14 block + the r13 verdict "Next round" #1: LEAD with
+# the 28 r10-stale rows that did not fit the r13 window (they include
+# integrity_audit, whose plan changed in BOTH r13 and r14 — the
+# broadcast size-guard), then the two other r13-changed plans the r13
+# window missed (search_hybrid_rrf — query-postings broadcast +
+# queries_in_corpus index build; docs_ngram_novelty — unconditional
+# widen + eager checkpoint), then the r14-changed plans
+# (dedup_ngram_jaccard + dedup_containment — BIGINT shingle pack;
+# docs_decontaminate — BINARY(16) gram keys; dedup_minhash_recall's
+# truth side also rides the pack but it is core, below), then the CORE
+# SET (witnessed every round), then backfill with 13 of the 47
+# r11-stale rows — the ANN ranking family (its literal construction
+# changed in r13), the dedup verification family (adjacent to this
+# round's pack), the packing/docs family (decontaminate's module), and
+# one flagship each for graph/sampling/text/TPC-H. The 34 r11 rows
+# that do not fit (ann/…: dedup_minhash_lsh is in, the remaining
+# docs_length_histogram, docs_quality_filter, embedding_label_centroids,
+# events_attribution, events_cohort_retention, events_daily_anomalies,
+# events_funnel, events_transitions, events_value_quantiles,
+# sample-… and the 16 r11-stale TPC-H rows) are pre-registered to LEAD
+# the r15 window.
+# (The r13 window text this replaces is archived in SURVEY.md's
+# round-13 pre-registration block, executed exactly as written.)
 _CORE_SET: list[str] = [
     # witnessed EVERY round (SURVEY budget: core/rotation split) —
     # the tolerance-contract entry + one flagship per family whose
@@ -5086,60 +5081,60 @@ _CORE_SET: list[str] = [
     "dedup_minhash_recall",      # LLM-dedup family flagship
 ]
 _PRIORITY_ORDER: list[str] = [
-    # -- the 26 r08-stale rows (oldest driver witnesses; lead) ----------
-    "ann_ivf_topk",
-    "bpe_top_pairs",
-    "corpus_shard_plan",
-    "customer_ltv_deciles",
-    "dedup_prefix_filter",
-    "docs_chunk_windows",
-    "events_cube",
-    "events_json_agg",
-    "events_ks_test",
-    "events_mannwhitney",
-    "events_pivot",
-    "events_set_ops",
-    "graph_triangles",
-    "mixture_rebalance",
-    "orders_market_basket",
-    "sketch_kmv_incremental",
-    "text_collocations",
-    "text_language_id",
-    "text_quality_scores",
-    "text_zipf_fit",
-    "top_orders_per_segment",
-    "user_value_ranks",
-    "warehouse_bloom_bucketed",
-    "warehouse_clone_bucketed",
-    "warehouse_sketch_bucketed",
-    "warehouse_text_bucketed",
-    # -- r13-changed path ------------------------------------------------
-    "pretrain_incremental",
-    # -- NEW r13 entry (first-witness) ------------------------------------
-    "pretrain_keep_best",
+    # -- the 28 r10-stale rows (oldest driver witnesses; lead) ----------
+    "docs_chi_square",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_benford",
+    "events_ewma",
+    "events_gap_fill",
+    "events_mad_outliers",
+    "events_rolling_7d",
+    "events_salted_agg",
+    "events_session_window",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_streaks",
+    "events_tumbling_window",
+    "events_welch_t",
+    "integrity_audit",          # plan changed r13 (one-pass) AND r14 (size-guard)
+    "mixture_entropy",
+    "multimodal_audio_chunks",
+    "multimodal_frame_features",
+    "multimodal_image_meta",
+    "orders_salted_join",
+    "pairs_contrastive",
+    "sketch_hll_daily",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "text_bm25",
+    "tpch_q2_min_cost_supplier",
+    "weighted_sample",
+    # -- r13-changed plans not witnessed in r13 ---------------------------
+    "search_hybrid_rrf",
+    "docs_ngram_novelty",
+    # -- r14-changed plans -------------------------------------------------
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "docs_decontaminate",
     # -- core set: witnessed every round ----------------------------------
     *_CORE_SET,
-    # -- backfill: 18 of the 48 r10-stale rows ----------------------------
-    "events_interval_join",
-    "avro_wire_roundtrip",
-    "warehouse_ann_read",
-    "warehouse_ann_bucketed",
-    "warehouse_ann_many",
-    "warehouse_ann_refined",
-    "warehouse_evolution_read",
-    "warehouse_zonemap_read",
-    "ann_incremental",
-    "bm25_incremental",
-    "dedup_semantic",
-    "dedup_passages",
-    "dedup_containment",
-    "dedup_substring_runs",
-    "dedup_winnow",
-    "dedup_simhash_pairs",
-    "embedding_kmeans",
-    "embedding_projection",
+    # -- backfill: 13 of the 47 r11-stale rows -----------------------------
+    "ann_cosine_topk",
+    "ann_ivfpq_topk",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "docs_sequence_pack",
+    "docs_dsir_weights",
+    "docs_vocab_growth",
+    "graph_pagerank",
+    "sample_k_per_group",
+    "text_token_stats",
+    "tpch_q9_product_profit",
     # == 50-slot window boundary: everything below was witnessed ==
-    # == green in r10, r11 or r12 ==================================
+    # == green in r11, r12 or r13 ==================================
 ]
 
 

@@ -47,6 +47,15 @@ def get_spark(
         # nanos and convert in read_table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Per-op call-site capture for error enrichment (SPARK-47274)
+        # costs ~6 py4j round trips + a Python traceback walk on EVERY
+        # DataFrame/Column API call on the driver — profiled 1373 -> 367
+        # py4j sends for one events_welch_t build, 0.45 -> 0.17 s
+        # same-session A/B; guide §5 (the driver should do almost no
+        # work). Results are unchanged — only error messages lose the
+        # Python call-site line. Deployment-independent: driver chatter
+        # is identical on a real cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
@@ -134,6 +143,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             # engine-wide TimestampType, instants taken as UTC (the session
             # timezone get_spark() pins).
             spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+            # Driver-side py4j diet (see get_spark): also applied here so
+            # the driver harness's plain conf-free session gets it — it
+            # builds hundreds of plans per correctness run. Lazily read
+            # (and cached) by pyspark at the first wrapped API call, so
+            # setting it at the read boundary is early enough.
+            spark.conf.set(
+                "spark.python.sql.dataFrameDebugging.enabled", "false"
+            )
+            # pyspark caches the flag at the first wrapped API call; a
+            # plain harness session may have warmed that cache True
+            # before reaching this read boundary — drop it so the next
+            # call re-reads the conf just set above.
+            import pyspark.errors.utils as _eu
+
+            _eu._enable_debugging_cache = None
         except Exception:  # pragma: no cover - conf is runtime-settable in 4.x
             pass
         _NANOS_CONF_SESSIONS.add(spark)
