@@ -5062,13 +5062,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # r11-stale rows — the ANN ranking family (its literal construction
 # changed in r13), the dedup verification family (adjacent to this
 # round's pack), the packing/docs family (decontaminate's module), and
-# one flagship each for graph/sampling/text/TPC-H. The 34 r11 rows
-# that do not fit (ann/…: dedup_minhash_lsh is in, the remaining
-# docs_length_histogram, docs_quality_filter, embedding_label_centroids,
-# events_attribution, events_cohort_retention, events_daily_anomalies,
-# events_funnel, events_transitions, events_value_quantiles,
-# sample-… and the 16 r11-stale TPC-H rows) are pre-registered to LEAD
-# the r15 window.
+# one flagship each for graph/sampling/text/TPC-H. The 33 r11-stale
+# rows that do not fit (docs_length_histogram, docs_quality_filter,
+# embedding_label_centroids, events_attribution,
+# events_cohort_retention, events_daily_anomalies, events_funnel,
+# events_transitions, events_value_quantiles, sketch_kmv_overlap,
+# text_bigram_fluency, text_pii_scrub, text_repetition_stats,
+# text_subword_stats, text_top_terms, and the 18 r11-stale TPC-H rows
+# q3-q8 + q11-q22) are pre-registered to LEAD the r15 window.
 # (The r13 window text this replaces is archived in SURVEY.md's
 # round-13 pre-registration block, executed exactly as written.)
 _CORE_SET: list[str] = [

@@ -33,6 +33,51 @@ def pytest_configure(config):
     )
 
 
+# Central slow list (node-id prefixes), chosen from a full-suite
+# --durations=0 run (plans/r14, 701 tests / 39:27 total): every entry
+# is a >=10 s soak/fuzz/endurance/multi-process re-run of behavior a
+# fast test in the same module already pins. Deliberately KEPT in the
+# fast gate despite >=10 s: test_incremental_ticks_equal_batch_rebuild
+# (the core tick==batch pin) and
+# test_keep_best_eviction_resurrects_sem_losers (the r13 latent-bug
+# regression pin). Fast default ≈ 16 min vs 39 min full.
+_SLOW_PREFIXES = (
+    # stateful fuzz machines (hypothesis soak)
+    "tests/test_warehouse_stateful.py",
+    "tests/test_flat_warehouse_stateful.py",
+    "tests/test_pretrain_stateful.py",
+    # streaming restart soak
+    "tests/test_streaming_soak.py::test_streaming_soak_all_maintained",
+    # multi-process race soaks (atomicity itself is pinned in-process)
+    "tests/test_bucketed_merge.py::test_two_process_writer_race",
+    "tests/test_flat_race.py::test_two_process_",
+    # pretrain pipeline endurance variants (tick==batch core pin stays)
+    "tests/test_pretrain_pipeline.py::test_materialize_survivors_folds_evictions",
+    "tests/test_pretrain_pipeline.py::test_incremental_tick_with_semantic_stage_equals_batch",
+    "tests/test_pretrain_pipeline.py::test_incremental_keep_best_with_embeddings_equals_batch",
+    "tests/test_pretrain_pipeline.py::test_incremental_keep_best_equals_batch_with_eviction",
+    "tests/test_pretrain_pipeline.py::test_torn_tick_",
+    "tests/test_pretrain_pipeline.py::test_materialize_survivors_no_spurious_recovery",
+    "tests/test_pretrain_pipeline.py::test_evicted_log_records_each_id_once",
+    # ANN warehouse lifecycle soaks (operator equivalence is pinned fast)
+    "tests/test_ann_index.py::test_flat_lifecycle_incremental_matches_brute_force",
+    "tests/test_ann_index.py::test_pq_probe_skips_files",
+    "tests/test_ann_index.py::test_pq_many_matches_per_query_probes",
+    "tests/test_ann_index.py::test_list_clustered_layout_actually_skips_files",
+    "tests/test_ann_index.py::test_pq_lifecycle_incremental_matches_operator",
+    "tests/test_ann_index.py::test_fuzz_probe_equals_brute_force_across_lifecycle",
+    "tests/test_ann_index.py::test_pq_compact_and_optimize_keep_codebooks_and_results",
+    "tests/test_ann_index.py::test_pq_bucketed_merge_lifecycle",
+    "tests/test_ann_index.py::test_pq_torn_codes_build_heals_on_next_refresh",
+    "tests/test_ann_index.py::test_read_nearest_many_matches_per_query_probes",
+    "tests/test_ann_index.py::test_pq_unencoded_file_falls_back_on_the_fly",
+    # other >=10 s soaks
+    "tests/test_bucketed_indexes.py::test_incremental_index_self_compacts",
+    "tests/test_merge_properties.py::test_upsert_batching_invariance",
+    "tests/test_bpe.py::test_learn_merges_from_dict_matches_python_replay",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
         return
@@ -40,7 +85,10 @@ def pytest_collection_modifyitems(config, items):
         reason="slow-marked (soak); set SPARK_GRAFT_FULL_TESTS=1 to run"
     )
     for item in items:
-        if "slow" in item.keywords:
+        nid = item.nodeid
+        if "slow" in item.keywords or any(
+            nid.startswith(p) for p in _SLOW_PREFIXES
+        ):
             item.add_marker(skip)
 
 
