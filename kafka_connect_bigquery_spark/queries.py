@@ -5058,18 +5058,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # (dedup_ngram_jaccard + dedup_containment — BIGINT shingle pack;
 # docs_decontaminate — BINARY(16) gram keys; dedup_minhash_recall's
 # truth side also rides the pack but it is core, below), then the CORE
-# SET (witnessed every round), then backfill with 13 of the 47
+# SET (witnessed every round), then backfill with 12 of the 47
 # r11-stale rows — the ANN ranking family (its literal construction
 # changed in r13), the dedup verification family (adjacent to this
 # round's pack), the packing/docs family (decontaminate's module), and
-# one flagship each for graph/sampling/text/TPC-H. The 33 r11-stale
+# one flagship each for graph/sampling/TPC-H. The 34 r11-stale
 # rows that do not fit (docs_length_histogram, docs_quality_filter,
 # embedding_label_centroids, events_attribution,
 # events_cohort_retention, events_daily_anomalies, events_funnel,
 # events_transitions, events_value_quantiles, sketch_kmv_overlap,
 # text_bigram_fluency, text_pii_scrub, text_repetition_stats,
 # text_subword_stats, text_top_terms, and the 18 r11-stale TPC-H rows
-# q3-q8 + q11-q22) are pre-registered to LEAD the r15 window.
+# q3-q8 + q11-q22, plus text_token_stats) are pre-registered to LEAD
+# the r15 window.
 # (The r13 window text this replaces is archived in SURVEY.md's
 # round-13 pre-registration block, executed exactly as written.)
 _CORE_SET: list[str] = [
@@ -5118,9 +5119,10 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "docs_decontaminate",
+    "orders_market_basket",   # r14: pair-explosion width (repartition)
     # -- core set: witnessed every round ----------------------------------
     *_CORE_SET,
-    # -- backfill: 13 of the 47 r11-stale rows -----------------------------
+    # -- backfill: 12 of the 47 r11-stale rows -----------------------------
     "ann_cosine_topk",
     "ann_ivfpq_topk",
     "dedup_components",
@@ -5132,7 +5134,6 @@ _PRIORITY_ORDER: list[str] = [
     "docs_vocab_growth",
     "graph_pagerank",
     "sample_k_per_group",
-    "text_token_stats",
     "tpch_q9_product_profit",
     # == 50-slot window boundary: everything below was witnessed ==
     # == green in r11, r12 or r13 ==================================

@@ -3329,6 +3329,19 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1.63 vs 1.61 s min-of-5) — the pair explosion is not
     # width-starved enough to pay two exchanges for. Left as-is.)
     fb = baskets.join(F.broadcast(freq.select("p")), "p", "left_semi")
+    # Width for the pair explosion (r14, the r13 deferred item measured
+    # at sf1 per the verdict ask): the checkpoint surfaces as an
+    # ExistingRDD with few partitions, so the o-keyed self-join and its
+    # quadratic per-basket pair fan-out ran at checkpoint width.
+    # Neutral at sf0.1 (1.61 vs 1.63 min-of-5, r13); at sf1
+    # single-file the repartitioned shape won every aggregate of a
+    # 4-round interleaved A/B on a wave-y host (minima 3.05 vs 3.75 s
+    # = 0.81x, medians ~5.4 vs ~11 s) — the explosion is width-starved
+    # as soon as baskets outgrow a few input splits, which is also the
+    # 100 TB shape (guide §2.5: spread the explosion, not the scan).
+    fb = fb.repartition(
+        fb.sparkSession.sparkContext.defaultParallelism, "o"
+    )
     a = fb.select("o", F.col("p").alias("p1"))
     b = fb.select("o", F.col("p").alias("p2"))
     pairs = (
